@@ -1,0 +1,95 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005).
+
+North-rule extension operator (SURVEY.md §2.3 X1) — not present in the
+reference library; semantics come from the published paper. Designed as a
+mergeable combiner: update is ``+``, merge is element-wise ``+`` (exact,
+associative, commutative), query is ``min`` over rows.
+
+Hash family (SQL-expressible for oracle checks): for row i,
+``h_i(key) = wang64(key XOR splitmix64(seed + i + 1)) mod width``.
+
+State: ``int64[depth, width]`` counters + (depth, width, seed) header.
+Wire format: little-endian struct header ``<4sIIIq`` (magic b"CMS1", depth,
+width, seed, total) followed by the raw counter bytes.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .bits import U64, splitmix64_scalar, wang64
+
+_MAGIC = b"CMS1"
+_HDR = struct.Struct("<4sIIIq")
+
+
+def params_for(epsilon: float, delta: float) -> tuple[int, int]:
+    """Paper sizing: width = ceil(e/eps), depth = ceil(ln(1/delta))."""
+    return int(math.ceil(math.log(1.0 / delta))), int(math.ceil(math.e / epsilon))
+
+
+class CountMin:
+    __slots__ = ("depth", "width", "seed", "counts", "total")
+
+    def __init__(self, depth: int, width: int, seed: int = 0,
+                 counts: np.ndarray | None = None, total: int = 0):
+        if depth <= 0 or width <= 0:
+            raise ValueError("depth and width must be positive")
+        self.depth = depth
+        self.width = width
+        self.seed = seed
+        self.counts = (np.zeros((depth, width), dtype=np.int64)
+                       if counts is None else counts)
+        self.total = total
+
+    def row_salts(self) -> np.ndarray:
+        return np.array([splitmix64_scalar(self.seed + i + 1)
+                         for i in range(self.depth)], dtype=U64)
+
+    def _positions(self, hashed: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices for pre-wang64-able raw keys."""
+        salts = self.row_salts()
+        return (wang64(hashed[None, :] ^ salts[:, None]) % U64(self.width)).astype(np.int64)
+
+    def update_batch(self, keys: np.ndarray, weights: np.ndarray | None = None) -> None:
+        """Add keys (uint64) with optional integer weights; vectorized bincount."""
+        keys = np.asarray(keys).astype(U64, copy=False)
+        pos = self._positions(keys)
+        if weights is None:
+            for i in range(self.depth):
+                self.counts[i] += np.bincount(pos[i], minlength=self.width)
+            self.total += len(keys)
+        else:
+            w = np.asarray(weights, dtype=np.int64)
+            for i in range(self.depth):
+                self.counts[i] += np.bincount(pos[i], weights=w,
+                                              minlength=self.width).astype(np.int64)
+            self.total += int(w.sum())
+
+    def query(self, keys: np.ndarray) -> np.ndarray:
+        """Point estimate: min over rows (upper bound on true count)."""
+        keys = np.asarray(keys).astype(U64, copy=False)
+        pos = self._positions(keys)
+        ests = self.counts[np.arange(self.depth)[:, None], pos]
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMin") -> None:
+        if (self.depth, self.width, self.seed) != (other.depth, other.width, other.seed):
+            raise ValueError("merge: count-min configs must be identical")
+        self.counts += other.counts
+        self.total += other.total
+
+    def to_bytes(self) -> bytes:
+        return _HDR.pack(_MAGIC, self.depth, self.width, self.seed,
+                         self.total) + self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMin":
+        magic, depth, width, seed, total = _HDR.unpack_from(b)
+        if magic != _MAGIC:
+            raise ValueError("CountMin.from_bytes: bad magic")
+        counts = np.frombuffer(b, dtype=np.int64, offset=_HDR.size).reshape(depth, width).copy()
+        return cls(depth, width, seed, counts, total)

@@ -1,0 +1,235 @@
+"""HyperLogLog / HLL++ with the reference's exact register semantics.
+
+State layout is byte-compatible with the reference wire format
+(/root/reference/hll/hll.ml:16,26-32,174-185): a flat byte array
+``[p, reg_1 .. reg_m]`` with ``m = 2**p`` one-byte registers. Serialized
+sketches are interchangeable with the reference's ``to_string`` output.
+
+Replicated behavioral quirks (SURVEY.md §2.5):
+
+* Q1 — ``make(error)`` selects ``p = ceil(ln((1.04/error)**2))`` with the
+  NATURAL log (hll.ml:28), so error=0.05 -> p=7, error=0.001 -> p=14.
+* Q2 — rho counts TRAILING zeros: ``rho(w) = 1 + ctz(w)``, ``rho(0) = 64``
+  (hll.ml:40-43); bucket index is the LOW p bits (hll.ml:48).
+* Q3 — estimator clamps register values at ``precision - p`` (hll.ml:89):
+  precision=32 for card_hll, 64 for the HLL++ raw estimate.
+* Q4 — bias correction averages the 6 nearest neighbors by squared distance
+  (hll.ml:118-131), Heule et al. constant tables (hll_consts.ml).
+* Q6 — merging different precisions raises (hll.ml:58-61).
+* Q7 — usable precision range asserted to 4..16 (hll.ml:78); we validate at
+  construction instead of crashing at estimate time.
+
+Deviation (documented): estimator sums use ``math.fsum`` (error-free) rather
+than sequential float64 adds; estimates are not bit-compared to OCaml output,
+only register arrays and serialized bytes are bit-exact.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+
+from .bits import U64, ctz64
+
+_DATA = json.load(open(os.path.join(os.path.dirname(__file__), "_hll_data.json")))
+# Index 0 corresponds to p=4 in all three tables (hll_consts.ml:1).
+THRESHOLD = np.asarray(_DATA["threshold"], dtype=np.float64)
+RAW_ESTIMATE = [np.asarray(v, dtype=np.float64) for v in _DATA["raw_estimate"]]
+BIAS = [np.asarray(v, dtype=np.float64) for v in _DATA["bias"]]
+
+P_MIN, P_MAX = 4, 16  # Q7: get_alpha's usable range (hll.ml:78)
+
+
+def precision_for_error(error: float) -> int:
+    """Q1: natural-log precision rule of hll.ml:28 (``make``)."""
+    if not (0.0 < error < 1.0):
+        raise ValueError("error must be in (0, 1)")
+    return int(math.ceil(math.log((1.04 / error) ** 2)))
+
+
+def estimate_memory(error: float) -> int:
+    """Register bytes for an error rate (hll.ml:22-24; header excluded)."""
+    return 1 << precision_for_error(error)
+
+
+def make(error: float = 0.05) -> np.ndarray:
+    """Allocate a sketch for an error rate (hll.ml:26-32)."""
+    return make_p(precision_for_error(error))
+
+
+def make_p(p: int) -> np.ndarray:
+    """Allocate a sketch at explicit precision p (extension beyond reference)."""
+    if not (P_MIN <= p <= P_MAX):
+        raise ValueError(f"precision must be in [{P_MIN}, {P_MAX}], got {p}")
+    t = np.zeros((1 << p) + 1, dtype=np.uint8)
+    t[0] = p
+    return t
+
+
+def validate(t: np.ndarray) -> bool:
+    """Structural invariant ``2**t[0] + 1 == len(t)`` (hll.ml:20)."""
+    return t.dtype == np.uint8 and t.ndim == 1 and len(t) == (1 << int(t[0])) + 1
+
+
+def clear(t: np.ndarray) -> None:
+    t[1:] = 0
+
+
+def get_rho(w: np.ndarray) -> np.ndarray:
+    """Q2: ``rho = 1 + index_of_lsb(w)``, 64 for w == 0 (hll.ml:40-43)."""
+    rho = (1 + ctz64(w)).astype(np.uint8)
+    return np.where(w == 0, np.uint8(64), rho)
+
+
+def add_batch(t: np.ndarray, hashes: np.ndarray) -> None:
+    """Vectorized equivalent of looping ``add`` (hll.ml:45-50).
+
+    ``hashes`` must already be uniform 64-bit values (e.g. ``bits.wang64``
+    output) — same contract as hll.mli:15-23.
+    """
+    p = int(t[0])
+    x = hashes.astype(U64, copy=False)
+    j = (x & U64((1 << p) - 1)).astype(np.intp)
+    rho = get_rho(x >> U64(p))
+    update_registers(t[1:], j, rho)
+
+
+def update_registers(reg: np.ndarray, j: np.ndarray, rho: np.ndarray) -> None:
+    """``reg[j] = max(reg[j], rho)`` grouped-max scatter.
+
+    For batches much larger than the register file an argsort +
+    ``maximum.reduceat`` pass beats ``np.maximum.at``'s scattered writes.
+    """
+    if len(j) >= 4 * len(reg) and len(j) > 4096:
+        order = np.argsort(j, kind="stable")
+        js = j[order]
+        rs = rho[order]
+        starts = np.flatnonzero(np.diff(js, prepend=-1))
+        grouped = np.maximum.reduceat(rs, starts)
+        idx = js[starts]  # unique per group, so plain assignment is safe
+        reg[idx] = np.maximum(reg[idx], grouped)
+    else:
+        np.maximum.at(reg, j, rho)
+
+
+def merge(into: np.ndarray, other: np.ndarray) -> None:
+    """Element-wise byte max; Q6 raises on length mismatch (hll.ml:58-65)."""
+    if len(into) != len(other):
+        raise ValueError("merge: counters precision should be equal")
+    np.maximum(into[1:], other[1:], out=into[1:])
+
+
+def merge_many(sketches: "list[np.ndarray] | np.ndarray") -> np.ndarray:
+    """Associative fold of :func:`merge` over a batch (columnar fast path)."""
+    arr = np.asarray(sketches, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("merge_many expects a stack of equal-length sketches")
+    out = arr.max(axis=0)
+    out[0] = arr[0, 0]
+    return out
+
+
+def to_bytes(t: np.ndarray) -> bytes:
+    """Wire format identical to the reference ``to_string`` (hll.ml:174-176)."""
+    assert validate(t)
+    return t.tobytes()
+
+
+def from_bytes(s: bytes) -> np.ndarray:
+    """Deserialize + re-validate (hll.ml:178-185)."""
+    t = np.frombuffer(s, dtype=np.uint8).copy()
+    if not validate(t):
+        raise ValueError("Hll.from_bytes: invalid serialized sketch")
+    return t
+
+
+def count_nulls(t: np.ndarray) -> int:
+    """Zero registers (hll.ml:69-75)."""
+    return int(np.count_nonzero(t[1:] == 0))
+
+
+def get_alpha(p: int) -> float:
+    """Standard alpha constants (hll.ml:77-82); asserts 4 <= p <= 16 (Q7)."""
+    if not (P_MIN <= p <= P_MAX):
+        raise ValueError(f"alpha undefined for p={p}")
+    if p == 4:
+        return 0.673
+    if p == 5:
+        return 0.697
+    if p == 6:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / float(1 << p))
+
+
+def hll_estimation(precision: int, t: np.ndarray) -> float:
+    """Raw estimate ``alpha * m^2 / sum 2^-min(precision-p, reg)`` (hll.ml:84-91, Q3)."""
+    p = int(t[0])
+    m = 1 << p
+    clamped = np.minimum(precision - p, t[1:].astype(np.int64))
+    terms = np.ldexp(1.0, -clamped)
+    s = math.fsum(terms.tolist())
+    return get_alpha(p) * float(m) * float(m) / s
+
+
+def linear_counting(m: int, nulls: int) -> float:
+    """``m * ln(m / V)`` (hll.ml:93-95)."""
+    return float(m) * math.log(float(m) / float(nulls))
+
+
+def card_hll(t: np.ndarray) -> float:
+    """Original-paper estimator with 32-bit range corrections (hll.ml:97-112)."""
+    e = hll_estimation(32, t)
+    p = int(t[0])
+    m = 1 << p
+    if e <= 2.5 * m:
+        nulls = count_nulls(t)
+        return e if nulls == 0 else linear_counting(m, nulls)
+    if e <= (2.0**32.0) / 30.0:
+        return e
+    return -(2.0**32.0) * math.log(1.0 - e / (2.0**32.0))
+
+
+def get_threshold(p: int) -> float:
+    """HLL++ linear-counting/bias switch thresholds (hll.ml:116, consts:2-3)."""
+    return float(THRESHOLD[p - 4])
+
+
+def get_nearest_neighbors(e: float, vec: np.ndarray) -> np.ndarray:
+    """6-NN by squared distance, stable on ties (hll.ml:118-121, Q4)."""
+    d2 = (e - vec) ** 2
+    order = np.argsort(d2, kind="stable")
+    return order[:6]
+
+
+def estimate_bias(e: float, p: int) -> float:
+    """Mean bias over the 6 nearest rawEstimate neighbors (hll.ml:123-131)."""
+    nn = get_nearest_neighbors(e, RAW_ESTIMATE[p - 4])
+    return float(np.mean(BIAS[p - 4][nn]))
+
+
+def ep(t: np.ndarray) -> float:
+    """Bias-corrected 64-bit raw estimate (hll.ml:133-140)."""
+    p = int(t[0])
+    m = float(1 << p)
+    e = hll_estimation(64, t)
+    if e <= 5.0 * m:
+        return e - estimate_bias(e, p)
+    return e
+
+
+def card_hllpp(t: np.ndarray) -> float:
+    """HLL++ estimate (hll.ml:142-153): linear counting vs threshold vs ep."""
+    assert validate(t)
+    p = int(t[0])
+    m = 1 << p
+    nulls = count_nulls(t)
+    if nulls == 0:
+        return ep(t)
+    h = linear_counting(m, nulls)
+    return h if h <= get_threshold(p) else ep(t)
+
+
+card = card_hllpp

@@ -1,0 +1,156 @@
+"""HLL golden / parity / error-bound tests (SURVEY.md §5.2 items 1-3)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from grenier_spark.core import bits, hll
+
+
+def brute_force_registers(hashes, p):
+    """Per-element reference for the register semantics (hll.ml:45-50, Q2)."""
+    t = np.zeros((1 << p) + 1, dtype=np.uint8)
+    t[0] = p
+    m = 1 << p
+    for x in (int(v) for v in hashes):
+        j = (x & (m - 1)) + 1
+        w = x >> p
+        rho = 64 if w == 0 else (w & -w).bit_length()
+        t[j] = max(t[j], rho)
+    return t
+
+
+def test_precision_rule_q1():
+    # natural-log rule of hll.ml:28: error=0.05 -> p=7, error=0.001 -> p=14
+    assert hll.precision_for_error(0.05) == 7
+    assert hll.precision_for_error(0.001) == 14
+    assert hll.estimate_memory(0.05) == 128
+    t = hll.make(0.05)
+    assert len(t) == 129 and t[0] == 7
+    with pytest.raises(ValueError):
+        hll.precision_for_error(0.0)
+
+
+def test_register_parity_vs_brute_force():
+    for p, n, seed in [(7, 2000, 1), (14, 5000, 42), (4, 500, 3)]:
+        hashes = bits.wang64(np.arange(seed, seed + n, dtype=np.uint64))
+        t = hll.make_p(p)
+        hll.add_batch(t, hashes)
+        assert np.array_equal(t, brute_force_registers(hashes, p))
+
+
+def test_register_update_fast_path_parity():
+    # batch >> register file triggers the reduceat path; must equal maximum.at
+    p = 4
+    hashes = bits.wang64(np.arange(50_000, dtype=np.uint64))
+    t = hll.make_p(p)
+    hll.add_batch(t, hashes)
+    assert np.array_equal(t, brute_force_registers(hashes, p))
+
+
+def test_rho_zero_clamp():
+    # w == 0 -> rho = 64 (hll.ml:40-43); craft a hash with all-zero top bits
+    p = 7
+    t = hll.make_p(p)
+    hll.add_batch(t, np.array([5], dtype=np.uint64))  # 5 >> 7 == 0
+    assert t[5 + 1] == 64
+
+
+def test_serde_roundtrip_and_validation():
+    t = hll.make(0.05)
+    hll.add_batch(t, bits.wang64(np.arange(1000, dtype=np.uint64)))
+    s = hll.to_bytes(t)
+    t2 = hll.from_bytes(s)
+    assert np.array_equal(t, t2)
+    assert hll.card(t2) == hll.card(t)  # mirrors hll/test.ml:9
+    with pytest.raises(ValueError):
+        hll.from_bytes(s[:-1])
+    with pytest.raises(ValueError):
+        hll.from_bytes(b"\x07" + b"\x00" * 5)
+
+
+def test_merge_equals_union_and_q6():
+    h = bits.wang64(np.arange(20_000, dtype=np.uint64))
+    whole = hll.make_p(12)
+    hll.add_batch(whole, h)
+    a, b = hll.make_p(12), hll.make_p(12)
+    hll.add_batch(a, h[:9_000])
+    hll.add_batch(b, h[9_000:])
+    hll.merge(a, b)
+    assert np.array_equal(a, whole)
+    with pytest.raises(ValueError):
+        hll.merge(hll.make_p(12), hll.make_p(13))
+
+
+def test_merge_many_matches_pairwise():
+    h = bits.wang64(np.arange(9_000, dtype=np.uint64))
+    parts = []
+    for i in range(6):
+        t = hll.make_p(10)
+        hll.add_batch(t, h[i * 1500:(i + 1) * 1500])
+        parts.append(t)
+    folded = parts[0].copy()
+    for q in parts[1:]:
+        hll.merge(folded, q)
+    assert np.array_equal(hll.merge_many(parts), folded)
+
+
+def test_empty_and_saturated():
+    t = hll.make_p(7)
+    assert hll.card(t) == 0.0  # linear counting of all-null registers... ln(m/m)*m
+    t[1:] = 63
+    assert hll.card(t) > 0  # saturated sketch still estimates finitely
+
+
+def test_error_bound_multiseed():
+    """North-rule criterion: estimates within the published 1.04/sqrt(m)
+    relative error for the configured m. The bound is a STANDARD DEVIATION
+    (Flajolet et al. 2007 §4; the reference's own test only prints the
+    single-trial error, hll/test.ml:10-12), so the assertion is statistical:
+    RMS relative error over seeds <= 1.5x the bound (small-m estimators run
+    slightly above the asymptotic constant), every trial <= 4 sigma.
+    """
+    seeds = [1, 42, 20260816, 7, 99, 5, 1234, 987, 31337, 2]
+    for error, n in [(0.05, 100_000), (0.001, 100_000), (0.001, 500_000)]:
+        p = hll.precision_for_error(error)
+        bound = 1.04 / math.sqrt(1 << p)
+        rels = []
+        for seed in seeds:
+            base = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+            hashes = bits.wang64(np.uint64(base) + np.arange(n, dtype=np.uint64))
+            t = hll.make(error)
+            hll.add_batch(t, hashes)
+            rel = abs(hll.card(t) - n) / n
+            rels.append(rel)
+            assert rel <= 4 * bound, (error, n, seed, rel, bound)
+        rms = math.sqrt(sum(r * r for r in rels) / len(rels))
+        assert rms <= 1.5 * bound, (error, n, rms, bound)
+
+
+def test_estimator_ranges():
+    # small range -> linear counting; exercised via tiny cardinalities
+    t = hll.make_p(14)
+    hll.add_batch(t, bits.wang64(np.arange(50, dtype=np.uint64)))
+    est = hll.card(t)
+    assert abs(est - 50) / 50 < 0.05  # linear counting is near-exact here
+    # card_hll small-range branch agrees too
+    assert abs(hll.card_hll(t) - 50) / 50 < 0.05
+
+
+def test_alpha_and_threshold_tables():
+    assert hll.get_alpha(4) == 0.673
+    assert hll.get_alpha(7) == pytest.approx(0.7213 / (1 + 1.079 / 128))
+    with pytest.raises(ValueError):
+        hll.get_alpha(17)
+    assert hll.get_threshold(4) == 10.0
+    assert hll.get_threshold(18) == 350000.0
+    assert len(hll.RAW_ESTIMATE) == 15 and len(hll.BIAS) == 15
+    for r, b in zip(hll.RAW_ESTIMATE, hll.BIAS):
+        assert len(r) == len(b)
+
+
+def test_bias_nn_stable_ties():
+    vec = np.array([1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    nn = hll.get_nearest_neighbors(2.0, vec)
+    assert list(nn[:2]) == [1, 2]  # tie broken by ascending index (Q4)
