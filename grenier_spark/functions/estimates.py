@@ -1,0 +1,93 @@
+"""Estimate-extraction Columns over serialized sketch states (BinaryType).
+
+Sketch states are KB-sized, so these pandas UDFs touch a handful of rows —
+never the token-scale data. Each deserializes the wire format produced by
+operators.sketch_build and evaluates the estimator kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..core import hll
+from ..core.bloom import Bloom
+from ..core.countmin import CountMin
+from ..core.kll import KLL
+from ..core.tdigest import TDigest
+
+
+def _col(c: "Column | str") -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+@pandas_udf("double")
+def _hll_card(blobs: pd.Series) -> pd.Series:
+    return blobs.map(lambda b: hll.card(hll.from_bytes(bytes(b))))
+
+
+def hll_card_col(col: "Column | str") -> Column:
+    """HLL++ cardinality estimate of a serialized HLL state (hll.ml:142-155)."""
+    return _hll_card(_col(col))
+
+
+def cms_query_col(sketch: "Column | str", key: "Column | str") -> Column:
+    """Count-min point estimate for a (sketch, hashed-key) pair."""
+
+    @pandas_udf("long")
+    def _q(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        out = np.empty(len(blobs), dtype=np.int64)
+        cache: dict[bytes, CountMin] = {}
+        ks = keys.to_numpy(dtype=np.int64).view(np.uint64)
+        for i, b in enumerate(blobs):
+            b = bytes(b)
+            cm = cache.get(b)
+            if cm is None:
+                cm = cache.setdefault(b, CountMin.from_bytes(b))
+            out[i] = cm.query(ks[i:i + 1])[0]
+        return pd.Series(out)
+
+    return _q(_col(sketch), _col(key))
+
+
+def bloom_contains_col(sketch: "Column | str", key: "Column | str") -> Column:
+    @pandas_udf("boolean")
+    def _c(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        cache: dict[bytes, Bloom] = {}
+        ks = keys.to_numpy(dtype=np.int64).view(np.uint64)
+        out = np.empty(len(blobs), dtype=bool)
+        for i, b in enumerate(blobs):
+            b = bytes(b)
+            bf = cache.get(b) or cache.setdefault(b, Bloom.from_bytes(b))
+            out[i] = bf.contains(ks[i:i + 1])[0]
+        return pd.Series(out)
+
+    return _c(_col(sketch), _col(key))
+
+
+@pandas_udf("double")
+def _bloom_card(blobs: pd.Series) -> pd.Series:
+    return blobs.map(lambda b: Bloom.from_bytes(bytes(b)).cardinality())
+
+
+def bloom_cardinality_col(col: "Column | str") -> Column:
+    return _bloom_card(_col(col))
+
+
+def kll_quantiles_col(sketch: "Column | str", qs: "list[float]") -> Column:
+    @pandas_udf("array<double>")
+    def _q(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: KLL.from_bytes(bytes(b)).quantiles(qs).tolist())
+
+    return _q(_col(sketch))
+
+
+def tdigest_quantiles_col(sketch: "Column | str", qs: "list[float]") -> Column:
+    @pandas_udf("array<double>")
+    def _q(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: TDigest.from_bytes(bytes(b)).quantiles(qs).tolist())
+
+    return _q(_col(sketch))

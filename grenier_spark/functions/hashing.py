@@ -1,0 +1,59 @@
+"""Hash / bucket Column functions (vectorized pandas UDFs over Arrow batches).
+
+The hot path stays JVM-side wherever Spark has an equivalent builtin
+(``F.xxhash64`` for generic row hashing); these UDFs exist for the two
+operations Spark lacks with the required bit-exact semantics:
+
+* ``wang64_col`` — Thomas Wang 64-bit mix (reference hll/hll.ml:159-172),
+  the canonical sketch input hash.
+* ``jump_bucket_col`` — jump consistent hash (reference jmphash/jmphash.ml),
+  minimal-relocation bucket assignment used for skew-controlled
+  ``df.repartition(n, bucket)`` (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..core.bits import U64, wang64
+from ..core.jmphash import jump_bucket
+
+
+@pandas_udf("long")
+def _wang64_udf(keys: pd.Series) -> pd.Series:
+    out = wang64(keys.to_numpy(dtype=np.int64).view(np.uint64))
+    return pd.Series(out.view(np.int64))
+
+
+def wang64_col(col: "Column | str") -> Column:
+    """wang64(key) as a signed-long column (bit pattern of the uint64 hash)."""
+    return _wang64_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def jump_bucket_col(col: "Column | str", n_buckets: int) -> Column:
+    """Jump-consistent bucket in [0, n_buckets) of a long column."""
+
+    @pandas_udf("int")
+    def _jump(keys: pd.Series) -> pd.Series:
+        ks = keys.to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.Series(jump_bucket(ks, n_buckets).astype(np.int32))
+
+    return _jump(F.col(col) if isinstance(col, str) else col)
+
+
+def repartition_by_jump(df, key_col: str, n_buckets: int):
+    """Repartition with jump-consistent placement: ``bucket =
+    jump_hash(wang64(xxhash64(key)), n)`` then hash-exchange on the bucket.
+
+    Versus Spark's default Murmur3-pmod exchange, re-running with a different
+    ``n_buckets`` relocates only ``(m-n)/m`` of the keys — the reference's
+    stated key property (jmphash/jmphash.mli:9-11) — which keeps
+    checkpointed per-bucket sketch state mostly valid when the bucket count
+    is re-tuned (plans/checkpoint.py).
+    """
+    bucket = jump_bucket_col(wang64_col(F.xxhash64(F.col(key_col))), n_buckets)
+    return df.withColumn("_jump_bucket", bucket).repartition(n_buckets, "_jump_bucket")

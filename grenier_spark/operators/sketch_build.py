@@ -1,0 +1,261 @@
+"""Distributed two-level sketch build (SURVEY.md §3.2 lifecycle).
+
+Pipeline shape::
+
+    df.select(group_cols + value_cols)           # Catalyst prunes the scan
+      .mapInArrow(partial_builder, ...)          # level 1: per-partition
+                                                 #   vectorized numpy updates
+      .groupBy(group, name, salt).applyInPandas  # level 2a: fan-in merge
+      .groupBy(group, name).applyInPandas        # level 2b: final merge
+
+Level 1 turns token-scale data into sketch-scale rows (one KB-sized state
+per (input partition x group x spec)); only sketch-sized rows ever shuffle.
+The two-stage merge bounds any single reducer's fan-in to ``fanout`` rows,
+so the plan survives 100k input partitions (1000-executor scale) without a
+single-task funnel. HLL/CMS/Bloom merges are exact and associative, so the
+result is BIT-IDENTICAL to a single-threaded build regardless of
+partitioning (tests/test_spark_pipeline.py asserts this parity).
+
+Per-partition metrics (partition id, rows, values, build time) ride along in
+the partial rows and survive aggregation as sums — the lineage/metrics
+surface the checkpoint layer (plans/checkpoint.py) persists.
+
+Per-batch grouping cost: one token-level ``np.repeat`` + stable argsort per
+value column, then O(1) slices per group — no per-group rescans.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.types import to_arrow_schema
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from ..core import hll
+from ..core.bits import U64, wang64
+from ..core.bloom import Bloom
+from ..core.countmin import CountMin
+from ..core.kll import KLL
+from ..core.tdigest import TDigest
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """One sketch to build.
+
+    kind: 'hll' | 'cms' | 'bloom' | 'kll' | 'tdigest'
+    column: source column — array<int*> token sequences (hll/cms/bloom hash
+            each token; kll/tdigest sketch the token values) or a numeric
+            scalar column.
+    params: kind-specific, via ``SketchSpec.of(name, kind, column, p=14)``:
+            hll {'p'}, cms {'depth','width','seed'}, bloom {'m','k','seed'},
+            kll {'k','seed'}, tdigest {'delta'}.
+    """
+
+    name: str
+    kind: str
+    column: str
+    params: "frozenset[tuple]" = field(default_factory=frozenset)
+
+    @staticmethod
+    def of(name: str, kind: str, column: str, **params) -> "SketchSpec":
+        return SketchSpec(name, kind, column, frozenset(params.items()))
+
+    @property
+    def p(self) -> dict:
+        return dict(self.params)
+
+
+def _new_state(spec: SketchSpec):
+    p = spec.p
+    if spec.kind == "hll":
+        return hll.make_p(p.get("p", 14))
+    if spec.kind == "cms":
+        return CountMin(p.get("depth", 5), p.get("width", 8192), p.get("seed", 7))
+    if spec.kind == "bloom":
+        return Bloom(p.get("m", 1 << 20), p.get("k", 7), p.get("seed", 7))
+    if spec.kind == "kll":
+        return KLL(p.get("k", 200), seed=p.get("seed", 42))
+    if spec.kind == "tdigest":
+        return TDigest(p.get("delta", 200))
+    raise ValueError(f"unknown sketch kind {spec.kind!r}")
+
+
+def _update(state, spec: SketchSpec, values: np.ndarray) -> None:
+    if not len(values):
+        return
+    if spec.kind == "hll":
+        # canonical token hash: wang64 (mirrors reference hll/test.ml:7)
+        hll.add_batch(state, wang64(values.astype(np.int64).view(U64)))
+    elif spec.kind in ("cms", "bloom"):
+        # cms/bloom hash internally (salted wang64 rows)
+        state.update_batch(values.astype(np.int64).view(U64))
+    else:  # quantile sketches take raw values
+        state.update_batch(values.astype(np.float64))
+
+
+def _to_bytes(state, kind: str) -> bytes:
+    return hll.to_bytes(state) if kind == "hll" else state.to_bytes()
+
+
+def _merge_blobs(kind: str, blobs: "list[bytes]") -> bytes:
+    if kind == "hll":
+        return hll.to_bytes(hll.merge_many([hll.from_bytes(b) for b in blobs]))
+    cls = {"cms": CountMin, "bloom": Bloom, "kll": KLL, "tdigest": TDigest}[kind]
+    acc = cls.from_bytes(blobs[0])
+    for b in blobs[1:]:
+        acc.merge(cls.from_bytes(b))
+    return acc.to_bytes()
+
+
+_TAIL_FIELDS = [
+    StructField("sketch_name", StringType(), False),
+    StructField("sketch", BinaryType(), False),
+    StructField("n_rows", LongType(), False),
+    StructField("n_values", LongType(), False),
+    StructField("part_id", IntegerType(), False),
+    StructField("build_us", LongType(), False),
+]
+
+
+def _grouped_column(batch: pa.RecordBatch, col: str, codes: np.ndarray,
+                    n_groups: int):
+    """Group-sorted flat values + group boundaries for a list/scalar column.
+
+    Returns (sorted_values, bounds) where group g's values are
+    ``sorted_values[bounds[g]:bounds[g + 1]]``.
+    """
+    arr = batch.column(col)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        offsets = arr.offsets.to_numpy()
+        values = arr.values.to_numpy(zero_copy_only=False)
+        values = values[offsets[0]:offsets[-1]]
+        lengths = np.diff(offsets)
+        vcodes = np.repeat(codes, lengths)
+    else:
+        values = arr.to_numpy(zero_copy_only=False)
+        vcodes = codes
+        if values.dtype == np.float64:
+            keep = ~np.isnan(values)
+            values, vcodes = values[keep], vcodes[keep]
+    if n_groups == 1:
+        return values, np.array([0, len(values)], dtype=np.int64)
+    order = np.argsort(vcodes, kind="stable")
+    sorted_vals = values[order]
+    bounds = np.searchsorted(vcodes[order], np.arange(n_groups + 1))
+    return sorted_vals, bounds
+
+
+def build_sketches(df: DataFrame, specs: "list[SketchSpec]",
+                   group_cols: "list[str] | None" = None,
+                   fanout: int = 32) -> DataFrame:
+    """Build all ``specs`` over ``df``, optionally grouped by ``group_cols``.
+
+    Returns DataFrame[group_cols..., sketch_name, sketch, n_rows, n_values,
+    part_id(-1 after merge), build_us(summed)], one row per (group, spec).
+    """
+    group_cols = list(group_cols or [])
+    specs = list(specs)
+    value_cols = sorted({s.column for s in specs})
+    src = df.select(*group_cols, *value_cols)
+
+    out_schema = StructType([src.schema[c] for c in group_cols] + _TAIL_FIELDS)
+    arrow_schema = to_arrow_schema(out_schema)
+    kind_of = {s.name: s.kind for s in specs}
+
+    def partial_builder(batches):
+        t0 = time.monotonic()
+        states: dict = {}   # (gkey, spec_name) -> state
+        counts: dict = {}   # gkey -> [rows, values]
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if group_cols:
+                gdf = pd.DataFrame(
+                    {c: batch.column(c).to_pandas() for c in group_cols})
+                key_obj = (pd.MultiIndex.from_frame(gdf) if len(group_cols) > 1
+                           else gdf[group_cols[0]])
+                # use_na_sentinel=False: null group values form a real group
+                # (otherwise factorize emits -1 codes and null rows vanish)
+                codes, uniques = pd.factorize(key_obj, sort=False,
+                                              use_na_sentinel=False)
+
+                def norm(v):
+                    # NaN != NaN would fragment dict state across batches
+                    return None if not isinstance(v, (tuple, list, np.ndarray)) \
+                        and pd.isna(v) else v
+
+                gkeys = [tuple(norm(x) for x in u) if isinstance(u, tuple)
+                         else (norm(u),) for u in uniques]
+            else:
+                codes = np.zeros(batch.num_rows, dtype=np.int64)
+                gkeys = [()]
+            grouped = {c: _grouped_column(batch, c, codes, len(gkeys))
+                       for c in value_cols}
+            row_counts = np.bincount(codes, minlength=len(gkeys))
+            for g, gkey in enumerate(gkeys):
+                for spec in specs:
+                    vals, bounds = grouped[spec.column]
+                    gvals = vals[bounds[g]:bounds[g + 1]]
+                    key = (gkey, spec.name)
+                    st = states.get(key)
+                    if st is None:
+                        st = states.setdefault(key, _new_state(spec))
+                    _update(st, spec, gvals)
+                    cnt = counts.setdefault(key, [0, 0])
+                    cnt[0] += int(row_counts[g])
+                    cnt[1] += len(gvals)
+        if not states:
+            return
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        elapsed_us = int((time.monotonic() - t0) * 1e6)
+        out: dict = {f.name: [] for f in out_schema.fields}
+        for (gkey, name), st in states.items():
+            for c, v in zip(group_cols, gkey):
+                out[c].append(v)
+            out["sketch_name"].append(name)
+            out["sketch"].append(_to_bytes(st, kind_of[name]))
+            out["n_rows"].append(counts[(gkey, name)][0])
+            out["n_values"].append(counts[(gkey, name)][1])
+            out["part_id"].append(pid)
+            out["build_us"].append(elapsed_us)
+        yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
+
+    partials = src.mapInArrow(partial_builder, out_schema)
+    return merge_partials(partials, kind_of, group_cols, fanout)
+
+
+def merge_partials(partials: DataFrame, kind_of: "dict[str, str]",
+                   group_cols: "list[str]", fanout: int = 32) -> DataFrame:
+    """Two-stage associative merge of partial-sketch rows (level 2a + 2b)."""
+    merge_keys = group_cols + ["sketch_name"]
+    out_fields = [f for f in partials.schema.fields if f.name != "_salt"]
+    out_schema = StructType(out_fields)
+    names = [f.name for f in out_fields]
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        kind = kind_of[pdf["sketch_name"].iloc[0]]
+        blob = _merge_blobs(kind, [bytes(b) for b in pdf["sketch"]])
+        head = pdf.iloc[:1].copy()
+        head["sketch"] = [blob]
+        head["n_rows"] = np.int64(pdf["n_rows"].sum())
+        head["n_values"] = np.int64(pdf["n_values"].sum())
+        head["part_id"] = np.int32(-1)
+        head["build_us"] = np.int64(pdf["build_us"].sum())
+        return head[names]
+
+    level2a = (partials
+               .withColumn("_salt", F.pmod(F.col("part_id"), F.lit(fanout)))
+               .groupBy(*merge_keys, "_salt")
+               .applyInPandas(merge_group, out_schema))
+    return (level2a.groupBy(*merge_keys)
+            .applyInPandas(merge_group, out_schema))

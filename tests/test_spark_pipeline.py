@@ -1,0 +1,165 @@
+"""Spark distribution-layer parity tests (SURVEY.md §5.2.5).
+
+The claim under test: the mapInArrow + two-level-merge pipeline adds NOTHING
+— HLL/CMS/Bloom states coming out of Spark are byte-identical to a
+single-threaded pure-numpy build over the same rows, for any partitioning.
+"""
+
+import numpy as np
+import pytest
+
+from grenier_spark.core import hll
+from grenier_spark.core.bits import U64, wang64
+from grenier_spark.core.bloom import Bloom
+from grenier_spark.core.countmin import CountMin
+from grenier_spark.core.jmphash import jump_bucket
+from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
+from grenier_spark.sources.synth import generate_rows
+
+N_DOCS = 1_000
+
+
+@pytest.fixture(scope="module")
+def local_rows():
+    return generate_rows(0, N_DOCS)
+
+
+def local_tokens(local_rows, source=None):
+    sel = (local_rows if source is None
+           else local_rows[local_rows.source == source])
+    return np.concatenate(list(sel.tokens)).astype(np.int64).view(U64)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, docs_tiny):
+    return spark.read.parquet(docs_tiny)
+
+
+SPECS = [
+    SketchSpec.of("tok_hll", "hll", "tokens", p=12),
+    SketchSpec.of("tok_cms", "cms", "tokens", depth=4, width=2048, seed=7),
+    SketchSpec.of("tok_bloom", "bloom", "tokens", m=1 << 18, k=5, seed=7),
+    SketchSpec.of("tok_kll", "kll", "tokens", k=200),
+    SketchSpec.of("ntok_td", "tdigest", "n_tok", delta=200),
+]
+
+
+@pytest.fixture(scope="module")
+def grouped_result(spark, docs_df):
+    res = build_sketches(docs_df.repartition(7), SPECS, group_cols=["source"])
+    pdf = res.toPandas()
+    return {(r.source, r.sketch_name): r for r in pdf.itertuples()}
+
+
+def test_hll_byte_parity_per_group(grouped_result, local_rows):
+    for src in ["web", "books", "code", "wiki"]:
+        toks = local_tokens(local_rows, src)
+        t = hll.make_p(12)
+        hll.add_batch(t, wang64(toks))
+        got = bytes(grouped_result[(src, "tok_hll")].sketch)
+        assert got == hll.to_bytes(t), src
+
+
+def test_cms_byte_parity_per_group(grouped_result, local_rows):
+    for src in ["web", "books", "code", "wiki"]:
+        cm = CountMin(4, 2048, seed=7)
+        cm.update_batch(local_tokens(local_rows, src))
+        got = CountMin.from_bytes(bytes(grouped_result[(src, "tok_cms")].sketch))
+        assert np.array_equal(got.counts, cm.counts)
+        assert got.total == cm.total
+
+
+def test_bloom_byte_parity_per_group(grouped_result, local_rows):
+    for src in ["web", "books", "code", "wiki"]:
+        bf = Bloom(1 << 18, 5, seed=7)
+        bf.update_batch(local_tokens(local_rows, src))
+        got = Bloom.from_bytes(bytes(grouped_result[(src, "tok_bloom")].sketch))
+        assert np.array_equal(got.bits, bf.bits)
+
+
+def test_metrics_counts(grouped_result, local_rows):
+    for src in ["web", "books", "code", "wiki"]:
+        row = grouped_result[(src, "tok_hll")]
+        n_rows_true = int((local_rows.source == src).sum())
+        n_tok_true = int(local_rows[local_rows.source == src].n_tok.sum())
+        assert row.n_rows == n_rows_true
+        assert row.n_values == n_tok_true
+        assert row.part_id == -1
+        assert row.build_us > 0
+
+
+def test_quantile_sketches_within_bounds(grouped_result, local_rows):
+    from grenier_spark.core.kll import KLL
+    from grenier_spark.core.tdigest import TDigest
+
+    toks = local_tokens(local_rows, "web").astype(np.float64)
+    k = KLL.from_bytes(bytes(grouped_result[("web", "tok_kll")].sketch))
+    for q in [0.1, 0.5, 0.9]:
+        est = float(k.quantiles([q])[0])
+        assert abs(float(np.mean(toks <= est)) - q) < 0.04
+    ntoks = local_rows[local_rows.source == "web"].n_tok.to_numpy(dtype=float)
+    td = TDigest.from_bytes(bytes(grouped_result[("web", "ntok_td")].sketch))
+    for q in [0.1, 0.5, 0.9]:
+        est = float(td.quantiles([q])[0])
+        assert abs(float(np.mean(ntoks <= est)) - q) < 0.05
+
+
+def test_global_build_partitioning_invariance(spark, docs_df, local_rows):
+    """Same bytes out of 1-partition and 13-partition builds (global group)."""
+    spec = [SketchSpec.of("g_hll", "hll", "tokens", p=11)]
+    one = build_sketches(docs_df.coalesce(1), spec).toPandas()
+    many = build_sketches(docs_df.repartition(13), spec, fanout=4).toPandas()
+    assert bytes(one.sketch[0]) == bytes(many.sketch[0])
+    t = hll.make_p(11)
+    hll.add_batch(t, wang64(local_tokens(local_rows)))
+    assert bytes(one.sketch[0]) == hll.to_bytes(t)
+    assert int(many.n_values[0]) == int(local_rows.n_tok.sum())
+
+
+def test_estimate_columns(spark, docs_df, local_rows):
+    from grenier_spark.functions import hll_card_col, kll_quantiles_col
+
+    res = build_sketches(docs_df, [SketchSpec.of("h", "hll", "tokens", p=12),
+                                   SketchSpec.of("q", "kll", "tokens", k=200)],
+                         group_cols=["source"])
+    ests = (res.where("sketch_name = 'h'")
+            .select("source", hll_card_col("sketch").alias("est"))
+            .toPandas().set_index("source").est)
+    for src in ["web", "books", "code", "wiki"]:
+        exact = len(np.unique(local_tokens(local_rows, src)))
+        assert abs(ests[src] - exact) / exact < 3 * 1.04 / np.sqrt(1 << 12)
+    qdf = (res.where("sketch_name = 'q'")
+           .select("source", kll_quantiles_col("sketch", [0.5]).alias("qs"))
+           .toPandas())
+    assert len(qdf) == 4 and all(len(v) == 1 for v in qdf.qs)
+
+
+def test_jump_bucket_col_parity(spark):
+    from grenier_spark.functions import jump_bucket_col, wang64_col
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    keys = np.arange(-500, 500, dtype=np.int64)
+    sdf = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    got = (sdf.select("k", jump_bucket_col("k", 32).alias("b"),
+                      wang64_col("k").alias("w"))
+           .toPandas().sort_values("k"))
+    expect_b = jump_bucket(keys.view(np.uint64), 32)
+    expect_w = wang64(keys.view(np.uint64)).view(np.int64)
+    assert np.array_equal(got.b.to_numpy(), expect_b)
+    assert np.array_equal(got.w.to_numpy(), expect_w)
+
+
+def test_synth_spark_vs_local_equality(spark, tmp_path):
+    """Token-array equality invariant: executor-parallel generation produces
+    the identical table to local generation (FIXTURES.md §1)."""
+    from grenier_spark.sources.synth import write_documents_spark
+
+    path = str(tmp_path / "docs")
+    write_documents_spark(spark, path, 200, partitions=5)
+    pdf = spark.read.parquet(path).orderBy("doc_id").toPandas()
+    local = generate_rows(0, 200)
+    assert list(pdf.doc_id) == list(local.doc_id)
+    assert list(pdf.source) == list(local.source)
+    for a, b in zip(pdf.tokens, local.tokens):
+        assert np.array_equal(np.asarray(a, dtype=np.int32), b)
