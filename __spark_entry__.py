@@ -1,38 +1,345 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship two-level sketch build on sf0.001.
+``queries()`` exposes every implemented operator (SURVEY.md §2) as
+(spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives DuckDB-runnable ANSI
+SQL for each SQL-expressible one. The sketch-layer oracles recompute the
+full hash pipeline (wang64 / splitmix64 / trailing-zero rho / integer jump
+loop) bit-exactly in UHUGEINT arithmetic — see
+grenier_spark/functions/sql_oracles.py.
+
+Rows-only entries (no oracle): sketch ESTIMATES are deterministic but not
+ANSI-SQL-expressible (HLL++ bias tables, t-digest/KLL compaction); their
+error-bound assertions live in tests/ (SURVEY.md §5.2.7).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from grenier_spark.functions import (hll_card_col, jump_bucket_col,
+                                     kll_quantiles_col, tdigest_quantiles_col,
+                                     wang64_col)
+from grenier_spark.functions.sql_oracles import (cms_cells_sql,
+                                                 hll_registers_sql,
+                                                 jump_buckets_sql)
+from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with tokens = xxhash64 of whitespace words (array<long>)."""
+    return (_t(spark, sf_dir, "documents")
+            .withColumn("tokens", F.transform(
+                F.split(F.col("text"), " "), lambda t: F.xxhash64(t))))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-source distinct-token estimate + n_chars t-digest over
+    the tokenized documents table, through the full two-level pipeline."""
+    docs = _tokenized_docs(spark, SF0001)
+    specs = [SketchSpec.of("tok_hll", "hll", "tokens", p=12),
+             SketchSpec.of("chars_td", "tdigest", "n_chars", delta=200)]
+    res = build_sketches(docs, specs, group_cols=["source"])
+    hll_rows = (res.where("sketch_name = 'tok_hll'")
+                .select("source",
+                        hll_card_col("sketch").alias("est_distinct_tokens"),
+                        F.col("n_rows").alias("n_docs"),
+                        F.col("n_values").alias("n_tokens")))
+    td_rows = (res.where("sketch_name = 'chars_td'")
+               .select("source",
+                       tdigest_quantiles_col("sketch", [0.5]).getItem(0)
+                       .alias("p50_chars")))
+    return hll_rows.join(td_rows, "source").orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# bit-exact sketch-semantics queries (full oracle)
+# --------------------------------------------------------------------------
+
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense HLL(p=8) register dump over events.user_id — proves wang64,
+    low-p-bit bucketing, trailing-zero rho and max-merge bit-exactness
+    through the distributed build (reference hll/hll.ml:45-50)."""
+    ev = _t(spark, sf_dir, "events")
+    res = build_sketches(ev, [SketchSpec.of("h", "hll", "user_id", p=8)])
+
+    @pandas_udf("array<long>")
+    def regs(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: np.frombuffer(bytes(b), dtype=np.uint8)[1:]
+                         .astype(np.int64).tolist())
+
+    return (res.select(F.posexplode(regs("sketch")).alias("j", "reg"))
+            .select(F.col("j").cast("long").alias("j"),
+                    F.col("reg").cast("long").alias("reg")))
+
+
+def q_jump_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jump-consistent bucket of every distinct user (reference
+    jmphash/jmphash.ml:1-14, integer variant, bit-exact)."""
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    return ev.select("user_id",
+                     jump_bucket_col(wang64_col("user_id"), 32)
+                     .cast("long").alias("bucket"))
+
+
+def q_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-zero count-min cells over events.user_id (d=4, w=512, seed=7) —
+    exact associative +-merge makes the full matrix SQL-checkable."""
+    ev = _t(spark, sf_dir, "events")
+    res = build_sketches(ev, [SketchSpec.of("c", "cms", "user_id",
+                                            depth=4, width=512, seed=7)])
+
+    def cells(it):
+        from grenier_spark.core.countmin import CountMin
+        for pdf in it:
+            for blob in pdf["sketch"]:
+                cm = CountMin.from_bytes(bytes(blob))
+                rows, cols = np.nonzero(cm.counts)
+                yield pd.DataFrame({"row": rows.astype(np.int64),
+                                    "col": cols.astype(np.int64),
+                                    "cnt": cm.counts[rows, cols]})
+
+    return res.mapInPandas(cells, "row bigint, col bigint, cnt bigint")
+
+
+# --------------------------------------------------------------------------
+# relational / text / similarity queries (full oracle)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    cents = (F.round(F.col("l_extendedprice") * 100, 0)).cast("long")
+    disc4 = (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                     * 10000, 0)).cast("long")
+    chrg6 = (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                     * (1 + F.col("l_tax")) * 1000000, 0)).cast("long")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(cents).alias("sum_price_cents"),
+                 F.sum(disc4).alias("sum_disc_price_e4"),
+                 F.sum(chrg6).alias("sum_charge_e6"),
+                 F.round(F.sum(F.col("l_quantity").cast("long"))
+                         / F.count(F.lit(1)), 6).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "events").groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def q_first_event_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = ev.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    return first.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    return (tok.where("token <> ''").groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("token")).limit(20))
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("text").alias("n_distinct_text"))
+            .withColumn("n_dups", F.col("n_docs") - F.col("n_distinct_text")))
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("long")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+                 F.sum(words).alias("sum_words"),
+                 F.max(F.col("n_chars").cast("long")).alias("max_chars"))
+            .withColumn("avg_words", F.round(F.col("sum_words")
+                                             / F.col("n_docs"), 6)))
+
+
+def q_lang_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pred = (F.when(F.col("text").contains(" the "), "en")
+            .when(F.col("text").contains(" der "), "de")
+            .when(F.col("text").contains(" le "), "fr")
+            .when(F.col("text").contains(" el "), "es")
+            .otherwise("other"))
+    return (docs.withColumn("lang_pred", pred)
+            .groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the min-vec_id query embedding.
+    Dot products folded sequentially in float64 on both engines."""
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
+    j = em.crossJoin(F.broadcast(q))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y:
+                                      x.cast("double") * y.cast("double")),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    cos = dot("embedding", "qv") / (
+        F.sqrt(dot("embedding", "embedding")) * F.sqrt(dot("qv", "qv")))
+    return (j.select("vec_id", F.round(cos, 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10))
+
+
+# --------------------------------------------------------------------------
+# sketch-estimate queries (rows-only; error bounds asserted in tests/)
+# --------------------------------------------------------------------------
+
+def q_hll_card_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    res = build_sketches(ev, [SketchSpec.of("h", "hll", "user_id", p=12)],
+                         group_cols=["event_type"])
+    return res.select("event_type", hll_card_col("sketch").alias("est_users"),
+                      F.col("n_rows").alias("n_events"))
+
+
+def q_value_quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    res = build_sketches(ev, [SketchSpec.of("t", "tdigest", "value", delta=200)],
+                         group_cols=["event_type"])
+    qs = tdigest_quantiles_col("sketch", [0.25, 0.5, 0.75, 0.95])
+    return res.select("event_type",
+                      qs.getItem(0).alias("q25"), qs.getItem(1).alias("q50"),
+                      qs.getItem(2).alias("q75"), qs.getItem(3).alias("q95"))
+
+
+def q_nchars_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    res = build_sketches(docs, [SketchSpec.of("k", "kll", "n_chars", k=200)],
+                         group_cols=["source"])
+    qs = kll_quantiles_col("sketch", [0.1, 0.5, 0.9])
+    return res.select("source", qs.getItem(0).alias("q10"),
+                      qs.getItem(1).alias("q50"), qs.getItem(2).alias("q90"))
+
+
+def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tokenized_docs(spark, sf_dir)
+    res = build_sketches(docs, [SketchSpec.of("h", "hll", "tokens", p=12)],
+                         group_cols=["source"])
+    return res.select("source", hll_card_col("sketch").alias("est_tokens"),
+                      F.col("n_rows").alias("n_docs"),
+                      F.col("n_values").alias("n_tokens"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "hll_registers": q_hll_registers,
+        "jump_buckets": q_jump_buckets,
+        "cms_cells": q_cms_cells,
+        "tpch_q1": q_tpch_q1,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "first_event_by_type": q_first_event_by_type,
+        "top_tokens": q_top_tokens,
+        "dedup_stats": q_dedup_stats,
+        "doc_quality": q_doc_quality,
+        "lang_pred": q_lang_pred,
+        "knn_topk": q_knn_topk,
+        "hll_card_by_type": q_hll_card_by_type,
+        "value_quantiles_tdigest": q_value_quantiles_tdigest,
+        "nchars_quantiles_kll": q_nchars_quantiles_kll,
+        "token_hll_by_source": q_token_hll_by_source,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hll_registers": hll_registers_sql(
+            "SELECT user_id::UHUGEINT AS k FROM events", "k", 8),
+        "jump_buckets": jump_buckets_sql(
+            "SELECT user_id, w AS h FROM (" + _wang_over_users() + ")",
+            "h", "user_id", 32),
+        "cms_cells": cms_cells_sql(
+            "SELECT user_id FROM events", "user_id", 4, 512, 7),
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT AS sum_price_cents,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))::BIGINT AS sum_disc_price_e4,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT))::BIGINT AS sum_charge_e6,
+       round(SUM(CAST(l_quantity AS BIGINT)) / COUNT(*)::DOUBLE, 6) AS avg_qty,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+        "distinct_users_by_type": """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type""",
+        "first_event_by_type": """
+SELECT event_type, COUNT(*) AS n_users FROM (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1 GROUP BY event_type""",
+        "top_tokens": """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> '' GROUP BY token
+ORDER BY cnt DESC, token ASC LIMIT 20""",
+        "dedup_stats": """
+SELECT source, n_docs, n_distinct_text, n_docs - n_distinct_text AS n_dups
+FROM (SELECT source, COUNT(*) AS n_docs,
+             COUNT(DISTINCT text) AS n_distinct_text
+      FROM documents GROUP BY source)""",
+        "doc_quality": """
+SELECT source, n_docs, sum_chars, sum_words, max_chars,
+       round(sum_words / n_docs::DOUBLE, 6) AS avg_words
+FROM (SELECT source, COUNT(*) AS n_docs,
+             SUM(n_chars)::BIGINT AS sum_chars,
+             SUM(len(string_split(text, ' ')))::BIGINT AS sum_words,
+             MAX(n_chars)::BIGINT AS max_chars
+      FROM documents GROUP BY source)""",
+        "lang_pred": """
+SELECT lang,
+       CASE WHEN contains(text, ' the ') THEN 'en'
+            WHEN contains(text, ' der ') THEN 'de'
+            WHEN contains(text, ' le ') THEN 'fr'
+            WHEN contains(text, ' el ') THEN 'es'
+            ELSE 'other' END AS lang_pred,
+       COUNT(*) AS n
+FROM documents GROUP BY 1, 2""",
+        "knn_topk": """
+WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+s AS (
+  SELECT e.vec_id,
+         list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+         (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_inner_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, round(cos, 6) AS cos_sim FROM s
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    }
+
+
+def _wang_over_users() -> str:
+    from grenier_spark.functions.sql_oracles import chain_selects, wang64_stages
+
+    return chain_selects(
+        "SELECT DISTINCT user_id, user_id::UHUGEINT AS k FROM events",
+        wang64_stages("k", "w"))

@@ -42,16 +42,28 @@ def wang64(x: np.ndarray) -> np.ndarray:
     Semantics of /root/reference/hll/hll.ml:159-172 ``hash_int64`` (7 rounds
     of shift/xor/add over wrapping 64-bit arithmetic). This is the canonical
     per-token hash fed to every sketch (mirrors hll/test.ml:7).
+
+    Implementation is allocation-minimal (2 buffers, in-place ufuncs): each
+    add-of-shifts round folds to one wrapping multiply —
+    ``~x + (x << 21) == x * 2097151 - 1 (mod 2^64)``, ``x + (x<<3) + (x<<8)
+    == x * 265``, ``x + (x<<2) + (x<<4) == x * 21``, ``x + (x<<31) ==
+    x * 2147483649`` — which matters because 100TB-scale batches live in the
+    Arrow hot path.
     """
-    x = np.asarray(x).astype(U64, copy=True)
-    x = (~x) + (x << U64(21))
-    x ^= x >> U64(24)
-    x = x + (x << U64(3)) + (x << U64(8))  # x * 265
-    x ^= x >> U64(14)
-    x = x + (x << U64(2)) + (x << U64(4))  # x * 21
-    x ^= x >> U64(28)
-    x = x + (x << U64(31))
-    return x
+    a = np.asarray(x).astype(U64, copy=True)
+    t = np.empty_like(a)
+    np.multiply(a, U64(2097151), out=a)
+    np.subtract(a, U64(1), out=a)
+    np.right_shift(a, U64(24), out=t)
+    np.bitwise_xor(a, t, out=a)
+    np.multiply(a, U64(265), out=a)
+    np.right_shift(a, U64(14), out=t)
+    np.bitwise_xor(a, t, out=a)
+    np.multiply(a, U64(21), out=a)
+    np.right_shift(a, U64(28), out=t)
+    np.bitwise_xor(a, t, out=a)
+    np.multiply(a, U64(2147483649), out=a)
+    return a
 
 
 def wang64_scalar(key: int) -> int:

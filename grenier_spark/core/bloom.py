@@ -51,7 +51,19 @@ class Bloom:
         return ((h1[None, :] + i * h2[None, :]) % U64(self.m)).astype(np.int64)
 
     def update_batch(self, keys: np.ndarray) -> None:
-        self.bits[self._positions(keys).ravel()] = 1
+        keys = np.asarray(keys).astype(U64, copy=False)
+        h1 = wang64(keys ^ U64(splitmix64_scalar(self.seed + 1)))
+        h2 = wang64(keys ^ U64(splitmix64_scalar(self.seed + 2))) | U64(1)
+        pos = np.empty_like(h1)
+        pow2 = (self.m & (self.m - 1)) == 0
+        for i in range(self.k):
+            np.multiply(h2, U64(i), out=pos)
+            np.add(pos, h1, out=pos)
+            if pow2:
+                np.bitwise_and(pos, U64(self.m - 1), out=pos)
+            else:
+                np.mod(pos, U64(self.m), out=pos)
+            self.bits[pos.astype(np.intp, copy=False)] = 1
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
         pos = self._positions(keys)

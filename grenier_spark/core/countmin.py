@@ -55,19 +55,28 @@ class CountMin:
         return (wang64(hashed[None, :] ^ salts[:, None]) % U64(self.width)).astype(np.int64)
 
     def update_batch(self, keys: np.ndarray, weights: np.ndarray | None = None) -> None:
-        """Add keys (uint64) with optional integer weights; vectorized bincount."""
+        """Add keys (uint64) with optional integer weights.
+
+        One allocation-light wang64 + bincount pass per hash row (no (d, n)
+        2-D temporaries — bincount is the fastest scatter-add numpy has).
+        """
         keys = np.asarray(keys).astype(U64, copy=False)
-        pos = self._positions(keys)
-        if weights is None:
-            for i in range(self.depth):
-                self.counts[i] += np.bincount(pos[i], minlength=self.width)
-            self.total += len(keys)
-        else:
-            w = np.asarray(weights, dtype=np.int64)
-            for i in range(self.depth):
-                self.counts[i] += np.bincount(pos[i], weights=w,
-                                              minlength=self.width).astype(np.int64)
-            self.total += int(w.sum())
+        salts = self.row_salts()
+        w = None if weights is None else np.asarray(weights, dtype=np.int64)
+        pow2 = (self.width & (self.width - 1)) == 0
+        for i in range(self.depth):
+            pos = wang64(keys ^ salts[i])
+            if pow2:  # x % 2^k == x & (2^k - 1); avoids the integer divide
+                np.bitwise_and(pos, U64(self.width - 1), out=pos)
+            else:
+                np.mod(pos, U64(self.width), out=pos)
+            ip = pos.astype(np.intp, copy=False)
+            if w is None:
+                self.counts[i] += np.bincount(ip, minlength=self.width)
+            else:
+                self.counts[i] += np.bincount(
+                    ip, weights=w, minlength=self.width).astype(np.int64)
+        self.total += len(keys) if w is None else int(w.sum())
 
     def query(self, keys: np.ndarray) -> np.ndarray:
         """Point estimate: min over rows (upper bound on true count)."""

@@ -24,13 +24,13 @@ def _col(c: "Column | str") -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-@pandas_udf("double")
-def _hll_card(blobs: pd.Series) -> pd.Series:
-    return blobs.map(lambda b: hll.card(hll.from_bytes(bytes(b))))
-
-
 def hll_card_col(col: "Column | str") -> Column:
     """HLL++ cardinality estimate of a serialized HLL state (hll.ml:142-155)."""
+
+    @pandas_udf("double")
+    def _hll_card(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: hll.card(hll.from_bytes(bytes(b))))
+
     return _hll_card(_col(col))
 
 
@@ -68,12 +68,11 @@ def bloom_contains_col(sketch: "Column | str", key: "Column | str") -> Column:
     return _c(_col(sketch), _col(key))
 
 
-@pandas_udf("double")
-def _bloom_card(blobs: pd.Series) -> pd.Series:
-    return blobs.map(lambda b: Bloom.from_bytes(bytes(b)).cardinality())
-
-
 def bloom_cardinality_col(col: "Column | str") -> Column:
+    @pandas_udf("double")
+    def _bloom_card(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: Bloom.from_bytes(bytes(b)).cardinality())
+
     return _bloom_card(_col(col))
 
 

