@@ -208,6 +208,137 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10))
 
 
+def q_tpch_q3_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority style 3-way join: broadcast the small dims, shuffle
+    only the fact table; revenue in exact integer 1e-4 units."""
+    cust = _t(spark, sf_dir, "customer").where("c_mktsegment IS NOT NULL")
+    orders = _t(spark, sf_dir, "orders").where("o_orderstatus = 'F'")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                   * 10000, 0)).cast("long")
+    j = (li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    return (j.groupBy("l_orderkey")
+            .agg(F.sum(rev).alias("revenue_e4"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy(F.desc("revenue_e4"), F.asc("l_orderkey")).limit(10))
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash (operators/dedup.py). Empty on
+    dup-free inputs — the oracle matches either way."""
+    from grenier_spark.operators.dedup import exact_dup_groups
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    g = exact_dup_groups(docs)
+    return g.select("content_hash", "n_copies", "keep_id",
+                    F.concat_ws(",", F.transform(
+                        "all_ids", lambda x: x.cast("string")))
+                    .alias("dup_ids"))
+
+
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source text-quality aggregates (operators/textstats.py)."""
+    from grenier_spark.operators import textstats as ts
+
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(
+        "source",
+        ts.word_count("text").alias("wc"),
+        ts.alpha_word_ratio("text").alias("awr"),
+        ts.stopword_ratio("text").alias("swr"),
+        ts.mean_word_len("text").alias("mwl"),
+        ts.quality_score("text").alias("q"))
+        .groupBy("source")
+        .agg(F.sum("wc").alias("sum_words"),
+             F.round(F.avg("awr"), 6).alias("avg_alpha_ratio"),
+             F.round(F.avg("swr"), 6).alias("avg_stopword_ratio"),
+             F.round(F.avg("mwl"), 6).alias("avg_word_len"),
+             F.round(F.avg("q"), 6).alias("avg_quality")))
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (rows-only: LSH/RNG-free but their
+# reference answers aren't ANSI-SQL-expressible; pytest holds the bounds)
+# --------------------------------------------------------------------------
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed lossy counting over whitespace tokens per source."""
+    from grenier_spark.operators.heavy_hitters import heavy_hitter_tokens
+
+    docs = _tokenized_docs(spark, sf_dir)
+    hh = heavy_hitter_tokens(docs, "tokens", support=0.01,
+                             error_tolerance=0.001, group_cols=["source"])
+    return (hh.select("source", "token",
+                      F.round("est_freq", 6).alias("est_freq"), "f", "n")
+            .orderBy("source", "token"))
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, demonstrated on planted near-dups
+    (doc + copy with last word dropped) so recall is checkable on any
+    input."""
+    from grenier_spark.operators import dedup
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .where("length(text) > 100").orderBy("doc_id").limit(50))
+    plants = (docs.limit(10)
+              .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                      F.expr("substring(text, 1, length(text) - "
+                             "length(element_at(split(text, ' '), -1)) - 1)")
+                      .alias("text")))
+    full = docs.unionByName(plants)
+    sigs = dedup.minhash_signatures(full, n_hashes=64, seed=42)
+    pairs = dedup.lsh_candidate_pairs(sigs, min_est_jaccard=0.5)
+    ver = dedup.exact_jaccard_for_pairs(full, pairs)
+    return (ver.where("jaccard >= 0.7")
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + Hamming<=3 candidates on docs + exact copies."""
+    from grenier_spark.operators import dedup
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .orderBy("doc_id").limit(60))
+    copies = docs.limit(8).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    fps = dedup.simhash64(docs.unionByName(copies))
+    return (dedup.simhash_candidates(fps, max_hamming=3)
+            .orderBy("id_a", "id_b"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-10 cosine neighbors for 3 queries."""
+    from grenier_spark.operators.similarity import lsh_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    queries = (em.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return (lsh_topk(em, queries, k=10, bands=32, band_bits=4, seed=42)
+            .select("query_id", "rank", "vec_id",
+                    F.round("cos_sim", 6).alias("cos_sim"))
+            .orderBy("query_id", "rank"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads -> feature vectors (decode is a
+    deterministic stand-in; see operators/multimodal.py)."""
+    from grenier_spark.operators.multimodal import (extract_features,
+                                                    synthesize_media_table)
+
+    media = synthesize_media_table(spark, 100)
+    f = extract_features(media)
+    return (f.select("media_id", "media_type", "n_bytes",
+                     F.round(F.element_at("feature", 1).cast("double"), 6)
+                     .alias("f0"))
+            .orderBy("media_id"))
+
+
 # --------------------------------------------------------------------------
 # sketch-estimate queries (rows-only; error bounds asserted in tests/)
 # --------------------------------------------------------------------------
@@ -265,6 +396,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles_tdigest": q_value_quantiles_tdigest,
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
         "token_hll_by_source": q_token_hll_by_source,
+        "tpch_q3_join": q_tpch_q3_join,
+        "exact_dup_groups": q_exact_dup_groups,
+        "doc_quality_scores": q_doc_quality_scores,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_dups": q_simhash_dups,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_features": q_media_features,
     }
 
 
@@ -334,6 +473,54 @@ s AS (
 )
 SELECT vec_id, round(cos, 6) AS cos_sim FROM s
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+        "tpch_q3_join": """
+SELECT l_orderkey,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))::BIGINT AS revenue_e4,
+       COUNT(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN customer ON o_custkey = c_custkey AND c_mktsegment IS NOT NULL
+GROUP BY l_orderkey
+ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10""",
+        "exact_dup_groups": """
+SELECT content_hash, n_copies, keep_id, dup_ids FROM (
+  SELECT md5(text) AS content_hash, COUNT(*)::BIGINT AS n_copies,
+         MIN(doc_id)::BIGINT AS keep_id,
+         string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS dup_ids
+  FROM documents GROUP BY md5(text)
+) WHERE n_copies > 1""",
+        "doc_quality_scores": """
+WITH per_doc AS (
+  SELECT source,
+         len(words)::BIGINT AS wc,
+         (len(list_filter(words, w -> regexp_full_match(w, '[A-Za-z]+')))::DOUBLE
+          / greatest(len(words), 1)) AS awr,
+         (len(list_filter(lwords, w -> w IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE
+          / greatest(len(lwords), 1)) AS swr,
+         (COALESCE(list_sum(list_transform(words, w -> length(w))), 0)::DOUBLE
+          / greatest(len(words), 1)) AS mwl,
+         length(text) AS n
+  FROM (
+    SELECT source, text,
+           list_filter(string_split(text, ' '), w -> w <> '') AS words,
+           list_filter(string_split(lower(text), ' '), w -> w <> '') AS lwords
+    FROM documents
+  )
+), scored AS (
+  SELECT source, wc, awr, swr, mwl,
+         round(((CASE WHEN n >= 200 AND n <= 5000 THEN 1.0
+                      WHEN n >= 50 THEN 0.5 ELSE 0.0 END)
+                + awr
+                + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END))
+               / 3.0, 6) AS q
+  FROM per_doc
+)
+SELECT source, SUM(wc)::BIGINT AS sum_words,
+       round(AVG(awr), 6) AS avg_alpha_ratio,
+       round(AVG(swr), 6) AS avg_stopword_ratio,
+       round(AVG(mwl), 6) AS avg_word_len,
+       round(AVG(q), 6) AS avg_quality
+FROM scored GROUP BY source""",
     }
 
 

@@ -1,0 +1,197 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all deterministic under fixed seeds:
+
+* exact            — hash-groupBy on content (``md5(text)``), pure Spark SQL.
+* minhash + LSH    — word w-shingles -> minhash signature -> banded LSH
+                     buckets -> candidate pairs verified by signature
+                     similarity. The scale path: candidates come from a
+                     bucket self-join (shuffle on band hash, small rows),
+                     never an all-pairs product.
+* simhash          — 64-bit weighted bit-vote fingerprint; near-dups =
+                     fingerprints at small Hamming distance, found via
+                     banded exact-match on 16-bit quarters (Charikar 2002 /
+                     Manku et al. 2007 style).
+* n-gram Jaccard   — exact Jaccard on shingle sets for candidate PAIRS only
+                     (the verify stage after LSH).
+
+Hash chain: words -> ``xxhash64`` (JVM-side) -> shingles via ordered window
+-> ``wang64`` mixes with splitmix64-derived per-permutation salts (the same
+kernels as the sketches, core/bits.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..core.bits import U64, splitmix64_scalar, wang64
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_copies, keep_id,
+    dup_ids). Pure JVM plan — hash, shuffle on hash, aggregate."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    return (df.select(h, F.col(id_col))
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min(id_col).alias("keep_id"),
+                 F.sort_array(F.collect_list(id_col)).alias("all_ids"))
+            .where("n_copies > 1"))
+
+
+def _shingle_hashes(df: DataFrame, text_col: str, w: int) -> DataFrame:
+    """(id cols..., shingle bigint) — hash of each w-word window.
+
+    Stays JVM-side: split -> transform(xxhash64) -> sliding windows via
+    zip_with over array slices.
+    """
+    words = F.split(F.col(text_col), " ")
+    wh = F.transform(words, lambda t: F.xxhash64(t))
+    # shingle i = xxhash64 over the STRUCT of w consecutive word hashes
+    n = F.size(wh)
+    idx = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.xxhash64(*[F.element_at(wh, i + k + 1)
+                                    for k in range(w)]))
+    return df.withColumn("shingle", F.explode(shingles)).drop(text_col)
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", w: int = 3,
+                       n_hashes: int = 64, seed: int = 42) -> DataFrame:
+    """(id, sig array<bigint>) minhash signature over w-shingles.
+
+    sig[i] = min over shingles of wang64(shingle XOR splitmix64(seed+i+1)):
+    one aggregation per permutation, computed vectorized in a single grouped
+    pandas pass over (id, shingle) rows.
+    """
+    salts = np.array([splitmix64_scalar(seed + i + 1) for i in range(n_hashes)],
+                     dtype=U64)
+    sh = _shingle_hashes(df.select(id_col, text_col), text_col, w)
+
+    def sign(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_sigs = [], []
+        for did, grp in pdf.groupby(id_col, sort=False):
+            s = grp.shingle.to_numpy(dtype=np.int64).view(U64)
+            sig = np.empty(n_hashes, dtype=np.int64)
+            for i in range(n_hashes):
+                sig[i] = wang64(s ^ salts[i]).min().astype(np.int64)
+            out_ids.append(did)
+            out_sigs.append(sig.tolist())
+        return pd.DataFrame({id_col: out_ids, "sig": out_sigs})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return (sh.repartition(F.col(id_col))
+            .groupBy(id_col)
+            .applyInPandas(sign, f"{id_col} {id_type}, sig array<bigint>"))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
+                        bands: int = 16, min_est_jaccard: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs from banded LSH + signature-estimated Jaccard.
+
+    Pairs (a, b), a < b, sharing >= 1 band bucket; est_jaccard = fraction of
+    matching signature positions. Shuffles only (band_hash, id, sig) rows.
+    """
+    n_hashes = None  # derived from data
+    banded = sig_df.select(
+        id_col, "sig",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(F.slice(
+                "sig", b * (F.size("sig") / bands).cast("int") + 1,
+                (F.size("sig") / bands).cast("int")), b))).alias("band", "bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (left.join(right, (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.bucket") == F.col("r.bucket"))
+                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda a, b: a == b), lambda x: x))
+           / F.size("sig_a"))
+    return (pairs.withColumn("est_jaccard", est)
+            .where(F.col("est_jaccard") >= min_est_jaccard)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def exact_jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            w: int = 3) -> DataFrame:
+    """Verify stage: exact shingle-set Jaccard for candidate pairs only."""
+    sh = (_shingle_hashes(df.select(id_col, text_col), text_col, w)
+          .groupBy(id_col).agg(F.collect_set("shingle").alias("sh")))
+    a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    j = (F.size(F.array_intersect("sh_a", "sh_b"))
+         / F.size(F.array_union("sh_a", "sh_b")))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("jaccard", j.cast("double"))
+            .select("id_a", "id_b", "est_jaccard", "jaccard"))
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash bigint): 64-bit weighted bit-vote over word hashes
+    (Charikar 2002). Vectorized: per doc, votes = sum of (+-1) per bit."""
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            words = [w for w in (t or "").split(" ") if w]
+            if not words:
+                out[i] = 0
+                continue
+            hs = wang64(np.array([hash_word(w) for w in words], dtype=U64))
+            bits = ((hs[:, None] >> shifts[None, :]) & U64(1)).astype(np.int64)
+            votes = bits.sum(axis=0) * 2 - len(words)
+            fp = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                fp |= U64(1) << U64(b)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(id_col, _simhash(F.col(text_col)).alias("simhash"))
+
+
+def hash_word(w: str) -> int:
+    """Deterministic string->uint64 (FNV-1a), stable across workers."""
+    h = 0xCBF29CE484222325
+    for ch in w.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) & ((1 << 64) - 1)
+    return h
+
+
+def simhash_candidates(fp_df: DataFrame, id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates: fingerprints agreeing on >= 1 of 4 16-bit bands
+    (any pair with Hamming distance <= 3 must agree on some band), verified
+    by exact popcount of the XOR."""
+    bands = [F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(
+        F.lit(0xFFFF)).alias(f"b{i}") for i in range(4)]
+    withb = fp_df.select(id_col, "simhash", *bands)
+    cands = None
+    for i in range(4):
+        l, r = withb.alias("l"), withb.alias("r")
+        c = (l.join(r, (F.col(f"l.b{i}") == F.col(f"r.b{i}"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.col("l.simhash").alias("fp_a"),
+                     F.col("r.simhash").alias("fp_b")))
+        cands = c if cands is None else cands.unionByName(c)
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cands.dropDuplicates(["id_a", "id_b"])
+            .withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,115 @@
+"""Distributed heavy hitters = per-partition lossy counting + merge.
+
+Reference semantics: countish/lossy.ml (Manku-Motwani lossy counting; see
+core/countish.py for the kept quirks). Distribution pattern (SURVEY.md §2.2
+C1-C4): each input partition runs the reference's single-stream algorithm
+over its token stream inside ``mapInArrow`` (vectorized chunk updates), then
+candidate rows (key, f, delta, n) shuffle — a few thousand rows, never
+token-scale — and merge by summing f and delta (error bounds add: the merged
+delta is a valid over-approximation, so the Manku-Motwani guarantee "no true
+heavy hitter is missed; none below support - k*eps reported" still holds
+with k = number of partitions, asserted in tests/test_heavy_hitters.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
+
+from ..core.countish import LossyCounter
+
+
+def heavy_hitter_tokens(df: DataFrame, token_col: str, support: float,
+                        error_tolerance: float,
+                        group_cols: "list[str] | None" = None) -> DataFrame:
+    """Tokens with estimated relative frequency >= support, per group.
+
+    Returns DataFrame[group..., token long, est_freq double, f long,
+    n long] with ``est_freq = (f + delta) / n`` (upper bound).
+    """
+    group_cols = list(group_cols or [])
+    src = df.select(*group_cols, token_col)
+
+    cand_schema = StructType(
+        [src.schema[c] for c in group_cols] + [
+            StructField("token", LongType(), False),
+            StructField("f", DoubleType(), False),
+            StructField("delta", DoubleType(), False),
+            StructField("n", LongType(), False),
+        ])
+
+    def partial(batches):
+        counters: dict = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if group_cols:
+                gvals = pd.DataFrame(
+                    {c: batch.column(c).to_pandas() for c in group_cols})
+                codes, uniques = pd.factorize(
+                    pd.MultiIndex.from_frame(gvals) if len(group_cols) > 1
+                    else gvals[group_cols[0]], sort=False,
+                    use_na_sentinel=False)
+                gkeys = [u if isinstance(u, tuple) else (u,) for u in uniques]
+            else:
+                codes = np.zeros(batch.num_rows, dtype=np.int64)
+                gkeys = [()]
+            arr = batch.column(token_col)
+            if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+                offsets = arr.offsets.to_numpy()
+                values = arr.values.to_numpy(zero_copy_only=False)
+                values = values[offsets[0]:offsets[-1]]
+                vcodes = np.repeat(codes, np.diff(offsets))
+            else:
+                values = arr.to_numpy(zero_copy_only=False)
+                vcodes = codes
+            for g, gkey in enumerate(gkeys):
+                lc = counters.get(gkey)
+                if lc is None:
+                    lc = counters.setdefault(
+                        gkey, LossyCounter(support, error_tolerance))
+                lc.observe_batch(values[vcodes == g].astype(np.int64))
+        out = {f.name: [] for f in cand_schema.fields}
+        for gkey, lc in counters.items():
+            for token, fv in lc.f.items():
+                for c, v in zip(group_cols, gkey):
+                    out[c].append(v)
+                out["token"].append(int(token))
+                out["f"].append(float(fv))
+                out["delta"].append(float(lc.delta[token]))
+                out["n"].append(lc.n)
+        # n is per-counter, identical for every candidate of a group; emit a
+        # sentinel row so empty-candidate groups still contribute their n
+        for gkey, lc in counters.items():
+            for c, v in zip(group_cols, gkey):
+                out[c].append(v)
+            out["token"].append(-1)
+            out["f"].append(0.0)
+            out["delta"].append(0.0)
+            out["n"].append(lc.n)
+        if len(out["token"]):
+            yield pa.RecordBatch.from_pandas(pd.DataFrame(out))
+
+    partials = src.mapInArrow(partial, cand_schema)
+    gb = [F.col(c) for c in group_cols]
+    totals = (partials.where("token = -1")
+              .groupBy(*group_cols).agg(F.sum("n").alias("n_total")))
+    cands = (partials.where("token <> -1")
+             .groupBy(*group_cols, "token")
+             .agg(F.sum("f").alias("f"), F.sum("delta").alias("delta")))
+    joined = (cands.join(totals, group_cols) if group_cols
+              else cands.crossJoin(totals))
+    # report threshold support - eps: a token pruned inside some partitions
+    # loses at most eps * n_pruned of mass, so its merged upper-bound
+    # estimate can sit up to eps below its true frequency — thresholding at
+    # support would drop true heavy hitters in [support, support + eps)
+    return (joined
+            .withColumn("est_freq", (F.col("f") + F.col("delta")) / F.col("n_total"))
+            .where(F.col("est_freq") >= support - error_tolerance)
+            .select(*group_cols, "token", "est_freq",
+                    F.col("f").cast("long").alias("f"),
+                    F.col("n_total").alias("n")))

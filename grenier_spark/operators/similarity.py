@@ -1,0 +1,95 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force baseline: broadcast the query vectors,
+  fold dot products JVM-side (zip_with + aggregate, whole-stage codegen),
+  window-rank per query. Exact; O(n_queries * n_vectors) but fully
+  distributed and shuffle-light (only top-k rows move).
+* ``lsh_topk`` — the scale path: random-hyperplane LSH (Charikar 2002).
+  Deterministic seeded hyperplanes -> sign-bit signature -> multi-probe via
+  B independent band tables -> candidates = bucket-join (shuffle on bucket
+  id only) -> exact cosine re-rank of candidates. Recall tuned by
+  (n_planes, bands); asserted >= 0.9 vs brute force in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y:
+                                  x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "query_id") -> DataFrame:
+    """Exact top-k by cosine for every query row. Queries must be small
+    enough to broadcast (they are, by construction of the problem)."""
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
+    j = vectors.crossJoin(F.broadcast(q))
+    cos = _dot(vec_col, "qv") / (F.sqrt(_dot(vec_col, vec_col))
+                                 * F.sqrt(_dot("qv", "qv")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (j.select(qid_col, id_col, cos.alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def _signature_col(vec_col: str, planes: np.ndarray, band: int,
+                   band_bits: int):
+    """Bucket id of one LSH band: sign bits of `band_bits` hyperplane
+    projections, packed to an int, prefixed with the band index."""
+
+    @pandas_udf("long")
+    def _sig(vs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        p = planes[band * band_bits:(band + 1) * band_bits]
+        bits = (mat @ p.T) > 0
+        packed = np.zeros(len(vs), dtype=np.int64)
+        for b in range(band_bits):
+            packed |= bits[:, b].astype(np.int64) << b
+        return pd.Series((np.int64(band) << 32) | packed)
+
+    return _sig(F.col(vec_col))
+
+
+def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id", bands: int = 8, band_bits: int = 8,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates from any shared (band, bucket), exact
+    cosine re-rank of candidates only."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bands * band_bits, seed)
+
+    def bucketize(df, idc):
+        parts = [df.select(F.col(idc), F.col(vec_col),
+                           _signature_col(vec_col, planes, b, band_bits)
+                           .alias("bucket")) for b in range(bands)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    v_b = bucketize(vectors, id_col)
+    q_b = bucketize(queries.select(F.col(qid_col),
+                                   F.col(vec_col)), qid_col)
+    cands = (v_b.join(q_b.withColumnRenamed(vec_col, "qv"), "bucket")
+             .dropDuplicates([qid_col, id_col]))
+    cos = _dot(vec_col, "qv") / (F.sqrt(_dot(vec_col, vec_col))
+                                 * F.sqrt(_dot("qv", "qv")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (cands.select(qid_col, id_col, cos.alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -1,0 +1,112 @@
+"""Checkpoint/resume: snapshot pinning, per-file lineage, idempotent merge
+(SURVEY.md §5.2.8, north-rule resumability criterion)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from grenier_spark.core import hll
+from grenier_spark.operators.sketch_build import SketchSpec
+from grenier_spark.plans.checkpoint import CheckpointedSketchJob
+from grenier_spark.sources.synth import write_documents_local
+from grenier_spark.sources.tableio import SnapshotTable
+
+SPECS = [SketchSpec.of("h", "hll", "tokens", p=12),
+         SketchSpec.of("c", "cms", "tokens", depth=4, width=1024, seed=7)]
+
+
+@pytest.fixture()
+def input_table(spark, tmp_path):
+    """A snapshot table with two appends (8 files total)."""
+    d1 = str(tmp_path / "gen1")
+    write_documents_local(d1, 400)
+    t = SnapshotTable(str(tmp_path / "docs"))
+    df1 = spark.read.parquet(d1)
+    t.append(df1.repartition(5))
+    return t
+
+
+def sketches_of(df):
+    pdf = df.toPandas()
+    return {(getattr(r, "source", None), r.sketch_name): bytes(r.sketch)
+            for r in pdf.itertuples()}
+
+
+def test_snapshot_table_basics(spark, tmp_path, input_table):
+    snap = input_table.current_snapshot()
+    assert snap["id"] == 1 and len(snap["files"]) == 5
+    assert input_table.read(spark).count() == 400
+    # append -> new snapshot supersets old files
+    extra = str(tmp_path / "gen2")
+    write_documents_local(extra, 100)
+    input_table.append(spark.read.parquet(extra).coalesce(1))
+    s2 = input_table.current_snapshot()
+    assert s2["id"] == 2 and set(snap["files"]) < set(s2["files"])
+    # pinned read of snapshot 1 still sees 400 rows
+    assert input_table.read(spark, snapshot_id=1).count() == 400
+    assert input_table.read(spark).count() == 500
+
+
+def test_run_then_resume_is_noop(spark, tmp_path, input_table):
+    job = CheckpointedSketchJob(str(tmp_path / "ckpt"), SPECS, ["source"])
+    r1 = sketches_of(job.run(spark, input_table))
+    covered1 = job.covered_files(spark)
+    assert len(covered1) == 5
+    # resume with nothing new: same snapshot -> no new lineage, same bytes
+    r2 = sketches_of(job.run(spark, input_table))
+    assert job.covered_files(spark) == covered1
+    assert r1 == r2
+
+
+def test_resume_processes_only_new_files_and_matches_scratch(
+        spark, tmp_path, input_table):
+    job = CheckpointedSketchJob(str(tmp_path / "ckpt"), SPECS, ["source"])
+    job.run(spark, input_table)
+    covered1 = job.covered_files(spark)
+
+    # new data arrives -> snapshot 2
+    extra = str(tmp_path / "gen2")
+    write_documents_local(extra, 150)
+    input_table.append(spark.read.parquet(extra).repartition(2))
+
+    r2 = sketches_of(job.run(spark, input_table))
+    covered2 = job.covered_files(spark)
+    assert len(covered2 - covered1) == 2  # only the 2 new files processed
+
+    # from-scratch job over the same snapshot: bit-identical HLL/CMS states
+    scratch = CheckpointedSketchJob(str(tmp_path / "ckpt2"), SPECS, ["source"])
+    r_scratch = sketches_of(scratch.run(spark, input_table))
+    assert r2 == r_scratch
+
+
+def test_crash_between_data_and_manifest_is_idempotent(
+        spark, tmp_path, input_table):
+    """Orphan parquet (data written, manifest not committed) must be ignored
+    and the rerun must re-cover those files exactly once."""
+    job = CheckpointedSketchJob(str(tmp_path / "ckpt"), SPECS, ["source"])
+    r1 = sketches_of(job.run(spark, input_table))
+
+    ckpt = job.table
+    manifest_before = ckpt._read_manifest()
+    # simulate: a second run wrote data files but crashed pre-commit —
+    # drop a bogus orphan parquet into the checkpoint dir
+    orphan_src = os.path.join(ckpt.path, ckpt.current_snapshot()["files"][0])
+    shutil.copy(orphan_src, os.path.join(ckpt.path, "snap-orphan.parquet"))
+    assert ckpt._read_manifest() == manifest_before
+
+    r2 = sketches_of(job.run(spark, input_table))
+    assert r1 == r2  # orphan never referenced, result unchanged
+
+
+def test_lineage_metrics_surface(spark, tmp_path, input_table):
+    job = CheckpointedSketchJob(str(tmp_path / "ckpt"), SPECS, ["source"])
+    job.run(spark, input_table)
+    m = job.metrics(spark).toPandas()
+    assert {"lineage_file", "source", "sketch_name", "n_rows", "n_values",
+            "build_us", "snapshot_id"} <= set(m.columns)
+    # every (file, source, spec) covered once; counts add up to the table
+    h = m[m.sketch_name == "h"]
+    assert h.groupby(["lineage_file", "source"]).size().max() == 1
+    assert int(h.n_rows.sum()) == 400

@@ -1,0 +1,131 @@
+"""Dedup (exact / minhash-LSH / simhash) and embedding similarity search."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from grenier_spark.operators import dedup, similarity
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs_with_plants(spark):
+    """sf0.01 documents + planted near-duplicates: for 10 docs append a copy
+    with the last word dropped (near-dup) and one exact copy."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text").where("length(text) > 100").limit(200)
+    base = docs.toPandas()
+    plants = base.head(10).copy()
+    near = plants.copy()
+    near["doc_id"] = near.doc_id + 1_000_000
+    near["text"] = near.text.str.rsplit(" ", n=1).str[0]
+    exact = plants.copy()
+    exact["doc_id"] = exact.doc_id + 2_000_000
+    full = pd.concat([base, near, exact], ignore_index=True)
+    return spark.createDataFrame(full)
+
+
+def test_exact_dup_groups(spark, docs_with_plants):
+    groups = dedup.exact_dup_groups(docs_with_plants).toPandas()
+    assert len(groups) == 10
+    assert (groups.n_copies == 2).all()
+    for r in groups.itertuples():
+        assert r.keep_id + 2_000_000 in r.all_ids
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, docs_with_plants):
+    sigs = dedup.minhash_signatures(docs_with_plants, n_hashes=64, seed=42)
+    pairs = dedup.lsh_candidate_pairs(sigs, min_est_jaccard=0.5)
+    verified = dedup.exact_jaccard_for_pairs(
+        docs_with_plants, pairs).toPandas()
+    found = {(r.id_a, r.id_b) for r in verified.itertuples()
+             if r.jaccard >= 0.7}
+    for base_id in spark.createDataFrame(
+            [(i,) for i in range(10)], "i int").toPandas().i:
+        pass
+    planted = {(int(a), int(a) + 1_000_000)
+               for a in verified.id_a.unique() if a < 1_000_000}
+    # every planted near-dup pair (doc, doc+1M) must be recovered
+    got_bases = {int(r.id_a) for r in verified.itertuples()
+                 if r.id_b == r.id_a + 1_000_000 and r.jaccard >= 0.7}
+    base_ids = set(
+        docs_with_plants.where("doc_id >= 1000000 and doc_id < 2000000")
+        .select((F.col("doc_id") - 1_000_000).alias("b")).toPandas().b)
+    assert base_ids <= got_bases, base_ids - got_bases
+    # estimated jaccard correlates with exact
+    err = (verified.est_jaccard - verified.jaccard).abs()
+    assert err.mean() < 0.15
+
+
+def test_minhash_signatures_deterministic(spark, docs_with_plants):
+    s1 = dedup.minhash_signatures(docs_with_plants.limit(20), seed=1) \
+        .orderBy("doc_id").toPandas()
+    s2 = dedup.minhash_signatures(docs_with_plants.limit(20).repartition(4),
+                                  seed=1).orderBy("doc_id").toPandas()
+    for a, b in zip(s1.sig, s2.sig):
+        assert list(a) == list(b)
+
+
+def test_simhash_finds_neardups_and_is_deterministic(spark, docs_with_plants):
+    fps = dedup.simhash64(docs_with_plants)
+    cands = dedup.simhash_candidates(fps, max_hamming=3).toPandas()
+    # exact copies have identical simhash -> hamming 0, must all be found
+    pairs = {(r.id_a, r.id_b): r.hamming for r in cands.itertuples()}
+    exact_pairs = [(a, a + 2_000_000) for a in
+                   docs_with_plants.where("doc_id >= 2000000")
+                   .select((F.col("doc_id") - 2_000_000).alias("b"))
+                   .toPandas().b]
+    for p in exact_pairs:
+        assert p in pairs and pairs[p] == 0, p
+    fps2 = dedup.simhash64(docs_with_plants.repartition(5)).orderBy("doc_id")
+    fps1 = fps.orderBy("doc_id")
+    assert fps1.toPandas().simhash.tolist() == fps2.toPandas().simhash.tolist()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    queries = (embeddings.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = similarity.cosine_topk(embeddings, queries, k=5).toPandas()
+    pdf = embeddings.orderBy("vec_id").toPandas()
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in [0, 1, 2]:
+        sims = mat_n @ mat_n[qid]
+        order = np.lexsort((pdf.vec_id.to_numpy(), -sims))[:5]
+        expect = list(pdf.vec_id.to_numpy()[order])
+        gotq = list(got[got.query_id == qid].sort_values("rank").vec_id)
+        assert gotq == expect, (qid, gotq, expect)
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    queries = (embeddings.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = similarity.cosine_topk(embeddings, queries, k=10).toPandas()
+    # synthetic random embeddings have weak cosine structure: near-neighbor
+    # sims sit close to the bulk, so recall needs many short bands
+    approx = similarity.lsh_topk(embeddings, queries, k=10,
+                                 bands=32, band_bits=4, seed=42).toPandas()
+    recalls = []
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_lsh_topk_deterministic(spark, embeddings):
+    queries = (embeddings.orderBy("vec_id").limit(2)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    a = similarity.lsh_topk(embeddings, queries, k=5, seed=7).toPandas()
+    b = similarity.lsh_topk(embeddings.repartition(7), queries, k=5,
+                            seed=7).toPandas()
+    key = ["query_id", "rank"]
+    assert a.sort_values(key).vec_id.tolist() == \
+        b.sort_values(key).vec_id.tolist()

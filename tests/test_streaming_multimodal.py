@@ -1,0 +1,91 @@
+"""Streaming incremental sketches + multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from grenier_spark.core import hll
+from grenier_spark.core.bits import U64, wang64
+from grenier_spark.operators.multimodal import (extract_features,
+                                                fake_decoder,
+                                                synthesize_media_table)
+from grenier_spark.operators.sketch_build import SketchSpec
+from grenier_spark.sources.synth import generate_rows, write_documents_local
+from grenier_spark.streaming.incremental import IncrementalSketchSink
+
+
+def test_streaming_matches_batch_build(spark, tmp_path):
+    """Stream the documents table file-by-file; the merged streaming state
+    must be byte-identical to a batch build over the same rows."""
+    src_dir = str(tmp_path / "stream_src")
+    write_documents_local(src_dir, 300)
+
+    sink = IncrementalSketchSink(
+        str(tmp_path / "state"),
+        [SketchSpec.of("h", "hll", "tokens", p=11)], ["source"])
+    stream = (spark.readStream
+              .schema("doc_id string, tokens array<int>, n_tok int, "
+                      "source string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src_dir))
+    q = sink.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {r.source: bytes(r.sketch)
+           for r in sink.current(spark).collect()}
+    rows = generate_rows(0, 300)
+    for src in ["web", "books", "code", "wiki"]:
+        toks = np.concatenate(
+            [t for t, s in zip(rows.tokens, rows.source) if s == src])
+        t = hll.make_p(11)
+        hll.add_batch(t, wang64(toks.astype(np.int64).view(U64)))
+        assert got[src] == hll.to_bytes(t), src
+
+
+def test_streaming_replay_is_idempotent(spark, tmp_path):
+    src_dir = str(tmp_path / "stream_src2")
+    write_documents_local(src_dir, 100)
+    sink = IncrementalSketchSink(
+        str(tmp_path / "state2"),
+        [SketchSpec.of("h", "hll", "tokens", p=10)])
+    bdf = spark.read.parquet(src_dir)
+    sink.process_batch(bdf, 0)
+    before = {r.sketch_name: bytes(r.sketch)
+              for r in sink.current(spark).collect()}
+    sink.process_batch(bdf, 0)  # replay of the same batch id
+    after = {r.sketch_name: bytes(r.sketch)
+             for r in sink.current(spark).collect()}
+    assert before == after
+    assert sink.seen_batches(spark) == {0}
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synthesize_media_table(spark, 120)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 120
+    assert {"media_id", "media_type", "n_bytes", "feature"} <= set(feats.columns)
+    assert all(len(f) == 16 for f in feats.feature)
+    assert all(abs(sum(f) - 1.0) < 1e-5 for f in feats.feature)
+    # partition independence: same rows under different partitioning
+    feats2 = (extract_features(synthesize_media_table(spark, 120)
+                               .repartition(7)).toPandas()
+              .sort_values("media_id").reset_index(drop=True))
+    f1 = feats.sort_values("media_id").reset_index(drop=True)
+    for a, b in zip(f1.feature, feats2.feature):
+        assert np.allclose(a, b)
+
+
+def test_multimodal_decode_stub_raises(spark):
+    media = synthesize_media_table(spark, 10)
+    with pytest.raises(Exception) as exc:
+        extract_features(media, decoder=None).collect()
+    assert "NotImplementedError" in str(exc.value) or \
+        "no media decoder" in str(exc.value)
+
+
+def test_fake_decoder_deterministic():
+    p = bytes(range(256)) * 3
+    a = fake_decoder(p, "image")
+    b = fake_decoder(p, "image")
+    assert np.array_equal(a, b)
+    assert a.dtype == np.float32 and len(a) == 16
