@@ -27,6 +27,7 @@ from grenier_spark.functions import (hll_card_col, jump_bucket_col,
                                      kll_quantiles_col, tdigest_quantiles_col,
                                      wang64_col)
 from grenier_spark.functions.sql_oracles import (cms_cells_sql,
+                                                 cms_point_sql,
                                                  hll_registers_sql,
                                                  jump_buckets_sql)
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
@@ -343,6 +344,85 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch-estimate queries (rows-only; error bounds asserted in tests/)
 # --------------------------------------------------------------------------
 
+def q_cms_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates for every distinct user — the estimate path
+    (min over rows) is exactly SQL-expressible, so this carries a full
+    oracle on top of the cms_cells register-level one."""
+    from grenier_spark.functions import cms_query_col
+
+    ev = _t(spark, sf_dir, "events")
+    res = build_sketches(ev, [SketchSpec.of("c", "cms", "user_id",
+                                            depth=4, width=512, seed=7)])
+    users = ev.select("user_id").distinct()
+    j = users.crossJoin(F.broadcast(res.select("sketch")))
+    return j.select("user_id",
+                    cms_query_col("sketch", "user_id").alias("est_count"))
+
+
+def q_jump_relocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-relocation property surfaced as a query: distinct users
+    bucketed at n=32 and n=33; moved count vs total
+    (reference jmphash/jmphash.mli:9-11)."""
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    w = wang64_col("user_id")
+    b = ev.select("user_id",
+                  jump_bucket_col(w, 32).cast("long").alias("b32"),
+                  jump_bucket_col(wang64_col("user_id"), 33).cast("long")
+                  .alias("b33"))
+    return b.select(
+        F.sum(F.when(F.col("b32") != F.col("b33"), 1).otherwise(0))
+        .cast("long").alias("moved"),
+        F.count(F.lit(1)).alias("total"))
+
+
+def q_incremental_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming surface in the gate: events split into two micro-batches by
+    event_id parity, folded through the foreachBatch sink; merged per-type
+    estimates (byte-identical to a batch build, tested)."""
+    import tempfile
+
+    from grenier_spark.streaming.incremental import IncrementalSketchSink
+
+    ev = _t(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as d:
+        sink = IncrementalSketchSink(
+            d, [SketchSpec.of("h", "hll", "user_id", p=12)], ["event_type"])
+        sink.process_batch(ev.where("event_id % 2 = 0"), 0)
+        sink.process_batch(ev.where("event_id % 2 = 1"), 1)
+        merged = sink.current(spark)
+        out = merged.select("event_type",
+                            hll_card_col("sketch").alias("est_users"))
+        return spark.createDataFrame(out.toPandas())
+
+
+def q_sticky_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sticky sampling (reference countish/sticky.ml, C5-C8): single-stream
+    per-source samplers over whitespace tokens, seeded PCG64 so the output
+    is deterministic."""
+    import pandas as pd
+
+    from grenier_spark.core.countish import StickySampler
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+
+    def sample(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf["source"].iloc[0]
+        ss = StickySampler(0.02, 0.002, 0.01, seed=42)
+        toks = [w for t in pdf.sort_values("doc_id" if "doc_id" in pdf else
+                                           "text")["text"]
+                for w in t.split(" ") if w]
+        import numpy as np
+        ss.observe_batch(np.asarray(toks, dtype=object))
+        items = ss.items_above_threshold(0.02)
+        return pd.DataFrame({"source": [src] * len(items),
+                             "token": [k for k, _ in items],
+                             "freq": [round(f, 6) for _, f in items]})
+
+    return (docs.repartition("source").groupBy("source")
+            .applyInPandas(sample, "source string, token string, freq double")
+            .orderBy("source", "token"))
+
+
 def q_hll_card_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     res = build_sketches(ev, [SketchSpec.of("h", "hll", "user_id", p=12)],
@@ -396,6 +476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles_tdigest": q_value_quantiles_tdigest,
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
         "token_hll_by_source": q_token_hll_by_source,
+        "cms_point_queries": q_cms_point_queries,
+        "jump_relocation": q_jump_relocation,
+        "incremental_hll_stream": q_incremental_hll_stream,
+        "sticky_sample_tokens": q_sticky_sample_tokens,
         "tpch_q3_join": q_tpch_q3_join,
         "exact_dup_groups": q_exact_dup_groups,
         "doc_quality_scores": q_doc_quality_scores,
@@ -416,6 +500,19 @@ def oracle_sql() -> dict[str, str]:
             "h", "user_id", 32),
         "cms_cells": cms_cells_sql(
             "SELECT user_id FROM events", "user_id", 4, 512, 7),
+        "cms_point_queries": cms_point_sql(
+            "SELECT user_id FROM events", "user_id", 4, 512, 7),
+        "jump_relocation": (
+            "SELECT SUM(CASE WHEN a.bucket <> b.bucket THEN 1 ELSE 0 END)"
+            "::BIGINT AS moved, COUNT(*)::BIGINT AS total FROM ("
+            + jump_buckets_sql(
+                "SELECT user_id, w AS h FROM (" + _wang_over_users() + ")",
+                "h", "user_id", 32)
+            + ") a JOIN ("
+            + jump_buckets_sql(
+                "SELECT user_id, w AS h FROM (" + _wang_over_users() + ")",
+                "h", "user_id", 33)
+            + ") b USING (user_id)"),
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,

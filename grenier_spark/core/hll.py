@@ -34,7 +34,21 @@ import numpy as np
 
 from .bits import U64, ctz64
 
-_DATA = json.load(open(os.path.join(os.path.dirname(__file__), "_hll_data.json")))
+def _load_data() -> dict:
+    """Load the HLL++ constant tables; zip-safe for spark-submit --py-files
+    (inside a .zip, __file__-relative open() fails; importlib.resources
+    reads from the archive)."""
+    try:
+        from importlib import resources
+
+        return json.loads(resources.files(__package__)
+                          .joinpath("_hll_data.json").read_text())
+    except Exception:
+        return json.load(open(os.path.join(os.path.dirname(__file__),
+                                           "_hll_data.json")))
+
+
+_DATA = _load_data()
 # Index 0 corresponds to p=4 in all three tables (hll_consts.ml:1).
 THRESHOLD = np.asarray(_DATA["threshold"], dtype=np.float64)
 RAW_ESTIMATE = [np.asarray(v, dtype=np.float64) for v in _DATA["raw_estimate"]]

@@ -96,9 +96,9 @@ WITH RECURSIVE jmp AS (
 SELECT {out_key}, j::BIGINT AS bucket FROM jmp WHERE done"""
 
 
-def cms_cells_sql(keys_sql: str, key_col: str, depth: int, width: int,
-                  seed: int) -> str:
-    """Non-zero count-min cells (row, col, cnt) for keys, matching
+def cms_positions_sql(keys_sql: str, key_col: str, depth: int, width: int,
+                      seed: int) -> str:
+    """(key, row, col) cell coordinates per key per hash row, matching
     core/countmin.py: col = wang64(key XOR splitmix64(seed + row + 1)) % width.
     """
     salts = chain_selects(
@@ -109,9 +109,30 @@ def cms_cells_sql(keys_sql: str, key_col: str, depth: int, width: int,
         f"SELECT k.{key_col}, s.row, xor(k.{key_col}::UHUGEINT, s.salt) AS kx "
         f"FROM ({keys_sql}) k CROSS JOIN ({salts}) s",
         wang64_stages("kx", "h"))
+    return (f"SELECT {key_col}, row::BIGINT AS row, "
+            f"(h % {width}::UHUGEINT)::BIGINT AS col FROM ({hashed})")
+
+
+def cms_cells_sql(keys_sql: str, key_col: str, depth: int, width: int,
+                  seed: int) -> str:
+    """Non-zero count-min cells (row, col, cnt) for a key stream."""
+    pos = cms_positions_sql(keys_sql, key_col, depth, width, seed)
     return f"""
-SELECT row::BIGINT AS row, (h % {width}::UHUGEINT)::BIGINT AS col,
-       COUNT(*)::BIGINT AS cnt
-FROM ({hashed})
+SELECT row, col, COUNT(*)::BIGINT AS cnt
+FROM ({pos})
 GROUP BY 1, 2
 ORDER BY row, col"""
+
+
+def cms_point_sql(stream_sql: str, key_col: str, depth: int, width: int,
+                  seed: int) -> str:
+    """Count-min point estimate per distinct key: min over rows of the cell
+    count — the full query path of core/countmin.py ``query``."""
+    cells = cms_cells_sql(stream_sql, key_col, depth, width, seed)
+    upos = cms_positions_sql(
+        f"SELECT DISTINCT {key_col} FROM ({stream_sql})",
+        key_col, depth, width, seed)
+    return f"""
+SELECT u.{key_col}, MIN(c.cnt)::BIGINT AS est_count
+FROM ({upos}) u JOIN ({cells}) c ON u.row = c.row AND u.col = c.col
+GROUP BY u.{key_col}"""

@@ -77,6 +77,8 @@ class SketchSpec:
 def _new_state(spec: SketchSpec):
     p = spec.p
     if spec.kind == "hll":
+        if "error" in p:  # reference surface: make ~error (hll.ml:26-32, Q1)
+            return hll.make(p["error"])
         return hll.make_p(p.get("p", 14))
     if spec.kind == "cms":
         return CountMin(p.get("depth", 5), p.get("width", 8192), p.get("seed", 7))
