@@ -89,7 +89,13 @@ def validate(t: np.ndarray) -> bool:
 
 
 def clear(t: np.ndarray) -> None:
+    """Zero registers, keep header (hll.ml:34-36)."""
     t[1:] = 0
+
+
+def copy(t: np.ndarray) -> np.ndarray:
+    """Independent copy (hll.ml:56)."""
+    return t.copy()
 
 
 def get_rho(w: np.ndarray) -> np.ndarray:

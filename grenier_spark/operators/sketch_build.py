@@ -220,65 +220,139 @@ def build_sketches(df: DataFrame, specs: "list[SketchSpec]",
     kind_of = {s.name: s.kind for s in specs}
 
     def partial_builder(batches):
-        t0 = time.monotonic()
-        states: dict = {}   # (gkey, spec_name) -> state
-        counts: dict = {}   # gkey -> [rows, values]
+        acc = _Accumulator(specs, group_cols, value_cols, out_schema,
+                           arrow_schema)
         for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            if group_cols:
-                gdf = pd.DataFrame(
-                    {c: batch.column(c).to_pandas() for c in group_cols})
-                key_obj = (pd.MultiIndex.from_frame(gdf) if len(group_cols) > 1
-                           else gdf[group_cols[0]])
-                # use_na_sentinel=False: null group values form a real group
-                # (otherwise factorize emits -1 codes and null rows vanish)
-                codes, uniques = pd.factorize(key_obj, sort=False,
-                                              use_na_sentinel=False)
-
-                def norm(v):
-                    # NaN != NaN would fragment dict state across batches
-                    return None if not isinstance(v, (tuple, list, np.ndarray)) \
-                        and pd.isna(v) else v
-
-                gkeys = [tuple(norm(x) for x in u) if isinstance(u, tuple)
-                         else (norm(u),) for u in uniques]
-            else:
-                codes = np.zeros(batch.num_rows, dtype=np.int64)
-                gkeys = [()]
-            grouped = {c: _grouped_column(batch, c, codes, len(gkeys))
-                       for c in value_cols}
-            row_counts = np.bincount(codes, minlength=len(gkeys))
-            for g, gkey in enumerate(gkeys):
-                for spec in specs:
-                    vals, bounds = grouped[spec.column]
-                    gvals = vals[bounds[g]:bounds[g + 1]]
-                    key = (gkey, spec.name)
-                    st = states.get(key)
-                    if st is None:
-                        st = states.setdefault(key, _new_state(spec))
-                    _update(st, spec, gvals)
-                    cnt = counts.setdefault(key, [0, 0])
-                    cnt[0] += int(row_counts[g])
-                    cnt[1] += len(gvals)
-        if not states:
-            return
-        tc = TaskContext.get()
-        pid = tc.partitionId() if tc is not None else -1
-        elapsed_us = int((time.monotonic() - t0) * 1e6)
-        out: dict = {f.name: [] for f in out_schema.fields}
-        for (gkey, name), st in states.items():
-            for c, v in zip(group_cols, gkey):
-                out[c].append(v)
-            out["sketch_name"].append(name)
-            out["sketch"].append(_to_bytes(st, kind_of[name]))
-            out["n_rows"].append(counts[(gkey, name)][0])
-            out["n_values"].append(counts[(gkey, name)][1])
-            out["part_id"].append(pid)
-            out["build_us"].append(elapsed_us)
-        yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
+            acc.feed(batch)
+        rb = acc.flush()
+        if rb is not None:
+            yield rb
 
     partials = src.mapInArrow(partial_builder, out_schema)
+    return merge_partials(partials, kind_of, group_cols, fanout)
+
+
+class _Accumulator:
+    """Per-task partial-sketch state shared by the DataFrame path
+    (build_sketches) and the native-reader path (build_sketches_from_files):
+    feed Arrow RecordBatches, flush one partial-rows batch."""
+
+    def __init__(self, specs, group_cols, value_cols, out_schema,
+                 arrow_schema):
+        self.specs = specs
+        self.group_cols = group_cols
+        self.value_cols = value_cols
+        self.out_schema = out_schema
+        self.arrow_schema = arrow_schema
+        self.kind_of = {s.name: s.kind for s in specs}
+        self.states: dict = {}   # (gkey, spec_name) -> state
+        self.counts: dict = {}   # (gkey, spec_name) -> [rows, values]
+        self.t0 = time.monotonic()
+
+    def feed(self, batch: pa.RecordBatch) -> None:
+        if batch.num_rows == 0:
+            return
+        group_cols = self.group_cols
+        if group_cols:
+            gdf = pd.DataFrame(
+                {c: batch.column(c).to_pandas() for c in group_cols})
+            key_obj = (pd.MultiIndex.from_frame(gdf) if len(group_cols) > 1
+                       else gdf[group_cols[0]])
+            # use_na_sentinel=False: null group values form a real group
+            # (otherwise factorize emits -1 codes and null rows vanish)
+            codes, uniques = pd.factorize(key_obj, sort=False,
+                                          use_na_sentinel=False)
+
+            def norm(v):
+                # NaN != NaN would fragment dict state across batches
+                return None if not isinstance(v, (tuple, list, np.ndarray)) \
+                    and pd.isna(v) else v
+
+            gkeys = [tuple(norm(x) for x in u) if isinstance(u, tuple)
+                     else (norm(u),) for u in uniques]
+        else:
+            codes = np.zeros(batch.num_rows, dtype=np.int64)
+            gkeys = [()]
+        grouped = {c: _grouped_column(batch, c, codes, len(gkeys))
+                   for c in self.value_cols}
+        row_counts = np.bincount(codes, minlength=len(gkeys))
+        for g, gkey in enumerate(gkeys):
+            for spec in self.specs:
+                vals, bounds = grouped[spec.column]
+                gvals = vals[bounds[g]:bounds[g + 1]]
+                key = (gkey, spec.name)
+                st = self.states.get(key)
+                if st is None:
+                    st = self.states.setdefault(key, _new_state(spec))
+                _update(st, spec, gvals)
+                cnt = self.counts.setdefault(key, [0, 0])
+                cnt[0] += int(row_counts[g])
+                cnt[1] += len(gvals)
+
+    def flush(self) -> "pa.RecordBatch | None":
+        if not self.states:
+            return None
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        elapsed_us = int((time.monotonic() - self.t0) * 1e6)
+        out: dict = {f.name: [] for f in self.out_schema.fields}
+        for (gkey, name), st in self.states.items():
+            for c, v in zip(self.group_cols, gkey):
+                out[c].append(v)
+            out["sketch_name"].append(name)
+            out["sketch"].append(_to_bytes(st, self.kind_of[name]))
+            out["n_rows"].append(self.counts[(gkey, name)][0])
+            out["n_values"].append(self.counts[(gkey, name)][1])
+            out["part_id"].append(pid)
+            out["build_us"].append(elapsed_us)
+        return pa.RecordBatch.from_pydict(out, schema=self.arrow_schema)
+
+
+def build_sketches_from_files(spark, files: "list[str]",
+                              specs: "list[SketchSpec]",
+                              group_cols: "list[str] | None" = None,
+                              fanout: int = 32,
+                              batch_rows: int = 65536) -> DataFrame:
+    """Native-reader variant: Python workers read the parquet FILES directly
+    with pyarrow, skipping the JVM nested-column decode + Arrow-IPC hop
+    (measured ~20x faster per file for array<int32> token columns).
+
+    Trade-off vs build_sketches: bypasses Catalyst's scan (no predicate
+    pushdown / row-group pruning), so use it for FULL-SCAN sketch jobs over
+    known file lists — exactly the bench/checkpoint workload, where the file
+    list comes from a snapshot manifest anyway. Parallelism = one task per
+    file; partial rows and everything downstream are identical to
+    build_sketches (byte parity asserted in tests)."""
+    import pyarrow.parquet as pq
+
+    group_cols = list(group_cols or [])
+    specs = list(specs)
+    value_cols = sorted({s.column for s in specs})
+    kind_of = {s.name: s.kind for s in specs}
+
+    # Spark-side schema probed from the first file (0 rows read)
+    probe = spark.read.parquet(files[0]).select(*group_cols, *value_cols)
+    out_schema = StructType([probe.schema[c] for c in group_cols]
+                            + _TAIL_FIELDS)
+    arrow_schema = to_arrow_schema(out_schema)
+    need_cols = group_cols + value_cols
+
+    paths_df = (spark.createDataFrame([(f,) for f in files], "path string")
+                .repartition(len(files)))
+
+    def worker(batches):
+        acc = _Accumulator(specs, group_cols, value_cols, out_schema,
+                           arrow_schema)
+        for b in batches:
+            for path in b.column("path").to_pylist():
+                tbl = pq.read_table(path, columns=need_cols)
+                for rb in tbl.to_batches(max_chunksize=batch_rows):
+                    acc.feed(rb)
+        out = acc.flush()
+        if out is not None:
+            yield out
+
+    partials = paths_df.mapInArrow(worker, out_schema)
     return merge_partials(partials, kind_of, group_cols, fanout)
 
 

@@ -163,3 +163,27 @@ def test_synth_spark_vs_local_equality(spark, tmp_path):
     assert list(pdf.source) == list(local.source)
     for a, b in zip(pdf.tokens, local.tokens):
         assert np.array_equal(np.asarray(a, dtype=np.int32), b)
+
+
+def test_native_file_builder_byte_parity(spark, docs_tiny, local_rows):
+    """build_sketches_from_files (pyarrow-native scan) must equal the
+    DataFrame path byte-for-byte."""
+    import os
+
+    from grenier_spark.operators.sketch_build import build_sketches_from_files
+
+    files = sorted(os.path.join(docs_tiny, f) for f in os.listdir(docs_tiny)
+                   if f.endswith(".parquet"))
+    specs = [SketchSpec.of("h", "hll", "tokens", p=12),
+             SketchSpec.of("c", "cms", "tokens", depth=4, width=1024, seed=7)]
+    native = build_sketches_from_files(spark, files, specs, ["source"])
+    df_path = build_sketches(spark.read.parquet(docs_tiny), specs, ["source"])
+    a = {(r.source, r.sketch_name): bytes(r.sketch)
+         for r in native.collect()}
+    b = {(r.source, r.sketch_name): bytes(r.sketch)
+         for r in df_path.collect()}
+    assert a == b
+    n = {(r.source, r.sketch_name): (r.n_rows, r.n_values)
+         for r in native.collect()}
+    assert n[("web", "h")] == (250, int(local_rows[local_rows.source == "web"]
+                                        .n_tok.sum()))
