@@ -1,0 +1,60 @@
+"""Physical-plan assertions (100TB posture): column pruning reaches the
+parquet scan, no token-scale shuffle precedes the partial build, and small
+dims broadcast in joins."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_columns(spark, docs_tiny):
+    """build_sketches must read ONLY the group + value columns: a doc_id or
+    text column in ReadSchema means pruning broke."""
+    docs = spark.read.parquet(docs_tiny)
+    df = build_sketches(docs, [SketchSpec.of("h", "hll", "tokens", p=10)],
+                        group_cols=["source"])
+    plan = plan_of(df)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "doc_id" not in scan[0]
+    assert "tokens" in scan[0] and "source" in scan[0]
+
+
+def test_no_exchange_before_partial_build(spark, docs_tiny):
+    """Token arrays must not shuffle: the first Exchange in the plan has to
+    sit ABOVE the ArrowEvalPython/mapInArrow stage (i.e. apply to partial
+    sketch rows), never between the scan and the python stage."""
+    docs = spark.read.parquet(docs_tiny)
+    df = build_sketches(docs, [SketchSpec.of("h", "hll", "tokens", p=10)],
+                        group_cols=["source"])
+    plan = plan_of(df)
+    lines = plan.splitlines()
+    # find the python map stage and the scan; ensure no Exchange between them
+    py_idx = max(i for i, ln in enumerate(lines)
+                 if "PythonMapInArrow" in ln or "MapInArrow" in ln
+                 or "ArrowEvalPython" in ln)
+    scan_idx = max(i for i, ln in enumerate(lines) if "Scan parquet" in ln)
+    between = lines[py_idx:scan_idx]
+    assert not any("Exchange" in ln for ln in between), "\n".join(between)
+
+
+def test_q3_join_broadcasts_dims(spark):
+    plan = plan_of(entry_mod.q_tpch_q3_join(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partials_are_sketch_scale(spark, docs_tiny):
+    """The rows that DO shuffle are KB-sized: partial count is bounded by
+    partitions x groups x specs, independent of row count."""
+    docs = spark.read.parquet(docs_tiny).repartition(6)
+    res = build_sketches(docs, [SketchSpec.of("h", "hll", "tokens", p=10)],
+                         group_cols=["source"], fanout=4)
+    assert res.count() == 4  # one row per (group, spec) after final merge
