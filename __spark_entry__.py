@@ -26,7 +26,8 @@ from pyspark.sql.functions import pandas_udf
 from grenier_spark.functions import (hll_card_col, jump_bucket_col,
                                      kll_quantiles_col, tdigest_quantiles_col,
                                      wang64_col)
-from grenier_spark.functions.sql_oracles import (cms_cells_sql,
+from grenier_spark.functions.sql_oracles import (bloom_membership_sql,
+                                                 cms_cells_sql,
                                                  cms_point_sql,
                                                  hll_registers_sql,
                                                  jump_buckets_sql)
@@ -359,6 +360,21 @@ def q_cms_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cms_query_col("sketch", "user_id").alias("est_count"))
 
 
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter over event user_ids probed with candidates 0..199 (150
+    exist): no false negatives by construction; the full probe path is
+    SQL-expressible, so this carries a bit-exact oracle."""
+    from grenier_spark.functions import bloom_contains_col
+
+    ev = _t(spark, sf_dir, "events")
+    res = build_sketches(ev, [SketchSpec.of("b", "bloom", "user_id",
+                                            m=1 << 16, k=5, seed=7)])
+    cands = spark.range(0, 200).select(F.col("id").alias("user_id"))
+    j = cands.crossJoin(F.broadcast(res.select("sketch")))
+    return j.select("user_id",
+                    bloom_contains_col("sketch", "user_id").alias("present"))
+
+
 def q_jump_relocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimal-relocation property surfaced as a query: distinct users
     bucketed at n=32 and n=33; moved count vs total
@@ -477,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
         "token_hll_by_source": q_token_hll_by_source,
         "cms_point_queries": q_cms_point_queries,
+        "bloom_membership": q_bloom_membership,
         "jump_relocation": q_jump_relocation,
         "incremental_hll_stream": q_incremental_hll_stream,
         "sticky_sample_tokens": q_sticky_sample_tokens,
@@ -502,6 +519,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id FROM events", "user_id", 4, 512, 7),
         "cms_point_queries": cms_point_sql(
             "SELECT user_id FROM events", "user_id", 4, 512, 7),
+        "bloom_membership": bloom_membership_sql(
+            "SELECT DISTINCT user_id FROM events",
+            "SELECT range AS user_id FROM range(0, 200)",
+            "user_id", 1 << 16, 5, 7),
         "jump_relocation": (
             "SELECT SUM(CASE WHEN a.bucket <> b.bucket THEN 1 ELSE 0 END)"
             "::BIGINT AS moved, COUNT(*)::BIGINT AS total FROM ("

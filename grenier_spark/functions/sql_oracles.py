@@ -124,6 +124,36 @@ GROUP BY 1, 2
 ORDER BY row, col"""
 
 
+def bloom_membership_sql(members_sql: str, cands_sql: str, key_col: str,
+                         m: int, k: int, seed: int) -> str:
+    """Bloom membership test per candidate key, matching core/bloom.py:
+    ``h1 = wang64(key ^ splitmix64(seed+1))``, ``h2 = wang64(key ^
+    splitmix64(seed+2)) | 1``, probe bits ``(h1 + i*h2) mod 2^64 mod m``.
+    Returns (key, present boolean)."""
+    def positions(src: str) -> str:
+        s1 = chain_selects(f"SELECT ({seed + 1})::UHUGEINT AS a",
+                           splitmix64_stages("a", "s1", "_x"))
+        s2 = chain_selects(f"SELECT ({seed + 2})::UHUGEINT AS b",
+                           splitmix64_stages("b", "s2", "_y"))
+        hashed = chain_selects(
+            f"SELECT t.{key_col}, xor(t.{key_col}::UHUGEINT, q1.s1) AS k1, "
+            f"xor(t.{key_col}::UHUGEINT, q2.s2) AS k2 "
+            f"FROM ({src}) t, ({s1}) q1, ({s2}) q2",
+            wang64_stages("k1", "h1", "_a"))
+        hashed = chain_selects(hashed, wang64_stages("k2", "h2r", "_b"))
+        return f"""
+SELECT {key_col},
+       ((((h1 + i.i::UHUGEINT * (h2r | 1::UHUGEINT)) % {M}) % {m}::UHUGEINT))::BIGINT AS pos
+FROM ({hashed}) CROSS JOIN generate_series(0, {k - 1}) AS i(i)"""
+
+    bits = f"SELECT DISTINCT pos FROM ({positions(members_sql)})"
+    probes = positions(cands_sql)
+    return f"""
+SELECT {key_col}, (COUNT(b.pos) = {k}) AS present
+FROM ({probes}) p LEFT JOIN ({bits}) b ON p.pos = b.pos
+GROUP BY {key_col}"""
+
+
 def cms_point_sql(stream_sql: str, key_col: str, depth: int, width: int,
                   seed: int) -> str:
     """Count-min point estimate per distinct key: min over rows of the cell

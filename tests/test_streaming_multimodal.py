@@ -89,3 +89,35 @@ def test_fake_decoder_deterministic():
     b = fake_decoder(p, "image")
     assert np.array_equal(a, b)
     assert a.dtype == np.float32 and len(a) == 16
+
+
+def test_stateful_hll_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState per-source HLL: the LAST emitted estimate per
+    key must equal a batch build over all rows."""
+    from grenier_spark.streaming.stateful import hll_state_stream
+
+    src_dir = str(tmp_path / "stateful_src")
+    write_documents_local(src_dir, 200)
+    stream = (spark.readStream
+              .schema("doc_id string, tokens array<int>, n_tok int, "
+                      "source string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src_dir))
+    out = hll_state_stream(stream, "source", "tokens", p=11)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("live_hll")
+         .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    emitted = spark.sql(
+        "select * from live_hll").toPandas()
+    # last emission per source carries the full-stream state
+    last = emitted.groupby("source").last()
+    rows = generate_rows(0, 200)
+    for src in ["web", "books", "code", "wiki"]:
+        toks = np.concatenate(
+            [t for t, s in zip(rows.tokens, rows.source) if s == src])
+        t = hll.make_p(11)
+        hll.add_batch(t, wang64(toks.astype(np.int64).view(U64)))
+        assert abs(last.loc[src, "est_distinct"] - hll.card(t)) < 1e-9, src
+        assert last.loc[src, "n_tokens"] == len(toks)
