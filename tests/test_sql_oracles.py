@@ -1,0 +1,90 @@
+"""Fuzz the DuckDB SQL oracle generators against the numpy kernels directly
+(no Spark): any drift here would silently invalidate the correctness gate."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from grenier_spark.core import hll
+from grenier_spark.core.bits import (splitmix64_scalar, wang64,
+                                     wang64_scalar)
+from grenier_spark.core.countmin import CountMin
+from grenier_spark.core.jmphash import jump_bucket_scalar
+from grenier_spark.functions import sql_oracles as so
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+def test_wang64_sql_fuzz(con):
+    rng = np.random.default_rng(7)
+    keys = [int(k) for k in rng.integers(0, 2**64, 200, dtype=np.uint64)]
+    vals = ",".join(f"({k}::UHUGEINT)" for k in keys)
+    sql = so.chain_selects(f"SELECT k FROM (VALUES {vals}) AS t(k)",
+                           so.wang64_stages("k", "w"))
+    got = [int(r[0]) for r in con.execute(
+        f"SELECT w FROM ({sql})").fetchall()]
+    assert got == [wang64_scalar(k) for k in keys]
+
+
+def test_splitmix_sql_fuzz(con):
+    rng = np.random.default_rng(8)
+    keys = [int(k) for k in rng.integers(0, 2**64, 100, dtype=np.uint64)]
+    vals = ",".join(f"({k}::UHUGEINT)" for k in keys)
+    sql = so.chain_selects(f"SELECT k FROM (VALUES {vals}) AS t(k)",
+                           so.splitmix64_stages("k", "s"))
+    got = [int(r[0]) for r in con.execute(f"SELECT s FROM ({sql})").fetchall()]
+    assert got == [splitmix64_scalar(k) for k in keys]
+
+
+def test_rho_sql_fuzz(con):
+    rng = np.random.default_rng(9)
+    ws = [0, 1, 2**63] + [int(k) for k in rng.integers(0, 2**64, 100,
+                                                       dtype=np.uint64)]
+    vals = ",".join(f"({w}::UHUGEINT)" for w in ws)
+    got = [int(r[0]) for r in con.execute(
+        f"SELECT {so.rho_expr('w')} FROM (VALUES {vals}) AS t(w)").fetchall()]
+    expect = [64 if w == 0 else (w & -w).bit_length() for w in ws]
+    assert got == expect
+
+
+def test_hll_registers_sql_equals_kernel(con):
+    rng = np.random.default_rng(10)
+    keys = rng.integers(0, 2**31, 3000, dtype=np.uint64)
+    p = 6
+    t = hll.make_p(p)
+    hll.add_batch(t, wang64(keys))
+    vals = ",".join(f"({int(k)})" for k in keys)
+    sql = so.hll_registers_sql(
+        f"SELECT k::UHUGEINT AS k FROM (VALUES {vals}) AS t(k)", "k", p)
+    got = dict(con.execute(sql).fetchall())
+    for j in range(1 << p):
+        assert got[j] == int(t[j + 1]), j
+
+
+def test_jump_sql_equals_kernel(con):
+    keys = [wang64_scalar(i) for i in range(150)]
+    vals = ",".join(f"({i}, {k}::UHUGEINT)" for i, k in enumerate(keys))
+    for n in (1, 7, 32, 1000):
+        sql = so.jump_buckets_sql(
+            f"SELECT i, k AS h FROM (VALUES {vals}) AS t(i, k)", "h", "i", n)
+        got = dict(con.execute(sql).fetchall())
+        assert got == {i: jump_bucket_scalar(k, n)
+                       for i, k in enumerate(keys)}
+
+
+def test_cms_point_sql_equals_kernel(con):
+    rng = np.random.default_rng(11)
+    stream = rng.integers(0, 500, 5000, dtype=np.uint64)
+    cm = CountMin(3, 128, seed=5)
+    cm.update_batch(stream)
+    vals = ",".join(f"({int(k)})" for k in stream)
+    sql = so.cms_point_sql(
+        f"SELECT k AS key FROM (VALUES {vals}) AS t(k)", "key", 3, 128, 5)
+    got = dict(con.execute(sql).fetchall())
+    uniq = np.unique(stream)
+    expect = dict(zip((int(u) for u in uniq),
+                      (int(v) for v in cm.query(uniq))))
+    assert got == expect
