@@ -260,6 +260,66 @@ def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg("q"), 6).alias("avg_quality")))
 
 
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions: monthly order volume + revenue (integer cents)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                 .alias("revenue_cents")))
+
+
+def q_order_gap_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag window: average days between consecutive orders per status."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    return (o.withColumn("gap", gap).where("gap IS NOT NULL")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.round(F.avg("gap"), 6).alias("avg_gap_days"),
+                 F.max("gap").cast("long").alias("max_gap_days")))
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers active in 1996 vs 1997 (intersect / except /
+    union) as one summary row."""
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    y97 = o.where(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    both = y96.intersect(y97).count()
+    only96 = y96.exceptAll(y97).count()
+    either = y96.union(y97).distinct().count()
+    return spark.createDataFrame(
+        [(both, only96, either)], "both bigint, only_1996 bigint, either bigint")
+
+
+def q_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over (nation, mktsegment) with grouping-set labels."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (j.rollup("n_name", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+                 .alias("acctbal_cents"))
+            .select(F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                    F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+                    "n_customers", "acctbal_cents"))
+
+
+def q_string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions over part names: prefix buckets, lengths, LIKE."""
+    p = _t(spark, sf_dir, "part")
+    return (p.groupBy(F.upper(F.substring("p_name", 1, 1)).alias("initial"))
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum(F.length("p_name").cast("long")).alias("sum_name_len"),
+                 F.sum(F.when(F.col("p_name").like("%steel%"), 1)
+                       .otherwise(0)).cast("long").alias("n_steel")))
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (rows-only: LSH/RNG-free but their
 # reference answers aren't ANSI-SQL-expressible; pytest holds the bounds)
@@ -500,6 +560,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_join": q_tpch_q3_join,
         "exact_dup_groups": q_exact_dup_groups,
         "doc_quality_scores": q_doc_quality_scores,
+        "orders_by_month": q_orders_by_month,
+        "order_gap_window": q_order_gap_window,
+        "set_ops_customers": q_set_ops_customers,
+        "rollup_nation_segment": q_rollup_nation_segment,
+        "string_funcs_parts": q_string_funcs_parts,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "minhash_neardup": q_minhash_neardup,
         "simhash_dups": q_simhash_dups,
@@ -639,6 +704,44 @@ SELECT source, SUM(wc)::BIGINT AS sum_words,
        round(AVG(mwl), 6) AS avg_word_len,
        round(AVG(q), 6) AS avg_quality
 FROM scored GROUP BY source""",
+        "orders_by_month": """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS revenue_cents
+FROM orders GROUP BY 1""",
+        "order_gap_window": """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_gaps,
+       round(AVG(gap), 6) AS avg_gap_days,
+       MAX(gap)::BIGINT AS max_gap_days
+FROM (
+  SELECT o_orderstatus,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap
+  FROM orders
+) WHERE gap IS NOT NULL GROUP BY o_orderstatus""",
+        "set_ops_customers": """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE extract(year FROM o_orderdate) = 1996),
+     y97 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE extract(year FROM o_orderdate) = 1997)
+SELECT (SELECT COUNT(*) FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97))::BIGINT AS both,
+       (SELECT COUNT(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97))::BIGINT AS only_1996,
+       (SELECT COUNT(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97))::BIGINT AS either""",
+        "rollup_nation_segment": """
+SELECT COALESCE(n_name, 'ALL') AS nation,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       COUNT(*)::BIGINT AS n_customers,
+       SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))::BIGINT AS acctbal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)""",
+        "string_funcs_parts": """
+SELECT upper(substr(p_name, 1, 1)) AS initial,
+       COUNT(*)::BIGINT AS n_parts,
+       SUM(length(p_name))::BIGINT AS sum_name_len,
+       SUM(CASE WHEN p_name LIKE '%steel%' THEN 1 ELSE 0 END)::BIGINT AS n_steel
+FROM part GROUP BY 1""",
     }
 
 
