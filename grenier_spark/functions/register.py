@@ -1,0 +1,64 @@
+"""SQL-surface registration: expose the sketch estimators and hash
+functions to ``spark.sql(...)`` string queries.
+
+After ``register_sql_functions(spark)``::
+
+    SELECT source, hll_card(sketch) FROM sketches_view
+    SELECT jump_bucket(wang64(user_id), 32) AS bucket FROM events
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+from ..core import hll
+from ..core.bits import U64, wang64
+from ..core.bloom import Bloom
+from ..core.jmphash import jump_bucket
+from ..core.kll import KLL
+from ..core.tdigest import TDigest
+
+
+def register_sql_functions(spark) -> None:
+    @pandas_udf("double")
+    def _hll_card(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: hll.card(hll.from_bytes(bytes(b))))
+
+    @pandas_udf("double")
+    def _hll_card_original(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: hll.card_hll(hll.from_bytes(bytes(b))))
+
+    @pandas_udf("long")
+    def _wang64(keys: pd.Series) -> pd.Series:
+        return pd.Series(
+            wang64(keys.to_numpy(dtype=np.int64).view(U64)).view(np.int64))
+
+    @pandas_udf("long")
+    def _jump(keys: pd.Series, n: pd.Series) -> pd.Series:
+        nv = int(n.iloc[0])
+        return pd.Series(jump_bucket(
+            keys.to_numpy(dtype=np.int64).view(U64), nv))
+
+    @pandas_udf("double")
+    def _bloom_card(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: Bloom.from_bytes(bytes(b)).cardinality())
+
+    @pandas_udf("double")
+    def _kll_q(blobs: pd.Series, q: pd.Series) -> pd.Series:
+        return pd.Series([float(KLL.from_bytes(bytes(b)).quantiles([qq])[0])
+                          for b, qq in zip(blobs, q)])
+
+    @pandas_udf("double")
+    def _td_q(blobs: pd.Series, q: pd.Series) -> pd.Series:
+        return pd.Series([float(TDigest.from_bytes(bytes(b)).quantiles([qq])[0])
+                          for b, qq in zip(blobs, q)])
+
+    spark.udf.register("hll_card", _hll_card)
+    spark.udf.register("hll_card_original", _hll_card_original)
+    spark.udf.register("wang64", _wang64)
+    spark.udf.register("jump_bucket", _jump)
+    spark.udf.register("bloom_cardinality", _bloom_card)
+    spark.udf.register("kll_quantile", _kll_q)
+    spark.udf.register("tdigest_quantile", _td_q)

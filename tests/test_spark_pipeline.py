@@ -187,3 +187,42 @@ def test_native_file_builder_byte_parity(spark, docs_tiny, local_rows):
          for r in native.collect()}
     assert n[("web", "h")] == (250, int(local_rows[local_rows.source == "web"]
                                         .n_tok.sum()))
+
+
+def test_sql_function_registration(spark, docs_df):
+    """Registered SQL functions work in spark.sql strings end-to-end."""
+    from grenier_spark.functions.register import register_sql_functions
+
+    register_sql_functions(spark)
+    res = build_sketches(docs_df, [SketchSpec.of("h", "hll", "tokens", p=11),
+                                   SketchSpec.of("k", "kll", "n_tok", k=200)],
+                         group_cols=["source"])
+    res.createOrReplaceTempView("sk")
+    got = spark.sql("""
+        SELECT source, hll_card(sketch) AS est, hll_card_original(sketch) AS est0
+        FROM sk WHERE sketch_name = 'h'""").toPandas()
+    assert len(got) == 4 and (got.est > 0).all() and (got.est0 > 0).all()
+    q = spark.sql("""
+        SELECT source, kll_quantile(sketch, 0.5) AS med
+        FROM sk WHERE sketch_name = 'k'""").toPandas()
+    assert len(q) == 4 and q.med.between(16, 256).all()
+    jb = spark.sql(
+        "SELECT jump_bucket(wang64(id), 16) AS b FROM range(100)").toPandas()
+    assert jb.b.between(0, 15).all()
+
+
+def test_high_cardinality_groups(spark, docs_df):
+    """1000 distinct groups (one per doc): per-group states stay small and
+    counts stay exact — the grouped path at high group cardinality."""
+    res = build_sketches(docs_df.repartition(5),
+                         [SketchSpec.of("h", "hll", "tokens", p=6)],
+                         group_cols=["doc_id"], fanout=8)
+    pdf = res.toPandas()
+    assert len(pdf) == 1_000
+    assert (pdf.n_rows == 1).all()
+    # spot-check one doc against the local kernel
+    row = pdf[pdf.doc_id == "doc-000000000007"].iloc[0]
+    local = generate_rows(7, 8)
+    t = hll.make_p(6)
+    hll.add_batch(t, wang64(local.tokens[0].astype(np.int64).view(U64)))
+    assert bytes(row.sketch) == hll.to_bytes(t)
