@@ -29,8 +29,10 @@ from grenier_spark.functions import (hll_card_col, jump_bucket_col,
 from grenier_spark.functions.sql_oracles import (bloom_membership_sql,
                                                  cms_cells_sql,
                                                  cms_point_sql,
+                                                 hll_card_sql,
                                                  hll_registers_sql,
-                                                 jump_buckets_sql)
+                                                 jump_buckets_sql,
+                                                 md5_low64_expr)
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
 
 SF0001 = "/root/testdata/sf0.001"
@@ -41,10 +43,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents with tokens = xxhash64 of whitespace words (array<long>)."""
+    """documents with tokens = low 64 bits of md5 of whitespace words
+    (array<long>) — md5 (not xxhash64) so DuckDB oracles can recompute the
+    identical token ids (functions/sql_oracles.py ``md5_low64_expr``)."""
     return (_t(spark, sf_dir, "documents")
             .withColumn("tokens", F.transform(
-                F.split(F.col("text"), " "), lambda t: F.xxhash64(t))))
+                F.split(F.col("text"), " "),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 16), 16, -10)
+                .cast("long"))))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -467,7 +473,8 @@ def q_incremental_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink.process_batch(ev.where("event_id % 2 = 1"), 1)
         merged = sink.current(spark)
         out = merged.select("event_type",
-                            hll_card_col("sketch").alias("est_users"))
+                            F.round(hll_card_col("sketch"), 6)
+                            .alias("est_users"))
         return spark.createDataFrame(out.toPandas())
 
 
@@ -500,10 +507,14 @@ def q_sticky_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_card_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type HLL++ estimate — carries a FULL oracle: the entire estimator
+    (linear counting / threshold / bias NN) is reproduced in DuckDB SQL
+    (sql_oracles.hll_card_sql), validated 0-ULP vs the numpy kernel."""
     ev = _t(spark, sf_dir, "events")
     res = build_sketches(ev, [SketchSpec.of("h", "hll", "user_id", p=12)],
                          group_cols=["event_type"])
-    return res.select("event_type", hll_card_col("sketch").alias("est_users"),
+    return res.select("event_type",
+                      F.round(hll_card_col("sketch"), 6).alias("est_users"),
                       F.col("n_rows").alias("n_events"))
 
 
@@ -530,7 +541,8 @@ def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tokenized_docs(spark, sf_dir)
     res = build_sketches(docs, [SketchSpec.of("h", "hll", "tokens", p=12)],
                          group_cols=["source"])
-    return res.select("source", hll_card_col("sketch").alias("est_tokens"),
+    return res.select("source",
+                      F.round(hll_card_col("sketch"), 6).alias("est_tokens"),
                       F.col("n_rows").alias("n_docs"),
                       F.col("n_values").alias("n_tokens"))
 
@@ -582,6 +594,28 @@ def oracle_sql() -> dict[str, str]:
             "h", "user_id", 32),
         "cms_cells": cms_cells_sql(
             "SELECT user_id FROM events", "user_id", 4, 512, 7),
+        "hll_card_by_type": (
+            "SELECT c.event_type, round(c.est, 6) AS est_users, n.n_events "
+            "FROM (" + hll_card_sql(
+                "SELECT event_type, user_id::UHUGEINT AS k FROM events",
+                "k", 12, group_cols=["event_type"]) + ") c JOIN ("
+            "SELECT event_type, COUNT(*)::BIGINT AS n_events FROM events "
+            "GROUP BY 1) n USING (event_type)"),
+        "incremental_hll_stream": (
+            "SELECT event_type, round(est, 6) AS est_users FROM ("
+            + hll_card_sql(
+                "SELECT event_type, user_id::UHUGEINT AS k FROM events",
+                "k", 12, group_cols=["event_type"]) + ")"),
+        "token_hll_by_source": (
+            "SELECT c.source, round(c.est, 6) AS est_tokens, d.n_docs, "
+            "d.n_tokens FROM (" + hll_card_sql(
+                "SELECT source, " + md5_low64_expr("token") + " AS k FROM ("
+                "SELECT source, unnest(string_split(text, ' ')) AS token "
+                "FROM documents)",
+                "k", 12, group_cols=["source"]) + ") c JOIN ("
+            "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+            "SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens "
+            "FROM documents GROUP BY 1) d USING (source)"),
         "cms_point_queries": cms_point_sql(
             "SELECT user_id FROM events", "user_id", 4, 512, 7),
         "bloom_membership": bloom_membership_sql(

@@ -88,3 +88,43 @@ def test_cms_point_sql_equals_kernel(con):
     expect = dict(zip((int(u) for u in uniq),
                       (int(v) for v in cm.query(uniq))))
     assert got == expect
+
+
+@pytest.mark.parametrize("p,sizes", [(8, (5, 1000, 120000)),
+                                     (12, (50, 20000, 200000)),
+                                     (14, (1000, 120000))])
+def test_hll_card_sql_bit_exact_vs_kernel(con, p, sizes):
+    """The full DuckDB HLL++ estimator (hll_card_sql) must match the numpy
+    card_hllpp bit-for-bit across BOTH branches (linear counting at low
+    fill, bias-corrected raw estimate at high fill): the scaled-integer
+    denominator sum makes the only O(m) float reduction exact on both
+    engines."""
+    rng = np.random.default_rng(100 + p)
+    for n in sizes:
+        keys = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+        t = hll.make_p(p)
+        hll.add_batch(t, wang64(keys))
+        want = hll.card(t)
+        con.register("card_keys", __import__("pandas").DataFrame({"k": keys}))
+        sql = so.hll_card_sql("SELECT k::UHUGEINT AS k FROM card_keys",
+                              "k", p)
+        got = con.execute(sql).fetchone()[0]
+        assert got == want, (p, n, got, want)
+
+
+def test_hll_card_sql_grouped(con):
+    """Grouped estimator: per-group results equal per-group kernel runs."""
+    rng = np.random.default_rng(77)
+    frames = []
+    expect = {}
+    for g, n in [("a", 30), ("b", 5000), ("c", 60000)]:
+        keys = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+        t = hll.make_p(12)
+        hll.add_batch(t, wang64(keys))
+        expect[g] = hll.card(t)
+        frames.append(__import__("pandas").DataFrame({"g": g, "k": keys}))
+    con.register("gk", __import__("pandas").concat(frames))
+    sql = so.hll_card_sql("SELECT g, k::UHUGEINT AS k FROM gk", "k", 12,
+                          group_cols=["g"])
+    got = dict(con.execute(sql).fetchall())
+    assert got == expect
