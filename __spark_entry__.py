@@ -326,6 +326,56 @@ def q_string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(0)).cast("long").alias("n_steel")))
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join, no
+    all-pairs product) — the exactness oracle for the MinHash path."""
+    from grenier_spark.operators.dedup import ngram_word_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (ngram_word_jaccard_pairs(docs, "doc_id", "text", n=3, tau=0.8)
+            .orderBy("id_a", "id_b"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over embeddings + 10 planted
+    perturbed copies (first component +0.25), exact all-pairs fold."""
+    from grenier_spark.operators.similarity import cosine_neardup_pairs
+
+    em = _t(spark, sf_dir, "embeddings")
+    dbl = em.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    planted = (dbl.orderBy("vec_id").limit(10)
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       F.transform(
+                           "embedding",
+                           lambda x, i: F.when(i == 0, x + 0.25).otherwise(x))
+                       .alias("embedding")))
+    full = dbl.unionByName(planted)
+    return (cosine_neardup_pairs(full, tau=0.9).orderBy("id_a", "id_b"))
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (6h inactivity gap) via window functions; per-user
+    session stats (operators/sessions.py)."""
+    from grenier_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events")).orderBy("user_id")
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no finished ('F') orders, summarized
+    per nation (the 'F' filter keeps the result non-empty on the driver
+    tables, where every customer has at least one order)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where("o_orderstatus = 'F'")
+    n = _t(spark, sf_dir, "nation")
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (no_orders.join(F.broadcast(n), no_orders.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.min(F.col("c_custkey").cast("long")).alias("min_custkey")))
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (rows-only: LSH/RNG-free but their
 # reference answers aren't ANSI-SQL-expressible; pytest holds the bounds)
@@ -577,6 +627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": q_set_ops_customers,
         "rollup_nation_segment": q_rollup_nation_segment,
         "string_funcs_parts": q_string_funcs_parts,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "user_sessions": q_user_sessions,
+        "customers_without_orders": q_customers_without_orders,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "minhash_neardup": q_minhash_neardup,
         "simhash_dups": q_simhash_dups,
@@ -770,6 +824,63 @@ SELECT COALESCE(n_name, 'ALL') AS nation,
        SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))::BIGINT AS acctbal_cents
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, c_mktsegment)""",
+        "ngram_jaccard_pairs": """
+WITH d AS (SELECT doc_id::BIGINT AS id, string_split(text, ' ') AS w
+           FROM documents),
+sh AS (SELECT id, unnest(list_distinct(
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE []::VARCHAR[] END)) AS s
+       FROM d),
+c AS (SELECT id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+ins AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b, inter,
+       (ca.n_sh + cb.n_sh - inter)::BIGINT AS union_sz,
+       round(inter / (ca.n_sh + cb.n_sh - inter)::DOUBLE, 6) AS jaccard
+FROM ins JOIN c ca ON id_a = ca.id JOIN c cb ON id_b = cb.id
+WHERE round(inter / (ca.n_sh + cb.n_sh - inter)::DOUBLE, 6) >= 0.8""",
+        "embedding_neardup": """
+WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+p AS (SELECT id + 1000000 AS id, [v[1] + 0.25] || v[2:] AS v
+      FROM (SELECT * FROM e ORDER BY id LIMIT 10)),
+u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+pr AS (SELECT a.id AS id_a, b.id AS id_b,
+              list_inner_product(a.v, b.v) /
+              (sqrt(list_inner_product(a.v, a.v)) *
+               sqrt(list_inner_product(b.v, b.v))) AS cos
+       FROM u a JOIN u b ON a.id < b.id)
+SELECT id_a, id_b, round(cos, 6) AS cos_sim
+FROM pr WHERE round(cos, 6) >= 0.9""",
+        "user_sessions": """
+WITH s AS (
+  SELECT user_id,
+         SUM(CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - prev > 21600000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (SELECT user_id, ts, event_id,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+        FROM events)
+), per_sess AS (
+  SELECT user_id, session_id, COUNT(*)::BIGINT AS sess_events
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, MAX(session_id)::BIGINT AS n_sessions,
+       SUM(sess_events)::BIGINT AS n_events,
+       MAX(sess_events)::BIGINT AS max_session_events
+FROM per_sess GROUP BY user_id""",
+        "customers_without_orders": """
+SELECT n_name, COUNT(*)::BIGINT AS n_customers,
+       MIN(c_custkey)::BIGINT AS min_custkey
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY n_name""",
         "string_funcs_parts": """
 SELECT upper(substr(p_name, 1, 1)) AS initial,
        COUNT(*)::BIGINT AS n_parts,

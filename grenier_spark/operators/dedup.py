@@ -195,3 +195,46 @@ def simhash_candidates(fp_df: DataFrame, id_col: str = "doc_id",
             .withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def ngram_word_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 3,
+                             tau: float = 0.8) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs via an inverted-index join.
+
+    Candidate pairs come from docs SHARING at least one shingle (explode ->
+    self-join on the shingle -> group by pair), so the cost is
+    ``sum_s c_s^2`` over shingle frequencies, not ``n_docs^2``; Jaccard is
+    then exact: ``|A&B| / (|A| + |B| - |A&B|)``. At 100 TB run
+    :func:`lsh_candidate_pairs` first and feed survivors here — this
+    operator doubles as the exactness oracle for that path (its SQL twin
+    lives in ``__spark_entry__.oracle_sql()['ngram_jaccard_pairs']``).
+
+    Returns (id_a, id_b, inter, union_sz, jaccard) with ``jaccard >= tau``,
+    ``id_a < id_b``.
+    """
+    w = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1)
+                                         for j in range(n)])))
+    ).otherwise(F.array().cast("array<string>"))
+    sh = df.select(F.col(id_col).cast("long").alias("id"),
+                   F.explode(grams).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    ja = (inter
+          .join(sizes.select(F.col("id").alias("id_a"),
+                             F.col("n_sh").alias("na")), "id_a")
+          .join(sizes.select(F.col("id").alias("id_b"),
+                             F.col("n_sh").alias("nb")), "id_b")
+          .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
+          .withColumn("jaccard", F.round(F.col("inter") / F.col("union_sz"), 6))
+          .where(F.col("jaccard") >= tau))
+    return ja.select("id_a", "id_b", "inter", "union_sz", "jaccard")

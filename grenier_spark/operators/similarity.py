@@ -93,3 +93,28 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     return (cands.select(qid_col, id_col, cos.alias("cos_sim"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def cosine_neardup_pairs(vectors: DataFrame, tau: float = 0.9,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (``id_a < id_b``,
+    ``cos_sim >= tau``).
+
+    All-pairs product — the EXACT baseline / verify stage. At scale,
+    generate candidates with :func:`lsh_topk`'s bucket join (or any ANN
+    blocking) and verify survivors with this same fold; the all-pairs form
+    here is what the DuckDB oracle can mirror value-for-value. Dot products
+    fold sequentially in float64 on both engines, so doubles agree
+    bit-for-bit.
+    """
+    dv = vectors.select(F.col(id_col).cast("long").alias("id"),
+                        F.transform(vec_col,
+                                    lambda x: x.cast("double")).alias("v"))
+    a = dv.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = dv.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot("va", "vb") / (F.sqrt(_dot("va", "va"))
+                              * F.sqrt(_dot("vb", "vb")))
+    return (j.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= tau))

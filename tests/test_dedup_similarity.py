@@ -129,3 +129,42 @@ def test_lsh_topk_deterministic(spark, embeddings):
     key = ["query_id", "rank"]
     assert a.sort_values(key).vec_id.tolist() == \
         b.sort_values(key).vec_id.tolist()
+
+
+def test_ngram_jaccard_pairs_exact_values(spark):
+    """Hand-computed 3-gram Jaccard on tiny docs: doc1 'a b c d' has
+    shingles {abc, bcd}; doc2 'a b c d e' has {abc, bcd, cde} ->
+    J = 2/3; doc3 shares nothing; doc4 too short for any shingle."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e"), (3, "x y z w"), (4, "a b")],
+        "doc_id long, text string")
+    got = dedup.ngram_word_jaccard_pairs(df, tau=0.5).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.id_a, r.id_b, r.inter, r.union_sz) == (1, 2, 2, 3)
+    assert r.jaccard == round(2 / 3, 6)
+
+
+def test_ngram_jaccard_recovers_exact_dups(spark, docs_with_plants):
+    """Exact copies have Jaccard 1.0; near-dups (last word dropped) stay
+    above 0.8 for 100+-word docs."""
+    got = dedup.ngram_word_jaccard_pairs(docs_with_plants, tau=0.8).toPandas()
+    exact = got[got.jaccard == 1.0]
+    plants = {(int(r.id_a), int(r.id_a) + 2_000_000) for r in exact.itertuples()
+              if r.id_b == r.id_a + 2_000_000}
+    assert len(plants) == 10
+
+
+def test_cosine_neardup_pairs_exact_values(spark):
+    """Orthogonal vs parallel vs 45-degree vectors."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 1.0]), (4, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    got = similarity.cosine_neardup_pairs(df, tau=0.9).toPandas()
+    assert set(zip(got.id_a, got.id_b)) == {(1, 2)}
+    assert (got.cos_sim == 1.0).all()
+    lower = similarity.cosine_neardup_pairs(df, tau=0.7).toPandas()
+    assert set(zip(lower.id_a, lower.id_b)) == \
+        {(1, 2), (1, 4), (2, 4), (3, 4)}
+    forty5 = lower[lower.id_b == 4]
+    assert np.allclose(forty5.cos_sim, round(1 / np.sqrt(2), 6))
