@@ -32,7 +32,8 @@ from grenier_spark.functions.sql_oracles import (bloom_membership_sql,
                                                  hll_card_sql,
                                                  hll_registers_sql,
                                                  jump_buckets_sql,
-                                                 md5_low64_expr)
+                                                 md5_low64_expr,
+                                                 simhash_pairs_sql)
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
 
 SF0001 = "/root/testdata/sf0.001"
@@ -427,6 +428,7 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
     fps = dedup.simhash64(docs.unionByName(copies))
     return (dedup.simhash_candidates(fps, max_hamming=3)
+            .withColumn("hamming", F.col("hamming").cast("long"))
             .orderBy("id_a", "id_b"))
 
 
@@ -824,6 +826,13 @@ SELECT COALESCE(n_name, 'ALL') AS nation,
        SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))::BIGINT AS acctbal_cents
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, c_mktsegment)""",
+        "simhash_dups": simhash_pairs_sql(
+            "WITH base AS (SELECT doc_id::BIGINT AS id, text FROM documents "
+            "ORDER BY id LIMIT 60) "
+            "SELECT id, text FROM base UNION ALL "
+            "SELECT id + 2000000 AS id, text FROM "
+            "(SELECT * FROM base ORDER BY id LIMIT 8)",
+            "id", "text", max_hamming=3),
         "ngram_jaccard_pairs": """
 WITH d AS (SELECT doc_id::BIGINT AS id, string_split(text, ' ') AS w
            FROM documents),

@@ -221,6 +221,49 @@ SELECT {gsel}CASE WHEN v = 0 THEN ep
 FROM ep"""
 
 
+def simhash_pairs_sql(docs_sql: str, id_col: str = "id",
+                      text_col: str = "text", max_hamming: int = 3) -> str:
+    """Near-dup pairs (id_a, id_b, hamming) via 64-bit simhash, matching
+    ``operators.dedup.simhash64`` + ``simhash_candidates`` exactly.
+
+    The fingerprint chain — FNV-1a over UTF-8 bytes (ASCII inputs; DuckDB
+    ``unicode`` per char == byte), wang64 mix, count-weighted bit votes —
+    is recomputed in SQL; pairs come from brute-force
+    ``bit_count(xor) <= max_hamming``, which for ``max_hamming <= 3`` is
+    EXACTLY the banded-LSH result (4 disjoint 16-bit bands: <= 3 differing
+    bits leave >= 1 band identical, so banding has guaranteed 100% recall).
+    """
+    powers = ", ".join(f"({b}, {1 << b}::UHUGEINT)" for b in range(64))
+    fnv = (f"list_reduce([14695981039346656037::UHUGEINT] || "
+           f"list_transform(split(w, ''), c -> unicode(c)::UHUGEINT), "
+           f"(h, ch) -> (xor(h, ch) * 1099511628211::UHUGEINT) % {M})")
+    hashed = chain_selects(
+        f"SELECT id, cnt, {fnv} AS k FROM ("
+        f"SELECT id, w, COUNT(*)::BIGINT AS cnt FROM ("
+        f"SELECT {id_col} AS id, unnest(list_filter("
+        f"string_split({text_col}, ' '), x -> x <> '')) AS w "
+        f"FROM ({docs_sql})) GROUP BY 1, 2)",
+        wang64_stages("k", "h"))
+    return f"""
+WITH pw(b, p) AS (VALUES {powers}),
+votes AS (
+  SELECT id, b, p,
+         SUM(cnt * (2 * ((h // p) % 2::UHUGEINT)::BIGINT - 1)) AS vote
+  FROM ({hashed}) CROSS JOIN pw GROUP BY 1, 2, 3
+), fp0 AS (
+  SELECT id, SUM(CASE WHEN vote > 0 THEN p::HUGEINT ELSE 0::HUGEINT END) AS fp
+  FROM votes GROUP BY 1
+), fps AS (
+  SELECT d.id, COALESCE(f.fp, 0::HUGEINT)::UBIGINT AS fp
+  FROM (SELECT DISTINCT {id_col} AS id FROM ({docs_sql})) d
+  LEFT JOIN fp0 f ON d.id = f.id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+FROM fps a JOIN fps b ON a.id < b.id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}"""
+
+
 def md5_low64_expr(col: str) -> str:
     """UHUGEINT from the first 16 hex chars of md5 — DuckDB twin of Spark
     ``conv(substring(md5(col), 1, 16), 16, -10)`` (same bits, unsigned)."""

@@ -128,3 +128,43 @@ def test_hll_card_sql_grouped(con):
                           group_cols=["g"])
     got = dict(con.execute(sql).fetchall())
     assert got == expect
+
+
+def test_simhash_pairs_sql_equals_operator_kernel(con):
+    """simhash_pairs_sql fingerprints must equal the numpy simhash64 chain
+    (FNV-1a -> wang64 -> weighted bit votes) on synthetic near-dup text."""
+    import itertools
+
+    from grenier_spark.core.bits import wang64 as w64
+    from grenier_spark.operators.dedup import hash_word
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = {1: base,
+            2: base + " extraword",          # 1/61 weight shift
+            3: "completely different words entirely here now",
+            4: base}                          # exact copy of 1
+
+    def py_simhash(t):
+        words = [w for w in t.split(" ") if w]
+        hs = w64(np.array([hash_word(w) for w in words], dtype=np.uint64))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        votes = bits.sum(axis=0) * 2 - len(words)
+        fp = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(b)
+        return int(fp)
+
+    expect = []
+    fps = {i: py_simhash(t) for i, t in docs.items()}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        ham = bin(fps[a] ^ fps[b]).count("1")
+        if ham <= 3:
+            expect.append((a, b, ham))
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in docs.items())
+    sql = so.simhash_pairs_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(id, text)", "id", "text", 3)
+    got = sorted(con.execute(sql).fetchall())
+    assert got == sorted(expect)
+    assert (1, 4, 0) in got          # exact copy -> Hamming 0
