@@ -33,6 +33,7 @@ from grenier_spark.functions.sql_oracles import (bloom_membership_sql,
                                                  hll_registers_sql,
                                                  jump_buckets_sql,
                                                  md5_low64_expr,
+                                                 minhash_neardup_sql,
                                                  simhash_pairs_sql)
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
 
@@ -397,7 +398,9 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection, demonstrated on planted near-dups
     (doc + copy with last word dropped) so recall is checkable on any
-    input."""
+    input. Uses the md5/raw-band variant of the chain so the ENTIRE
+    pipeline — shingles, signatures, banding, estimate filter, exact
+    verify — carries a value-exact DuckDB oracle."""
     from grenier_spark.operators import dedup
 
     docs = (_t(spark, sf_dir, "documents")
@@ -409,9 +412,11 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "length(element_at(split(text, ' '), -1)) - 1)")
                       .alias("text")))
     full = docs.unionByName(plants)
-    sigs = dedup.minhash_signatures(full, n_hashes=64, seed=42)
-    pairs = dedup.lsh_candidate_pairs(sigs, min_est_jaccard=0.5)
-    ver = dedup.exact_jaccard_for_pairs(full, pairs)
+    sigs = dedup.minhash_signatures(full, n_hashes=64, seed=42,
+                                    word_hash="md5")
+    pairs = dedup.lsh_candidate_pairs(sigs, min_est_jaccard=0.5,
+                                      hash_buckets=False)
+    ver = dedup.exact_jaccard_for_pairs(full, pairs, word_hash="md5")
     return (ver.where("jaccard >= 0.7")
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
             .orderBy("id_a", "id_b"))
@@ -446,16 +451,26 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads -> feature vectors (decode is a
-    deterministic stand-in; see operators/multimodal.py)."""
-    from grenier_spark.operators.multimodal import (extract_features,
-                                                    synthesize_media_table)
+    """Multimodal plumbing with a FULL oracle: binary payloads (UTF-8 bytes
+    of document text, so DuckDB can reconstruct them) -> mapInPandas
+    feature extraction (byte_histogram_decoder: exact integer bins). The
+    Spark side genuinely round-trips binary through the Arrow UDF; the
+    oracle recomputes the bins from characters."""
+    from grenier_spark.operators.multimodal import (byte_histogram_decoder,
+                                                    extract_features)
 
-    media = synthesize_media_table(spark, 100)
-    f = extract_features(media)
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id").cast("long") % 3 + 1).cast("int"))
+        .alias("media_type"))
+    f = extract_features(media, decoder=byte_histogram_decoder)
     return (f.select("media_id", "media_type", "n_bytes",
-                     F.round(F.element_at("feature", 1).cast("double"), 6)
-                     .alias("f0"))
+                     F.element_at("feature", 3).cast("long").alias("f2"),
+                     F.element_at("feature", 7).cast("long").alias("f6"),
+                     F.element_at("feature", 8).cast("long").alias("f7"))
             .orderBy("media_id"))
 
 
@@ -826,6 +841,24 @@ SELECT COALESCE(n_name, 'ALL') AS nation,
        SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))::BIGINT AS acctbal_cents
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, c_mktsegment)""",
+        "minhash_neardup": minhash_neardup_sql(
+            "WITH b0 AS (SELECT doc_id::BIGINT AS id, text FROM documents "
+            "WHERE length(text) > 100 ORDER BY id LIMIT 50) "
+            "SELECT id, text FROM b0 UNION ALL "
+            "SELECT id + 1000000 AS id, "
+            "substr(text, 1, length(text) - "
+            "length(string_split(text, ' ')[-1]) - 1) AS text "
+            "FROM (SELECT * FROM b0 ORDER BY id LIMIT 10)",
+            "id", "text", w=3, n_hashes=64, seed=42, bands=16,
+            min_est=0.5, tau=0.7),
+        "media_features": """
+SELECT doc_id::BIGINT AS media_id,
+       ['image', 'audio', 'video'][(doc_id::BIGINT % 3 + 1)::INT] AS media_type,
+       length(text)::BIGINT AS n_bytes,
+       len(list_filter(split(text, ''), c -> unicode(c) // 16 = 2))::BIGINT AS f2,
+       len(list_filter(split(text, ''), c -> unicode(c) // 16 = 6))::BIGINT AS f6,
+       len(list_filter(split(text, ''), c -> unicode(c) // 16 = 7))::BIGINT AS f7
+FROM documents""",
         "simhash_dups": simhash_pairs_sql(
             "WITH base AS (SELECT doc_id::BIGINT AS id, text FROM documents "
             "ORDER BY id LIMIT 60) "

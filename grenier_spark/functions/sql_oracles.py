@@ -264,6 +264,83 @@ FROM fps a JOIN fps b ON a.id < b.id
 WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}"""
 
 
+def minhash_neardup_sql(docs_sql: str, id_col: str = "id",
+                        text_col: str = "text", w: int = 3,
+                        n_hashes: int = 64, seed: int = 42, bands: int = 16,
+                        min_est: float = 0.5, tau: float = 0.7) -> str:
+    """The COMPLETE MinHash+LSH near-dup pipeline in DuckDB SQL, matching
+    ``dedup.minhash_signatures(word_hash='md5')`` +
+    ``lsh_candidate_pairs(hash_buckets=False)`` +
+    ``exact_jaccard_for_pairs(word_hash='md5')`` value-for-value:
+
+    md5-low64 word hashes -> per-window wang64 fold shingles -> per-salt
+    wang64 min (the signature) -> banded candidates joined on RAW
+    sub-signature arrays -> matching-position Jaccard estimate filter ->
+    exact distinct-shingle Jaccard >= tau. All hashes are the library's own
+    kernels (core/bits.py), so the whole chain is deterministic and
+    engine-independent.
+    """
+    from grenier_spark.core.bits import splitmix64_scalar
+
+    width = n_hashes // bands
+    salts = ", ".join(
+        f"({i}, {splitmix64_scalar(seed + i + 1)}::UHUGEINT)"
+        for i in range(n_hashes))
+    hw = md5_low64_expr("t")
+    # window rows: one row per shingle start, columns h1..hw
+    hcols = ", ".join(f"wh[i + {k}] AS h{k + 1}" for k in range(w))
+    winrows = (f"SELECT id, {hcols} FROM ("
+               f"SELECT id, wh, unnest(range(1, len(wh) - {w - 2})) AS i "
+               f"FROM (SELECT {id_col} AS id, list_transform("
+               f"string_split({text_col}, ' '), t -> {hw}) AS wh "
+               f"FROM ({docs_sql})))")
+    # fold: acc = h1; acc = wang64(acc ^ h_k) for k = 2..w
+    sql = winrows
+    acc = "h1"
+    for k in range(2, w + 1):
+        sql = chain_selects(f"SELECT *, xor({acc}, h{k}) AS x{k} FROM ({sql})",
+                            wang64_stages(f"x{k}", f"a{k}", f"_f{k}_"))
+        acc = f"a{k}"
+    shingles = f"SELECT id, {acc} AS shingle FROM ({sql})"
+    sigrows = chain_selects(
+        f"SELECT id, perm, xor(shingle, salt) AS k "
+        f"FROM ({shingles}) CROSS JOIN (VALUES {salts}) s(perm, salt)",
+        wang64_stages("k", "h"))
+    return f"""
+WITH sigs AS (
+  SELECT id, perm, MIN(h) AS sigv FROM ({sigrows}) GROUP BY 1, 2
+), bandkeys AS (
+  SELECT id, perm // {width} AS band, list(sigv ORDER BY perm) AS bvals
+  FROM sigs GROUP BY 1, 2
+), cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.bvals = b.bvals AND a.id < b.id
+), est AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CASE WHEN sa.sigv = sb.sigv THEN 1 ELSE 0 END)
+           / {n_hashes}.0 AS est_j
+  FROM cands c
+  JOIN sigs sa ON sa.id = c.id_a
+  JOIN sigs sb ON sb.id = c.id_b AND sa.perm = sb.perm
+  GROUP BY 1, 2
+), goodc AS (
+  SELECT id_a, id_b FROM est WHERE est_j >= {min_est!r}
+), shc AS (
+  SELECT id, COUNT(DISTINCT shingle) AS nsh FROM ({shingles}) GROUP BY 1
+), inter AS (
+  SELECT g.id_a, g.id_b, COUNT(DISTINCT sa.shingle) AS i
+  FROM goodc g
+  JOIN ({shingles}) sa ON sa.id = g.id_a
+  JOIN ({shingles}) sb ON sb.id = g.id_b AND sa.shingle = sb.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i / (ca.nsh + cb.nsh - i)::DOUBLE, 6) AS jaccard
+FROM inter JOIN shc ca ON id_a = ca.id JOIN shc cb ON id_b = cb.id
+WHERE i / (ca.nsh + cb.nsh - i)::DOUBLE >= {tau!r}"""
+
+
 def md5_low64_expr(col: str) -> str:
     """UHUGEINT from the first 16 hex chars of md5 — DuckDB twin of Spark
     ``conv(substring(md5(col), 1, 16), 16, -10)`` (same bits, unsigned)."""

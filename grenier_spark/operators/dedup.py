@@ -61,18 +61,70 @@ def _shingle_hashes(df: DataFrame, text_col: str, w: int) -> DataFrame:
     return df.withColumn("shingle", F.explode(shingles)).drop(text_col)
 
 
+def _md5_word_hash_col(text_col: str):
+    """array<long>: low 64 bits of md5 per whitespace word (JVM-side) —
+    the cross-engine word hash (DuckDB twin: sql_oracles.md5_low64_expr)."""
+    words = F.split(F.col(text_col), " ")
+    return F.transform(
+        words, lambda t: F.conv(F.substring(F.md5(t), 1, 16), 16, -10)
+        .cast("long"))
+
+
+def _md5_shingle_rows(df: DataFrame, text_col: str, id_col: str,
+                      w: int = 3) -> DataFrame:
+    """(id, shingle) rows via the SQL-expressible chain: md5-low64 word
+    hashes folded per window with ``acc = wang64(acc ^ next)`` (numpy;
+    identical wang64 stages run in the DuckDB oracle). Docs with fewer than
+    ``w`` words yield no shingles (dropped, same as the oracle's range())."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(id_col, _md5_word_hash_col(text_col).alias("wh"))
+
+    def gen(it):
+        for pdf in it:
+            ids, shs = [], []
+            for did, whl in zip(pdf[id_col], pdf["wh"]):
+                v = np.asarray(whl, dtype=np.int64).view(U64)
+                nwin = len(v) - w + 1
+                if nwin <= 0:
+                    continue
+                acc = v[:nwin].copy()
+                for k in range(1, w):
+                    acc = wang64(acc ^ v[k:nwin + k])
+                ids.extend([did] * nwin)
+                shs.append(acc.astype(np.int64))
+            yield pd.DataFrame({
+                id_col: ids,
+                "shingle": (np.concatenate(shs) if shs
+                            else np.array([], dtype=np.int64))})
+
+    return src.mapInPandas(gen, f"{id_col} {id_type}, shingle long")
+
+
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str, w: int,
+                  word_hash: str) -> DataFrame:
+    if word_hash == "md5":
+        return _md5_shingle_rows(df.select(id_col, text_col), text_col,
+                                 id_col, w)
+    return _shingle_hashes(df.select(id_col, text_col), text_col, w)
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", w: int = 3,
-                       n_hashes: int = 64, seed: int = 42) -> DataFrame:
+                       n_hashes: int = 64, seed: int = 42,
+                       word_hash: str = "xxhash64") -> DataFrame:
     """(id, sig array<bigint>) minhash signature over w-shingles.
 
     sig[i] = min over shingles of wang64(shingle XOR splitmix64(seed+i+1)):
     one aggregation per permutation, computed vectorized in a single grouped
     pandas pass over (id, shingle) rows.
+
+    ``word_hash``: "xxhash64" (default; fastest, JVM) or "md5" (low-64-bit
+    md5 word hashes + wang64 shingle folds — every stage reproducible in
+    DuckDB SQL, used by the value-gated oracle).
     """
     salts = np.array([splitmix64_scalar(seed + i + 1) for i in range(n_hashes)],
                      dtype=U64)
-    sh = _shingle_hashes(df.select(id_col, text_col), text_col, w)
+    sh = _shingle_rows(df, text_col, id_col, w, word_hash)
 
     def sign(pdf: pd.DataFrame) -> pd.DataFrame:
         out_ids, out_sigs = [], []
@@ -92,20 +144,29 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
-                        bands: int = 16, min_est_jaccard: float = 0.5) -> DataFrame:
+                        bands: int = 16, min_est_jaccard: float = 0.5,
+                        hash_buckets: bool = True) -> DataFrame:
     """Candidate near-dup pairs from banded LSH + signature-estimated Jaccard.
 
     Pairs (a, b), a < b, sharing >= 1 band bucket; est_jaccard = fraction of
     matching signature positions. Shuffles only (band_hash, id, sig) rows.
+
+    ``hash_buckets=True`` (default) hashes each band slice to a 64-bit
+    bucket (smaller shuffle rows at scale, vanishing collision rate);
+    ``False`` joins on the raw sub-signature arrays — identical candidates
+    minus hash collisions, and exactly reproducible in SQL (the oracle path).
     """
-    n_hashes = None  # derived from data
+    width = (F.size("sig") / bands).cast("int")
+    if hash_buckets:
+        bucket_of = lambda b: F.xxhash64(F.slice("sig", b * width + 1,
+                                                 width), b)
+    else:
+        bucket_of = lambda b: F.slice("sig", b * width + 1, width)
     banded = sig_df.select(
         id_col, "sig",
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(F.slice(
-                "sig", b * (F.size("sig") / bands).cast("int") + 1,
-                (F.size("sig") / bands).cast("int")), b))).alias("band", "bucket"))
+            bucket_of)).alias("band", "bucket"))
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, (F.col("l.band") == F.col("r.band"))
@@ -125,9 +186,10 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
 
 def exact_jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
                             text_col: str = "text", id_col: str = "doc_id",
-                            w: int = 3) -> DataFrame:
+                            w: int = 3,
+                            word_hash: str = "xxhash64") -> DataFrame:
     """Verify stage: exact shingle-set Jaccard for candidate pairs only."""
-    sh = (_shingle_hashes(df.select(id_col, text_col), text_col, w)
+    sh = (_shingle_rows(df, text_col, id_col, w, word_hash)
           .groupBy(id_col).agg(F.collect_set("shingle").alias("sh")))
     a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")

@@ -42,6 +42,16 @@ def fake_decoder(payload: bytes, media_type: str) -> np.ndarray:
     return hist / hist.sum()
 
 
+def byte_histogram_decoder(payload: bytes, media_type: str) -> np.ndarray:
+    """UN-normalized 16-bin high-nibble byte histogram: every feature value
+    is an exact small integer (float32-exact below 2^24), so downstream
+    comparisons — including the DuckDB gate oracle, which recomputes the
+    bins with ``unicode(char) // 16`` over text-derived payloads — are
+    bit-exact with no float-rounding risk."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return np.bincount(arr >> 4, minlength=16).astype(np.float32)
+
+
 def extract_features(df: DataFrame, decoder: "Callable | None" = fake_decoder,
                      payload_col: str = "payload",
                      type_col: str = "media_type") -> DataFrame:
