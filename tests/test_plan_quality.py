@@ -58,3 +58,32 @@ def test_partials_are_sketch_scale(spark, docs_tiny):
     res = build_sketches(docs, [SketchSpec.of("h", "hll", "tokens", p=10)],
                          group_cols=["source"], fanout=4)
     assert res.count() == 4  # one row per (group, spec) after final merge
+
+
+def test_sessionize_single_exchange(spark):
+    """Sessionization must cost exactly ONE shuffle (hash on user_id) —
+    lag + running-sum windows share the same partitioning, so Catalyst
+    plans one Exchange + one Sort reused by both."""
+    from grenier_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = plan_of(sessionize(ev))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_anti_join_broadcasts(spark):
+    """The anti join should broadcast (orders side is filtered/small at the
+    gate SF via AQE or static estimate); nation must broadcast."""
+    plan = plan_of(entry_mod.q_customers_without_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ngram_join_is_not_cartesian(spark):
+    """The inverted-index self-join must join ON the shingle (hash/sort
+    join), never a cartesian product."""
+    from grenier_spark.operators.dedup import ngram_word_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(ngram_word_jaccard_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
