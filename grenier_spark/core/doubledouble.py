@@ -1,0 +1,159 @@
+"""Double-double (~106-bit) compensated arithmetic, vectorized over numpy.
+
+Re-creates the reference's doubledouble module (D1 in SURVEY.md §2.3;
+/root/reference/doubledouble/doubledouble.ml) from the published algorithms
+it itself implements — Dekker 1971 / Knuth TAOCP two-sum and split,
+Bailey/Hida QD-style add/mul/div/sqrt:
+
+* value = unevaluated pair ``(hi, lo)`` with ``|lo| <= ulp(hi)/2``
+  (reference ``{hi; lo}`` record, doubledouble.ml:31).
+* ``K_SPLIT = 2^27 + 1`` — Dekker's splitter constant
+  (doubledouble.ml:48).
+* error-free transforms instead of FMA: the reference explicitly DISABLES
+  FMA contraction via ``Sys.opaque_identity`` (doubledouble.ml:114-116)
+  for bit-reproducibility; numpy ufuncs never fuse, so plain elementwise
+  ops here have the same property.
+
+Everything operates on (and broadcasts over) float64 ndarrays, so the same
+kernels serve scalar use, tests, and Arrow-batched UDF internals. The
+library's estimator sums use ``math.fsum`` (exact) — ``dd_sum`` here is
+the streaming/mergeable counterpart: an associative-enough compensated
+accumulator whose (hi, lo) state can ride in a DataFrame column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+K_SPLIT = np.float64((1 << 27) + 1)  # Dekker splitter (doubledouble.ml:48)
+
+
+def two_sum(a, b):
+    """Error-free sum: s + e == a + b exactly (Knuth), any magnitudes."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def quick_two_sum(a, b):
+    """Error-free sum requiring |a| >= |b| (Dekker)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def split(a):
+    """Dekker split: a == hi + lo with 26/27-bit halves."""
+    a = np.asarray(a, dtype=np.float64)
+    c = K_SPLIT * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """Error-free product: p + e == a * b exactly (Dekker, FMA-free)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    p = a * b
+    ah, al = split(a)
+    bh, bl = split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def dd(hi, lo=0.0):
+    """Normalize a (hi, lo) pair."""
+    return quick_two_sum(np.asarray(hi, dtype=np.float64),
+                         np.asarray(lo, dtype=np.float64))
+
+
+def dd_add(xh, xl, yh, yl):
+    """(x + y) in double-double (Bailey's accurate variant)."""
+    sh, se = two_sum(xh, yh)
+    te, tf = two_sum(xl, yl)
+    se = se + te
+    sh, se = quick_two_sum(sh, se)
+    se = se + tf
+    return quick_two_sum(sh, se)
+
+
+def dd_neg(xh, xl):
+    return -np.asarray(xh, dtype=np.float64), -np.asarray(xl, dtype=np.float64)
+
+
+def dd_sub(xh, xl, yh, yl):
+    nh, nl = dd_neg(yh, yl)
+    return dd_add(xh, xl, nh, nl)
+
+
+def dd_mul(xh, xl, yh, yl):
+    """(x * y) in double-double."""
+    p, e = two_prod(xh, yh)
+    e = e + (xh * yl + xl * yh)
+    return quick_two_sum(p, e)
+
+
+def dd_sqr(xh, xl):
+    p, e = two_prod(xh, xh)
+    e = e + 2.0 * (xh * xl)
+    return quick_two_sum(p, e)
+
+
+def dd_div(xh, xl, yh, yl):
+    """(x / y) via one Newton correction of the float64 quotient."""
+    q1 = np.asarray(xh, dtype=np.float64) / np.asarray(yh, dtype=np.float64)
+    rh, rl = dd_mul(yh, yl, q1, np.zeros_like(q1))
+    dh, dl = dd_sub(xh, xl, rh, rl)
+    q2 = (dh + dl) / np.asarray(yh, dtype=np.float64)
+    return quick_two_sum(q1, q2)
+
+
+def dd_sqrt(xh, xl):
+    """sqrt via one Newton step: s + (x - s^2) / (2 s)."""
+    s = np.sqrt(np.asarray(xh, dtype=np.float64))
+    rh, rl = dd_sqr(s, np.zeros_like(s))
+    dh, dl = dd_sub(xh, xl, rh, rl)
+    e = (dh + dl) / (2.0 * s)
+    out_h, out_l = quick_two_sum(s, e)
+    zero = np.asarray(xh, dtype=np.float64) == 0.0
+    if np.ndim(out_h):
+        out_h = np.where(zero, 0.0, out_h)
+        out_l = np.where(zero, 0.0, out_l)
+    elif zero:
+        out_h, out_l = np.float64(0.0), np.float64(0.0)
+    return out_h, out_l
+
+
+def dd_pow_int(xh, xl, n: int):
+    """Integer power by binary exponentiation (reference ``pow`` surface)."""
+    if n < 0:
+        rh, rl = dd_pow_int(xh, xl, -n)
+        one = np.ones_like(np.asarray(xh, dtype=np.float64))
+        return dd_div(one, np.zeros_like(one), rh, rl)
+    rh = np.ones_like(np.asarray(xh, dtype=np.float64))
+    rl = np.zeros_like(rh)
+    bh, bl = dd(xh, xl)
+    while n:
+        if n & 1:
+            rh, rl = dd_mul(rh, rl, bh, bl)
+        n >>= 1
+        if n:
+            bh, bl = dd_sqr(bh, bl)
+    return rh, rl
+
+
+def dd_sum(values) -> "tuple[float, float]":
+    """Compensated reduction of a float64 vector to one double-double:
+    the mergeable analogue of the reference's accumulation use-case. The
+    result's ``hi + lo`` equals the exact sum to ~106 bits; merging two
+    partial (hi, lo) states with :func:`dd_add` is how a distributed
+    error-free sum rides through the two-level sketch merge."""
+    sh, sl = np.float64(0.0), np.float64(0.0)
+    for v in np.asarray(values, dtype=np.float64):
+        sh, sl = dd_add(sh, sl, v, 0.0)
+    return float(sh), float(sl)

@@ -1,0 +1,129 @@
+"""Double-double arithmetic (SURVEY.md §2.3 D1) vs exact Fraction oracle.
+
+The reference tests with epsilon-tolerance goldens and precision-cliff
+cases (doubledouble/test_basic.ml:35-41, :124-141); here every operation is
+checked against EXACT rational arithmetic: the double-double result must
+carry ~106 bits, i.e. relative error <= 2^-104 (slack over the 2^-106
+ideal for the div/sqrt Newton steps).
+"""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from grenier_spark.core import doubledouble as dd
+
+REL = Fraction(1, 2 ** 104)
+
+finite = st.floats(min_value=-1e150, max_value=1e150,
+                   allow_nan=False, allow_infinity=False)
+# Error-free transforms are exact only while no intermediate underflows to
+# the subnormal range (Dekker's analysis; same restriction in the QD
+# library) — products of two operands must stay well above 1e-308.
+normal = (st.floats(min_value=1e-100, max_value=1e100,
+                    allow_nan=False, allow_infinity=False)
+          .flatmap(lambda m: st.sampled_from([m, -m])))
+nonzero = normal
+
+
+def exact(h, l):
+    return Fraction(float(h)) + Fraction(float(l))
+
+
+def assert_close(got, want: Fraction):
+    if want == 0:
+        assert got == 0
+        return
+    assert abs(got - want) <= abs(want) * REL, (float(got), float(want))
+
+
+@given(finite, finite)
+@settings(max_examples=200, deadline=None)
+def test_two_sum_exact(a, b):
+    s, e = dd.two_sum(a, b)
+    assert Fraction(float(s)) + Fraction(float(e)) == \
+        Fraction(a) + Fraction(b)
+
+
+@given(normal, normal)
+@settings(max_examples=200, deadline=None)
+def test_two_prod_exact(a, b):
+    p, e = dd.two_prod(a, b)
+    if np.isfinite(p) and np.isfinite(e):
+        assert Fraction(float(p)) + Fraction(float(e)) == \
+            Fraction(a) * Fraction(b)
+
+
+@given(normal, finite, normal, finite)
+@settings(max_examples=200, deadline=None)
+def test_add_mul_106_bits(a, al, b, bl):
+    xh, xl = dd.dd(a, al * 1e-20)
+    yh, yl = dd.dd(b, bl * 1e-20)
+    sh, sl = dd.dd_add(xh, xl, yh, yl)
+    assert_close(exact(sh, sl), exact(xh, xl) + exact(yh, yl))
+    ph, pl = dd.dd_mul(xh, xl, yh, yl)
+    if np.isfinite(ph):
+        assert_close(exact(ph, pl), exact(xh, xl) * exact(yh, yl))
+
+
+@given(nonzero, nonzero)
+@settings(max_examples=200, deadline=None)
+def test_div_106_bits(a, b):
+    qh, ql = dd.dd_div(a, 0.0, b, 0.0)
+    if np.isfinite(qh):
+        assert_close(exact(qh, ql), Fraction(a) / Fraction(b))
+
+
+@given(st.floats(min_value=1e-150, max_value=1e150,
+                 allow_nan=False, allow_infinity=False))
+@settings(max_examples=200, deadline=None)
+def test_sqrt_106_bits(a):
+    rh, rl = dd.dd_sqrt(a, 0.0)
+    got2 = exact(rh, rl) ** 2
+    assert_close(got2, Fraction(a))
+
+
+def test_precision_cliff():
+    """1 + 1e-20 survives in double-double but vanishes in float64
+    (the reference's precision-cliff concern, test_basic.ml:124-141)."""
+    h, l = dd.dd_add(1.0, 0.0, 1e-20, 0.0)
+    assert float(h) == 1.0 and float(l) == 1e-20
+    back_h, _ = dd.dd_sub(h, l, 1.0, 0.0)
+    assert float(back_h) == 1e-20
+
+
+def test_pow_int_vs_fraction():
+    h, l = dd.dd_pow_int(np.float64(1.1), np.float64(0.0), 30)
+    assert_close(exact(h, l), Fraction(1.1) ** 30)
+    h, l = dd.dd_pow_int(np.float64(2.0), np.float64(0.0), -5)
+    assert exact(h, l) == Fraction(1, 32)
+
+
+def test_dd_sum_beats_naive_and_matches_fsum():
+    """The canonical cancellation stress: N large/small interleaved terms.
+    dd_sum must agree with math.fsum (exact) where naive float64 drifts."""
+    import math
+
+    rng = np.random.default_rng(3)
+    v = np.concatenate([rng.uniform(1e15, 1e16, 500),
+                        rng.uniform(1e-8, 1e-7, 500),
+                        -rng.uniform(1e15, 1e16, 500)])
+    h, l = dd.dd_sum(v)
+    want = math.fsum(v.tolist())
+    assert h + l == pytest.approx(want, rel=1e-15, abs=1e-9)
+    # and the (hi, lo) state merges associatively across a partition split
+    h1, l1 = dd.dd_sum(v[:700])
+    h2, l2 = dd.dd_sum(v[700:])
+    mh, ml = dd.dd_add(h1, l1, h2, l2)
+    assert float(mh) + float(ml) == pytest.approx(want, rel=1e-15, abs=1e-9)
+
+
+def test_vectorized_broadcast():
+    a = np.array([1.0, 2.0, 3.0])
+    b = np.array([1e-18, 2e-18, 3e-18])
+    h, l = dd.dd_add(a, np.zeros(3), b, np.zeros(3))
+    assert h.shape == (3,)
+    assert (l == b).all()
