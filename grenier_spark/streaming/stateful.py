@@ -58,3 +58,65 @@ def hll_state_stream(stream_df, group_col: str, tokens_col: str = "tokens",
     return (stream_df.groupBy(group_col)
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def windowed_hll_stream(stream_df, ts_col: str, group_col: str,
+                        key_col: str, window: str = "1 hour",
+                        watermark: str = "10 minutes", p: int = 12):
+    """Event-time tumbling-window distinct estimates with WATERMARK-driven
+    finalization: state is keyed by (group, window); when the watermark
+    passes a window's end, its sketch is finalized, emitted once (append
+    mode) and evicted from the state store. Late rows behind the watermark
+    are dropped by Spark before they reach the operator — the standard
+    late-data contract, here applied to a custom sketch aggregate.
+
+    Returns an append-mode stream of
+    (group, win_start, win_end, est_distinct, n_rows).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # the watermarked event-time column must survive into the stateful
+    # operator's child plan, so keep ts_col in the projection
+    src = (stream_df
+           .withWatermark(ts_col, watermark)
+           .withColumn("win", F.window(ts_col, window))
+           .select(group_col, F.col("win.start").alias("win_start"),
+                   F.col("win.end").alias("win_end"), key_col, ts_col))
+
+    out_schema = (f"{group_col} string, win_start timestamp, "
+                  "win_end timestamp, est_distinct double, n_rows bigint")
+    state_schema = "sketch binary, n_rows bigint"
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        group, win_start, win_end = key
+        if state.hasTimedOut:
+            blob, n_rows = state.get
+            t = hll.from_bytes(bytes(blob))
+            state.remove()
+            yield pd.DataFrame({group_col: [group],
+                                "win_start": [win_start],
+                                "win_end": [win_end],
+                                "est_distinct": [hll.card(t)],
+                                "n_rows": [n_rows]})
+            return
+        if state.exists:
+            blob, n_rows = state.get
+            t = hll.from_bytes(bytes(blob))
+        else:
+            t, n_rows = hll.make_p(p), 0
+        for pdf in pdfs:
+            vals = pdf[key_col].to_numpy(dtype=np.int64)
+            if len(vals):
+                hll.add_batch(t, wang64(vals.view(U64)))
+            n_rows += len(pdf)
+        state.update((hll.to_bytes(t), n_rows))
+        # finalize when the event-time watermark passes the window end
+        state.setTimeoutTimestamp(int(win_end.timestamp() * 1000))
+        return
+        yield  # pragma: no cover — make `update` a generator
+
+    return (src.groupBy(group_col, "win_start", "win_end")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))

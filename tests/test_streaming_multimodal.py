@@ -121,3 +121,69 @@ def test_stateful_hll_stream_matches_batch(spark, tmp_path):
         hll.add_batch(t, wang64(toks.astype(np.int64).view(U64)))
         assert abs(last.loc[src, "est_distinct"] - hll.card(t)) < 1e-9, src
         assert last.loc[src, "n_tokens"] == len(toks)
+
+
+def test_windowed_hll_stream_watermark_finalization(spark, tmp_path):
+    """Event-time windows + watermark: on-time rows aggregate, a late row
+    behind the watermark is dropped, and each window is emitted exactly
+    once (append mode) with the kernel-exact estimate when the watermark
+    passes its end."""
+    import datetime as dt
+    import time as _time
+
+    import numpy as np
+
+    from grenier_spark.core import hll as hll_mod
+    from grenier_spark.core.bits import U64, wang64
+    from grenier_spark.streaming.stateful import windowed_hll_stream
+
+    T = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    src_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    schema = "ts timestamp, source string, user_id long"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src_dir}/{name}")
+        _time.sleep(0.05)
+
+    write_batch("b1", [(T(0, 10), "g", 1), (T(0, 20), "g", 2),
+                       (T(0, 40), "g", 3), (T(0, 41), "g", 3),
+                       (T(1, 10), "g", 4), (T(1, 20), "g", 5),
+                       (T(1, 30), "g", 6)])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{src_dir}/*"))
+    out = windowed_hll_stream(stream, "ts", "source", "user_id",
+                              window="1 hour", watermark="10 minutes", p=12)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("win_hll").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        # late row for W1 (behind watermark 01:20) + fresh W5 data
+        write_batch("b2", [(T(0, 30), "g", 99), (T(5, 0), "g", 7)])
+        q.processAllAvailable()
+        # advances processing so W2 (end 02:00 < watermark 04:50) finalizes
+        write_batch("b3", [(T(6, 30), "g", 8)])
+        q.processAllAvailable()
+        got = {r.win_start.hour: r for r in
+               spark.sql("SELECT * FROM win_hll").collect()}
+    finally:
+        q.stop()
+
+    # W1 and W2 finalized by advancing watermark; W5 finalizes too via the
+    # no-data timeout batch Spark runs after the watermark moves past 06:00;
+    # W6 (the 06:30 row) stays open
+    assert set(got) == {0, 1, 5}, got
+    assert got[5].n_rows == 1
+
+    def expect_card(users):
+        t = hll_mod.make_p(12)
+        hll_mod.add_batch(t, wang64(np.array(users, dtype=np.int64).view(U64)))
+        return hll_mod.card(t)
+
+    # W1: users {1,2,3} (3 appears twice; LATE user 99 dropped), 4 rows
+    assert got[0].n_rows == 4
+    assert got[0].est_distinct == expect_card([1, 2, 3, 3])
+    # W2: users {4,5,6}
+    assert got[1].n_rows == 3
+    assert got[1].est_distinct == expect_card([4, 5, 6])
