@@ -17,6 +17,15 @@ def main() -> None:
     spark = SparkSession.builder.appName("grenier-sketch-job").getOrCreate()
     path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.fixtures/docs_tiny_1000"
     docs = spark.read.parquet(path)
+    if "tokens" not in docs.columns:
+        # raw text table: tokenize on the fly (md5-low64 word ids, the
+        # library's cross-engine token hash — __spark_entry__._tokenized_docs)
+        from pyspark.sql import functions as F
+
+        docs = docs.withColumn("tokens", F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 16), 16, -10)
+            .cast("long")))
     specs = [SketchSpec.of("tok_hll", "hll", "tokens", p=14),
              SketchSpec.of("tok_cms", "cms", "tokens", depth=4, width=8192, seed=7)]
     res = build_sketches(docs, specs, group_cols=["source"]).cache()
