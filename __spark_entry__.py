@@ -573,6 +573,21 @@ def q_sticky_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source", "token"))
 
 
+def q_exact_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-free distributed SUM: the double-double (D1) aggregator rides
+    the two-level sketch pipeline as a 16-byte mergeable state; oracle is
+    DuckDB's compensated fsum. Where naive float64 partial sums drift with
+    partitioning, this is exact to the last ulp."""
+    from grenier_spark.functions import ddsum_col
+
+    ev = _t(spark, sf_dir, "events")
+    res = build_sketches(ev, [SketchSpec.of("s", "ddsum", "value")],
+                         group_cols=["event_type"])
+    return res.select("event_type",
+                      F.round(ddsum_col("sketch"), 6).alias("sum_value"),
+                      F.col("n_values").alias("n_events"))
+
+
 def q_hll_card_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type HLL++ estimate — carries a FULL oracle: the entire estimator
     (linear counting / threshold / bias NN) is reproduced in DuckDB SQL
@@ -627,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "lang_pred": q_lang_pred,
         "knn_topk": q_knn_topk,
+        "exact_value_sums": q_exact_value_sums,
         "hll_card_by_type": q_hll_card_by_type,
         "value_quantiles_tdigest": q_value_quantiles_tdigest,
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
@@ -665,6 +681,10 @@ def oracle_sql() -> dict[str, str]:
             "h", "user_id", 32),
         "cms_cells": cms_cells_sql(
             "SELECT user_id FROM events", "user_id", 4, 512, 7),
+        "exact_value_sums": """
+SELECT event_type, round(fsum(value), 6) AS sum_value,
+       COUNT(value)::BIGINT AS n_events
+FROM events GROUP BY event_type""",
         "hll_card_by_type": (
             "SELECT c.event_type, round(c.est, 6) AS est_users, n.n_events "
             "FROM (" + hll_card_sql(

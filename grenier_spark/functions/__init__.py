@@ -5,6 +5,7 @@ from .estimates import (  # noqa: F401
     bloom_cardinality_col,
     bloom_contains_col,
     cms_query_col,
+    ddsum_col,
     hll_card_col,
     kll_quantiles_col,
     tdigest_quantiles_col,

@@ -90,3 +90,16 @@ def tdigest_quantiles_col(sketch: "Column | str", qs: "list[float]") -> Column:
         return blobs.map(lambda b: TDigest.from_bytes(bytes(b)).quantiles(qs).tolist())
 
     return _q(_col(sketch))
+
+
+def ddsum_col(col: "Column | str") -> Column:
+    """hi + lo of a serialized DDSum state: the ~106-bit-accurate sum
+    collapsed to its correctly-rounded float64."""
+
+    @pandas_udf("double")
+    def _v(blobs: pd.Series) -> pd.Series:
+        from ..core.doubledouble import DDSum
+
+        return blobs.map(lambda b: DDSum.from_bytes(bytes(b)).value())
+
+    return _v(_col(col))

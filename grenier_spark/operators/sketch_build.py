@@ -43,6 +43,7 @@ from ..core import hll
 from ..core.bits import U64, wang64
 from ..core.bloom import Bloom
 from ..core.countmin import CountMin
+from ..core.doubledouble import DDSum
 from ..core.kll import KLL
 from ..core.tdigest import TDigest
 
@@ -51,7 +52,7 @@ from ..core.tdigest import TDigest
 class SketchSpec:
     """One sketch to build.
 
-    kind: 'hll' | 'cms' | 'bloom' | 'kll' | 'tdigest'
+    kind: 'hll' | 'cms' | 'bloom' | 'kll' | 'tdigest' | 'ddsum'
     column: source column — array<int*> token sequences (hll/cms/bloom hash
             each token; kll/tdigest sketch the token values) or a numeric
             scalar column.
@@ -88,6 +89,8 @@ def _new_state(spec: SketchSpec):
         return KLL(p.get("k", 200), seed=p.get("seed", 42))
     if spec.kind == "tdigest":
         return TDigest(p.get("delta", 200))
+    if spec.kind == "ddsum":
+        return DDSum()
     raise ValueError(f"unknown sketch kind {spec.kind!r}")
 
 
@@ -150,7 +153,8 @@ def _to_bytes(state, kind: str) -> bytes:
 def _merge_blobs(kind: str, blobs: "list[bytes]") -> bytes:
     if kind == "hll":
         return hll.to_bytes(hll.merge_many([hll.from_bytes(b) for b in blobs]))
-    cls = {"cms": CountMin, "bloom": Bloom, "kll": KLL, "tdigest": TDigest}[kind]
+    cls = {"cms": CountMin, "bloom": Bloom, "kll": KLL, "tdigest": TDigest,
+           "ddsum": DDSum}[kind]
     acc = cls.from_bytes(blobs[0])
     for b in blobs[1:]:
         acc.merge(cls.from_bytes(b))

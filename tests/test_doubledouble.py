@@ -127,3 +127,28 @@ def test_vectorized_broadcast():
     h, l = dd.dd_add(a, np.zeros(3), b, np.zeros(3))
     assert h.shape == (3,)
     assert (l == b).all()
+
+
+def test_ddsum_aggregator_serde_merge():
+    """DDSum: update/merge/serde round-trip; equals math.fsum within 1 ulp
+    under an 8-way partition split."""
+    import math
+
+    from grenier_spark.core.doubledouble import DDSum
+
+    rng = np.random.default_rng(9)
+    v = rng.uniform(-1e9, 1e9, 40000)
+    want = math.fsum(v.tolist())
+    parts = np.array_split(v, 8)
+    states = []
+    for p in parts:
+        s = DDSum()
+        s.update_batch(p)
+        states.append(DDSum.from_bytes(s.to_bytes()))  # serde mid-shuffle
+    acc = states[0]
+    for s in states[1:]:
+        acc.merge(s)
+    assert acc.value() == pytest.approx(want, rel=1e-15)
+    assert len(acc.to_bytes()) == 16
+    with pytest.raises(ValueError):
+        DDSum.from_bytes(b"\x00" * 7)
