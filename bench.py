@@ -111,7 +111,8 @@ def run_default():
     qs = entry_mod.queries()
     for name in ["hll_registers", "jump_buckets", "cms_cells", "tpch_q1",
                  "top_tokens", "knn_topk", "hll_card_by_type",
-                 "token_hll_by_source", "value_quantiles_tdigest"]:
+                 "token_hll_by_source", "value_quantiles_tdigest",
+                 "exact_value_sums", "user_sessions", "ngram_jaccard_pairs"]:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
