@@ -171,6 +171,54 @@ def from_bytes(s: bytes) -> np.ndarray:
     return t
 
 
+SPARSE_FLAG = 0x80  # header-byte marker for the INTERNAL sparse encoding
+
+
+def to_bytes_auto(t: np.ndarray) -> bytes:
+    """Partial-state serialization: dense grenier format, or an internal
+    sparse `(j, rho)` encoding when it is smaller.
+
+    Motivation (100 TB posture): level-1 partial sketches are emitted once
+    per (input partition x group x spec). A p=14 dense state is 16 KB even
+    when only a handful of registers are set; at 100k partitions x 1000
+    groups that is TB-scale shuffle volume for near-empty sketches. Sparse
+    partials shrink that to ~3 bytes per set register. The PUBLIC wire
+    format (to_bytes/from_bytes) is untouched — sparse bytes only travel
+    between the build stages and every final merge re-emits dense
+    grenier-compatible bytes.
+
+    Layout: ``[0x80 | p][u16 nnz][u16 j]*nnz [u8 rho]*nnz`` little-endian.
+    """
+    assert validate(t)
+    p = int(t[0])
+    j = np.flatnonzero(t[1:])
+    sparse_size = 3 + 3 * len(j)
+    if sparse_size >= (1 << p) + 1:
+        return t.tobytes()
+    out = bytearray([SPARSE_FLAG | p])
+    out += np.uint16(len(j)).tobytes()
+    out += j.astype("<u2").tobytes()
+    out += t[1:][j].tobytes()
+    return bytes(out)
+
+
+def from_bytes_any(s: bytes) -> np.ndarray:
+    """Decode either the public dense format or the internal sparse one."""
+    if not len(s):
+        raise ValueError("Hll.from_bytes_any: empty buffer")
+    if not (s[0] & SPARSE_FLAG):
+        return from_bytes(s)
+    p = s[0] & 0x7F
+    t = make_p(p)
+    nnz = int(np.frombuffer(s, dtype="<u2", count=1, offset=1)[0])
+    if len(s) != 3 + 3 * nnz:
+        raise ValueError("Hll.from_bytes_any: truncated sparse sketch")
+    j = np.frombuffer(s, dtype="<u2", count=nnz, offset=3).astype(np.intp)
+    rho = np.frombuffer(s, dtype=np.uint8, count=nnz, offset=3 + 2 * nnz)
+    t[1:][j] = rho
+    return t
+
+
 def count_nulls(t: np.ndarray) -> int:
     """Zero registers (hll.ml:69-75)."""
     return int(np.count_nonzero(t[1:] == 0))

@@ -147,12 +147,16 @@ def _update(state, spec: SketchSpec, values: np.ndarray) -> None:
 
 
 def _to_bytes(state, kind: str) -> bytes:
-    return hll.to_bytes(state) if kind == "hll" else state.to_bytes()
+    # level-1 HLL partials use the auto (sparse-when-smaller) encoding to
+    # keep shuffle volume proportional to actual register fill; every merge
+    # re-emits the dense public wire format (hll.to_bytes_auto docstring)
+    return hll.to_bytes_auto(state) if kind == "hll" else state.to_bytes()
 
 
 def _merge_blobs(kind: str, blobs: "list[bytes]") -> bytes:
     if kind == "hll":
-        return hll.to_bytes(hll.merge_many([hll.from_bytes(b) for b in blobs]))
+        return hll.to_bytes(
+            hll.merge_many([hll.from_bytes_any(b) for b in blobs]))
     cls = {"cms": CountMin, "bloom": Bloom, "kll": KLL, "tdigest": TDigest,
            "ddsum": DDSum}[kind]
     acc = cls.from_bytes(blobs[0])

@@ -154,3 +154,33 @@ def test_bias_nn_stable_ties():
     vec = np.array([1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 6.0])
     nn = hll.get_nearest_neighbors(2.0, vec)
     assert list(nn[:2]) == [1, 2]  # tie broken by ascending index (Q4)
+
+
+def test_sparse_auto_encoding_roundtrip_and_size():
+    """to_bytes_auto: low-fill states round-trip through the sparse format
+    at a fraction of the dense size; high-fill states fall back to the
+    dense public format byte-for-byte."""
+    import numpy as np
+
+    from grenier_spark.core import hll
+    from grenier_spark.core.bits import wang64
+
+    rng = np.random.default_rng(5)
+    t = hll.make_p(14)
+    hll.add_batch(t, wang64(rng.integers(0, 1 << 62, 50, dtype=np.uint64)))
+    sparse = hll.to_bytes_auto(t)
+    assert len(sparse) < 200 < len(hll.to_bytes(t)) == (1 << 14) + 1
+    back = hll.from_bytes_any(sparse)
+    assert (back == t).all()
+    # dense fallback when fill is high
+    hll.add_batch(t, wang64(rng.integers(0, 1 << 62, 200000,
+                                         dtype=np.uint64)))
+    dense = hll.to_bytes_auto(t)
+    assert dense == hll.to_bytes(t)
+    assert (hll.from_bytes_any(dense) == t).all()
+    # corruption rejected
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hll.from_bytes_any(sparse[:-2])
+    with _pt.raises(ValueError):
+        hll.from_bytes_any(b"")
