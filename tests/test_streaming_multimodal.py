@@ -187,3 +187,60 @@ def test_windowed_hll_stream_watermark_finalization(spark, tmp_path):
     # W2: users {4,5,6}
     assert got[1].n_rows == 3
     assert got[1].est_distinct == expect_card([4, 5, 6])
+
+
+def test_windowed_hll_stream_restart_from_checkpoint(spark, tmp_path):
+    """Kill the query between micro-batches, restart from the same
+    checkpoint: window state survives (W1's rows from before the restart
+    count) and each window is still emitted exactly once."""
+    import datetime as dt
+    import time as _time
+
+    import numpy as np
+
+    from grenier_spark.core import hll as hll_mod
+    from grenier_spark.core.bits import U64, wang64
+    from grenier_spark.streaming.stateful import windowed_hll_stream
+
+    T = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    src_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    schema = "ts timestamp, source string, user_id long"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src_dir}/{name}")
+        _time.sleep(0.05)
+
+    emitted = []  # shared across both query incarnations
+
+    def start():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(f"{src_dir}/*"))
+        out = windowed_hll_stream(stream, "ts", "source", "user_id",
+                                  window="1 hour", watermark="10 minutes",
+                                  p=12)
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        return (out.writeStream.outputMode("append")
+                .foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+                .option("checkpointLocation", ckpt).start())
+
+    write_batch("b1", [(T(0, 10), "g", 1), (T(0, 20), "g", 2),
+                       (T(0, 40), "g", 3)])
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # crash point: W1 state only in the state store
+
+    write_batch("b2", [(T(3, 0), "g", 7)])  # watermark -> 02:50 > W1 end
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    finals = [r for r in emitted if r.win_start.hour == 0]
+    assert len(finals) == 1  # exactly once despite the restart
+    t = hll_mod.make_p(12)
+    hll_mod.add_batch(t, wang64(np.array([1, 2, 3], dtype=np.int64).view(U64)))
+    assert finals[0].est_distinct == hll_mod.card(t)
+    assert finals[0].n_rows == 3
