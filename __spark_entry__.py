@@ -4,13 +4,19 @@
 ``queries()`` exposes every implemented operator (SURVEY.md §2) as
 (spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives DuckDB-runnable ANSI
 SQL for each SQL-expressible one. The sketch-layer oracles recompute the
-full hash pipeline (wang64 / splitmix64 / trailing-zero rho / integer jump
-loop) bit-exactly in UHUGEINT arithmetic — see
-grenier_spark/functions/sql_oracles.py.
+full pipelines bit-exactly in UHUGEINT arithmetic — wang64 / splitmix64 /
+trailing-zero rho / integer jump loop, the COMPLETE HLL++ estimator
+(linear counting + threshold + bias NN, 0-ULP), the whole MinHash+LSH
+near-dup chain, SimHash, Bloom/CMS probes and the double-double exact sum
+(vs DuckDB fsum) — see grenier_spark/functions/sql_oracles.py. All
+matches hold under arbitrary Spark configs (partitioning / batch sizes /
+AQE), not just the test session's.
 
-Rows-only entries (no oracle): sketch ESTIMATES are deterministic but not
-ANSI-SQL-expressible (HLL++ bias tables, t-digest/KLL compaction); their
-error-bound assertions live in tests/ (SURVEY.md §5.2.7).
+Rows-only entries (5, no oracle — each for a concrete reason): ann_lsh_topk
+(gaussian hyperplanes from PCG64), sticky_sample_tokens (stateful seeded
+RNG), heavy_hitter_tokens (partition-boundary-dependent lossy counting),
+nchars_quantiles_kll / value_quantiles_tdigest (compaction schedules).
+Their error-bound assertions live in tests/ (SURVEY.md §5.2.7).
 """
 
 from __future__ import annotations
