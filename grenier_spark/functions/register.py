@@ -55,6 +55,13 @@ def register_sql_functions(spark) -> None:
         return pd.Series([float(TDigest.from_bytes(bytes(b)).quantiles([qq])[0])
                           for b, qq in zip(blobs, q)])
 
+    @pandas_udf("double")
+    def _ddsum_v(blobs: pd.Series) -> pd.Series:
+        from ..core.doubledouble import DDSum
+
+        return blobs.map(lambda b: DDSum.from_bytes(bytes(b)).value())
+
+    spark.udf.register("ddsum_value", _ddsum_v)
     spark.udf.register("hll_card", _hll_card)
     spark.udf.register("hll_card_original", _hll_card_original)
     spark.udf.register("wang64", _wang64)
