@@ -54,11 +54,10 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with tokens = low 64 bits of md5 of whitespace words
     (array<long>) — md5 (not xxhash64) so DuckDB oracles can recompute the
     identical token ids (functions/sql_oracles.py ``md5_low64_expr``)."""
+    from grenier_spark.functions.hashing import md5_tokens_col
+
     return (_t(spark, sf_dir, "documents")
-            .withColumn("tokens", F.transform(
-                F.split(F.col("text"), " "),
-                lambda t: F.conv(F.substring(F.md5(t), 1, 16), 16, -10)
-                .cast("long"))))
+            .withColumn("tokens", md5_tokens_col("text")))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -339,7 +338,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs product) — the exactness oracle for the MinHash path."""
     from grenier_spark.operators.dedup import ngram_word_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
     return (ngram_word_jaccard_pairs(docs, "doc_id", "text", n=3, tau=0.8)
             .orderBy("id_a", "id_b"))
 

@@ -196,7 +196,7 @@ def to_bytes_auto(t: np.ndarray) -> bytes:
     if sparse_size >= (1 << p) + 1:
         return t.tobytes()
     out = bytearray([SPARSE_FLAG | p])
-    out += np.uint16(len(j)).tobytes()
+    out += np.uint16(len(j)).astype("<u2").tobytes()
     out += j.astype("<u2").tobytes()
     out += t[1:][j].tobytes()
     return bytes(out)

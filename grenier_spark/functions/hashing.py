@@ -61,3 +61,20 @@ def repartition_by_jump(df, key_col: str, n_buckets: int):
     """
     bucket = jump_bucket_col(wang64_col(F.xxhash64(F.col(key_col))), n_buckets)
     return df.withColumn("_jump_bucket", bucket).repartition(n_buckets, "_jump_bucket")
+
+
+def md5_low64_col(col: "Column | str") -> Column:
+    """THE cross-engine string hash: signed 64-bit value of the first 16
+    hex chars of md5 (pure JVM expression). DuckDB twin:
+    ``sql_oracles.md5_low64_expr`` — same bits, unsigned. Use this (never
+    xxhash64) anywhere a DuckDB oracle must recompute the hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 16), 16, -10).cast("long")
+
+
+def md5_tokens_col(text_col: "Column | str") -> Column:
+    """array<long> of md5-low64 word ids for a whitespace-tokenized text
+    column (includes empty tokens from repeated separators, matching
+    DuckDB ``string_split``)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.transform(F.split(c, " "), md5_low64_col)

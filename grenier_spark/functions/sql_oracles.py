@@ -282,6 +282,11 @@ def minhash_neardup_sql(docs_sql: str, id_col: str = "id",
     """
     from grenier_spark.core.bits import splitmix64_scalar
 
+    if n_hashes % bands:
+        # Spark's lsh_candidate_pairs slices only bands*width positions;
+        # perm // width here would invent an extra band from the leftover
+        # positions and diverge from the Spark candidate set
+        raise ValueError("minhash_neardup_sql requires bands | n_hashes")
     width = n_hashes // bands
     salts = ", ".join(
         f"({i}, {splitmix64_scalar(seed + i + 1)}::UHUGEINT)"

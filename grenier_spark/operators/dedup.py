@@ -64,10 +64,9 @@ def _shingle_hashes(df: DataFrame, text_col: str, w: int) -> DataFrame:
 def _md5_word_hash_col(text_col: str):
     """array<long>: low 64 bits of md5 per whitespace word (JVM-side) —
     the cross-engine word hash (DuckDB twin: sql_oracles.md5_low64_expr)."""
-    words = F.split(F.col(text_col), " ")
-    return F.transform(
-        words, lambda t: F.conv(F.substring(F.md5(t), 1, 16), 16, -10)
-        .cast("long"))
+    from ..functions.hashing import md5_tokens_col
+
+    return md5_tokens_col(text_col)
 
 
 def _md5_shingle_rows(df: DataFrame, text_col: str, id_col: str,
@@ -283,8 +282,9 @@ def ngram_word_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1)
                                          for j in range(n)])))
     ).otherwise(F.array().cast("array<string>"))
-    sh = df.select(F.col(id_col).cast("long").alias("id"),
-                   F.explode(grams).alias("s"))
+    # keep the caller's id type (casting to long would silently null
+    # non-numeric ids and return zero pairs)
+    sh = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("s"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.s") == F.col("b.s"))

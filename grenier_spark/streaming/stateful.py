@@ -76,6 +76,25 @@ def windowed_hll_stream(stream_df, ts_col: str, group_col: str,
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # Window bounds reach the state function as NAIVE datetimes rendered in
+    # the SESSION timezone; datetime.timestamp() would interpret them in the
+    # worker's OS timezone instead. Capture the session tz on the driver and
+    # localize explicitly so the event-time timeout epoch is correct on any
+    # cluster (session tz != worker OS tz, DST, heterogeneous nodes).
+    try:
+        session_tz = stream_df.sparkSession.conf.get(
+            "spark.sql.session.timeZone")
+    except Exception:
+        session_tz = None
+
+    def _epoch_ms(naive_dt) -> int:
+        if session_tz:
+            from zoneinfo import ZoneInfo
+
+            aware = naive_dt.replace(tzinfo=ZoneInfo(session_tz))
+            return int(aware.timestamp() * 1000)
+        return int(naive_dt.timestamp() * 1000)
+
     # the watermarked event-time column must survive into the stateful
     # operator's child plan, so keep ts_col in the projection
     src = (stream_df
@@ -112,9 +131,7 @@ def windowed_hll_stream(stream_df, ts_col: str, group_col: str,
             n_rows += len(pdf)
         state.update((hll.to_bytes(t), n_rows))
         # finalize when the event-time watermark passes the window end
-        state.setTimeoutTimestamp(int(win_end.timestamp() * 1000))
-        return
-        yield  # pragma: no cover — make `update` a generator
+        state.setTimeoutTimestamp(_epoch_ms(win_end))
 
     return (src.groupBy(group_col, "win_start", "win_end")
             .applyInPandasWithState(update, out_schema, state_schema,

@@ -20,12 +20,9 @@ def main() -> None:
     if "tokens" not in docs.columns:
         # raw text table: tokenize on the fly (md5-low64 word ids, the
         # library's cross-engine token hash — __spark_entry__._tokenized_docs)
-        from pyspark.sql import functions as F
+        from grenier_spark.functions.hashing import md5_tokens_col
 
-        docs = docs.withColumn("tokens", F.transform(
-            F.split(F.col("text"), " "),
-            lambda t: F.conv(F.substring(F.md5(t), 1, 16), 16, -10)
-            .cast("long")))
+        docs = docs.withColumn("tokens", md5_tokens_col("text"))
     specs = [SketchSpec.of("tok_hll", "hll", "tokens", p=14),
              SketchSpec.of("tok_cms", "cms", "tokens", depth=4, width=8192, seed=7)]
     res = build_sketches(docs, specs, group_cols=["source"]).cache()

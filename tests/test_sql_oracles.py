@@ -168,3 +168,17 @@ def test_simhash_pairs_sql_equals_operator_kernel(con):
     got = sorted(con.execute(sql).fetchall())
     assert got == sorted(expect)
     assert (1, 4, 0) in got          # exact copy -> Hamming 0
+
+
+def test_oracle_ascii_precondition():
+    """simhash/media oracles hash per-CODEPOINT in SQL vs per-BYTE in the
+    numpy kernels — identical only for ASCII text. Pin the precondition so
+    a non-ASCII corpus surfaces here, not as an opaque gate mismatch."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        mx = duckdb.sql(
+            "SELECT max(unicode(c)) FROM (SELECT unnest(split(text, '')) "
+            f"AS c FROM '/root/testdata/{sf}/documents.parquet')"
+        ).fetchone()[0]
+        assert mx < 128, (sf, mx)
