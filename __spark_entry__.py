@@ -12,11 +12,11 @@ near-dup chain, SimHash, Bloom/CMS probes and the double-double exact sum
 matches hold under arbitrary Spark configs (partitioning / batch sizes /
 AQE), not just the test session's.
 
-Rows-only entries (5, no oracle — each for a concrete reason): ann_lsh_topk
-(gaussian hyperplanes from PCG64), sticky_sample_tokens (stateful seeded
-RNG), heavy_hitter_tokens (partition-boundary-dependent lossy counting),
-nchars_quantiles_kll / value_quantiles_tdigest (compaction schedules).
-Their error-bound assertions live in tests/ (SURVEY.md §5.2.7).
+Rows-only entries (4, no oracle — each for a concrete reason):
+sticky_sample_tokens (stateful seeded RNG), heavy_hitter_tokens
+(partition-boundary-dependent lossy counting), nchars_quantiles_kll /
+value_quantiles_tdigest (compaction schedules). Their error-bound
+assertions live in tests/ (SURVEY.md §5.2.7).
 """
 
 from __future__ import annotations
@@ -32,7 +32,8 @@ from pyspark.sql.functions import pandas_udf
 from grenier_spark.functions import (hll_card_col, jump_bucket_col,
                                      kll_quantiles_col, tdigest_quantiles_col,
                                      wang64_col)
-from grenier_spark.functions.sql_oracles import (bloom_membership_sql,
+from grenier_spark.functions.sql_oracles import (ann_rademacher_sql,
+                                                 bloom_membership_sql,
                                                  cms_cells_sql,
                                                  cms_point_sql,
                                                  hll_card_sql,
@@ -444,15 +445,18 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-10 cosine neighbors for 3 queries."""
-    from grenier_spark.operators.similarity import lsh_topk
+    """Hyperplane-LSH approximate top-10 cosine neighbors for 3 queries —
+    Rademacher-plane variant whose ENTIRE path (sign bits, buckets,
+    candidates, exact re-rank) carries a value-exact DuckDB oracle."""
+    from grenier_spark.operators.similarity import lsh_topk_rademacher
 
     em = _t(spark, sf_dir, "embeddings")
     queries = (em.orderBy("vec_id").limit(3)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return (lsh_topk(em, queries, k=10, bands=32, band_bits=4, seed=42)
-            .select("query_id", "rank", "vec_id",
-                    F.round("cos_sim", 6).alias("cos_sim"))
+    return (lsh_topk_rademacher(em, queries, k=10, bands=32, band_bits=4,
+                                seed=42)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
             .orderBy("query_id", "rank"))
 
 
@@ -867,6 +871,12 @@ SELECT COALESCE(n_name, 'ALL') AS nation,
        SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))::BIGINT AS acctbal_cents
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, c_mktsegment)""",
+        "ann_lsh_topk": ann_rademacher_sql(
+            "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
+            "FROM embeddings",
+            "SELECT vec_id::BIGINT AS qid, embedding::DOUBLE[] AS v "
+            "FROM embeddings ORDER BY vec_id LIMIT 3",
+            k=10, bands=32, band_bits=4, seed=42, dim=64),
         "minhash_neardup": minhash_neardup_sql(
             "WITH b0 AS (SELECT doc_id::BIGINT AS id, text FROM documents "
             "WHERE length(text) > 100 ORDER BY id LIMIT 50) "

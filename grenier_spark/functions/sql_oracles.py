@@ -346,6 +346,56 @@ FROM inter JOIN shc ca ON id_a = ca.id JOIN shc cb ON id_b = cb.id
 WHERE i / (ca.nsh + cb.nsh - i)::DOUBLE >= {tau!r}"""
 
 
+def ann_rademacher_sql(vectors_sql: str, queries_sql: str, k: int = 10,
+                       bands: int = 32, band_bits: int = 4,
+                       seed: int = 42, dim: int = 64) -> str:
+    """Approximate-nearest-neighbor top-k matching
+    ``similarity.lsh_topk_rademacher`` value-for-value: the ±1 hyperplanes
+    are embedded as list literals, projections use ``list_inner_product``
+    (same sequential fold as Spark's ``aggregate(zip_with)``, so sign bits
+    agree exactly), candidates join on (band-prefixed) bucket ids, exact
+    cosine re-rank, ``row_number`` tie-broken by id.
+
+    ``vectors_sql`` -> (id, v DOUBLE[]); ``queries_sql`` -> (qid, v).
+    Returns (query_id, rank, vec_id, cos_sim round-6).
+    """
+    from grenier_spark.operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(dim, bands * band_bits, seed)
+
+    def bucket_expr(b: int) -> str:
+        terms = []
+        for t in range(band_bits):
+            row = ", ".join(f"{float(x):.1f}" for x in planes[b * band_bits + t])
+            terms.append(f"(CASE WHEN list_inner_product(v, [{row}]) > 0 "
+                         f"THEN {1 << t} ELSE 0 END)")
+        return f"({b << 32}::BIGINT + {' + '.join(terms)})"
+
+    buckets = ", ".join(bucket_expr(b) for b in range(bands))
+    return f"""
+WITH v AS (SELECT id, v FROM ({vectors_sql})),
+q AS (SELECT qid, v FROM ({queries_sql})),
+vb AS (SELECT id, unnest([{buckets}]) AS bucket FROM v),
+qb AS (SELECT qid, unnest([{buckets}]) AS bucket FROM q),
+cands AS (SELECT DISTINCT qb.qid, vb.id
+          FROM vb JOIN qb ON vb.bucket = qb.bucket),
+scored AS (
+  SELECT c.qid, c.id,
+         list_inner_product(vv.v, qq.v) /
+         (sqrt(list_inner_product(vv.v, vv.v)) *
+          sqrt(list_inner_product(qq.v, qq.v))) AS cos
+  FROM cands c JOIN v vv ON vv.id = c.id JOIN q qq ON qq.qid = c.qid
+), ranked AS (
+  SELECT qid, id, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, rank::BIGINT AS rank, id AS vec_id,
+       round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}"""
+
+
 def md5_low64_expr(col: str) -> str:
     """UHUGEINT from the first 16 hex chars of md5 — DuckDB twin of Spark
     ``conv(substring(md5(col), 1, 16), 16, -10)`` (same bits, unsigned)."""

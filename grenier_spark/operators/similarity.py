@@ -118,3 +118,65 @@ def cosine_neardup_pairs(vectors: DataFrame, tau: float = 0.9,
                               * F.sqrt(_dot("vb", "vb")))
     return (j.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
             .where(F.col("cos_sim") >= tau))
+
+
+def rademacher_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic ±1 hyperplanes from splitmix64 bit 0 — sign-random
+    projections (Achlioptas 2003) with no RNG state, so the identical
+    planes are reproducible as SQL literals."""
+    from ..core.bits import splitmix64
+
+    idx = np.arange(n_planes * dim, dtype=np.uint64)
+    bits = splitmix64(np.uint64(seed) * np.uint64(1_000_003) + idx)
+    return ((bits & np.uint64(1)).astype(np.int8) * 2 - 1).reshape(
+        n_planes, dim)
+
+
+def lsh_topk_rademacher(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        qid_col: str = "query_id", bands: int = 32,
+                        band_bits: int = 4, seed: int = 42) -> DataFrame:
+    """``lsh_topk`` with Rademacher (±1) hyperplanes and pure-JVM bucket
+    expressions: projections fold sequentially via ``aggregate(zip_with)``,
+    which DuckDB's ``list_inner_product`` replays with the same operation
+    order — so sign bits, buckets, candidates and ranks all carry a
+    value-exact SQL oracle (``sql_oracles.ann_rademacher_sql``). Plan
+    shape matches lsh_topk: per-band bucket union, bucket equi-join
+    (shuffle on bucket only), exact cosine re-rank of candidates."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = rademacher_planes(dim, bands * band_bits, seed).astype(
+        np.float64)
+
+    @pandas_udf("array<long>")
+    def _all_buckets(vs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        # accumulate j-ascending: acc_j = acc_{j-1} + v_j * p_j — the exact
+        # fold order of aggregate(zip_with) and DuckDB list_inner_product,
+        # so sign bits (hence buckets) agree bit-for-bit across engines
+        acc = np.zeros((len(vs), len(planes)))
+        for j in range(dim):
+            acc += mat[:, j:j + 1] * planes[None, :, j]
+        bits = (acc > 0).astype(np.int64)
+        out = np.zeros((len(vs), bands), dtype=np.int64)
+        for b in range(bands):
+            packed = np.zeros(len(vs), dtype=np.int64)
+            for t in range(band_bits):
+                packed |= bits[:, b * band_bits + t] << t
+            out[:, b] = (b << 32) | packed
+        return pd.Series(list(out))
+
+    def bucketize(df, idc):
+        return (df.select(F.col(idc), F.col(vec_col),
+                          F.explode(_all_buckets(F.col(vec_col)))
+                          .alias("bucket")))
+
+    v_b = bucketize(vectors, id_col)
+    q_b = bucketize(queries.select(F.col(qid_col), F.col(vec_col)), qid_col)
+    cands = (v_b.join(q_b.withColumnRenamed(vec_col, "qv"), "bucket")
+             .dropDuplicates([qid_col, id_col]))
+    cos = _dot(vec_col, "qv") / (F.sqrt(_dot(vec_col, vec_col))
+                                 * F.sqrt(_dot("qv", "qv")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (cands.select(qid_col, id_col, cos.alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -168,3 +168,25 @@ def test_cosine_neardup_pairs_exact_values(spark):
         {(1, 2), (1, 4), (2, 4), (3, 4)}
     forty5 = lower[lower.id_b == 4]
     assert np.allclose(forty5.cos_sim, round(1 / np.sqrt(2), 6))
+
+
+def test_lsh_topk_rademacher_recall_and_determinism(spark, embeddings):
+    """The SQL-oracle-able Rademacher variant must hit the same recall bar
+    as the gaussian one and be partitioning-invariant."""
+    queries = (embeddings.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = similarity.cosine_topk(embeddings, queries, k=10).toPandas()
+    approx = similarity.lsh_topk_rademacher(
+        embeddings, queries, k=10, bands=32, band_bits=4, seed=42).toPandas()
+    recalls = []
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
+    again = similarity.lsh_topk_rademacher(
+        embeddings.repartition(7), queries, k=10,
+        bands=32, band_bits=4, seed=42).toPandas()
+    key = ["query_id", "rank"]
+    assert approx.sort_values(key).vec_id.tolist() == \
+        again.sort_values(key).vec_id.tolist()
