@@ -135,8 +135,11 @@ def q_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # timestamp_ntz literal: casting the string to plain "timestamp" would
+    # parse in the SESSION timezone and shift the cutoff against the NTZ
+    # column whenever the driver session is not UTC
     li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
     cents = (F.round(F.col("l_extendedprice") * 100, 0)).cast("long")
     disc4 = (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
                      * 10000, 0)).cast("long")
