@@ -601,6 +601,20 @@ def q_exact_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_values").alias("n_events"))
 
 
+def q_exact_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation) per event_type — the
+    ground-truth counterpart of the KLL/t-digest estimates; oracle is
+    DuckDB quantile_cont."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (ev.groupBy("event_type")
+            .agg(pct.alias("p"))
+            .select("event_type",
+                    F.round(F.col("p").getItem(0), 6).alias("p25"),
+                    F.round(F.col("p").getItem(1), 6).alias("p50"),
+                    F.round(F.col("p").getItem(2), 6).alias("p75")))
+
+
 def q_hll_card_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type HLL++ estimate — carries a FULL oracle: the entire estimator
     (linear counting / threshold / bias NN) is reproduced in DuckDB SQL
@@ -656,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pred": q_lang_pred,
         "knn_topk": q_knn_topk,
         "exact_value_sums": q_exact_value_sums,
+        "exact_value_percentiles": q_exact_value_percentiles,
         "hll_card_by_type": q_hll_card_by_type,
         "value_quantiles_tdigest": q_value_quantiles_tdigest,
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
@@ -697,6 +712,12 @@ def oracle_sql() -> dict[str, str]:
         "exact_value_sums": """
 SELECT event_type, round(fsum(value), 6) AS sum_value,
        COUNT(value)::BIGINT AS n_events
+FROM events GROUP BY event_type""",
+        "exact_value_percentiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
 FROM events GROUP BY event_type""",
         "hll_card_by_type": (
             "SELECT c.event_type, round(c.est, 6) AS est_users, n.n_events "

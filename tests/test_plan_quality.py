@@ -3,6 +3,7 @@ parquet scan, no token-scale shuffle precedes the partial build, and small
 dims broadcast in joins."""
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
@@ -87,3 +88,38 @@ def test_ngram_join_is_not_cartesian(spark):
     plan = plan_of(ngram_word_jaccard_pairs(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The 100TB co-located-join technique: two tables bucketed (and
+    sorted) on the join key join WITHOUT any shuffle — the plan must show
+    a SortMergeJoin with zero Exchange operators. This is the bucketing
+    strategy SURVEY.md §4.2 prescribes for repeated big-big joins."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{tmp_path}'")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # at the tiny test SF Spark would broadcast instead; the point here is
+    # the big-big shape where broadcast is impossible
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable("bdemo.orders_b"))
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable("bdemo.lineitem_b"))
+        j = (spark.table("bdemo.lineitem_b")
+             .join(spark.table("bdemo.orders_b"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderstatus").count())
+        plan = plan_of(j)
+        join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+        assert any("SortMergeJoin" in ln for ln in join_lines), plan
+        # the join itself is exchange-free; only the tiny groupBy above it
+        # may shuffle — assert no Exchange BELOW the join
+        below = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in below, below
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bdemo.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS bdemo.orders_b")
+        spark.sql("DROP DATABASE IF EXISTS bdemo")
