@@ -601,6 +601,18 @@ def q_exact_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_values").alias("n_events"))
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts spread across event-type columns (explicit
+    value list so the output schema is static, as a 100TB pivot must be)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    types = ["click", "view", "purchase", "signup", "error"]
+    p = (ev.select(day, "event_type")
+         .groupBy("day").pivot("event_type", types).count().na.fill(0))
+    return p.select("day", *[F.col(t).cast("long").alias(f"n_{t}")
+                             for t in types])
+
+
 def q_exact_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT percentiles (linear interpolation) per event_type — the
     ground-truth counterpart of the KLL/t-digest estimates; oracle is
@@ -671,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk": q_knn_topk,
         "exact_value_sums": q_exact_value_sums,
         "exact_value_percentiles": q_exact_value_percentiles,
+        "events_pivot": q_events_pivot,
         "hll_card_by_type": q_hll_card_by_type,
         "value_quantiles_tdigest": q_value_quantiles_tdigest,
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
@@ -713,6 +726,14 @@ def oracle_sql() -> dict[str, str]:
 SELECT event_type, round(fsum(value), 6) AS sum_value,
        COUNT(value)::BIGINT AS n_events
 FROM events GROUP BY event_type""",
+        "events_pivot": """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error
+FROM events GROUP BY 1""",
         "exact_value_percentiles": """
 SELECT event_type,
        round(quantile_cont(value, 0.25), 6) AS p25,

@@ -108,6 +108,21 @@ def run_default():
     n_tokens = int(out[out.sketch_name == "tok_hll"].n_values.sum())
     tokens_per_sec = n_tokens / timings["sketch_build_tokens"]
 
+    # the pyarrow-native scan path (workers read parquet directly, skipping
+    # the JVM nested-column decode + Arrow-IPC hop) — byte-identical output,
+    # reported alongside for the scan-bound comparison (BENCH/BASELINE.md)
+    from grenier_spark.operators.sketch_build import (SketchSpec,
+                                                      build_sketches_from_files)
+
+    files = sorted(os.path.join(docs_path, f) for f in os.listdir(docs_path)
+                   if f.endswith(".parquet"))
+    t0 = time.perf_counter()
+    (build_sketches_from_files(
+        spark, files, [SketchSpec.of("tok_hll", "hll", "tokens", p=14)],
+        group_cols=["source"], fanout=32)
+     .select("sketch_name", "n_values").collect())
+    timings["sketch_build_native"] = round(time.perf_counter() - t0, 3)
+
     qs = entry_mod.queries()
     # ngram_jaccard_pairs is excluded: its shuffle-join profile shows 10x
     # run-to-run co-tenant variance on this VM (15-150 s on identical
