@@ -40,6 +40,7 @@ from grenier_spark.functions.sql_oracles import (ann_rademacher_sql,
                                                  hll_registers_sql,
                                                  jump_buckets_sql,
                                                  md5_low64_expr,
+                                                 md5_low64_signed_expr,
                                                  minhash_neardup_sql,
                                                  simhash_pairs_sql)
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
@@ -601,6 +602,41 @@ def q_exact_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_values").alias("n_events"))
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting vs whitespace counting, per source —
+    the LLM-token-budget proxy (operators/textstats.py)."""
+    from grenier_spark.operators import textstats as ts
+
+    docs = _t(spark, sf_dir, "documents")
+    bpe = ts.regex_token_count("text")
+    ws = ts.word_count("text")
+    return (docs.select("source", bpe.alias("bpe"), ws.alias("ws"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("bpe").alias("sum_bpe_tokens"),
+                 F.sum("ws").alias("sum_ws_tokens"))
+            .withColumn("avg_bpe_tokens",
+                        F.round(F.col("sum_bpe_tokens")
+                                / F.col("n_docs"), 6)))
+
+
+def q_doc_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints: per doc, count and
+    extremes of the fingerprint set (operators/textstats.py, SWA 2003)."""
+    from grenier_spark.operators.textstats import winnow_fingerprints
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .orderBy("doc_id").limit(50))
+    fps = winnow_fingerprints("text", k=8, window=5)
+    return (docs.select("doc_id", fps.alias("fps"))
+            .select("doc_id",
+                    F.size("fps").cast("long").alias("n_fps"),
+                    F.get("fps", 0).alias("min_fp"),
+                    F.get("fps", F.size("fps") - 1).alias("max_fp"))
+            .orderBy("doc_id"))
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: daily event counts spread across event-type columns (explicit
     value list so the output schema is static, as a 100TB pivot must be)."""
@@ -684,6 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_value_sums": q_exact_value_sums,
         "exact_value_percentiles": q_exact_value_percentiles,
         "events_pivot": q_events_pivot,
+        "bpe_token_stats": q_bpe_token_stats,
+        "doc_winnow_fps": q_doc_winnow_fps,
         "hll_card_by_type": q_hll_card_by_type,
         "value_quantiles_tdigest": q_value_quantiles_tdigest,
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
@@ -726,6 +764,35 @@ def oracle_sql() -> dict[str, str]:
 SELECT event_type, round(fsum(value), 6) AS sum_value,
        COUNT(value)::BIGINT AS n_events
 FROM events GROUP BY event_type""",
+        "bpe_token_stats": """
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       SUM(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::BIGINT AS sum_bpe_tokens,
+       SUM(len(list_filter(string_split(text, ' '),
+           w -> w <> '')))::BIGINT AS sum_ws_tokens,
+       round(SUM(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::DOUBLE / COUNT(*), 6)
+         AS avg_bpe_tokens
+FROM documents GROUP BY source""",
+        "doc_winnow_fps": f"""
+WITH d AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents
+           ORDER BY doc_id LIMIT 50),
+g AS (SELECT doc_id,
+             CASE WHEN length(text) >= 8
+                  THEN list_transform(range(1, length(text) - 6),
+                       i -> {md5_low64_signed_expr("substr(text, i, 8)")})
+                  ELSE []::BIGINT[] END AS grams
+      FROM d),
+w AS (SELECT doc_id,
+             CASE WHEN len(grams) >= 5
+                  THEN list_transform(range(1, len(grams) - 3),
+                       j -> list_min(grams[j:j+4]))
+                  ELSE []::BIGINT[] END AS wins
+      FROM g),
+f AS (SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM w)
+SELECT doc_id, len(fps)::BIGINT AS n_fps, fps[1] AS min_fp,
+       fps[-1] AS max_fp
+FROM f""",
         "events_pivot": """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,

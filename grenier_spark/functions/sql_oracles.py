@@ -402,6 +402,16 @@ def md5_low64_expr(col: str) -> str:
     return f"('0x' || substr(md5({col}), 1, 16))::UBIGINT::UHUGEINT"
 
 
+def md5_low64_signed_expr(col: str) -> str:
+    """Signed-BIGINT view of :func:`md5_low64_expr` — the exact value
+    Spark's ``functions.hashing.md5_low64_col`` produces (two's
+    complement), for oracles that must ORDER or MIN/MAX by the hash."""
+    u = md5_low64_expr(col)
+    return (f"(CASE WHEN {u} >= 9223372036854775808::UHUGEINT "
+            f"THEN ({u})::HUGEINT - 18446744073709551616::HUGEINT "
+            f"ELSE ({u})::HUGEINT END)::BIGINT")
+
+
 def cms_point_sql(stream_sql: str, key_col: str, depth: int, width: int,
                   seed: int) -> str:
     """Count-min point estimate per distinct key: min over rows of the cell

@@ -59,3 +59,48 @@ def doc_fingerprint(text: "Column | str") -> Column:
     """Exact content fingerprint (md5 hex) — the hash-groupBy dedup key."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(c)
+
+
+# GPT2-style simplification: letter runs | digit runs | single other glyph.
+# Chosen so Java regex (Spark), RE2 (DuckDB) and Python `re` tokenize
+# identically — verified in tests.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def regex_token_count(text: "Column | str",
+                      pattern: str = BPE_ISH_PATTERN) -> Column:
+    """BPE-ish token count: how a subword tokenizer would segment, minus
+    the merge table — the standard cheap proxy for LLM token budgets."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))) \
+        .cast("long")
+
+
+def winnow_fingerprints(text: "Column | str", k: int = 8,
+                        window: int = 5) -> Column:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003):
+    md5-low64 hash of every k-char gram, minimum per sliding window of
+    ``window`` hashes, distinct + sorted -> array<long>.
+
+    The rolling-hash fingerprint family for plagiarism/near-dup detection;
+    entirely JVM expressions, and every stage (substring grams, signed
+    64-bit minima, window slices) has an exact DuckDB twin, so queries over
+    it are value-gated. Docs shorter than ``k`` (or with fewer than
+    ``window`` grams) yield an empty array.
+    """
+    from ..functions.hashing import md5_low64_col
+
+    c = F.col(text) if isinstance(text, str) else text
+    n_grams = F.length(c) - k + 1
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams),
+                    lambda i: md5_low64_col(c.substr(i, F.lit(k))))
+    ).otherwise(F.array().cast("array<long>"))
+    n_wins = F.size(grams) - window + 1
+    wins = F.when(
+        n_wins >= 1,
+        F.transform(F.sequence(F.lit(1), n_wins),
+                    lambda j: F.array_min(F.slice(grams, j, window)))
+    ).otherwise(F.array().cast("array<long>"))
+    return F.array_sort(F.array_distinct(wins))

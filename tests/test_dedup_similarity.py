@@ -190,3 +190,21 @@ def test_lsh_topk_rademacher_recall_and_determinism(spark, embeddings):
     key = ["query_id", "rank"]
     assert approx.sort_values(key).vec_id.tolist() == \
         again.sort_values(key).vec_id.tolist()
+
+
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing guarantees (SWA 2003): identical docs -> identical
+    fingerprint sets; a shared substring of length >= k + window - 1
+    contributes >= 1 shared fingerprint; short docs -> empty."""
+    from grenier_spark.operators.textstats import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base), (3, base + " with a different tail here"),
+            (4, "zzz"), (5, "completely unrelated content xyzw qrst uvab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: set(r.fps) for r in df.select(
+        "doc_id", winnow_fingerprints("text").alias("fps")).collect()}
+    assert got[1] == got[2] and len(got[1]) > 0
+    assert len(got[1] & got[3]) >= 1          # shared prefix survives
+    assert got[4] == set()                    # shorter than k
+    assert len(got[1] & got[5]) == 0          # disjoint content
