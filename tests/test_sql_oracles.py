@@ -182,3 +182,70 @@ def test_oracle_ascii_precondition():
             f"AS c FROM '/root/testdata/{sf}/documents.parquet')"
         ).fetchone()[0]
         assert mx < 128, (sf, mx)
+
+
+def test_minhash_neardup_sql_fuzz_vs_kernel_replica(con):
+    """minhash_neardup_sql vs a pure-numpy replica of the full chain
+    (md5-low64 words -> wang64 window folds -> 64-salt signature mins ->
+    raw-band candidates -> est filter -> exact distinct-shingle Jaccard)
+    on randomized synthetic corpora with planted near-dups — validates the
+    generator beyond the single gate dataset."""
+    import hashlib
+    import itertools
+
+    from grenier_spark.core.bits import splitmix64_scalar, wang64
+
+    W, NH, SEED, BANDS, MINE, TAU = 3, 64, 42, 16, 0.5, 0.7
+    salts = np.array([splitmix64_scalar(SEED + i + 1) for i in range(NH)],
+                     dtype=np.uint64)
+
+    def md5w(w):
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+
+    def shingles(text):
+        wh = np.array([md5w(w) for w in text.split(" ")], dtype=np.uint64)
+        n = len(wh) - W + 1
+        if n <= 0:
+            return np.array([], dtype=np.uint64)
+        acc = wh[:n].copy()
+        for k in range(1, W):
+            acc = wang64(acc ^ wh[k:n + k])
+        return acc
+
+    def sig(sh):
+        return np.array([wang64(sh ^ s).min() for s in salts],
+                        dtype=np.uint64)
+
+    rng = np.random.default_rng(21)
+    for trial in range(3):
+        vocab = [f"w{v}" for v in range(30)]
+        docs = {}
+        for i in range(12):
+            docs[i] = " ".join(rng.choice(vocab, size=rng.integers(10, 40)))
+        docs[100] = docs[0]                      # exact dup
+        docs[101] = docs[1] + " w0 w1"           # near dup
+        expect = []
+        shs = {i: shingles(t) for i, t in docs.items()}
+        sigs = {i: sig(s) for i, s in shs.items() if len(s)}
+        for a, b in itertools.combinations(sorted(sigs), 2):
+            bandmatch = any(
+                np.array_equal(sigs[a][w * 4:(w + 1) * 4],
+                               sigs[b][w * 4:(w + 1) * 4])
+                for w in range(BANDS))
+            if not bandmatch:
+                continue
+            if (sigs[a] == sigs[b]).mean() < MINE:
+                continue
+            sa, sb = set(shs[a].tolist()), set(shs[b].tolist())
+            j = len(sa & sb) / len(sa | sb)
+            if j >= TAU:
+                expect.append((a, b, round(j, 6)))
+
+        vals = ", ".join(f"({i}, '{t}')" for i, t in docs.items())
+        sql = so.minhash_neardup_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(id, text)", "id", "text",
+            w=W, n_hashes=NH, seed=SEED, bands=BANDS,
+            min_est=MINE, tau=TAU)
+        got = sorted(con.execute(sql).fetchall())
+        assert got == sorted(expect), (trial, got, expect)
+        assert any(r[:2] == (0, 100) for r in got), trial  # planted exact
