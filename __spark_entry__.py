@@ -44,6 +44,7 @@ from grenier_spark.functions.sql_oracles import (ann_rademacher_sql,
                                                  minhash_neardup_sql,
                                                  simhash_pairs_sql)
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
+from grenier_spark.operators.textstats import BPE_ISH_PATTERN as _BPE_PATTERN
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -764,14 +765,14 @@ def oracle_sql() -> dict[str, str]:
 SELECT event_type, round(fsum(value), 6) AS sum_value,
        COUNT(value)::BIGINT AS n_events
 FROM events GROUP BY event_type""",
-        "bpe_token_stats": """
+        "bpe_token_stats": f"""
 SELECT source, COUNT(*)::BIGINT AS n_docs,
        SUM(len(regexp_extract_all(text,
-           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::BIGINT AS sum_bpe_tokens,
+           '{_BPE_PATTERN}')))::BIGINT AS sum_bpe_tokens,
        SUM(len(list_filter(string_split(text, ' '),
            w -> w <> '')))::BIGINT AS sum_ws_tokens,
        round(SUM(len(regexp_extract_all(text,
-           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::DOUBLE / COUNT(*), 6)
+           '{_BPE_PATTERN}')))::DOUBLE / COUNT(*), 6)
          AS avg_bpe_tokens
 FROM documents GROUP BY source""",
         "doc_winnow_fps": f"""

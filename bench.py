@@ -109,19 +109,25 @@ def run_default():
     tokens_per_sec = n_tokens / timings["sketch_build_tokens"]
 
     # the pyarrow-native scan path (workers read parquet directly, skipping
-    # the JVM nested-column decode + Arrow-IPC hop) — byte-identical output,
-    # reported alongside for the scan-bound comparison (BENCH/BASELINE.md)
+    # the JVM nested-column decode + Arrow-IPC hop) — byte-identical output.
+    # SAME 4 sketch specs as the DataFrame path so the two numbers isolate
+    # the scan path, and excluded from the headline total (informational,
+    # like the per-rep build lines).
     from grenier_spark.operators.sketch_build import (SketchSpec,
                                                       build_sketches_from_files)
 
     files = sorted(os.path.join(docs_path, f) for f in os.listdir(docs_path)
                    if f.endswith(".parquet"))
+    native_specs = [
+        SketchSpec.of("tok_hll", "hll", "tokens", p=14),
+        SketchSpec.of("tok_cms", "cms", "tokens", depth=4, width=8192, seed=7),
+        SketchSpec.of("tok_bloom", "bloom", "tokens", m=1 << 20, k=5, seed=7),
+        SketchSpec.of("ntok_kll", "kll", "n_tok", k=200)]
     t0 = time.perf_counter()
-    (build_sketches_from_files(
-        spark, files, [SketchSpec.of("tok_hll", "hll", "tokens", p=14)],
-        group_cols=["source"], fanout=32)
+    (build_sketches_from_files(spark, files, native_specs,
+                               group_cols=["source"], fanout=32)
      .select("sketch_name", "n_values").collect())
-    timings["sketch_build_native"] = round(time.perf_counter() - t0, 3)
+    timings["sketch_build_rep_native"] = round(time.perf_counter() - t0, 3)
 
     qs = entry_mod.queries()
     # ngram_jaccard_pairs is excluded: its shuffle-join profile shows 10x

@@ -351,10 +351,12 @@ def ann_rademacher_sql(vectors_sql: str, queries_sql: str, k: int = 10,
                        seed: int = 42, dim: int = 64) -> str:
     """Approximate-nearest-neighbor top-k matching
     ``similarity.lsh_topk_rademacher`` value-for-value: the ±1 hyperplanes
-    are embedded as list literals, projections use ``list_inner_product``
-    (same sequential fold as Spark's ``aggregate(zip_with)``, so sign bits
-    agree exactly), candidates join on (band-prefixed) bucket ids, exact
-    cosine re-rank, ``row_number`` tie-broken by id.
+    are embedded as list literals; sign bits and ranks are QUANTIZED
+    (projections and cosines rounded to 6 dp before comparison) so
+    cross-engine agreement does not depend on summation order — DuckDB's
+    ``list_inner_product`` and numpy matmul may differ in the last ulps,
+    which a rounded comparison absorbs. Candidates join on (band-prefixed)
+    bucket ids; exact cosine re-rank, ``row_number`` tie-broken by id.
 
     ``vectors_sql`` -> (id, v DOUBLE[]); ``queries_sql`` -> (qid, v).
     Returns (query_id, rank, vec_id, cos_sim round-6).
@@ -367,8 +369,8 @@ def ann_rademacher_sql(vectors_sql: str, queries_sql: str, k: int = 10,
         terms = []
         for t in range(band_bits):
             row = ", ".join(f"{float(x):.1f}" for x in planes[b * band_bits + t])
-            terms.append(f"(CASE WHEN list_inner_product(v, [{row}]) > 0 "
-                         f"THEN {1 << t} ELSE 0 END)")
+            terms.append(f"(CASE WHEN round(list_inner_product(v, [{row}]),"
+                         f" 6) > 0 THEN {1 << t} ELSE 0 END)")
         return f"({b << 32}::BIGINT + {' + '.join(terms)})"
 
     buckets = ", ".join(bucket_expr(b) for b in range(bands))
@@ -386,13 +388,13 @@ scored AS (
           sqrt(list_inner_product(qq.v, qq.v))) AS cos
   FROM cands c JOIN v vv ON vv.id = c.id JOIN q qq ON qq.qid = c.qid
 ), ranked AS (
-  SELECT qid, id, cos,
+  SELECT qid, id, round(cos, 6) AS cos6,
          row_number() OVER (PARTITION BY qid
-                            ORDER BY cos DESC, id ASC) AS rank
+                            ORDER BY round(cos, 6) DESC, id ASC) AS rank
   FROM scored
 )
 SELECT qid AS query_id, rank::BIGINT AS rank, id AS vec_id,
-       round(cos, 6) AS cos_sim
+       cos6 AS cos_sim
 FROM ranked WHERE rank <= {k}"""
 
 

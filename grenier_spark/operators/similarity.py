@@ -136,13 +136,18 @@ def lsh_topk_rademacher(vectors: DataFrame, queries: DataFrame, k: int = 10,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         qid_col: str = "query_id", bands: int = 32,
                         band_bits: int = 4, seed: int = 42) -> DataFrame:
-    """``lsh_topk`` with Rademacher (±1) hyperplanes and pure-JVM bucket
-    expressions: projections fold sequentially via ``aggregate(zip_with)``,
-    which DuckDB's ``list_inner_product`` replays with the same operation
-    order — so sign bits, buckets, candidates and ranks all carry a
-    value-exact SQL oracle (``sql_oracles.ann_rademacher_sql``). Plan
-    shape matches lsh_topk: per-band bucket union, bucket equi-join
-    (shuffle on bucket only), exact cosine re-rank of candidates."""
+    """``lsh_topk`` with Rademacher (±1) hyperplanes whose entire path
+    carries a SQL oracle (``sql_oracles.ann_rademacher_sql``).
+
+    Cross-engine determinism is by QUANTIZATION, not summation order
+    (DuckDB's ``list_inner_product`` does not reproduce a sequential fold
+    bit-for-bit): sign bits come from projections ROUNDED to 6 dp before
+    the > 0 test, and the re-rank orders by the round-6 cosine — so both
+    engines agree unless a value sits within float-noise of a 1e-6 grid
+    boundary (measure-zero in practice; the ULP-level discrepancies that DO
+    occur between engines cannot flip a rounded comparison). Plan shape
+    matches lsh_topk: per-band buckets, bucket equi-join (shuffle on
+    bucket only), exact cosine re-rank of candidates."""
     dim = len(vectors.select(vec_col).first()[0])
     planes = rademacher_planes(dim, bands * band_bits, seed).astype(
         np.float64)
@@ -150,13 +155,10 @@ def lsh_topk_rademacher(vectors: DataFrame, queries: DataFrame, k: int = 10,
     @pandas_udf("array<long>")
     def _all_buckets(vs: pd.Series) -> pd.Series:
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        # accumulate j-ascending: acc_j = acc_{j-1} + v_j * p_j — the exact
-        # fold order of aggregate(zip_with) and DuckDB list_inner_product,
-        # so sign bits (hence buckets) agree bit-for-bit across engines
-        acc = np.zeros((len(vs), len(planes)))
-        for j in range(dim):
-            acc += mat[:, j:j + 1] * planes[None, :, j]
-        bits = (acc > 0).astype(np.int64)
+        acc = mat @ planes.T
+        # quantize before the sign test: engines may differ in the last
+        # ulps of the sum, but not across a 1e-6 rounding boundary
+        bits = (np.round(acc, 6) > 0).astype(np.int64)
         out = np.zeros((len(vs), bands), dtype=np.int64)
         for b in range(bands):
             packed = np.zeros(len(vs), dtype=np.int64)
@@ -176,7 +178,10 @@ def lsh_topk_rademacher(vectors: DataFrame, queries: DataFrame, k: int = 10,
              .dropDuplicates([qid_col, id_col]))
     cos = _dot(vec_col, "qv") / (F.sqrt(_dot(vec_col, vec_col))
                                  * F.sqrt(_dot("qv", "qv")))
+    # rank by the ROUND-6 cosine (ties then by id): cross-engine rank
+    # stability must not depend on last-ulp cosine agreement
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (cands.select(qid_col, id_col, cos.alias("cos_sim"))
+    return (cands.select(qid_col, id_col,
+                         F.round(cos, 6).alias("cos_sim"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))

@@ -76,24 +76,45 @@ def windowed_hll_stream(stream_df, ts_col: str, group_col: str,
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    # Window bounds reach the state function as NAIVE datetimes rendered in
-    # the SESSION timezone; datetime.timestamp() would interpret them in the
-    # worker's OS timezone instead. Capture the session tz on the driver and
-    # localize explicitly so the event-time timeout epoch is correct on any
-    # cluster (session tz != worker OS tz, DST, heterogeneous nodes).
+    # Window bounds reach the state function as NAIVE datetimes;
+    # datetime.timestamp() would interpret them in the worker's OS timezone.
+    # The correct epoch depends on the event-time column's type:
+    #   TIMESTAMP_NTZ — watermark micros are naive-as-UTC, so treat the
+    #                   naive window end as UTC;
+    #   TIMESTAMP     — values are rendered in the SESSION timezone, so
+    #                   localize with it (captured on the driver; offset
+    #                   styles like '+08:00'/'GMT+8' are valid session tzs
+    #                   that ZoneInfo rejects, hence the fallback parser).
+    import datetime as _dt
+    import re as _re
+
+    is_ntz = (stream_df.schema[ts_col].dataType.typeName()
+              == "timestamp_ntz")
     try:
         session_tz = stream_df.sparkSession.conf.get(
             "spark.sql.session.timeZone")
     except Exception:
         session_tz = None
 
-    def _epoch_ms(naive_dt) -> int:
-        if session_tz:
+    def _tzinfo(name):
+        try:
             from zoneinfo import ZoneInfo
 
-            aware = naive_dt.replace(tzinfo=ZoneInfo(session_tz))
-            return int(aware.timestamp() * 1000)
-        return int(naive_dt.timestamp() * 1000)
+            return ZoneInfo(name)
+        except Exception:
+            m = _re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?",
+                              name or "")
+            if m:
+                sign = 1 if m.group(1) == "+" else -1
+                return _dt.timezone(sign * _dt.timedelta(
+                    hours=int(m.group(2)), minutes=int(m.group(3) or 0)))
+            return _dt.timezone.utc
+
+    tz = _dt.timezone.utc if (is_ntz or not session_tz) \
+        else _tzinfo(session_tz)
+
+    def _epoch_ms(naive_dt) -> int:
+        return int(naive_dt.replace(tzinfo=tz).timestamp() * 1000)
 
     # the watermarked event-time column must survive into the stateful
     # operator's child plan, so keep ts_col in the projection

@@ -31,6 +31,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            # keep integers EXACT: float64 would tolerate errors up to
+            # ~1e3 absolute on full-range int64 hash columns (doc_winnow_fps
+            # min_fp/max_fp) under rtol comparison
+            df[c] = pd.to_numeric(df[c]).astype("int64")
         else:
             # never round: pandas round(n) multiplies by 10^n and loses
             # precision on large magnitudes; compare floats via rtol instead
