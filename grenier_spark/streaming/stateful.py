@@ -76,20 +76,17 @@ def windowed_hll_stream(stream_df, ts_col: str, group_col: str,
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    # Window bounds reach the state function as NAIVE datetimes;
-    # datetime.timestamp() would interpret them in the worker's OS timezone.
-    # The correct epoch depends on the event-time column's type:
-    #   TIMESTAMP_NTZ — watermark micros are naive-as-UTC, so treat the
-    #                   naive window end as UTC;
-    #   TIMESTAMP     — values are rendered in the SESSION timezone, so
-    #                   localize with it (captured on the driver; offset
-    #                   styles like '+08:00'/'GMT+8' are valid session tzs
-    #                   that ZoneInfo rejects, hence the fallback parser).
+    # Window bounds reach the state function as NAIVE datetimes rendered in
+    # the SESSION timezone (withWatermark only accepts TIMESTAMP — Spark
+    # rejects TIMESTAMP_NTZ event time with EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+    # TYPE, so LTZ is the only case). datetime.timestamp() would interpret
+    # them in the worker's OS timezone instead; localize explicitly with
+    # the session tz captured on the driver. Offset styles ('+08:00',
+    # 'GMT+8') are valid session tzs that ZoneInfo rejects, hence the
+    # fallback parser.
     import datetime as _dt
     import re as _re
 
-    is_ntz = (stream_df.schema[ts_col].dataType.typeName()
-              == "timestamp_ntz")
     try:
         session_tz = stream_df.sparkSession.conf.get(
             "spark.sql.session.timeZone")
@@ -110,8 +107,7 @@ def windowed_hll_stream(stream_df, ts_col: str, group_col: str,
                     hours=int(m.group(2)), minutes=int(m.group(3) or 0)))
             return _dt.timezone.utc
 
-    tz = _dt.timezone.utc if (is_ntz or not session_tz) \
-        else _tzinfo(session_tz)
+    tz = _tzinfo(session_tz) if session_tz else _dt.timezone.utc
 
     def _epoch_ms(naive_dt) -> int:
         return int(naive_dt.replace(tzinfo=tz).timestamp() * 1000)

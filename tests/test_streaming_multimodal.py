@@ -244,3 +244,52 @@ def test_windowed_hll_stream_restart_from_checkpoint(spark, tmp_path):
     hll_mod.add_batch(t, wang64(np.array([1, 2, 3], dtype=np.int64).view(U64)))
     assert finals[0].est_distinct == hll_mod.card(t)
     assert finals[0].n_rows == 3
+
+
+def test_windowed_hll_stream_non_utc_session_timezone(spark, tmp_path):
+    """Windows must finalize correctly when the SESSION timezone differs
+    from the workers' OS timezone (UTC here): window bounds are rendered
+    in session tz, and the event-time timeout epoch must localize them
+    with that tz — a naive .timestamp() would fire hours off. (TIMESTAMP_
+    NTZ event time is rejected by withWatermark, so LTZ is the only
+    case.)"""
+    import datetime as dt
+    import time as _time
+
+    from grenier_spark.streaming.stateful import windowed_hll_stream
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        T = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+        src_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+        schema = "ts timestamp, source string, user_id long"
+
+        def write_batch(name, rows):
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("overwrite").parquet(f"{src_dir}/{name}")
+            _time.sleep(0.05)
+
+        write_batch("b1", [(T(0, 10), "g", 1), (T(0, 20), "g", 2),
+                           (T(1, 30), "g", 3)])
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(f"{src_dir}/*"))
+        out = windowed_hll_stream(stream, "ts", "source", "user_id",
+                                  window="1 hour", watermark="10 minutes",
+                                  p=12)
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName("win_ntz_tz").option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+            write_batch("b2", [(T(5, 0), "g", 7)])
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM win_ntz_tz").collect()
+        finally:
+            q.stop()
+        finals = {r.win_start.hour: r.n_rows for r in rows}
+        # W0 (2 rows) and W1 (1 row) must both finalize promptly — a
+        # timezone-shifted timeout would leave them open or fire hours off
+        assert finals.get(0) == 2 and finals.get(1) == 1, finals
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
