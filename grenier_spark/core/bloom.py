@@ -96,6 +96,8 @@ class Bloom:
         magic, m, k, seed = _HDR.unpack_from(b)
         if magic != _MAGIC:
             raise ValueError("Bloom.from_bytes: bad magic")
+        if len(b) != _HDR.size + (m + 7) // 8:
+            raise ValueError("Bloom.from_bytes: truncated payload")
         packed = np.frombuffer(b, dtype=np.uint8, offset=_HDR.size)
         bits = np.unpackbits(packed)[:m].copy()
         return cls(m, k, seed, bits)

@@ -63,6 +63,10 @@ class LossyCounter:
         w = self.bucket_width
         pos = 0
         keys = np.asarray(keys)
+        if keys.dtype.kind == "f":
+            # NaN keys would silently vanish from value_counts while still
+            # inflating n; drop them from BOTH so frequencies stay consistent
+            keys = keys[~np.isnan(keys)]
         while pos < len(keys):
             # chunk ends at the next prune boundary (n multiple of width)
             room = w - (self.n % w)
@@ -84,17 +88,30 @@ class LossyCounter:
             if self.n % w == 0:
                 self._prune(float(self.n) / float(w))
 
+    def _absent_bound(self) -> float:
+        """Upper bound on the true count of any key ABSENT from this
+        counter's summary: after n items with bucket width w, a pruned or
+        never-inserted key occurred at most n/w times (Manku-Motwani
+        Lemma 1-style bound)."""
+        return float(self.n) / float(self.bucket_width)
+
     def merge(self, other: "LossyCounter") -> None:
-        """Distributed merge: sum f, sum deltas (error bounds add)."""
+        """Distributed merge: sum f; deltas add, and a key missing from one
+        side additionally absorbs that side's absent-key bound — without it
+        a key pruned from stream A but reported by stream B would lose A's
+        error term and the no-false-negative guarantee."""
         if (self.support, self.error_tolerance) != (other.support, other.error_tolerance):
             raise ValueError("merge: lossy counter configs must be identical")
+        for k in self.f:
+            if k not in other.f:
+                self.delta[k] += other._absent_bound()
         for k, fv in other.f.items():
             if k in self.f:
                 self.f[k] += fv
                 self.delta[k] += other.delta[k]
             else:
                 self.f[k] = fv
-                self.delta[k] = other.delta[k]
+                self.delta[k] = other.delta[k] + self._absent_bound()
         self.n += other.n
 
     def items_above_threshold(self, threshold: float) -> list:
@@ -164,7 +181,7 @@ class StickySampler:
                 self._prune()
             draws = self._rng.random(len(chunk)) * self.r <= 1.0
             s = pd.Series(chunk)
-            seen_before = s.map(lambda k: k in self.s).to_numpy(dtype=bool)
+            seen_before = s.isin(self.s).to_numpy(dtype=bool)
             dup_in_chunk = s.duplicated(keep="first").to_numpy()
             is_new = ~seen_before & ~dup_in_chunk
             inc = (~is_new) & draws

@@ -85,7 +85,8 @@ def make_p(p: int) -> np.ndarray:
 
 def validate(t: np.ndarray) -> bool:
     """Structural invariant ``2**t[0] + 1 == len(t)`` (hll.ml:20)."""
-    return t.dtype == np.uint8 and t.ndim == 1 and len(t) == (1 << int(t[0])) + 1
+    return (t.dtype == np.uint8 and t.ndim == 1 and len(t) > 0
+            and len(t) == (1 << int(t[0])) + 1)
 
 
 def clear(t: np.ndarray) -> None:

@@ -12,8 +12,9 @@ in the same unit k-interval collapse into one centroid (weighted mean). This
 keeps centroid count O(delta) and the t-digest size invariant while staying
 fully numpy-vectorized (no per-centroid Python loop).
 
-Wire format: header ``<4sIdQ`` (magic b"TDG1", delta, min, max as doubles
-packed separately) — see ``to_bytes``.
+Wire format: header ``<4sIIddq`` = (magic b"TDG1", delta u32,
+n_centroids u32, vmin f64, vmax f64, n i64), followed by n_centroids
+float64 means then n_centroids float64 weights — see ``to_bytes``.
 """
 
 from __future__ import annotations
@@ -68,11 +69,21 @@ class TDigest:
 
     def update_batch(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
         values = np.asarray(values, dtype=np.float64)
-        values = values[~np.isnan(values)]
-        if not len(values):
-            return
-        w = (np.ones(len(values)) if weights is None
-             else np.asarray(weights, dtype=np.float64))
+        keep = ~np.isnan(values)
+        if weights is None:
+            values = values[keep]
+            if not len(values):
+                return
+            w = np.ones(len(values))
+        else:
+            w = np.asarray(weights, dtype=np.float64)
+            if len(w) != len(values):
+                raise ValueError("update_batch: weights length mismatch")
+            # drop NaN values together with THEIR weights — filtering only
+            # values would misalign every (value, weight) pair after the NaN
+            values, w = values[keep], w[keep]
+            if not len(values):
+                return
         self._buf_v.append(values)
         self._buf_w.append(w)
         self.vmin = min(self.vmin, float(values.min()))

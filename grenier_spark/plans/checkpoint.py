@@ -71,15 +71,27 @@ class CheckpointedSketchJob:
             partials = build_sketches(
                 src, self.specs, group_cols=["lineage_file"] + self.group_cols,
                 fanout=self.fanout)
-            # normalize the file:// scheme input_file_name() prepends
+            # normalize the URI scheme input_file_name() prepends:
+            # 'file:///p' and 'file:/p' both become '/p' (matching the
+            # manifest-derived paths); stripping only '^file:' would leave
+            # '///p' and silently break lineage matching
             partials = partials.withColumn(
-                "lineage_file", F.regexp_replace("lineage_file", "^file:", ""))
+                "lineage_file",
+                F.regexp_replace("lineage_file", "^file:(//)?", ""))
             partials = partials.withColumn(
                 "snapshot_id", F.lit(snap["id"]).cast("long"))
             self.table.append(partials)
 
         merged_rows = self.table.read(spark).where(
             F.col("lineage_file").isin(list(want)))
+        # lineage integrity gate: every wanted input file must be covered by
+        # exactly the checkpoint rows we are about to merge — a path-format
+        # mismatch here would otherwise silently merge nothing
+        n_cov = merged_rows.select("lineage_file").distinct().count()
+        if n_cov != len(want):
+            raise RuntimeError(
+                f"lineage integrity violation: {n_cov}/{len(want)} input "
+                f"files covered by checkpoint rows")
         return self._final_merge(merged_rows)
 
     def _final_merge(self, partial_rows: DataFrame) -> DataFrame:

@@ -71,13 +71,23 @@ class SnapshotTable:
         return t
 
     def _commit(self, new_files: "list[str]") -> dict:
-        manifest = self._read_manifest()
-        prev = manifest["snapshots"][-1]["files"] if manifest["snapshots"] else []
-        snap = {"id": len(manifest["snapshots"]) + 1,
-                "ts": time.time(),
-                "files": prev + [f for f in new_files if f not in prev]}
-        manifest["snapshots"].append(snap)
-        self._write_manifest(manifest)
+        # serialize the read-modify-write: os.replace makes each write
+        # atomic but does NOT serialize concurrent committers — without the
+        # lock, two overlapping append()s would both read the same snapshot
+        # list and the loser's files would become silent orphans
+        import fcntl
+
+        lock_path = os.path.join(self.path, "_manifest.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            manifest = self._read_manifest()
+            prev = (manifest["snapshots"][-1]["files"]
+                    if manifest["snapshots"] else [])
+            snap = {"id": len(manifest["snapshots"]) + 1,
+                    "ts": time.time(),
+                    "files": prev + [f for f in new_files if f not in prev]}
+            manifest["snapshots"].append(snap)
+            self._write_manifest(manifest)
         return snap
 
     # -- write path ----------------------------------------------------------

@@ -44,3 +44,18 @@ def test_duplicate_heavy_batch():
     bf.update_batch(np.zeros(10_000, dtype=np.uint64))
     assert bf.contains(np.zeros(1, dtype=np.uint64)).all()
     assert np.count_nonzero(bf.bits) <= 3
+
+
+def test_from_bytes_rejects_truncation():
+    import numpy as np
+    import pytest as _pt
+
+    from grenier_spark.core.bloom import Bloom
+
+    b = Bloom(1 << 12, 5, seed=3)
+    b.update_batch(np.arange(100, dtype=np.uint64))
+    blob = b.to_bytes()
+    with _pt.raises(ValueError):
+        Bloom.from_bytes(blob[:-5])
+    assert Bloom.from_bytes(blob).contains(
+        np.array([5], dtype=np.uint64))[0]

@@ -54,10 +54,25 @@ def test_run_then_resume_is_noop(spark, tmp_path, input_table):
     r1 = sketches_of(job.run(spark, input_table))
     covered1 = job.covered_files(spark)
     assert len(covered1) == 5
+    # covered paths must be the MANIFEST-form paths (a URI-scheme residue
+    # like '///p' would silently break the diff and the final merge)
+    assert covered1 == set(input_table.files())
+    # non-vacuous result: every (source, spec) present, bit-identical to a
+    # direct uncheckpointed build over the same table
+    from grenier_spark.operators.sketch_build import build_sketches
+
+    direct = sketches_of(build_sketches(
+        input_table.read(spark), SPECS, group_cols=["source"]))
+    assert len(r1) == len(direct) > 0
+    assert r1 == direct
     # resume with nothing new: same snapshot -> no new lineage, same bytes
     r2 = sketches_of(job.run(spark, input_table))
     assert job.covered_files(spark) == covered1
     assert r1 == r2
+    # and no duplicate lineage rows were appended by the no-op resume
+    m = job.metrics(spark).toPandas()
+    assert m[m.sketch_name == "h"].groupby(
+        ["lineage_file", "source"]).size().max() == 1
 
 
 def test_resume_processes_only_new_files_and_matches_scratch(
@@ -78,6 +93,7 @@ def test_resume_processes_only_new_files_and_matches_scratch(
     # from-scratch job over the same snapshot: bit-identical HLL/CMS states
     scratch = CheckpointedSketchJob(str(tmp_path / "ckpt2"), SPECS, ["source"])
     r_scratch = sketches_of(scratch.run(spark, input_table))
+    assert len(r2) > 0
     assert r2 == r_scratch
 
 

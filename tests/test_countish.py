@@ -100,3 +100,35 @@ def test_sticky_batch_equals_per_item(stream):
     for x in stream[:3000]:
         b.observe(int(x))
     assert a.s == b.s and a.n == b.n and a.r == b.r
+
+
+def test_lossy_merge_absent_key_keeps_guarantee():
+    """A key pruned from (or never seen by) one stream must absorb that
+    stream's absent-key bound n/w on merge, or the merged (f+delta)/n upper
+    bound can undercount true frequency and drop a real heavy hitter."""
+    import numpy as np
+
+    from grenier_spark.core.countish import LossyCounter
+
+    a = LossyCounter(0.1, 0.01)        # w = 100
+    a.observe_batch(np.arange(1000) % 500 + 10_000)   # key 7 absent from a
+    b = LossyCounter(0.1, 0.01)
+    b.observe_batch(np.full(50, 7))
+    bound_a = a.n / a.bucket_width
+    d_before = b.delta[7]
+    a.merge(b)
+    assert a.delta[7] == d_before + bound_a
+    # upper bound now dominates the true combined count for key 7 even if
+    # stream a had held up to n/w hidden occurrences
+    assert a.f[7] + a.delta[7] >= 50 + 0  # f exact here; bound positive
+    assert a.delta[7] > d_before
+
+
+def test_lossy_nan_keys_do_not_skew_n():
+    import numpy as np
+
+    from grenier_spark.core.countish import LossyCounter
+
+    lc = LossyCounter(0.1, 0.01)
+    lc.observe_batch(np.array([1.0, np.nan, 1.0, np.nan]))
+    assert lc.n == 2 and lc.f[1.0] == 2.0

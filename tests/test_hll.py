@@ -184,3 +184,14 @@ def test_sparse_auto_encoding_roundtrip_and_size():
         hll.from_bytes_any(sparse[:-2])
     with _pt.raises(ValueError):
         hll.from_bytes_any(b"")
+
+
+def test_from_bytes_rejects_empty():
+    import pytest as _pt
+
+    from grenier_spark.core import hll
+
+    with _pt.raises(ValueError):
+        hll.from_bytes(b"")
+    with _pt.raises(ValueError):
+        hll.from_bytes(b"\x07")  # header only, no registers

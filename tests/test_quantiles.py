@@ -113,3 +113,22 @@ def test_tdigest_extremes_and_serde(data):
 def test_empty_sketches():
     assert np.isnan(KLL(200).quantiles([0.5])).all()
     assert np.isnan(TDigest(100).quantiles([0.5])).all()
+
+
+def test_tdigest_nan_values_drop_their_weights():
+    """NaN values must take THEIR weights with them — filtering values only
+    would misalign every (value, weight) pair after the NaN (found by
+    review: median came out 2.98 instead of 2.0)."""
+    import numpy as np
+
+    from grenier_spark.core.tdigest import TDigest
+
+    t = TDigest(100)
+    t.update_batch(np.array([1.0, np.nan, 3.0]),
+                   weights=np.array([1.0, 100.0, 1.0]))
+    assert t.n == 2
+    assert float(t.quantiles([0.5])[0]) == 2.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        TDigest(100).update_batch(np.array([1.0, 2.0]),
+                                  weights=np.array([1.0]))
