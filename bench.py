@@ -198,8 +198,14 @@ def run_scaling():
                  str(cpus)],
                 capture_output=True, text=True, timeout=1200,
                 env={**os.environ, "SPARK_GRAFT_BENCH_DOCS": str(BENCH_DOCS)})
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")][-1]
+            json_lines = [ln for ln in out.stdout.splitlines()
+                          if ln.startswith("{")]
+            if out.returncode != 0 or not json_lines:
+                sys.stderr.write(out.stderr[-4000:])
+                raise RuntimeError(
+                    f"scaling worker (cpus={cpus}) failed with "
+                    f"rc={out.returncode}; stderr above")
+            line = json_lines[-1]
             rec = json.loads(line)
             results[cpus] = min(results[cpus], rec["sec"])
             n_tokens = rec["n_tokens"]

@@ -37,9 +37,17 @@ def register_sql_functions(spark) -> None:
 
     @pandas_udf("long")
     def _jump(keys: pd.Series, n: pd.Series) -> pd.Series:
-        nv = int(n.iloc[0])
-        return pd.Series(jump_bucket(
-            keys.to_numpy(dtype=np.int64).view(U64), nv))
+        ks = keys.to_numpy(dtype=np.int64).view(U64)
+        nvals = n.to_numpy()
+        if (nvals == nvals[0]).all():
+            return pd.Series(jump_bucket(ks, int(nvals[0])))
+        # per-row n: group rows by bucket count (silently applying row 0's
+        # n to the whole batch would return wrong buckets for the rest)
+        out = np.empty(len(ks), dtype=np.int64)
+        for nv in np.unique(nvals):
+            m = nvals == nv
+            out[m] = jump_bucket(ks[m], int(nv))
+        return pd.Series(out)
 
     @pandas_udf("double")
     def _bloom_card(blobs: pd.Series) -> pd.Series:

@@ -52,12 +52,17 @@ def _shingle_hashes(df: DataFrame, text_col: str, w: int) -> DataFrame:
     """
     words = F.split(F.col(text_col), " ")
     wh = F.transform(words, lambda t: F.xxhash64(t))
-    # shingle i = xxhash64 over the STRUCT of w consecutive word hashes
+    # shingle i = xxhash64 over the STRUCT of w consecutive word hashes;
+    # docs with fewer than w words yield NO shingles (same contract as the
+    # md5 path and the SQL oracle — the old greatest(n-w, 0) emitted one
+    # null-padded ghost shingle for short docs)
     n = F.size(wh)
-    idx = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
-    shingles = F.transform(
-        idx, lambda i: F.xxhash64(*[F.element_at(wh, i + k + 1)
-                                    for k in range(w)]))
+    shingles = F.when(
+        n >= w,
+        F.transform(F.sequence(F.lit(0), n - w),
+                    lambda i: F.xxhash64(*[F.element_at(wh, i + k + 1)
+                                           for k in range(w)]))
+    ).otherwise(F.array().cast("array<bigint>"))
     return df.withColumn("shingle", F.explode(shingles)).drop(text_col)
 
 
@@ -208,12 +213,17 @@ def simhash64(df: DataFrame, text_col: str = "text",
     def _simhash(texts: pd.Series) -> pd.Series:
         out = np.empty(len(texts), dtype=np.int64)
         shifts = np.arange(64, dtype=np.uint64)
+        cache: dict = {}  # word -> FNV hash, shared across the batch: the
+        # per-word Python FNV loop then runs once per DISTINCT word (vocab-
+        # bounded), not once per occurrence
         for i, t in enumerate(texts):
             words = [w for w in (t or "").split(" ") if w]
             if not words:
                 out[i] = 0
                 continue
-            hs = wang64(np.array([hash_word(w) for w in words], dtype=U64))
+            hs = wang64(np.array(
+                [cache.get(w) or cache.setdefault(w, hash_word(w))
+                 for w in words], dtype=U64))
             bits = ((hs[:, None] >> shifts[None, :]) & U64(1)).astype(np.int64)
             votes = bits.sum(axis=0) * 2 - len(words)
             fp = np.uint64(0)

@@ -18,7 +18,8 @@ import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
+from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                               StructField, StructType)
 
 from ..core.countish import LossyCounter
 
@@ -40,6 +41,10 @@ def heavy_hitter_tokens(df: DataFrame, token_col: str, support: float,
             StructField("f", DoubleType(), False),
             StructField("delta", DoubleType(), False),
             StructField("n", LongType(), False),
+            # marker for per-(partition, group) total rows — a boolean
+            # column, NOT a magic token value, so the real token id -1
+            # cannot collide with it
+            StructField("is_total", BooleanType(), False),
         ])
 
     def partial(batches):
@@ -61,12 +66,19 @@ def heavy_hitter_tokens(df: DataFrame, token_col: str, support: float,
             arr = batch.column(token_col)
             if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
                 offsets = arr.offsets.to_numpy()
-                values = arr.values.to_numpy(zero_copy_only=False)
-                values = values[offsets[0]:offsets[-1]]
+                flat = arr.values.slice(int(offsets[0]),
+                                        int(offsets[-1] - offsets[0]))
                 vcodes = np.repeat(codes, np.diff(offsets))
             else:
-                values = arr.to_numpy(zero_copy_only=False)
+                flat = arr
                 vcodes = codes
+            # drop nulls BEFORE numpy conversion: int64 arrays with nulls
+            # otherwise convert to float64, mangling |id| > 2^53 token ids
+            if flat.null_count:
+                ok = ~np.asarray(flat.is_null())
+                flat = flat.drop_null()
+                vcodes = vcodes[ok]
+            values = flat.to_numpy(zero_copy_only=False)
             for g, gkey in enumerate(gkeys):
                 lc = counters.get(gkey)
                 if lc is None:
@@ -82,34 +94,48 @@ def heavy_hitter_tokens(df: DataFrame, token_col: str, support: float,
                 out["f"].append(float(fv))
                 out["delta"].append(float(lc.delta[token]))
                 out["n"].append(lc.n)
-        # n is per-counter, identical for every candidate of a group; emit a
-        # sentinel row so empty-candidate groups still contribute their n
+                out["is_total"].append(False)
+        # n is per-counter, identical for every candidate of a group; a
+        # marked total row lets the merge recover each partial's n even for
+        # empty-candidate groups
         for gkey, lc in counters.items():
             for c, v in zip(group_cols, gkey):
                 out[c].append(v)
-            out["token"].append(-1)
+            out["token"].append(0)
             out["f"].append(0.0)
             out["delta"].append(0.0)
             out["n"].append(lc.n)
+            out["is_total"].append(True)
         if len(out["token"]):
-            yield pa.RecordBatch.from_pandas(pd.DataFrame(out))
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            yield pa.RecordBatch.from_pydict(
+                out, schema=to_arrow_schema(cand_schema))
+
+    import math
 
     partials = src.mapInArrow(partial, cand_schema)
-    gb = [F.col(c) for c in group_cols]
-    totals = (partials.where("token = -1")
+    totals = (partials.where("is_total")
               .groupBy(*group_cols).agg(F.sum("n").alias("n_total")))
-    cands = (partials.where("token <> -1")
+    cands = (partials.where(~F.col("is_total"))
              .groupBy(*group_cols, "token")
-             .agg(F.sum("f").alias("f"), F.sum("delta").alias("delta")))
+             .agg(F.sum("f").alias("f"), F.sum("delta").alias("delta"),
+                  F.sum("n").alias("n_seen")))
     joined = (cands.join(totals, group_cols) if group_cols
               else cands.crossJoin(totals))
-    # report threshold support - eps: a token pruned inside some partitions
-    # loses at most eps * n_pruned of mass, so its merged upper-bound
-    # estimate can sit up to eps below its true frequency — thresholding at
-    # support would drop true heavy hitters in [support, support + eps)
+    # COMPLETE upper bound: partitions whose summaries do not contain the
+    # token can still have held up to n_partial / w occurrences of it
+    # (Manku-Motwani absent-key bound); n_total - n_seen is exactly the
+    # item mass of those partitions, so adding (n_total - n_seen) / w makes
+    # est_freq a true upper bound and thresholding at `support` keeps the
+    # no-false-negative guarantee without extra slack
+    w = float(math.ceil(1.0 / error_tolerance))
+    absent = (F.col("n_total") - F.col("n_seen")) / w
     return (joined
-            .withColumn("est_freq", (F.col("f") + F.col("delta")) / F.col("n_total"))
-            .where(F.col("est_freq") >= support - error_tolerance)
+            .withColumn("est_freq",
+                        (F.col("f") + F.col("delta") + absent)
+                        / F.col("n_total"))
+            .where(F.col("est_freq") >= support)
             .select(*group_cols, "token", "est_freq",
                     F.col("f").cast("long").alias("f"),
                     F.col("n_total").alias("n")))

@@ -46,24 +46,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def _signature_col(vec_col: str, planes: np.ndarray, band: int,
-                   band_bits: int):
-    """Bucket id of one LSH band: sign bits of `band_bits` hyperplane
-    projections, packed to an int, prefixed with the band index."""
-
-    @pandas_udf("long")
-    def _sig(vs: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        p = planes[band * band_bits:(band + 1) * band_bits]
-        bits = (mat @ p.T) > 0
-        packed = np.zeros(len(vs), dtype=np.int64)
-        for b in range(band_bits):
-            packed |= bits[:, b].astype(np.int64) << b
-        return pd.Series((np.int64(band) << 32) | packed)
-
-    return _sig(F.col(vec_col))
-
-
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "query_id", bands: int = 8, band_bits: int = 8,
@@ -73,14 +55,25 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     dim = len(vectors.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bands * band_bits, seed)
 
+    @pandas_udf("array<long>")
+    def _all_buckets(vs: pd.Series) -> pd.Series:
+        # ALL band buckets in one Arrow pass (one matmul), then explode —
+        # a per-band UDF + union would rescan and re-serialize the vector
+        # table `bands` times for identical results
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        bits = (mat @ planes.T) > 0
+        out = np.zeros((len(vs), bands), dtype=np.int64)
+        for b in range(bands):
+            packed = np.zeros(len(vs), dtype=np.int64)
+            for t in range(band_bits):
+                packed |= bits[:, b * band_bits + t].astype(np.int64) << t
+            out[:, b] = (np.int64(b) << 32) | packed
+        return pd.Series(list(out))
+
     def bucketize(df, idc):
-        parts = [df.select(F.col(idc), F.col(vec_col),
-                           _signature_col(vec_col, planes, b, band_bits)
-                           .alias("bucket")) for b in range(bands)]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return df.select(F.col(idc), F.col(vec_col),
+                         F.explode(_all_buckets(F.col(vec_col)))
+                         .alias("bucket"))
 
     v_b = bucketize(vectors, id_col)
     q_b = bucketize(queries.select(F.col(qid_col),

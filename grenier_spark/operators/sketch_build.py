@@ -185,16 +185,24 @@ def _grouped_column(batch: pa.RecordBatch, col: str, codes: np.ndarray,
     arr = batch.column(col)
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
         offsets = arr.offsets.to_numpy()
-        values = arr.values.to_numpy(zero_copy_only=False)
-        values = values[offsets[0]:offsets[-1]]
-        lengths = np.diff(offsets)
-        vcodes = np.repeat(codes, lengths)
+        flat = arr.values.slice(int(offsets[0]),
+                                int(offsets[-1] - offsets[0]))
+        vcodes = np.repeat(codes, np.diff(offsets))
     else:
-        values = arr.to_numpy(zero_copy_only=False)
+        flat = arr
         vcodes = codes
-        if values.dtype == np.float64:
-            keep = ~np.isnan(values)
-            values, vcodes = values[keep], vcodes[keep]
+    # drop nulls at the ARROW level, before numpy conversion: an int64
+    # column with nulls otherwise converts to float64, silently mangling
+    # token ids with |v| > 2^53 and turning null list elements into NaN
+    # that would later be counted as garbage int64 values
+    if flat.null_count:
+        ok = ~np.asarray(flat.is_null())
+        flat = flat.drop_null()
+        vcodes = vcodes[ok]
+    values = flat.to_numpy(zero_copy_only=False)
+    if values.dtype == np.float64:
+        keep = ~np.isnan(values)
+        values, vcodes = values[keep], vcodes[keep]
     if n_groups == 1:
         return values, np.array([0, len(values)], dtype=np.int64)
     if n_groups <= 16:

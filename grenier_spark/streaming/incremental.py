@@ -30,12 +30,21 @@ class IncrementalSketchSink:
         self.specs = list(specs)
         self.group_cols = list(group_cols or [])
         self.fanout = fanout
+        self._seen_cache: "set[int] | None" = None
 
     def seen_batches(self, spark) -> "set[int]":
-        if self.table.current_snapshot() is None:
-            return set()
-        return {r.batch_id for r in self.table.read(spark)
-                .select("batch_id").distinct().collect()}
+        # loaded from the state table ONCE per sink instance (restart
+        # recovery), then maintained in memory: a full table scan per
+        # micro-batch would cost O(batches) per trigger, growing without
+        # bound over a long-running stream
+        if self._seen_cache is None:
+            if self.table.current_snapshot() is None:
+                self._seen_cache = set()
+            else:
+                self._seen_cache = {
+                    r.batch_id for r in self.table.read(spark)
+                    .select("batch_id").distinct().collect()}
+        return self._seen_cache
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The foreachBatch hook."""
@@ -47,6 +56,7 @@ class IncrementalSketchSink:
                                   fanout=self.fanout)
         self.table.append(partials.withColumn(
             "batch_id", F.lit(int(batch_id)).cast("long")))
+        self.seen_batches(spark).add(int(batch_id))
 
     def attach(self, stream_df: DataFrame, checkpoint_location: str,
                trigger_available_now: bool = True):

@@ -105,7 +105,15 @@ def windowed_hll_stream(stream_df, ts_col: str, group_col: str,
                 sign = 1 if m.group(1) == "+" else -1
                 return _dt.timezone(sign * _dt.timedelta(
                     hours=int(m.group(2)), minutes=int(m.group(3) or 0)))
-            return _dt.timezone.utc
+            if name in ("UTC", "GMT", "Z", "Etc/UTC"):
+                return _dt.timezone.utc
+            # fail FAST on the driver: a silent UTC fallback would finalize
+            # every window hours off (or crash workers on a timeout below
+            # the watermark)
+            raise ValueError(
+                f"cannot resolve session timezone {name!r} for event-time "
+                f"timeouts (no tzdata?); set spark.sql.session.timeZone to "
+                f"a resolvable zone or a fixed offset")
 
     tz = _tzinfo(session_tz) if session_tz else _dt.timezone.utc
 

@@ -226,3 +226,21 @@ def test_high_cardinality_groups(spark, docs_df):
     t = hll.make_p(6)
     hll.add_batch(t, wang64(local.tokens[0].astype(np.int64).view(U64)))
     assert bytes(row.sketch) == hll.to_bytes(t)
+
+
+def test_null_tokens_dropped_not_mangled(spark):
+    """Null elements in int64 token arrays (and null scalar values) must be
+    DROPPED at the Arrow level — converting int64-with-nulls to numpy
+    yields float64, which silently rounds |id| > 2^53 (found by review)."""
+    big = 4611686018427387907  # > 2^53; float64 round-trips to ...904
+    rows = [(1, [big, None, big + 1], "a"), (2, [big], "a"), (3, None, "a")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, tokens array<long>, source string")
+    res = build_sketches(df, [SketchSpec.of("h", "hll", "tokens", p=10)],
+                         group_cols=["source"]).collect()
+    got = hll.from_bytes(bytes(res[0].sketch))
+    want = hll.make_p(10)
+    hll.add_batch(want, wang64(np.array([big, big + 1, big],
+                                        dtype=np.int64).view(U64)))
+    assert bytes(hll.to_bytes(got)) == bytes(hll.to_bytes(want))
+    assert res[0].n_values == 3  # nulls not counted
