@@ -213,7 +213,9 @@ def q_lang_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the min-vec_id query embedding.
-    Dot products folded sequentially in float64 on both engines."""
+    Engines may differ in the last ulps of the dot-product sum (DuckDB's
+    list_inner_product is not a strict left fold); the round-6 output and
+    round-6-insensitive top-10 margin on this data absorb that."""
     em = _t(spark, sf_dir, "embeddings")
     q = em.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
     j = em.crossJoin(F.broadcast(q))
@@ -418,7 +420,7 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (_t(spark, sf_dir, "documents")
             .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
             .where("length(text) > 100").orderBy("doc_id").limit(50))
-    plants = (docs.limit(10)
+    plants = (docs.orderBy("doc_id").limit(10)
               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
                       F.expr("substring(text, 1, length(text) - "
                              "length(element_at(split(text, ' '), -1)) - 1)")
@@ -441,7 +443,7 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (_t(spark, sf_dir, "documents")
             .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
             .orderBy("doc_id").limit(60))
-    copies = docs.limit(8).select(
+    copies = docs.orderBy("doc_id").limit(8).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
     fps = dedup.simhash64(docs.unionByName(copies))
     return (dedup.simhash_candidates(fps, max_hamming=3)
@@ -531,8 +533,7 @@ def q_jump_relocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = wang64_col("user_id")
     b = ev.select("user_id",
                   jump_bucket_col(w, 32).cast("long").alias("b32"),
-                  jump_bucket_col(wang64_col("user_id"), 33).cast("long")
-                  .alias("b33"))
+                  jump_bucket_col(w, 33).cast("long").alias("b33"))
     return b.select(
         F.sum(F.when(F.col("b32") != F.col("b33"), 1).otherwise(0))
         .cast("long").alias("moved"),
@@ -568,13 +569,12 @@ def q_sticky_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from grenier_spark.core.countish import StickySampler
 
-    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
 
     def sample(pdf: pd.DataFrame) -> pd.DataFrame:
         src = pdf["source"].iloc[0]
         ss = StickySampler(0.02, 0.002, 0.01, seed=42)
-        toks = [w for t in pdf.sort_values("doc_id" if "doc_id" in pdf else
-                                           "text")["text"]
+        toks = [w for t in pdf.sort_values("doc_id")["text"]
                 for w in t.split(" ") if w]
         import numpy as np
         ss.observe_batch(np.asarray(toks, dtype=object))

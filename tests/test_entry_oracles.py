@@ -59,14 +59,31 @@ def test_query_matches_oracle(spark, duck, name):
 
 ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLE_KEYS))
 
+EXPECTED_ROWS_ONLY = ["heavy_hitter_tokens", "nchars_quantiles_kll",
+                      "sticky_sample_tokens", "value_quantiles_tdigest"]
+
+
+def test_rows_only_set_is_pinned():
+    """Every queries() entry is REQUIRED to carry an oracle unless it is on
+    this justified list — forgetting an oracle for a new query must fail
+    loudly, not silently downgrade it to the weak non-empty check."""
+    assert ROWS_ONLY == EXPECTED_ROWS_ONLY
+
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
     q = entry_mod.queries()[name]
-    df = q(spark, SF)
-    pdf = df.toPandas()
+    pdf = q(spark, SF).toPandas()
     assert len(pdf) > 0
     assert not pdf.isna().all(axis=None)
+    # determinism: a second run must return the identical frame (the
+    # stability contract the driver's rows-only check relies on)
+    again = q(spark, SF).toPandas()
+    cols = sorted(pdf.columns)
+    pd.testing.assert_frame_equal(
+        pdf[cols].sort_values(cols).reset_index(drop=True),
+        again[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
 
 
 def test_rows_only_estimates_within_bounds(spark, duck):
@@ -86,6 +103,17 @@ def test_rows_only_estimates_within_bounds(spark, duck):
             "SELECT quantile_cont(value, 0.46), quantile_cont(value, 0.54) "
             "FROM events WHERE event_type = ?", [r.event_type]).fetchone()
         assert lo <= r.q50 <= hi
+
+    # KLL: the full grouped two-level build path (not just the kernel) must
+    # land each reported quantile inside a +-4% rank window of exact
+    kq = entry_mod.q_nchars_quantiles_kll(spark, SF).toPandas()
+    for _, r in kq.iterrows():
+        for col, q in [("q10", 0.1), ("q50", 0.5), ("q90", 0.9)]:
+            lo, hi = duck.execute(
+                "SELECT quantile_cont(n_chars, ?), quantile_cont(n_chars, ?)"
+                " FROM documents WHERE source = ?",
+                [max(q - 0.04, 0.0), min(q + 0.04, 1.0), r.source]).fetchone()
+            assert lo <= getattr(r, col) <= hi, (r.source, col)
 
 
 def test_entry_runs(spark):
