@@ -90,9 +90,11 @@ def test_cms_point_sql_equals_kernel(con):
     assert got == expect
 
 
-@pytest.mark.parametrize("p,sizes", [(8, (5, 1000, 120000)),
+@pytest.mark.parametrize("p,sizes", [(4, (1, 3, 40, 5000)),
+                                     (8, (5, 1000, 120000)),
                                      (12, (50, 20000, 200000)),
-                                     (14, (1000, 120000))])
+                                     (14, (1000, 120000)),
+                                     (16, (100, 300000))])
 def test_hll_card_sql_bit_exact_vs_kernel(con, p, sizes):
     """The full DuckDB HLL++ estimator (hll_card_sql) must match the numpy
     card_hllpp bit-for-bit across BOTH branches (linear counting at low
