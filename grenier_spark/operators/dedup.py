@@ -87,6 +87,10 @@ def _md5_shingle_rows(df: DataFrame, text_col: str, id_col: str,
         for pdf in it:
             ids, shs = [], []
             for did, whl in zip(pdf[id_col], pdf["wh"]):
+                if whl is None:
+                    # NULL text -> null word-hash array; drop the row, the
+                    # same contract as the xxhash64 path's explode
+                    continue
                 v = np.asarray(whl, dtype=np.int64).view(U64)
                 nwin = len(v) - w + 1
                 if nwin <= 0:

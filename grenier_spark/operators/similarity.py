@@ -100,8 +100,12 @@ def cosine_neardup_pairs(vectors: DataFrame, tau: float = 0.9,
     here is what the DuckDB oracle can mirror value-for-value. Dot products
     fold sequentially in float64 on both engines, so doubles agree
     bit-for-bit.
+
+    The caller's id type is preserved (casting to long would silently null
+    non-numeric ids and return zero pairs — the pitfall
+    :func:`..dedup.ngram_word_jaccard_pairs` documents).
     """
-    dv = vectors.select(F.col(id_col).cast("long").alias("id"),
+    dv = vectors.select(F.col(id_col).alias("id"),
                         F.transform(vec_col,
                                     lambda x: x.cast("double")).alias("v"))
     a = dv.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
@@ -138,7 +142,12 @@ def lsh_topk_rademacher(vectors: DataFrame, queries: DataFrame, k: int = 10,
     the > 0 test, and the re-rank orders by the round-6 cosine — so both
     engines agree unless a value sits within float-noise of a 1e-6 grid
     boundary (measure-zero in practice; the ULP-level discrepancies that DO
-    occur between engines cannot flip a rounded comparison). Plan shape
+    occur between engines cannot flip a rounded comparison). One residual
+    caveat for diagnosing a future oracle mismatch: numpy ``round`` is
+    round-half-even (banker's) while DuckDB ``round()`` is
+    half-away-from-zero, so a projection or cosine landing EXACTLY on a
+    0.5e-6 tie rounds differently across engines and could flip a sign bit
+    or rank — accepted as measure-zero. Plan shape
     matches lsh_topk: per-band buckets, bucket equi-join (shuffle on
     bucket only), exact cosine re-rank of candidates."""
     dim = len(vectors.select(vec_col).first()[0])

@@ -42,11 +42,27 @@ class CheckpointedSketchJob:
     # -- lineage ------------------------------------------------------------
 
     def covered_files(self, spark) -> "set[str]":
+        """Input files already processed = union of every checkpoint
+        snapshot's declared coverage (manifest properties — the authority,
+        since an EMPTY input file legitimately produces zero partial rows)
+        plus the row-level lineage (covers checkpoints written before
+        coverage declarations existed)."""
         if self.table.current_snapshot() is None:
             return set()
+        declared = self._declared_files()
+        if not self.table.files():
+            # snapshots exist but no data files yet (all inputs so far were
+            # empty) — coverage lives only in the declarations
+            return declared
         rows = (self.table.read(spark).select("lineage_file").distinct()
                 .collect())
-        return {r.lineage_file for r in rows}
+        return declared | {r.lineage_file for r in rows}
+
+    def _declared_files(self) -> "set[str]":
+        out: set = set()
+        for s in self.table._read_manifest()["snapshots"]:
+            out.update(s.get("properties", {}).get("covered_files", []))
+        return out
 
     def metrics(self, spark) -> DataFrame:
         """Per-file lineage + metrics rows (the checkpoint content itself)."""
@@ -80,18 +96,37 @@ class CheckpointedSketchJob:
                 F.regexp_replace("lineage_file", "^file:(//)?", ""))
             partials = partials.withColumn(
                 "snapshot_id", F.lit(snap["id"]).cast("long"))
-            self.table.append(partials)
+            # declare coverage in the snapshot properties so files that
+            # produced ZERO partial rows (empty/all-null inputs) still count
+            # as processed on resume
+            self.table.append(partials, properties={"covered_files": todo})
 
-        merged_rows = self.table.read(spark).where(
-            F.col("lineage_file").isin(list(want)))
-        # lineage integrity gate: every wanted input file must be covered by
-        # exactly the checkpoint rows we are about to merge — a path-format
-        # mismatch here would otherwise silently merge nothing
-        n_cov = merged_rows.select("lineage_file").distinct().count()
-        if n_cov != len(want):
+        if self.table.files():
+            merged_rows = self.table.read(spark).where(
+                F.col("lineage_file").isin(list(want)))
+        else:
+            # every covered input was empty: synthesize a zero-row partials
+            # frame with the right schema so the final merge yields an empty
+            # (not erroring) result
+            merged_rows = build_sketches(
+                spark.read.parquet(*sorted(want)).limit(0)
+                .withColumn("lineage_file", F.input_file_name()),
+                self.specs,
+                group_cols=["lineage_file"] + self.group_cols,
+                fanout=self.fanout).withColumn(
+                    "snapshot_id", F.lit(0).cast("long"))
+        # lineage integrity gate: every wanted input file must either carry
+        # checkpoint rows or be declared covered by a snapshot commit — a
+        # path-format mismatch here would otherwise silently merge nothing,
+        # while a legitimately empty input file must NOT fail the run
+        row_cov = {r.lineage_file for r in
+                   merged_rows.select("lineage_file").distinct().collect()}
+        missing = want - row_cov - self._declared_files()
+        if missing:
             raise RuntimeError(
-                f"lineage integrity violation: {n_cov}/{len(want)} input "
-                f"files covered by checkpoint rows")
+                f"lineage integrity violation: {len(missing)}/{len(want)} "
+                f"input files covered by neither checkpoint rows nor a "
+                f"coverage declaration: {sorted(missing)[:3]}...")
         return self._final_merge(merged_rows)
 
     def _final_merge(self, partial_rows: DataFrame) -> DataFrame:

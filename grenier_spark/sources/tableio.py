@@ -70,7 +70,8 @@ class SnapshotTable:
             t._commit(files)
         return t
 
-    def _commit(self, new_files: "list[str]") -> dict:
+    def _commit(self, new_files: "list[str]",
+                properties: "dict | None" = None) -> dict:
         # serialize the read-modify-write: os.replace makes each write
         # atomic but does NOT serialize concurrent committers — without the
         # lock, two overlapping append()s would both read the same snapshot
@@ -85,14 +86,18 @@ class SnapshotTable:
                     if manifest["snapshots"] else [])
             snap = {"id": len(manifest["snapshots"]) + 1,
                     "ts": time.time(),
-                    "files": prev + [f for f in new_files if f not in prev]}
+                    "files": prev + [f for f in new_files if f not in prev],
+                    # Iceberg-style snapshot summary properties (e.g. the
+                    # checkpoint layer records which INPUT files this commit
+                    # covers, including ones that produced zero rows)
+                    "properties": dict(properties or {})}
             manifest["snapshots"].append(snap)
             self._write_manifest(manifest)
         return snap
 
     # -- write path ----------------------------------------------------------
 
-    def append(self, df) -> dict:
+    def append(self, df, properties: "dict | None" = None) -> dict:
         """Append a Spark DataFrame as new data files -> new snapshot."""
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
@@ -105,7 +110,7 @@ class SnapshotTable:
         for leftover in os.listdir(staging):
             os.remove(os.path.join(staging, leftover))
         os.rmdir(staging)
-        return self._commit(new)
+        return self._commit(new, properties)
 
     # -- read path -----------------------------------------------------------
 

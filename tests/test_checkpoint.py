@@ -116,6 +116,27 @@ def test_crash_between_data_and_manifest_is_idempotent(
     assert r1 == r2  # orphan never referenced, result unchanged
 
 
+def test_empty_input_file_does_not_fail_integrity_gate(
+        spark, tmp_path, input_table):
+    """An input file with ZERO rows produces no partials; the lineage gate
+    must treat it as covered (via the snapshot coverage declaration) instead
+    of raising, and resume must still be a no-op."""
+    job = CheckpointedSketchJob(str(tmp_path / "ckpt"), SPECS, ["source"])
+    r1 = sketches_of(job.run(spark, input_table))
+
+    # append an EMPTY file to the input table (snapshot 2)
+    empty = input_table.read(spark).limit(0)
+    input_table.append(empty.coalesce(1))
+    assert len(input_table.current_snapshot()["files"]) == 6
+
+    r2 = sketches_of(job.run(spark, input_table))  # must not raise
+    assert r1 == r2  # zero new rows -> identical merged sketches
+    assert job.covered_files(spark) >= set(input_table.files())
+    # and a further resume is still a clean no-op
+    r3 = sketches_of(job.run(spark, input_table))
+    assert r2 == r3
+
+
 def test_lineage_metrics_surface(spark, tmp_path, input_table):
     job = CheckpointedSketchJob(str(tmp_path / "ckpt"), SPECS, ["source"])
     job.run(spark, input_table)
