@@ -305,16 +305,22 @@ def q_order_gap_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operators: customers active in 1996 vs 1997 (intersect / except /
-    union) as one summary row."""
+    """Set semantics (intersect / except / union of the 1996 vs 1997 active
+    customer sets) as ONE declarative plan: per-customer year flags from a
+    single groupBy, then one global aggregate — one Spark job, one shuffle
+    on o_custkey, no driver-side ``.count()`` loops."""
     o = _t(spark, sf_dir, "orders")
-    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
-    y97 = o.where(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
-    both = y96.intersect(y97).count()
-    only96 = y96.exceptAll(y97).count()
-    either = y96.union(y97).distinct().count()
-    return spark.createDataFrame(
-        [(both, only96, either)], "both bigint, only_1996 bigint, either bigint")
+    y = F.year("o_orderdate")
+    flags = (o.where(y.isin(1996, 1997))
+             .groupBy("o_custkey")
+             .agg(F.max(F.when(y == 1996, 1).otherwise(0)).alias("in96"),
+                  F.max(F.when(y == 1997, 1).otherwise(0)).alias("in97")))
+    return flags.agg(
+        F.sum(F.when((F.col("in96") == 1) & (F.col("in97") == 1), 1)
+              .otherwise(0)).cast("long").alias("both"),
+        F.sum(F.when((F.col("in96") == 1) & (F.col("in97") == 0), 1)
+              .otherwise(0)).cast("long").alias("only_1996"),
+        F.count(F.lit(1)).alias("either"))
 
 
 def q_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -226,19 +226,17 @@ def simhash_pairs_sql(docs_sql: str, id_col: str = "id",
     """Near-dup pairs (id_a, id_b, hamming) via 64-bit simhash, matching
     ``operators.dedup.simhash64`` + ``simhash_candidates`` exactly.
 
-    The fingerprint chain — FNV-1a over UTF-8 bytes (ASCII inputs; DuckDB
-    ``unicode`` per char == byte), wang64 mix, count-weighted bit votes —
-    is recomputed in SQL; pairs come from brute-force
-    ``bit_count(xor) <= max_hamming``, which for ``max_hamming <= 3`` is
-    EXACTLY the banded-LSH result (4 disjoint 16-bit bands: <= 3 differing
-    bits leave >= 1 band identical, so banding has guaranteed 100% recall).
+    The fingerprint chain — md5-low64 word ids (the cross-engine word hash,
+    :func:`md5_low64_expr` == Spark ``md5_low64_col``), wang64 mix,
+    count-weighted bit votes — is recomputed in SQL; pairs come from
+    brute-force ``bit_count(xor) <= max_hamming``, which for
+    ``max_hamming <= 3`` is EXACTLY the banded-LSH result (4 disjoint
+    16-bit bands: <= 3 differing bits leave >= 1 band identical, so banding
+    has guaranteed 100% recall).
     """
     powers = ", ".join(f"({b}, {1 << b}::UHUGEINT)" for b in range(64))
-    fnv = (f"list_reduce([14695981039346656037::UHUGEINT] || "
-           f"list_transform(split(w, ''), c -> unicode(c)::UHUGEINT), "
-           f"(h, ch) -> (xor(h, ch) * 1099511628211::UHUGEINT) % {M})")
     hashed = chain_selects(
-        f"SELECT id, cnt, {fnv} AS k FROM ("
+        f"SELECT id, cnt, {md5_low64_expr('w')} AS k FROM ("
         f"SELECT id, w, COUNT(*)::BIGINT AS cnt FROM ("
         f"SELECT {id_col} AS id, unnest(list_filter("
         f"string_split({text_col}, ' '), x -> x <> '')) AS w "

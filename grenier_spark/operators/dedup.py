@@ -211,40 +211,40 @@ def exact_jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """(id, simhash bigint): 64-bit weighted bit-vote over word hashes
-    (Charikar 2002). Vectorized: per doc, votes = sum of (+-1) per bit."""
+    (Charikar 2002).
+
+    Word hashing is the md5-low64 JVM column chain (``md5_low64_col`` —
+    whole-stage codegen, no Python string loop); the Arrow UDF receives the
+    pre-hashed ``array<long>`` and does only vectorized numpy: one wang64
+    mix over the flattened batch, one bit-unpack matmul, per-doc vote sums
+    via ``add.reduceat``. No per-row or per-word Python anywhere.
+    """
+    from ..functions.hashing import md5_low64_col
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    src = df.select(id_col, F.transform(words, md5_low64_col).alias("wh"))
 
     @pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        cache: dict = {}  # word -> FNV hash, shared across the batch: the
-        # per-word Python FNV loop then runs once per DISTINCT word (vocab-
-        # bounded), not once per occurrence
-        for i, t in enumerate(texts):
-            words = [w for w in (t or "").split(" ") if w]
-            if not words:
-                out[i] = 0
-                continue
-            hs = wang64(np.array(
-                [cache.get(w) or cache.setdefault(w, hash_word(w))
-                 for w in words], dtype=U64))
+    def _simhash(whs: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=U64)
+        lens = np.array([0 if x is None else len(x) for x in whs],
+                        dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        out = np.zeros(len(whs), dtype=np.int64)
+        if len(nz):
+            flat = np.concatenate(
+                [np.asarray(whs.iloc[i], dtype=np.int64) for i in nz])
+            hs = wang64(flat.view(U64))
             bits = ((hs[:, None] >> shifts[None, :]) & U64(1)).astype(np.int64)
-            votes = bits.sum(axis=0) * 2 - len(words)
-            fp = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                fp |= U64(1) << U64(b)
-            out[i] = np.int64(fp.astype(np.int64))
+            starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+            sums = np.add.reduceat(bits, starts, axis=0)
+            votes = 2 * sums - lens[nz, None]
+            fps = (((votes > 0).astype(U64)) << shifts[None, :]).sum(
+                axis=1, dtype=U64)
+            out[nz] = fps.view(np.int64)
         return pd.Series(out)
 
-    return df.select(id_col, _simhash(F.col(text_col)).alias("simhash"))
-
-
-def hash_word(w: str) -> int:
-    """Deterministic string->uint64 (FNV-1a), stable across workers."""
-    h = 0xCBF29CE484222325
-    for ch in w.encode("utf-8"):
-        h = ((h ^ ch) * 0x100000001B3) & ((1 << 64) - 1)
-    return h
+    return src.select(id_col, _simhash(F.col("wh")).alias("simhash"))
 
 
 def simhash_candidates(fp_df: DataFrame, id_col: str = "doc_id",

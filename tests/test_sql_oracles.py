@@ -134,11 +134,12 @@ def test_hll_card_sql_grouped(con):
 
 def test_simhash_pairs_sql_equals_operator_kernel(con):
     """simhash_pairs_sql fingerprints must equal the numpy simhash64 chain
-    (FNV-1a -> wang64 -> weighted bit votes) on synthetic near-dup text."""
+    (md5-low64 word ids -> wang64 -> weighted bit votes) on synthetic
+    near-dup text."""
+    import hashlib
     import itertools
 
     from grenier_spark.core.bits import wang64 as w64
-    from grenier_spark.operators.dedup import hash_word
 
     base = " ".join(f"tok{i}" for i in range(60))
     docs = {1: base,
@@ -146,9 +147,12 @@ def test_simhash_pairs_sql_equals_operator_kernel(con):
             3: "completely different words entirely here now",
             4: base}                          # exact copy of 1
 
+    def md5_low64(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+
     def py_simhash(t):
         words = [w for w in t.split(" ") if w]
-        hs = w64(np.array([hash_word(w) for w in words], dtype=np.uint64))
+        hs = w64(np.array([md5_low64(w) for w in words], dtype=np.uint64))
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int64)
         votes = bits.sum(axis=0) * 2 - len(words)
