@@ -682,23 +682,74 @@ def q_hll_card_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_rows").alias("n_events"))
 
 
+def _quantile_bound_gate(spark: SparkSession, sf_dir: str, table: str,
+                         value_col: str, group_col: str, spec: SketchSpec,
+                         quantile_col_fn, qs: "list[float]",
+                         eps: float) -> DataFrame:
+    """Value-gate a quantile SKETCH through the driver's hash compare.
+
+    The sketch estimates themselves are partitioning-dependent (compaction
+    schedules aren't SQL-expressible), so the gate emits what IS
+    engine-independent: per (group, q) the EXACT quantile (both engines
+    compute it — parity proven by ``exact_value_percentiles``) plus a
+    ``within_bound`` boolean asserting the published rank-error guarantee,
+    computed Spark-side from the real sketch estimate via the two-sided
+    rank condition (tie-robust):
+
+        count(v <  est) <= (q + eps) * n   AND
+        count(v <= est) >= (q - eps) * n
+
+    The DuckDB oracle re-derives the exact quantiles and emits the booleans
+    as literal TRUE — any sketch regression past the rank bound flips a
+    boolean and fails hash_match. (KLL: eps ~ C/k, C~2 at k=200 -> 0.01,
+    FOCS'16; t-digest delta=200 rank error << 0.01, Dunning-Ertl; eps=0.04
+    adds the small-n interpolation granularity margin the unit tests also
+    use.)
+    """
+    src = _t(spark, sf_dir, table)
+    res = build_sketches(src, [spec], group_cols=[group_col])
+    qarr = F.array(*[F.lit(q) for q in qs])
+    est = res.select(group_col,
+                     F.posexplode(quantile_col_fn("sketch", qs))
+                     .alias("i", "est"))
+    raw = (src.select(group_col, F.col(value_col).cast("double").alias("v"))
+           .where(F.col("v").isNotNull()))
+    ranks = (raw.join(F.broadcast(est), group_col)
+             .groupBy(group_col, "i", "est")
+             .agg(F.sum(F.when(F.col("v") < F.col("est"), 1).otherwise(0))
+                  .alias("cnt_lt"),
+                  F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
+                  .alias("cnt_le"),
+                  F.count(F.lit(1)).alias("n")))
+    exact = (src.groupBy(group_col)
+             .agg(F.percentile(value_col, qarr).alias("p"))
+             .select(group_col, F.posexplode("p").alias("i", "exact_v")))
+    within = ((F.col("cnt_lt") <= (F.col("q") + eps) * F.col("n"))
+              & (F.col("cnt_le") >= (F.col("q") - eps) * F.col("n")))
+    return (ranks.join(exact, [group_col, "i"])
+            .withColumn("q", F.element_at(qarr, F.col("i") + 1))
+            .select(group_col, "q",
+                    F.round("exact_v", 6).alias("exact_q"),
+                    within.alias("within_bound"))
+            .orderBy(group_col, "q"))
+
+
 def q_value_quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    res = build_sketches(ev, [SketchSpec.of("t", "tdigest", "value", delta=200)],
-                         group_cols=["event_type"])
-    qs = tdigest_quantiles_col("sketch", [0.25, 0.5, 0.75, 0.95])
-    return res.select("event_type",
-                      qs.getItem(0).alias("q25"), qs.getItem(1).alias("q50"),
-                      qs.getItem(2).alias("q75"), qs.getItem(3).alias("q95"))
+    """t-digest (X4) through the FULL distributed build, value-gated: exact
+    per-type quantiles + rank-bound booleans (see _quantile_bound_gate)."""
+    return _quantile_bound_gate(
+        spark, sf_dir, "events", "value", "event_type",
+        SketchSpec.of("t", "tdigest", "value", delta=200),
+        tdigest_quantiles_col, [0.25, 0.5, 0.75, 0.95], eps=0.04)
 
 
 def q_nchars_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    res = build_sketches(docs, [SketchSpec.of("k", "kll", "n_chars", k=200)],
-                         group_cols=["source"])
-    qs = kll_quantiles_col("sketch", [0.1, 0.5, 0.9])
-    return res.select("source", qs.getItem(0).alias("q10"),
-                      qs.getItem(1).alias("q50"), qs.getItem(2).alias("q90"))
+    """KLL (X3) through the FULL distributed build, value-gated: exact
+    per-source quantiles + rank-bound booleans (see _quantile_bound_gate)."""
+    return _quantile_bound_gate(
+        spark, sf_dir, "documents", "n_chars", "source",
+        SketchSpec.of("k", "kll", "n_chars", k=200),
+        kll_quantiles_col, [0.1, 0.5, 0.9], eps=0.04)
 
 
 def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,8 +809,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _quantile_bound_oracle(table: str, value_col: str, group_col: str,
+                           qs: "list[float]") -> str:
+    """DuckDB twin of _quantile_bound_gate: exact quantiles via
+    quantile_cont; the rank-bound booleans are the guarantee, emitted as
+    literal TRUE (a sketch regression flips them Spark-side)."""
+    qlist = ", ".join(repr(q) for q in qs)
+    exacts = ", ".join(f"round(quantile_cont({value_col}, {q!r}), 6)"
+                       for q in qs)
+    return f"""
+SELECT {group_col}, unnest([{qlist}]) AS q, unnest(ex) AS exact_q,
+       TRUE AS within_bound
+FROM (SELECT {group_col}, [{exacts}] AS ex FROM {table}
+      GROUP BY {group_col})"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "value_quantiles_tdigest": _quantile_bound_oracle(
+            "events", "value", "event_type", [0.25, 0.5, 0.75, 0.95]),
+        "nchars_quantiles_kll": _quantile_bound_oracle(
+            "documents", "n_chars", "source", [0.1, 0.5, 0.9]),
         "hll_registers": hll_registers_sql(
             "SELECT user_id::UHUGEINT AS k FROM events", "k", 8),
         "jump_buckets": jump_buckets_sql(

@@ -372,6 +372,40 @@ def build_sketches_from_files(spark, files: "list[str]",
     return merge_partials(partials, kind_of, group_cols, fanout)
 
 
+def build_sketches_deterministic(df: DataFrame, specs: "list[SketchSpec]",
+                                 group_cols: "list[str] | None" = None,
+                                 order_cols: "list[str] | None" = None
+                                 ) -> DataFrame:
+    """Deterministic single-stream variant for order-sensitive sketches
+    (KLL / t-digest / ddsum): each group's rows are routed to ONE partition
+    and sorted by ``order_cols`` before the build, so the update sequence —
+    and therefore the serialized sketch BYTES — is identical across runs
+    and input partitionings (asserted in test_spark_pipeline.py).
+
+    ``order_cols`` need only make the update VALUES deterministic: sorting
+    by the sketched value columns themselves suffices (rows tied on the
+    full sort key feed identical values, so tie order cannot change the
+    state).
+
+    This is the calibration/reproducibility path: one task per group, so
+    use it when per-group data fits a task (or for golden-file tests); the
+    production path stays :func:`build_sketches`, whose order-sensitive
+    results are deterministic per partitioning and estimate-bound-gated.
+    Order-insensitive kinds (hll/cms/bloom) produce the same bytes on both
+    paths.
+    """
+    group_cols = list(group_cols or [])
+    order_cols = list(order_cols or [])
+    if group_cols:
+        routed = df.repartition(*[F.col(c) for c in group_cols])
+    else:
+        routed = df.coalesce(1)
+    routed = routed.sortWithinPartitions(*(group_cols + order_cols))
+    # every group lives in exactly one sorted partition -> its level-1
+    # partial is the complete sketch; the merge stages are identity
+    return build_sketches(routed, specs, group_cols=group_cols, fanout=1)
+
+
 def merge_partials(partials: DataFrame, kind_of: "dict[str, str]",
                    group_cols: "list[str]", fanout: int = 32) -> DataFrame:
     """Two-stage associative merge of partial-sketch rows (level 2a + 2b)."""

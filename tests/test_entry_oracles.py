@@ -59,8 +59,7 @@ def test_query_matches_oracle(spark, duck, name):
 
 ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLE_KEYS))
 
-EXPECTED_ROWS_ONLY = ["heavy_hitter_tokens", "nchars_quantiles_kll",
-                      "sticky_sample_tokens", "value_quantiles_tdigest"]
+EXPECTED_ROWS_ONLY = ["heavy_hitter_tokens", "sticky_sample_tokens"]
 
 
 def test_rows_only_set_is_pinned():
@@ -97,23 +96,39 @@ def test_rows_only_estimates_within_bounds(spark, duck):
         assert abs(r.est_users - exact[r.event_type]) / exact[r.event_type] \
             <= bound
 
-    qd = entry_mod.q_value_quantiles_tdigest(spark, SF).toPandas()
+    # t-digest / KLL estimate VALUES through the full grouped two-level
+    # build must land inside a +-4% rank window of exact — the gate queries
+    # now emit rank-bound booleans (oracle-checked), so the raw-estimate
+    # window is asserted here against the same builds the queries run
+    from grenier_spark.functions import (kll_quantiles_col,
+                                         tdigest_quantiles_col)
+    from grenier_spark.operators.sketch_build import (SketchSpec,
+                                                      build_sketches)
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    td = build_sketches(ev, [SketchSpec.of("t", "tdigest", "value",
+                                           delta=200)],
+                        group_cols=["event_type"])
+    qd = td.select("event_type", tdigest_quantiles_col("sketch", [0.5])
+                   .getItem(0).alias("q50")).toPandas()
     for _, r in qd.iterrows():
         lo, hi = duck.execute(
             "SELECT quantile_cont(value, 0.46), quantile_cont(value, 0.54) "
             "FROM events WHERE event_type = ?", [r.event_type]).fetchone()
         assert lo <= r.q50 <= hi
 
-    # KLL: the full grouped two-level build path (not just the kernel) must
-    # land each reported quantile inside a +-4% rank window of exact
-    kq = entry_mod.q_nchars_quantiles_kll(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kl = build_sketches(docs, [SketchSpec.of("k", "kll", "n_chars", k=200)],
+                        group_cols=["source"])
+    kq = kl.select("source", kll_quantiles_col("sketch", [0.1, 0.5, 0.9])
+                   .alias("qs")).toPandas()
     for _, r in kq.iterrows():
-        for col, q in [("q10", 0.1), ("q50", 0.5), ("q90", 0.9)]:
+        for i, q in enumerate([0.1, 0.5, 0.9]):
             lo, hi = duck.execute(
                 "SELECT quantile_cont(n_chars, ?), quantile_cont(n_chars, ?)"
                 " FROM documents WHERE source = ?",
                 [max(q - 0.04, 0.0), min(q + 0.04, 1.0), r.source]).fetchone()
-            assert lo <= getattr(r, col) <= hi, (r.source, col)
+            assert lo <= r.qs[i] <= hi, (r.source, q)
 
 
 def test_entry_runs(spark):

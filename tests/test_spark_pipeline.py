@@ -134,6 +134,38 @@ def test_estimate_columns(spark, docs_df, local_rows):
     assert len(qdf) == 4 and all(len(v) == 1 for v in qdf.qs)
 
 
+def test_deterministic_stream_build_byte_stable(spark, docs_df):
+    """build_sketches_deterministic: order-sensitive sketches (KLL,
+    t-digest) must serialize to IDENTICAL bytes across runs and across
+    arbitrary upstream partitionings — the calibration/golden-file
+    contract (VERDICT r1 #7). Sorting by the sketched value column alone
+    is sufficient (ties feed identical values)."""
+    from grenier_spark.operators.sketch_build import \
+        build_sketches_deterministic
+
+    specs = [SketchSpec.of("k", "kll", "n_tok", k=64),
+             SketchSpec.of("t", "tdigest", "n_tok", delta=100)]
+
+    def run(df):
+        pdf = build_sketches_deterministic(
+            df, specs, group_cols=["source"],
+            order_cols=["n_tok"]).toPandas()
+        return {(r.source, r.sketch_name): bytes(r.sketch)
+                for r in pdf.itertuples()}
+
+    a = run(docs_df.repartition(7))
+    b = run(docs_df.repartition(3, "doc_id"))
+    c = run(docs_df.coalesce(1))
+    assert a == b == c
+    assert len(a) == 8  # 4 sources x 2 specs, non-vacuous
+
+    # and the estimates coming out of the deterministic path are sane
+    from grenier_spark.core.kll import KLL
+    for src in ["web", "books"]:
+        sk = KLL.from_bytes(a[(src, "k")])
+        assert sk.n > 0
+
+
 def test_jump_bucket_col_parity(spark):
     from grenier_spark.functions import jump_bucket_col, wang64_col
     import pandas as pd
