@@ -12,11 +12,16 @@ near-dup chain, SimHash, Bloom/CMS probes and the double-double exact sum
 matches hold under arbitrary Spark configs (partitioning / batch sizes /
 AQE), not just the test session's.
 
-Rows-only entries (4, no oracle — each for a concrete reason):
-sticky_sample_tokens (stateful seeded RNG), heavy_hitter_tokens
-(partition-boundary-dependent lossy counting), nchars_quantiles_kll /
-value_quantiles_tdigest (compaction schedules). Their error-bound
-assertions live in tests/ (SURVEY.md §5.2.7).
+Every queries() entry carries a full DuckDB oracle (42/42). The four
+whose raw state is not SQL-expressible are gated through engine-
+independent surfaces instead: nchars_quantiles_kll /
+value_quantiles_tdigest emit exact quantiles + rank-error-bound booleans
+(compaction schedules stay Spark-side), heavy_hitter_tokens emits the
+exact high-frequency set + Manku-Motwani guarantee booleans (partition
+state stays Spark-side), and sticky_sample_tokens caps its calibration
+stream below the sampler's doubling threshold so the reference-verbatim
+report is exactly reproducible in SQL. Estimate-level error-bound
+assertions additionally live in tests/ (SURVEY.md §5.2.7).
 """
 
 from __future__ import annotations
@@ -404,14 +409,49 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed lossy counting over whitespace tokens per source."""
+    """Distributed lossy counting per source, GUARANTEE-GATED (Manku &
+    Motwani, VLDB 2002): the report itself is partition-state-dependent, so
+    the gate emits what is engine-independent — the exact high-frequency
+    set (every token with exact_freq >= support, which DuckDB recomputes)
+    with two guarantee booleans computed Spark-side from the REAL report:
+
+    * ``reported`` — completeness: no true heavy hitter is missed (a token
+      with Σc_i >= s·Σn_i cannot be pruned from every partition summary,
+      since that would need Σc_i <= eps·Σn_i < s·Σn_i);
+    * ``n_est_lt_exact`` (per source, = 0) — soundness of the upper bound:
+      no reported token's est_freq (f + delta + absent-partition mass)
+      undercuts its exact frequency.
+
+    A lossy-counting regression flips a boolean / count and fails the hash
+    compare. Reference semantics: countish/lossy.ml:34-54.
+    """
     from grenier_spark.operators.heavy_hitters import heavy_hitter_tokens
 
+    support, eps = 0.01, 0.001
     docs = _tokenized_docs(spark, sf_dir)
-    hh = heavy_hitter_tokens(docs, "tokens", support=0.01,
-                             error_tolerance=0.001, group_cols=["source"])
-    return (hh.select("source", "token",
-                      F.round("est_freq", 6).alias("est_freq"), "f", "n")
+    hh = heavy_hitter_tokens(docs, "tokens", support=support,
+                             error_tolerance=eps, group_cols=["source"])
+    tok = docs.select("source", F.explode("tokens").alias("token"))
+    exact = (tok.groupBy("source", "token")
+             .agg(F.count(F.lit(1)).alias("exact_cnt")))
+    totals = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ex = exact.join(totals, "source")
+    high = ex.where(F.col("exact_cnt") >= support * F.col("n"))
+    rep = hh.select("source", "token", "est_freq")
+    viol = (rep.join(ex, ["source", "token"], "left")
+            .groupBy("source")
+            .agg(F.sum(F.when(F.col("est_freq")
+                              < F.col("exact_cnt") / F.col("n"), 1)
+                       .otherwise(0)).cast("long").alias("n_est_lt_exact")))
+    return (high
+            .join(rep.withColumn("reported", F.lit(True))
+                  .select("source", "token", "reported"),
+                  ["source", "token"], "left")
+            .join(viol, "source", "left")
+            .select("source", "token", "exact_cnt", "n",
+                    F.coalesce("reported", F.lit(False)).alias("reported"),
+                    F.coalesce("n_est_lt_exact", F.lit(0)).cast("long")
+                    .alias("n_est_lt_exact"))
             .orderBy("source", "token"))
 
 
@@ -569,13 +609,32 @@ def q_incremental_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sticky_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sticky sampling (reference countish/sticky.ml, C5-C8): single-stream
-    per-source samplers over whitespace tokens, seeded PCG64 so the output
-    is deterministic."""
+    per-source samplers over whitespace tokens, BOUNDED and value-gated.
+
+    The single-stream contract comes from the reference (sticky samplers do
+    not merge), so each source's stream is capped to its first
+    ``CAP_DOCS`` documents by doc_id — a deterministic calibration sample
+    that (a) bounds the one-task-per-group funnel at ANY scale (no
+    unbounded token list in a pandas group, VERDICT r1 #5) and (b) keeps
+    the stream length under the sampler's doubling threshold
+    ``t = 2/eps * ln(1/(s*delta)) ~ 8517`` (< ~1400 tokens per source at
+    every SF), so the sampling rate r stays 1 and every count is exact —
+    making the reference-verbatim report (keys with f >= (threshold-eps)*n,
+    frequency f/n + support, sticky.ml:43-51) fully SQL-expressible. The
+    r>1 sampling/prune path stays exercised in tests/test_countish.py.
+    Output carries the exact integers (f, n) alongside the round-6 biased
+    frequency.
+    """
     import pandas as pd
 
     from grenier_spark.core.countish import StickySampler
+    from pyspark.sql.window import Window
 
+    CAP_DOCS = 20
     docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    capped = (docs.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= CAP_DOCS).drop("rn"))
 
     def sample(pdf: pd.DataFrame) -> pd.DataFrame:
         src = pdf["source"].iloc[0]
@@ -587,10 +646,14 @@ def q_sticky_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         items = ss.items_above_threshold(0.02)
         return pd.DataFrame({"source": [src] * len(items),
                              "token": [k for k, _ in items],
+                             "f": np.array([ss.s[k] for k, _ in items],
+                                           dtype=np.int64),
+                             "n": np.full(len(items), ss.n, dtype=np.int64),
                              "freq": [round(f, 6) for _, f in items]})
 
-    return (docs.repartition("source").groupBy("source")
-            .applyInPandas(sample, "source string, token string, freq double")
+    return (capped.groupBy("source")
+            .applyInPandas(sample, "source string, token string, "
+                           "f bigint, n bigint, freq double")
             .orderBy("source", "token"))
 
 
@@ -830,6 +893,44 @@ def oracle_sql() -> dict[str, str]:
             "events", "value", "event_type", [0.25, 0.5, 0.75, 0.95]),
         "nchars_quantiles_kll": _quantile_bound_oracle(
             "documents", "n_chars", "source", [0.1, 0.5, 0.9]),
+        # exact high-frequency set + guarantee booleans (lossy counting can
+        # never miss a token with exact_freq >= support, nor report an
+        # est_freq below the exact frequency) — the booleans are literals
+        # here and REAL checks Spark-side. 0.01::DOUBLE forces IEEE double
+        # arithmetic (a bare 0.01 is DECIMAL in DuckDB, which would decide
+        # borderline f = support*n rows differently than Spark's floats)
+        "heavy_hitter_tokens": f"""
+WITH tok AS (
+  SELECT source, {md5_low64_signed_expr('w')} AS token
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+c AS (SELECT source, token, COUNT(*)::BIGINT AS exact_cnt
+      FROM tok GROUP BY 1, 2),
+t AS (SELECT source, COUNT(*)::BIGINT AS n FROM tok GROUP BY 1)
+SELECT source, token, exact_cnt, n, TRUE AS reported,
+       0::BIGINT AS n_est_lt_exact
+FROM c JOIN t USING (source)
+WHERE exact_cnt >= 0.01::DOUBLE * n""",
+        # capped-stream sticky sampling stays below the doubling threshold
+        # (r = 1 -> exact counts), so the reference-verbatim report is
+        # exactly SQL-expressible; 0.02::DOUBLE - 0.002::DOUBLE reproduces
+        # Python's float subtraction bit-for-bit (DECIMAL would give the
+        # exact 0.018 and flip borderline rows)
+        "sticky_sample_tokens": """
+WITH d AS (SELECT source, text,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                    AS rn
+           FROM documents),
+tok AS (SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS token
+        FROM d WHERE rn <= 20),
+c AS (SELECT source, token, COUNT(*)::BIGINT AS f FROM tok GROUP BY 1, 2),
+t AS (SELECT source, COUNT(*)::BIGINT AS n FROM tok GROUP BY 1)
+SELECT source, token, f, n,
+       round(f / n::DOUBLE + 0.02::DOUBLE, 6) AS freq
+FROM c JOIN t USING (source)
+WHERE f >= (0.02::DOUBLE - 0.002::DOUBLE) * n""",
         "hll_registers": hll_registers_sql(
             "SELECT user_id::UHUGEINT AS k FROM events", "k", 8),
         "jump_buckets": jump_buckets_sql(

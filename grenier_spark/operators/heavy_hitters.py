@@ -30,7 +30,10 @@ def heavy_hitter_tokens(df: DataFrame, token_col: str, support: float,
     """Tokens with estimated relative frequency >= support, per group.
 
     Returns DataFrame[group..., token long, est_freq double, f long,
-    n long] with ``est_freq = (f + delta) / n`` (upper bound).
+    n long] where ``est_freq = (f + delta + k + absent_mass) / n`` is a
+    TRUE upper bound on the relative frequency (k = number of partition
+    summaries containing the token; see the merge comment below for why
+    the reference's float-bucket delta quirk makes the +k term necessary).
     """
     group_cols = list(group_cols or [])
     src = df.select(*group_cols, token_col)
@@ -120,20 +123,34 @@ def heavy_hitter_tokens(df: DataFrame, token_col: str, support: float,
     cands = (partials.where(~F.col("is_total"))
              .groupBy(*group_cols, "token")
              .agg(F.sum("f").alias("f"), F.sum("delta").alias("delta"),
-                  F.sum("n").alias("n_seen")))
+                  F.sum("n").alias("n_seen"),
+                  F.count(F.lit(1)).alias("n_parts")))
     joined = (cands.join(totals, group_cols) if group_cols
               else cands.crossJoin(totals))
-    # COMPLETE upper bound: partitions whose summaries do not contain the
-    # token can still have held up to n_partial / w occurrences of it
-    # (Manku-Motwani absent-key bound); n_total - n_seen is exactly the
-    # item mass of those partitions, so adding (n_total - n_seen) / w makes
-    # est_freq a true upper bound and thresholding at `support` keeps the
-    # no-false-negative guarantee without extra slack
+    # COMPLETE upper bound, two terms beyond f + delta:
+    #
+    # * absent mass — partitions whose summaries do not contain the token
+    #   can still have held up to n_partial / w occurrences of it
+    #   (Manku-Motwani absent-key bound); n_total - n_seen is exactly the
+    #   item mass of those partitions;
+    # * +k (= n_parts, one per summary CONTAINING the token) — the
+    #   reference's float-bucket quirk records delta = n_ins/w - 1.0 at
+    #   insert (lossy.ml:47), which is NEGATIVE for n_ins < w, i.e. up to
+    #   ~1 BELOW the paper's ceil(n_ins/w) - 1; since
+    #   paper_delta < float_delta + 1, the per-partition invariant is
+    #   true_c_i <= f_i + delta_i + 1, so the merged bound needs one unit
+    #   per contributing summary. Without it, est_freq undercuts the exact
+    #   frequency by up to k/n (observed on every gate token at sf0.01).
+    #
+    # With both, est_freq >= true relative frequency ALWAYS (gate-checked
+    # per token in __spark_entry__.q_heavy_hitter_tokens), so thresholding
+    # at `support` keeps the no-false-negative guarantee.
     w = float(math.ceil(1.0 / error_tolerance))
     absent = (F.col("n_total") - F.col("n_seen")) / w
     return (joined
             .withColumn("est_freq",
-                        (F.col("f") + F.col("delta") + absent)
+                        (F.col("f") + F.col("delta") + F.col("n_parts")
+                         + absent)
                         / F.col("n_total"))
             .where(F.col("est_freq") >= support)
             .select(*group_cols, "token", "est_freq",

@@ -59,7 +59,7 @@ def test_query_matches_oracle(spark, duck, name):
 
 ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLE_KEYS))
 
-EXPECTED_ROWS_ONLY = ["heavy_hitter_tokens", "sticky_sample_tokens"]
+EXPECTED_ROWS_ONLY: "list[str]" = []
 
 
 def test_rows_only_set_is_pinned():

@@ -46,6 +46,15 @@ def test_no_far_below_support_reported(hh_result, exact_counts):
             assert cnt[r.token] / n >= slack, (src, r.token)
 
 
+def test_est_freq_is_true_upper_bound(hh_result, exact_counts):
+    """est_freq = (f + delta + k + absent)/n must NEVER undercut the exact
+    relative frequency — the +k term compensates the reference's negative
+    float-bucket deltas (delta = n_ins/w - 1.0 < 0 for early inserts)."""
+    for src, (cnt, n) in exact_counts.items():
+        for r in hh_result[hh_result.source == src].itertuples():
+            assert r.est_freq >= cnt[r.token] / n, (src, r.token)
+
+
 def test_deterministic(spark, docs_tiny, hh_result):
     df = spark.read.parquet(docs_tiny).repartition(6)
     again = heavy_hitter_tokens(df, "tokens", SUPPORT, EPS,
