@@ -604,6 +604,9 @@ def q_incremental_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = merged.select("event_type",
                             F.round(hll_card_col("sketch"), 6)
                             .alias("est_users"))
+        # materialize the 5 result rows BEFORE the TemporaryDirectory
+        # closes: the returned DataFrame must not carry a lazy plan that
+        # re-reads the by-then-deleted sink state files
         return spark.createDataFrame(out.toPandas())
 
 

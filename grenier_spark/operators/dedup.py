@@ -135,19 +135,27 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     sh = _shingle_rows(df, text_col, id_col, w, word_hash)
 
     def sign(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_ids, out_sigs = [], []
-        for did, grp in pdf.groupby(id_col, sort=False):
-            s = grp.shingle.to_numpy(dtype=np.int64).view(U64)
-            sig = np.empty(n_hashes, dtype=np.int64)
-            for i in range(n_hashes):
-                sig[i] = wang64(s ^ salts[i]).min().astype(np.int64)
-            out_ids.append(did)
-            out_sigs.append(sig.tolist())
-        return pd.DataFrame({id_col: out_ids, "sig": out_sigs})
+        # all docs of the bucket at once: group-sort the shingles, then per
+        # salt one wang64 pass over the WHOLE bucket + a segment-min
+        # (minimum.reduceat) — no per-doc loop, n_hashes vectorized passes
+        pdf = pdf.drop(columns="_b")
+        codes, uniques = pd.factorize(pdf[id_col], sort=False)
+        order = np.argsort(codes, kind="stable")
+        s = pdf["shingle"].to_numpy(dtype=np.int64).view(U64)[order]
+        starts = np.searchsorted(codes[order], np.arange(len(uniques)))
+        sigs = np.empty((len(uniques), n_hashes), dtype=U64)
+        for i in range(n_hashes):
+            sigs[:, i] = np.minimum.reduceat(wang64(s ^ salts[i]), starts)
+        out = sigs.view(np.int64)
+        return pd.DataFrame({id_col: uniques,
+                             "sig": [r.tolist() for r in out]})
 
+    # bucket docs (not one pandas group per doc: per-group overhead would
+    # dominate); shuffle volume is identical — shingle rows keyed by doc
     id_type = df.schema[id_col].dataType.simpleString()
-    return (sh.repartition(F.col(id_col))
-            .groupBy(id_col)
+    return (sh.withColumn("_b", F.pmod(F.xxhash64(F.col(id_col)),
+                                       F.lit(256)))
+            .groupBy("_b")
             .applyInPandas(sign, f"{id_col} {id_type}, sig array<bigint>"))
 
 
