@@ -120,6 +120,78 @@ def _dictionarize(values: np.ndarray):
     return nz.astype(np.int64).view(U64), counts[nz].astype(np.int64)
 
 
+def _grouped_counts(batch: pa.RecordBatch, col: str, codes: np.ndarray,
+                    n_groups: int):
+    """Per-group (distinct_keys, counts, n_values) via ONE composite
+    bincount over ``group_code * V + token`` — the count-sketch fast path
+    generalized to grouped batches.
+
+    Versus routing through :func:`_grouped_column` (token-level group-code
+    repeat, per-group mask scans, gather copies, int64 upcast: ~100 bytes
+    of memory traffic per token), this touches each token ~3x less — and
+    memory traffic is what bounds this box (BENCH/BASELINE.md). Returns
+    None when inapplicable (nulls, negative/huge ids, float keys); callers
+    fall back to the exact generic path. Byte-exact for hll/cms/bloom: the
+    same distinct keys and multiplicities reach the state updates.
+    """
+    arr = batch.column(col)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        offsets = arr.offsets.to_numpy()
+        flat = arr.values.slice(int(offsets[0]),
+                                int(offsets[-1] - offsets[0]))
+        if flat.null_count or arr.null_count:
+            return None
+        values = flat.to_numpy(zero_copy_only=False)
+        if n_groups > 1:
+            vcodes = np.repeat(codes, np.diff(offsets))
+        else:
+            vcodes = None
+    else:
+        if arr.null_count:
+            return None
+        values = arr.to_numpy(zero_copy_only=False)
+        vcodes = codes if n_groups > 1 else None
+    if len(values) < 8192 or not np.issubdtype(values.dtype, np.integer):
+        return None
+    vmax = int(values.max())
+    if int(values.min()) < 0 or (vmax + 1) * n_groups >= _VOCAB_LIMIT:
+        return None
+    v_span = vmax + 1
+    if vcodes is None:
+        counts = np.bincount(values, minlength=v_span)
+    else:
+        # composite key built in place in the repeat buffer: two fewer
+        # token-scale allocations/write passes than `vcodes * V + values`
+        comp = vcodes if vcodes.base is None and vcodes is not codes \
+            else vcodes.astype(np.int64)
+        np.multiply(comp, np.int64(v_span), out=comp)
+        np.add(comp, values, out=comp, casting="unsafe")
+        counts = np.bincount(comp, minlength=n_groups * v_span)
+    out = []
+    for g in range(n_groups):
+        sl = counts[g * v_span:(g + 1) * v_span]
+        nz = np.flatnonzero(sl)
+        gcounts = sl[nz]
+        out.append((nz.astype(np.int64).view(U64), gcounts,
+                    int(gcounts.sum())))
+    return out
+
+
+def _update_from_counts(state, spec: SketchSpec, keys: np.ndarray,
+                        counts: np.ndarray) -> None:
+    """Apply a (distinct keys, multiplicities) histogram — identical state
+    transitions to feeding the raw stream (max-merge HLL, weighted CMS add,
+    idempotent Bloom bits)."""
+    if not len(keys):
+        return
+    if spec.kind == "hll":
+        hll.add_batch(state, wang64(keys))
+    elif spec.kind == "cms":
+        state.update_batch(keys, weights=counts)
+    else:
+        state.update_batch(keys)
+
+
 def _update(state, spec: SketchSpec, values: np.ndarray) -> None:
     if not len(values):
         return
@@ -261,6 +333,12 @@ class _Accumulator:
         self.out_schema = out_schema
         self.arrow_schema = arrow_schema
         self.kind_of = {s.name: s.kind for s in specs}
+        # columns consumed ONLY by count-sketches can ride the composite-
+        # bincount fast path (quantile/sum sketches need the raw stream)
+        self.countable = {
+            c: all(s.kind in ("hll", "cms", "bloom")
+                   for s in specs if s.column == c)
+            for c in value_cols}
         self.states: dict = {}   # (gkey, spec_name) -> state
         self.counts: dict = {}   # (gkey, spec_name) -> [rows, values]
         self.t0 = time.monotonic()
@@ -269,7 +347,14 @@ class _Accumulator:
         if batch.num_rows == 0:
             return
         group_cols = self.group_cols
-        if group_cols:
+        if len(group_cols) == 1 and batch.column(group_cols[0]).null_count == 0:
+            # single non-null group column: Arrow dictionary_encode gives
+            # codes + uniques C-side (pandas to_pandas + factorize on a
+            # string column costs ~0.5 us/row of pure Python-object churn)
+            enc = batch.column(group_cols[0]).dictionary_encode()
+            codes = enc.indices.to_numpy().astype(np.int64, copy=False)
+            gkeys = [(u,) for u in enc.dictionary.to_pylist()]
+        elif group_cols:
             gdf = pd.DataFrame(
                 {c: batch.column(c).to_pandas() for c in group_cols})
             key_obj = (pd.MultiIndex.from_frame(gdf) if len(group_cols) > 1
@@ -289,21 +374,33 @@ class _Accumulator:
         else:
             codes = np.zeros(batch.num_rows, dtype=np.int64)
             gkeys = [()]
-        grouped = {c: _grouped_column(batch, c, codes, len(gkeys))
-                   for c in self.value_cols}
+        grouped: dict = {}
+        counted: dict = {}
+        for c in self.value_cols:
+            gc = (_grouped_counts(batch, c, codes, len(gkeys))
+                  if self.countable[c] else None)
+            if gc is not None:
+                counted[c] = gc
+            else:
+                grouped[c] = _grouped_column(batch, c, codes, len(gkeys))
         row_counts = np.bincount(codes, minlength=len(gkeys))
         for g, gkey in enumerate(gkeys):
             for spec in self.specs:
-                vals, bounds = grouped[spec.column]
-                gvals = vals[bounds[g]:bounds[g + 1]]
                 key = (gkey, spec.name)
                 st = self.states.get(key)
                 if st is None:
                     st = self.states.setdefault(key, _new_state(spec))
-                _update(st, spec, gvals)
                 cnt = self.counts.setdefault(key, [0, 0])
                 cnt[0] += int(row_counts[g])
-                cnt[1] += len(gvals)
+                if spec.column in counted:
+                    keys, gcounts, nvals = counted[spec.column][g]
+                    _update_from_counts(st, spec, keys, gcounts)
+                    cnt[1] += nvals
+                else:
+                    vals, bounds = grouped[spec.column]
+                    gvals = vals[bounds[g]:bounds[g + 1]]
+                    _update(st, spec, gvals)
+                    cnt[1] += len(gvals)
 
     def flush(self) -> "pa.RecordBatch | None":
         if not self.states:
