@@ -153,11 +153,13 @@ def run_default():
     from grenier_spark.sources import synth
     synth.TIERS["docs_bench"] = BENCH_DOCS
     docs_path = ensure_documents(spark, "docs_bench")
+    spark.read.parquet(docs_path).count()  # page-cache warm (the scaling
+    # workers always did this; without it rep1 pays a cold virtio read)
     warm_python_workers(spark, docs_path)
 
     timings: dict[str, float] = {}
     reps = []
-    for i in range(2):  # this VM shows 2-3x co-tenant noise: report both
+    for i in range(3):  # this VM shows 2-10x co-tenant noise: min-of-3
         t0 = time.perf_counter()
         out = sketch_build_job(spark, docs_path, CPUS * 4)
         reps.append(round(time.perf_counter() - t0, 3))
