@@ -123,3 +123,23 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bdemo.lineitem_b")
         spark.sql("DROP TABLE IF EXISTS bdemo.orders_b")
         spark.sql("DROP DATABASE IF EXISTS bdemo")
+
+
+def test_set_ops_single_job_two_exchanges(spark):
+    """The set-ops gate query must stay ONE declarative plan: a hash
+    Exchange for the per-customer year flags plus the single-partition
+    Exchange of the global aggregate — and no intersect/except operators
+    (round-1 shape ran three driver-side .count() jobs)."""
+    plan = plan_of(entry_mod.q_set_ops_customers(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_quantile_bound_gate_broadcasts_estimates(spark):
+    """The rank-condition join in the KLL/t-digest gates streams the RAW
+    table once and broadcasts the (group x quantile) estimate rows — the
+    raw side must never shuffle for this join."""
+    for q in (entry_mod.q_nchars_quantiles_kll,
+              entry_mod.q_value_quantiles_tdigest):
+        plan = plan_of(q(spark, SF))
+        assert "BroadcastHashJoin" in plan, plan
