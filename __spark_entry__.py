@@ -37,7 +37,8 @@ from pyspark.sql.functions import pandas_udf
 from grenier_spark.functions import (hll_card_col, jump_bucket_col,
                                      kll_quantiles_col, tdigest_quantiles_col,
                                      wang64_col)
-from grenier_spark.functions.sql_oracles import (ann_rademacher_sql,
+from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
+                                                 ann_rademacher_sql,
                                                  bloom_membership_sql,
                                                  cms_cells_sql,
                                                  cms_point_sql,
@@ -513,6 +514,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-10 for 3 queries — the inverted-file scale
+    path alongside LSH; whole chain (sampled centroids, round-6 cell
+    argmax, n_probe cells, exact re-rank) carries a value-exact oracle."""
+    from grenier_spark.operators.similarity import ivf_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    queries = (em.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return (ivf_topk(em, queries, k=10, n_centroids=16, n_probe=4)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", "cos_sim")
+            .orderBy("query_id", "rank"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing with a FULL oracle: binary payloads (UTF-8 bytes
     of document text, so DuckDB can reconstruct them) -> mapInPandas
@@ -871,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_dups": q_simhash_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
     }
 
@@ -1164,6 +1181,12 @@ SELECT COALESCE(n_name, 'ALL') AS nation,
        SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))::BIGINT AS acctbal_cents
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, c_mktsegment)""",
+        "ann_ivf_topk": ann_ivf_sql(
+            "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
+            "FROM embeddings",
+            "SELECT vec_id::BIGINT AS qid, embedding::DOUBLE[] AS v "
+            "FROM embeddings ORDER BY vec_id LIMIT 3",
+            k=10, n_centroids=16, n_probe=4),
         "ann_lsh_topk": ann_rademacher_sql(
             "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
             "FROM embeddings",

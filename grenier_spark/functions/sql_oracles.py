@@ -396,6 +396,66 @@ SELECT qid AS query_id, rank::BIGINT AS rank, id AS vec_id,
 FROM ranked WHERE rank <= {k}"""
 
 
+def ann_ivf_sql(vectors_sql: str, queries_sql: str, k: int = 10,
+                n_centroids: int = 16, n_probe: int = 4) -> str:
+    """IVF-flat top-k matching ``similarity.ivf_topk`` value-for-value:
+    sampled centroids = the ``n_centroids`` lowest-id vectors; cell
+    assignment by round-6-quantized cosine argmax (ties -> lowest cell
+    id); queries probe their ``n_probe`` best cells; exact cosine re-rank
+    ordered by the round-6 value, tie-broken by id. Quantization contract
+    identical to :func:`ann_rademacher_sql` (summation-order-independent;
+    numpy banker's vs DuckDB half-away rounding differs only on exact
+    0.5e-6 ties — measure-zero, documented).
+
+    ``vectors_sql`` -> (id, v DOUBLE[]); ``queries_sql`` -> (qid, v).
+    Returns (query_id, rank, vec_id, cos_sim round-6).
+    """
+    return f"""
+WITH v AS (SELECT id, v FROM ({vectors_sql})),
+q AS (SELECT qid, v FROM ({queries_sql})),
+c AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+      FROM (SELECT * FROM v ORDER BY id LIMIT {n_centroids})),
+vcos AS (
+  SELECT v.id, c.cid,
+         round(list_inner_product(v.v, c.cv) /
+               (sqrt(list_inner_product(v.v, v.v)) *
+                sqrt(list_inner_product(c.cv, c.cv))), 6) AS cos6
+  FROM v CROSS JOIN c
+),
+vc AS (SELECT id, cid AS cell FROM (
+         SELECT id, cid, row_number() OVER (PARTITION BY id
+                  ORDER BY cos6 DESC, cid ASC) AS rn FROM vcos)
+       WHERE rn = 1),
+qcos AS (
+  SELECT q.qid, c.cid,
+         round(list_inner_product(q.v, c.cv) /
+               (sqrt(list_inner_product(q.v, q.v)) *
+                sqrt(list_inner_product(c.cv, c.cv))), 6) AS cos6
+  FROM q CROSS JOIN c
+),
+qc AS (SELECT qid, cid AS cell FROM (
+         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos6 DESC, cid ASC) AS rn FROM qcos)
+       WHERE rn <= {n_probe}),
+cands AS (SELECT DISTINCT qc.qid, vc.id
+          FROM vc JOIN qc ON vc.cell = qc.cell),
+scored AS (
+  SELECT cd.qid, cd.id,
+         list_inner_product(vv.v, qq.v) /
+         (sqrt(list_inner_product(vv.v, vv.v)) *
+          sqrt(list_inner_product(qq.v, qq.v))) AS cos
+  FROM cands cd JOIN v vv ON vv.id = cd.id JOIN q qq ON qq.qid = cd.qid
+), ranked AS (
+  SELECT qid, id, round(cos, 6) AS cos6,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(cos, 6) DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, rank::BIGINT AS rank, id AS vec_id,
+       cos6 AS cos_sim
+FROM ranked WHERE rank <= {k}"""
+
+
 def md5_low64_expr(col: str) -> str:
     """UHUGEINT from the first 16 hex chars of md5 — DuckDB twin of Spark
     ``conv(substring(md5(col), 1, 16), 16, -10)`` (same bits, unsigned)."""

@@ -117,6 +117,69 @@ def cosine_neardup_pairs(vectors: DataFrame, tau: float = 0.9,
             .where(F.col("cos_sim") >= tau))
 
 
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id") -> DataFrame:
+    """IVF-flat approximate top-k (inverted-file ANN — the second scale
+    path alongside :func:`lsh_topk`): vectors are assigned to the cell of
+    their nearest coarse centroid, queries probe their ``n_probe`` nearest
+    cells, and only those cells' members are exactly re-ranked. Candidate
+    generation is a cell-id equi-join — shuffle on the cell id only, never
+    an all-pairs product.
+
+    The coarse quantizer is SAMPLED centroids: the ``n_centroids``
+    lowest-id vectors (deterministic, and — unlike k-means iterates —
+    exactly reproducible in the DuckDB oracle, ``sql_oracles.ann_ivf_sql``).
+    k-means refinement of the same centroid matrix is a drop-in (the
+    assignment/probe/re-rank plan is identical); at 100TB the sample comes
+    from a bounded ``limit`` exactly as here. Cross-engine determinism is
+    by round-6 quantization of assignment cosines (ties -> lowest cell id)
+    and of the re-rank ordering, same contract as
+    :func:`lsh_topk_rademacher`.
+    """
+    cents = (vectors.orderBy(id_col).limit(n_centroids)
+             .select(F.transform(vec_col, lambda x: x.cast("double"))
+                     .alias("cv")).toPandas())
+    C = np.asarray([np.asarray(v, dtype=np.float64) for v in cents["cv"]])
+    cnorm = np.sqrt((C * C).sum(axis=1))
+
+    def _cos_to_cents(vs: pd.Series) -> np.ndarray:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        vnorm = np.sqrt((mat * mat).sum(axis=1))
+        return np.round((mat @ C.T) / (vnorm[:, None] * cnorm[None, :]), 6)
+
+    @pandas_udf("int")
+    def _cell_of(vs: pd.Series) -> pd.Series:
+        # argmax on the ROUNDED cosines; np.argmax takes the first maximum,
+        # i.e. ties break to the lowest cell id — mirrored by the oracle's
+        # row_number() ORDER BY cos6 DESC, cid ASC
+        return pd.Series(np.argmax(_cos_to_cents(vs), axis=1)
+                         .astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def _probe_cells(vs: pd.Series) -> pd.Series:
+        cos6 = _cos_to_cents(vs)
+        # stable argsort of -cos6: equal (rounded) cosines keep ascending
+        # cell-id order — the oracle's ORDER BY cos6 DESC, cid ASC twin
+        order = np.argsort(-cos6, axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe].astype(np.int32)))
+
+    v_cells = vectors.select(id_col, vec_col,
+                             _cell_of(F.col(vec_col)).alias("cell"))
+    q_cells = (queries.select(qid_col, F.col(vec_col).alias("qv"),
+                              F.explode(_probe_cells(F.col(vec_col)))
+                              .alias("cell")))
+    cands = (v_cells.join(q_cells, "cell")
+             .dropDuplicates([qid_col, id_col]))
+    cos = _dot(vec_col, "qv") / (F.sqrt(_dot(vec_col, vec_col))
+                                 * F.sqrt(_dot("qv", "qv")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (cands.select(qid_col, id_col, F.round(cos, 6).alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def rademacher_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic ±1 hyperplanes from splitmix64 bit 0 — sign-random
     projections (Achlioptas 2003) with no RNG state, so the identical

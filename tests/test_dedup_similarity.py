@@ -208,3 +208,36 @@ def test_winnow_fingerprints_properties(spark):
     assert len(got[1] & got[3]) >= 1          # shared prefix survives
     assert got[4] == set()                    # shorter than k
     assert len(got[1] & got[5]) == 0          # disjoint content
+
+
+def test_ivf_topk_planted_copies_and_determinism(spark, embeddings):
+    """IVF-flat: a perturbed copy of a vector must land in its source's
+    cell (near-identical cosine profile to the centroids) and come back as
+    the top-1 neighbor when queried; results are partitioning-invariant."""
+    import pandas as pd
+
+    base = embeddings.orderBy("vec_id").limit(40).toPandas()
+    plants = base.head(5).copy()
+    plants["vec_id"] = plants.vec_id + 1_000_000
+    plants["embedding"] = plants.embedding.map(
+        lambda v: [float(v[0]) + 0.05] + [float(x) for x in v[1:]])
+    base["embedding"] = base.embedding.map(
+        lambda v: [float(x) for x in v])
+    full = spark.createDataFrame(pd.concat([base, plants],
+                                           ignore_index=True))
+    queries = (full.where("vec_id >= 1000000")
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = similarity.ivf_topk(full, queries, k=3, n_centroids=8,
+                              n_probe=2).toPandas()
+    for qid in queries.toPandas().query_id:
+        top = got[(got.query_id == qid) & (got["rank"] == 1)]
+        # rank 1 is the planted copy itself (cos 1.0); rank 2 its source
+        nxt = got[(got.query_id == qid) & (got["rank"] == 2)]
+        assert int(top.vec_id.iloc[0]) == int(qid)
+        assert int(nxt.vec_id.iloc[0]) == int(qid) - 1_000_000, qid
+
+    again = similarity.ivf_topk(full.repartition(7), queries, k=3,
+                                n_centroids=8, n_probe=2).toPandas()
+    key = ["query_id", "rank"]
+    assert got.sort_values(key).vec_id.tolist() == \
+        again.sort_values(key).vec_id.tolist()
