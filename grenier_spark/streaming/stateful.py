@@ -60,6 +60,66 @@ def hll_state_stream(stream_df, group_col: str, tokens_col: str = "tokens",
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def lossy_state_stream(stream_df, group_col: str, tokens_col: str = "tokens",
+                       support: float = 0.01,
+                       error_tolerance: float = 0.001,
+                       order_col: str = "doc_id"):
+    """Streaming heavy hitters: per-group single-stream lossy counting
+    (reference countish/lossy.ml semantics, core/countish.py quirks kept)
+    whose summary lives in the state store as parallel (token, f, delta)
+    arrays + n — KB-sized regardless of token volume.
+
+    Each trigger extends the SAME counter, so the state after k triggers
+    equals a batch counter fed the concatenated stream (asserted vs the
+    numpy counter in tests, including across a query restart). Rows within
+    a trigger are processed in ``order_col`` order, making the per-trigger
+    update deterministic under Arrow chunking; emission per trigger is the
+    current report: tokens with ``(f + delta)/n >= support`` as
+    (group, token, est_freq, f, n) in update mode.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..core.countish import LossyCounter
+
+    out_schema = (f"{group_col} string, token bigint, est_freq double, "
+                  "f bigint, n bigint")
+    state_schema = ("tokens array<bigint>, fs array<double>, "
+                    "deltas array<double>, n bigint")
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        lc = LossyCounter(support, error_tolerance)
+        if state.exists:
+            toks, fs, deltas, n = state.get
+            lc.n = int(n)
+            lc.f = {int(t): float(v) for t, v in zip(toks, fs)}
+            lc.delta = {int(t): float(v) for t, v in zip(toks, deltas)}
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True)
+            if order_col in rows.columns:
+                rows = rows.sort_values(order_col, kind="stable")
+            flat = [np.asarray(v, dtype=np.int64)
+                    for v in rows[tokens_col] if v is not None]
+            if flat:
+                lc.observe_batch(np.concatenate(flat))
+        items = sorted(lc.f.keys())
+        state.update(([int(t) for t in items],
+                      [float(lc.f[t]) for t in items],
+                      [float(lc.delta[t]) for t in items], lc.n))
+        n = float(lc.n) if lc.n else 1.0
+        rep = [(t, (lc.f[t] + lc.delta[t]) / n, int(lc.f[t]), lc.n)
+               for t in items if (lc.f[t] + lc.delta[t]) / n >= support]
+        yield pd.DataFrame({group_col: [key[0]] * len(rep),
+                            "token": [r[0] for r in rep],
+                            "est_freq": [r[1] for r in rep],
+                            "f": [r[2] for r in rep],
+                            "n": [r[3] for r in rep]})
+
+    return (stream_df.groupBy(group_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def windowed_hll_stream(stream_df, ts_col: str, group_col: str,
                         key_col: str, window: str = "1 hour",
                         watermark: str = "10 minutes", p: int = 12):

@@ -293,3 +293,70 @@ def test_windowed_hll_stream_non_utc_session_timezone(spark, tmp_path):
         assert finals.get(0) == 2 and finals.get(1) == 1, finals
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_lossy_state_stream_matches_batch_counter(spark, tmp_path):
+    """Streaming lossy counting: state after two triggers (split across a
+    query RESTART on one checkpoint) must equal a batch LossyCounter fed
+    the concatenated per-source stream in doc order — (token, f, n)
+    exact, report thresholds included."""
+    import numpy as np
+
+    from grenier_spark.core.countish import LossyCounter
+    from grenier_spark.sources.synth import generate_rows
+    from grenier_spark.streaming.stateful import lossy_state_stream
+
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    import os
+    os.makedirs(src_dir, exist_ok=True)
+    # write the two trigger batches as separate parquet files
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for part, (a, b) in enumerate([(0, 100), (100, 200)]):
+        df = generate_rows(a, b)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       f"{src_dir}/part-{part:05d}.parquet")
+
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    SUP, EPS = 0.01, 0.002
+
+    collected = []
+
+    def run_once():
+        # foreachBatch sink: supports checkpoint recovery (the memory sink
+        # does not), so the second start RESUMES the state store
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "16").parquet(src_dir))
+        out = lossy_state_stream(stream, "source", "tokens", SUP, EPS)
+        q = (out.writeStream.outputMode("update")
+             .foreachBatch(lambda df, bid: collected.append(df.toPandas()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # first run sees only file 0 (file 1 moved away), second run sees both
+    hidden = str(tmp_path / "hidden.parquet")
+    os.replace(f"{src_dir}/part-00001.parquet", hidden)
+    run_once()
+    os.replace(hidden, f"{src_dir}/part-00001.parquet")
+    run_once()
+    import pandas as pd
+    emitted = pd.concat([c for c in collected if len(c)],
+                        ignore_index=True)
+
+    rows = generate_rows(0, 200)
+    for src in ["web", "books", "code", "wiki"]:
+        toks = np.concatenate(
+            [t for t, s in zip(rows.tokens, rows.source) if s == src]
+        ).astype(np.int64)
+        lc = LossyCounter(SUP, EPS)
+        lc.observe_batch(toks)
+        n = float(lc.n)
+        expect = {(int(t), int(lc.f[t]), lc.n) for t in lc.f
+                  if (lc.f[t] + lc.delta[t]) / n >= SUP}
+        got_src = emitted[emitted.source == src]
+        # last trigger's emission = rows with the final n
+        final_n = got_src.n.max()
+        got = {(int(r.token), int(r.f), int(r.n))
+               for r in got_src[got_src.n == final_n].itertuples()}
+        assert got == expect, (src, len(got), len(expect))
