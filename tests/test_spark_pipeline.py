@@ -276,3 +276,71 @@ def test_null_tokens_dropped_not_mangled(spark):
                                         dtype=np.int64).view(U64)))
     assert bytes(hll.to_bytes(got)) == bytes(hll.to_bytes(want))
     assert res[0].n_values == 3  # nulls not counted
+
+
+def test_grouped_counts_equals_generic_path_fuzz():
+    """The composite-bincount fast path must produce byte-identical sketch
+    states to the generic grouped path for every applicable batch shape —
+    and correctly decline (fall back) on nulls / negatives / huge ids.
+    Pure-numpy fuzz, no Spark session."""
+    import numpy as np
+    import pyarrow as pa
+
+    from grenier_spark.core import hll
+    from grenier_spark.operators.sketch_build import (SketchSpec,
+                                                      _grouped_column,
+                                                      _grouped_counts,
+                                                      _new_state, _update,
+                                                      _update_from_counts)
+
+    rng = np.random.default_rng(7)
+    specs = [SketchSpec.of("h", "hll", "v", p=10),
+             SketchSpec.of("c", "cms", "v", depth=3, width=256, seed=7),
+             SketchSpec.of("b", "bloom", "v", m=1 << 14, k=4, seed=7)]
+
+    def states_equal(a, b, kind):
+        if kind == "hll":
+            return hll.to_bytes(a) == hll.to_bytes(b)
+        return a.to_bytes() == b.to_bytes()
+
+    for trial in range(40):
+        n_rows = int(rng.integers(1, 400))
+        n_groups = int(rng.integers(1, 6))
+        codes = rng.integers(0, n_groups, size=n_rows).astype(np.int64)
+        # ensure every group id occurs so bincount bounds line up
+        codes[:n_groups] = np.arange(n_groups)
+        scalar = bool(rng.integers(0, 2))
+        lo = 0 if rng.integers(0, 2) else -3          # sometimes negatives
+        hi = [60_000, 9_000_000][int(rng.integers(0, 2))]  # sometimes huge
+        if scalar:
+            vals = rng.integers(lo, hi, size=n_rows).astype(np.int64)
+            arr = pa.array(vals)
+        else:
+            lens = rng.integers(0, 300, size=n_rows)
+            flat = rng.integers(lo, hi, size=int(lens.sum())).astype(np.int64)
+            offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            arr = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat))
+        batch = pa.RecordBatch.from_arrays([arr], ["v"])
+
+        gc = _grouped_counts(batch, "v", codes, n_groups)
+        vals_b, bounds = _grouped_column(batch, "v", codes, n_groups)
+
+        for spec in specs:
+            for g in range(n_groups):
+                ref = _new_state(spec)
+                _update(ref, spec, vals_b[bounds[g]:bounds[g + 1]])
+                if gc is not None:
+                    got = _new_state(spec)
+                    keys, cnts, nv = gc[g]
+                    _update_from_counts(got, spec, keys, cnts)
+                    assert states_equal(got, ref, spec.kind), \
+                        (trial, spec.kind, g)
+                    assert nv == bounds[g + 1] - bounds[g]
+        # declination contract: the fast path must refuse batches whose
+        # keys are negative or whose composite range exceeds the limit
+        flat_np = (vals if scalar
+                   else flat if len(flat) else np.empty(0, dtype=np.int64))
+        if len(flat_np) >= 8192:
+            applicable = (int(flat_np.min()) >= 0 and
+                          (int(flat_np.max()) + 1) * n_groups < (1 << 22))
+            assert (gc is not None) == applicable, trial
