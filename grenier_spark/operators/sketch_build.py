@@ -458,7 +458,11 @@ def build_sketches_from_files(spark, files: "list[str]",
                            arrow_schema)
         for b in batches:
             for path in b.column("path").to_pylist():
-                tbl = pq.read_table(path, columns=need_cols)
+                # use_threads=False: parallelism is one task per file; an
+                # Arrow thread pool per concurrent task oversubscribes the
+                # box (measured 6x wall blowup under load at 64 tasks)
+                tbl = pq.read_table(path, columns=need_cols,
+                                    use_threads=False)
                 for rb in tbl.to_batches(max_chunksize=batch_rows):
                     acc.feed(rb)
         out = acc.flush()
