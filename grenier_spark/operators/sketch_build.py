@@ -135,27 +135,30 @@ def _grouped_counts(batch: pa.RecordBatch, col: str, codes: np.ndarray,
     same distinct keys and multiplicities reach the state updates.
     """
     arr = batch.column(col)
-    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+    is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+    if is_list:
         offsets = arr.offsets.to_numpy()
         flat = arr.values.slice(int(offsets[0]),
                                 int(offsets[-1] - offsets[0]))
         if flat.null_count or arr.null_count:
             return None
         values = flat.to_numpy(zero_copy_only=False)
-        if n_groups > 1:
-            vcodes = np.repeat(codes, np.diff(offsets))
-        else:
-            vcodes = None
     else:
         if arr.null_count:
             return None
         values = arr.to_numpy(zero_copy_only=False)
-        vcodes = codes if n_groups > 1 else None
+    # applicability checks BEFORE the token-scale repeat: a column that
+    # declines every batch (md5-range ids) must not pay a wasted 8B/token
+    # write first
     if len(values) < 8192 or not np.issubdtype(values.dtype, np.integer):
         return None
     vmax = int(values.max())
     if int(values.min()) < 0 or (vmax + 1) * n_groups >= _VOCAB_LIMIT:
         return None
+    if n_groups > 1:
+        vcodes = np.repeat(codes, np.diff(offsets)) if is_list else codes
+    else:
+        vcodes = None
     v_span = vmax + 1
     if vcodes is None:
         counts = np.bincount(values, minlength=v_span)
