@@ -417,7 +417,10 @@ def run_scaling_pairs():
           "the dictionary fast path (memory-bandwidth-bound on this single "
           "guest), the high-cardinality job hashes every key individually "
           "(compute-bound — the regime a real multi-executor cluster runs "
-          "in, since each executor owns its memory bus).\n\n"
+          "in, since each executor owns its memory bus). Token workers use "
+          "task.cpus=2 at >=4 slots (each Arrow-pipeline task runs a JVM "
+          "feeder thread + a Python worker); the hash job generates keys "
+          "worker-side, so it stays at task.cpus=1.\n\n"
           + "\n\n".join(tables) + "\n")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     open(os.path.join(REPO, "BENCH", "SCALING_PAIRS_LAST.md"), "w").write(md)
