@@ -253,18 +253,35 @@ def q_tpch_q3_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("revenue_e4"), F.asc("l_orderkey")).limit(10))
 
 
-def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups by content hash (operators/dedup.py). Empty on
-    dup-free inputs — the oracle matches either way."""
-    from grenier_spark.operators.dedup import exact_dup_groups
-
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + exact copies of the 5 lowest-id docs at doc_id+10^7 —
+    the sf fixtures are dup-free, so without planting the dedup gates
+    would green-match on empty outputs. Twin SQL in the oracles."""
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text")
-    g = exact_dup_groups(docs)
+    plants = (docs.orderBy("doc_id").limit(5)
+              .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text"))
+    return docs.unionByName(plants)
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash (operators/dedup.py) over
+    documents with 5 planted exact copies."""
+    from grenier_spark.operators.dedup import exact_dup_groups
+
+    g = exact_dup_groups(_docs_with_planted_dups(spark, sf_dir))
     return g.select("content_hash", "n_copies", "keep_id",
                     F.concat_ws(",", F.transform(
                         "all_ids", lambda x: x.cast("string")))
                     .alias("dup_ids"))
+
+
+def q_exact_dup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-per-member exact-dup output (dedup.exact_dup_members) — the
+    unbounded-cluster-safe shape: no per-group array, one row per copy."""
+    from grenier_spark.operators.dedup import exact_dup_members
+
+    return exact_dup_members(_docs_with_planted_dups(spark, sf_dir))
 
 
 def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,11 +338,15 @@ def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("o_custkey")
              .agg(F.max(F.when(y == 1996, 1).otherwise(0)).alias("in96"),
                   F.max(F.when(y == 1997, 1).otherwise(0)).alias("in97")))
+    # coalesce: sum() over an EMPTY flags frame (no 1996/97 orders) is NULL
+    # while the DuckDB oracle's COUNT-based twin emits 0
     return flags.agg(
-        F.sum(F.when((F.col("in96") == 1) & (F.col("in97") == 1), 1)
-              .otherwise(0)).cast("long").alias("both"),
-        F.sum(F.when((F.col("in96") == 1) & (F.col("in97") == 0), 1)
-              .otherwise(0)).cast("long").alias("only_1996"),
+        F.coalesce(
+            F.sum(F.when((F.col("in96") == 1) & (F.col("in97") == 1), 1)
+                  .otherwise(0)), F.lit(0)).cast("long").alias("both"),
+        F.coalesce(
+            F.sum(F.when((F.col("in96") == 1) & (F.col("in97") == 0), 1)
+                  .otherwise(0)), F.lit(0)).cast("long").alias("only_1996"),
         F.count(F.lit(1)).alias("either"))
 
 
@@ -873,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sticky_sample_tokens": q_sticky_sample_tokens,
         "tpch_q3_join": q_tpch_q3_join,
         "exact_dup_groups": q_exact_dup_groups,
+        "exact_dup_members": q_exact_dup_members,
         "doc_quality_scores": q_doc_quality_scores,
         "orders_by_month": q_orders_by_month,
         "order_gap_window": q_order_gap_window,
@@ -1111,12 +1133,40 @@ JOIN customer ON o_custkey = c_custkey AND c_mktsegment IS NOT NULL
 GROUP BY l_orderkey
 ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10""",
         "exact_dup_groups": """
-SELECT content_hash, n_copies, keep_id, dup_ids FROM (
-  SELECT md5(text) AS content_hash, COUNT(*)::BIGINT AS n_copies,
-         MIN(doc_id)::BIGINT AS keep_id,
-         string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS dup_ids
-  FROM documents GROUP BY md5(text)
-) WHERE n_copies > 1""",
+WITH docs_planted AS (
+  SELECT doc_id::BIGINT AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM (
+    SELECT doc_id::BIGINT AS doc_id, text FROM documents
+    ORDER BY doc_id LIMIT 5)
+),
+ranked AS (
+  SELECT md5(text) AS content_hash, doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM docs_planted
+)
+SELECT content_hash, n_copies::BIGINT AS n_copies,
+       MIN(doc_id)::BIGINT AS keep_id,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS dup_ids
+FROM ranked WHERE rn <= 100
+GROUP BY content_hash, n_copies HAVING n_copies > 1""",
+        "exact_dup_members": """
+WITH docs_planted AS (
+  SELECT doc_id::BIGINT AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM (
+    SELECT doc_id::BIGINT AS doc_id, text FROM documents
+    ORDER BY doc_id LIMIT 5)
+),
+ranked AS (
+  SELECT md5(text) AS content_hash, doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM docs_planted
+)
+SELECT content_hash, doc_id, (rn = 1) AS is_keep
+FROM ranked WHERE n_copies > 1""",
         "doc_quality_scores": """
 WITH per_doc AS (
   SELECT source,

@@ -367,8 +367,6 @@ def run_scaling_pairs():
     """
     import subprocess
 
-    import subprocess
-
     levels = (1, 4, 2, 8)
     jobs = ("--scaling-worker", "--scaling-worker-hash")
     results = {(j, c): float("inf") for j in jobs for c in levels}

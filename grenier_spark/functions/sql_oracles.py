@@ -410,6 +410,12 @@ def ann_ivf_sql(vectors_sql: str, queries_sql: str, k: int = 10,
     ``vectors_sql`` -> (id, v DOUBLE[]); ``queries_sql`` -> (qid, v).
     Returns (query_id, rank, vec_id, cos_sim round-6).
     """
+    # norm1(): zero-norm vectors divide by 1 instead of 0, yielding cosine
+    # exactly 0.0 — the twin of similarity.ivf_topk's np.where/when guard
+    def norm1(x):
+        return (f"(CASE WHEN list_inner_product({x}, {x}) = 0 THEN 1 "
+                f"ELSE sqrt(list_inner_product({x}, {x})) END)")
+
     return f"""
 WITH v AS (SELECT id, v FROM ({vectors_sql})),
 q AS (SELECT qid, v FROM ({queries_sql})),
@@ -418,8 +424,7 @@ c AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
 vcos AS (
   SELECT v.id, c.cid,
          round(list_inner_product(v.v, c.cv) /
-               (sqrt(list_inner_product(v.v, v.v)) *
-                sqrt(list_inner_product(c.cv, c.cv))), 6) AS cos6
+               ({norm1('v.v')} * {norm1('c.cv')}), 6) AS cos6
   FROM v CROSS JOIN c
 ),
 vc AS (SELECT id, cid AS cell FROM (
@@ -429,8 +434,7 @@ vc AS (SELECT id, cid AS cell FROM (
 qcos AS (
   SELECT q.qid, c.cid,
          round(list_inner_product(q.v, c.cv) /
-               (sqrt(list_inner_product(q.v, q.v)) *
-                sqrt(list_inner_product(c.cv, c.cv))), 6) AS cos6
+               ({norm1('q.v')} * {norm1('c.cv')}), 6) AS cos6
   FROM q CROSS JOIN c
 ),
 qc AS (SELECT qid, cid AS cell FROM (
@@ -442,8 +446,7 @@ cands AS (SELECT DISTINCT qc.qid, vc.id
 scored AS (
   SELECT cd.qid, cd.id,
          list_inner_product(vv.v, qq.v) /
-         (sqrt(list_inner_product(vv.v, vv.v)) *
-          sqrt(list_inner_product(qq.v, qq.v))) AS cos
+         ({norm1('vv.v')} * {norm1('qq.v')}) AS cos
   FROM cands cd JOIN v vv ON vv.id = cd.id JOIN q qq ON qq.qid = cd.qid
 ), ranked AS (
   SELECT qid, id, round(cos, 6) AS cos6,

@@ -32,16 +32,45 @@ from ..core.bits import U64, splitmix64_scalar, wang64
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id", max_ids: int = 100) -> DataFrame:
     """Groups of byte-identical documents: (content_hash, n_copies, keep_id,
-    dup_ids). Pure JVM plan — hash, shuffle on hash, aggregate."""
+    all_ids). Pure JVM plan — hash, ONE shuffle on hash (the window and the
+    groupBy share the partitioning), aggregate.
+
+    ``n_copies`` is exact but ``all_ids`` is capped at ``max_ids`` per
+    group: at web scale a degenerate dup cluster (empty strings,
+    boilerplate pages) holds millions of ids, and an uncapped
+    ``collect_list`` would buffer them all into one row. Row-level
+    membership without any array lives in :func:`exact_dup_members`.
+    """
     h = F.md5(F.col(text_col)).alias("content_hash")
-    return (df.select(h, F.col(id_col))
+    wp = Window.partitionBy("content_hash")
+    ranked = (df.select(h, F.col(id_col))
+              .withColumn("rn", F.row_number().over(wp.orderBy(id_col)))
+              .withColumn("n_copies", F.count(F.lit(1)).over(wp)))
+    return (ranked.where(F.col("rn") <= max_ids)
             .groupBy("content_hash")
-            .agg(F.count(F.lit(1)).alias("n_copies"),
+            .agg(F.max("n_copies").alias("n_copies"),
                  F.min(id_col).alias("keep_id"),
                  F.sort_array(F.collect_list(id_col)).alias("all_ids"))
             .where("n_copies > 1"))
+
+
+def exact_dup_members(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Row-per-member exact-dup output: (content_hash, doc id, is_keep).
+    The unbounded-cluster-safe form of :func:`exact_dup_groups` — no
+    per-group array anywhere, so a million-copy boilerplate cluster is a
+    million ordinary rows. ``is_keep`` marks the lowest id of each group
+    (the survivor a dedup pass retains)."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    wp = Window.partitionBy("content_hash")
+    ranked = (df.select(h, F.col(id_col))
+              .withColumn("rn", F.row_number().over(wp.orderBy(id_col)))
+              .withColumn("n_copies", F.count(F.lit(1)).over(wp)))
+    return (ranked.where("n_copies > 1")
+            .select("content_hash", id_col,
+                    (F.col("rn") == 1).alias("is_keep")))
 
 
 def _shingle_hashes(df: DataFrame, text_col: str, w: int) -> DataFrame:
@@ -255,29 +284,99 @@ def simhash64(df: DataFrame, text_col: str = "text",
     return src.select(id_col, _simhash(F.col("wh")).alias("simhash"))
 
 
+def _simhash_block_layout(n_blocks: int) -> "list[tuple[int, int]]":
+    """(shift, width) per block, LSB-first, widths summing to 64 and as
+    equal as possible (n_blocks need not divide 64)."""
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    shifts = [sum(widths[:i]) for i in range(n_blocks)]
+    return list(zip(shifts, widths))
+
+
+def simhash_blocks_for(n_docs: int, max_hamming: int = 3,
+                       target_occupancy: float = 4.0,
+                       max_blocks: int = 16) -> int:
+    """Smallest block count whose anchor width bounds EXPECTED bucket
+    occupancy by ``target_occupancy`` instead of by N: with B blocks and
+    Hamming radius k, every table keys on (B-k) blocks ~ (B-k)*64/B anchor
+    bits, so expected occupancy of a table bucket is N / 2^anchor. The
+    candidate-join output per table grows ~ N * occupancy — O(N) iff
+    occupancy is O(1). (Manku, Jindal, Das Sarma & Sarma, WWW 2007 §3.)
+    """
+    for b in range(max_hamming + 1, max_blocks + 1):
+        anchor = (b - max_hamming) * 64 // b
+        if anchor >= 63 or n_docs / float(1 << anchor) <= target_occupancy:
+            return b
+    return max_blocks
+
+
 def simhash_candidates(fp_df: DataFrame, id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates: fingerprints agreeing on >= 1 of 4 16-bit bands
-    (any pair with Hamming distance <= 3 must agree on some band), verified
-    by exact popcount of the XOR."""
-    bands = [F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(
-        F.lit(0xFFFF)).alias(f"b{i}") for i in range(4)]
-    withb = fp_df.select(id_col, "simhash", *bands)
-    cands = None
-    for i in range(4):
-        l, r = withb.alias("l"), withb.alias("r")
-        c = (l.join(r, (F.col(f"l.b{i}") == F.col(f"r.b{i}"))
-                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-             .select(F.col(f"l.{id_col}").alias("id_a"),
-                     F.col(f"r.{id_col}").alias("id_b"),
-                     F.col("l.simhash").alias("fp_a"),
-                     F.col("r.simhash").alias("fp_b")))
-        cands = c if cands is None else cands.unionByName(c)
+                       max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= ``max_hamming``, verified by
+    exact popcount of the XOR.
+
+    Candidate generation is the block-permutation scheme of Manku, Jindal,
+    Das Sarma & Sarma (WWW 2007): split the 64 fingerprint bits into
+    ``n_blocks`` blocks; a pair within distance k must agree on some
+    (n_blocks - k) blocks (pigeonhole), so build C(n_blocks, n_blocks-k)
+    tables, each keyed on one such block combination concatenated into an
+    anchor key. Per doc that is C(B, B-k) (table, key) rows and ONE
+    self-equi-join on (table, key) — shuffle on the anchor only, never
+    all-pairs.
+
+    Completeness holds for ANY valid n_blocks (> max_hamming), so the
+    final verified output is banding-invariant; n_blocks only controls the
+    candidate volume. The default 4 (4 tables x 16-bit anchors, 65k
+    buckets/table) is the oracle-checkable small-N layout; at N docs pick
+    ``n_blocks`` = :func:`simhash_blocks_for` (N) so anchors carry
+    >= log2(N) bits and expected bucket occupancy — hence candidate output
+    per doc — stays O(1) in N (e.g. B=8, k=3 -> C(8,5)=56 tables keyed on
+    40-bit anchors: O(1) occupancy up to ~10^12 docs).
+    """
+    cands = simhash_candidate_pairs(fp_df, id_col, max_hamming, n_blocks)
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (cands.dropDuplicates(["id_a", "id_b"])
+    return (cands
             .withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def simhash_candidate_pairs(fp_df: DataFrame, id_col: str = "doc_id",
+                            max_hamming: int = 3,
+                            n_blocks: int = 4) -> DataFrame:
+    """Candidate stage of :func:`simhash_candidates` (pre-verification):
+    distinct (id_a, id_b, fp_a, fp_b) pairs sharing at least one table's
+    anchor key. Exposed so tests can assert the O(N) candidate-volume
+    bound the block layout is chosen for."""
+    import itertools
+
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks={n_blocks} must exceed max_hamming={max_hamming} "
+            f"(pigeonhole needs at least one agreeing block)")
+    layout = _simhash_block_layout(n_blocks)
+    keys = []
+    for combo in itertools.combinations(range(n_blocks),
+                                        n_blocks - max_hamming):
+        acc = None
+        for bi in combo:
+            sh, w = layout[bi]
+            block = F.shiftrightunsigned("simhash", sh).bitwiseAND(
+                F.lit((1 << w) - 1))
+            acc = block if acc is None else \
+                F.shiftleft(acc, w).bitwiseOR(block)
+        keys.append(acc)
+    rows = fp_df.select(F.col(id_col), F.col("simhash"),
+                        F.posexplode(F.array(*keys)).alias("tbl", "key"))
+    l, r = rows.alias("l"), rows.alias("r")
+    return (l.join(r, (F.col("l.tbl") == F.col("r.tbl"))
+                   & (F.col("l.key") == F.col("r.key"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"),
+                    F.col("l.simhash").alias("fp_a"),
+                    F.col("r.simhash").alias("fp_b"))
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def ngram_word_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -26,6 +26,16 @@ def _dot(a, b):
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _dim_of(df: DataFrame, vec_col: str, dim: "int | None") -> int:
+    """Embedding dimensionality without a driver job: honor an explicit
+    ``dim=``, else read the fixed element count parquet statistics can't
+    express from one row (the probe is the documented fallback, not the
+    default path — pass ``dim`` in hot loops)."""
+    if dim is not None:
+        return dim
+    return len(df.select(vec_col).first()[0])
+
+
 def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "query_id") -> DataFrame:
@@ -49,10 +59,10 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "query_id", bands: int = 8, band_bits: int = 8,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, dim: "int | None" = None) -> DataFrame:
     """Approximate top-k: candidates from any shared (band, bucket), exact
     cosine re-rank of candidates only."""
-    dim = len(vectors.select(vec_col).first()[0])
+    dim = _dim_of(vectors, vec_col, dim)
     planes = _hyperplanes(dim, bands * band_bits, seed)
 
     @pandas_udf("array<long>")
@@ -142,11 +152,18 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
              .select(F.transform(vec_col, lambda x: x.cast("double"))
                      .alias("cv")).toPandas())
     C = np.asarray([np.asarray(v, dtype=np.float64) for v in cents["cv"]])
+    # zero-norm guard: an all-zero vector or centroid would divide by zero
+    # and inject NaN cosines, whose ordering differs between numpy argsort
+    # and DuckDB — with norm coerced to 1 the dot product is 0, so such
+    # rows get cosine exactly 0.0 on BOTH engines (mirrored in
+    # sql_oracles.ann_ivf_sql via CASE WHEN norm = 0 THEN 1)
     cnorm = np.sqrt((C * C).sum(axis=1))
+    cnorm = np.where(cnorm == 0, 1.0, cnorm)
 
     def _cos_to_cents(vs: pd.Series) -> np.ndarray:
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
         vnorm = np.sqrt((mat * mat).sum(axis=1))
+        vnorm = np.where(vnorm == 0, 1.0, vnorm)
         return np.round((mat @ C.T) / (vnorm[:, None] * cnorm[None, :]), 6)
 
     @pandas_udf("int")
@@ -172,8 +189,12 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                               .alias("cell")))
     cands = (v_cells.join(q_cells, "cell")
              .dropDuplicates([qid_col, id_col]))
-    cos = _dot(vec_col, "qv") / (F.sqrt(_dot(vec_col, vec_col))
-                                 * F.sqrt(_dot("qv", "qv")))
+
+    def _norm1(c):  # same zero-norm-to-1 guard as the numpy assignment path
+        n = F.sqrt(_dot(c, c))
+        return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+    cos = _dot(vec_col, "qv") / (_norm1(vec_col) * _norm1("qv"))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (cands.select(qid_col, id_col, F.round(cos, 6).alias("cos_sim"))
             .withColumn("rank", F.row_number().over(w))
@@ -195,7 +216,8 @@ def rademacher_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 def lsh_topk_rademacher(vectors: DataFrame, queries: DataFrame, k: int = 10,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         qid_col: str = "query_id", bands: int = 32,
-                        band_bits: int = 4, seed: int = 42) -> DataFrame:
+                        band_bits: int = 4, seed: int = 42,
+                        dim: "int | None" = None) -> DataFrame:
     """``lsh_topk`` with Rademacher (±1) hyperplanes whose entire path
     carries a SQL oracle (``sql_oracles.ann_rademacher_sql``).
 
@@ -213,7 +235,7 @@ def lsh_topk_rademacher(vectors: DataFrame, queries: DataFrame, k: int = 10,
     or rank — accepted as measure-zero. Plan shape
     matches lsh_topk: per-band buckets, bucket equi-join (shuffle on
     bucket only), exact cosine re-rank of candidates."""
-    dim = len(vectors.select(vec_col).first()[0])
+    dim = _dim_of(vectors, vec_col, dim)
     planes = rademacher_planes(dim, bands * band_bits, seed).astype(
         np.float64)
 

@@ -96,10 +96,22 @@ class CheckpointedSketchJob:
                 F.regexp_replace("lineage_file", "^file:(//)?", ""))
             partials = partials.withColumn(
                 "snapshot_id", F.lit(snap["id"]).cast("long"))
-            # declare coverage in the snapshot properties so files that
-            # produced ZERO partial rows (empty/all-null inputs) still count
-            # as processed on resume
-            self.table.append(partials, properties={"covered_files": todo})
+            # declare coverage ONLY for files that produced zero partial
+            # rows (empty/all-null inputs): those can't prove themselves at
+            # the row-level gate below. Files WITH rows must keep proving
+            # row-level coverage, so a lineage-path normalization regression
+            # still trips the integrity gate instead of being declared away.
+            # persist() makes the build run once: the distinct() pass and
+            # the append both read the cached KB-sized sketch rows.
+            partials = partials.persist()
+            try:
+                seen = {r.lineage_file for r in
+                        partials.select("lineage_file").distinct().collect()}
+                zero_row = sorted(set(todo) - seen)
+                self.table.append(partials,
+                                  properties={"covered_files": zero_row})
+            finally:
+                partials.unpersist()
 
         if self.table.files():
             merged_rows = self.table.read(spark).where(
