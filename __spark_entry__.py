@@ -42,6 +42,7 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  bloom_membership_sql,
                                                  cms_cells_sql,
                                                  cms_point_sql,
+                                                 hll_card_hll_sql,
                                                  hll_card_sql,
                                                  hll_registers_sql,
                                                  jump_buckets_sql,
@@ -697,6 +698,71 @@ def q_sticky_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source", "token"))
 
 
+def q_sticky_sample_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sticky sampling PAST the doubling threshold (C6/C7,
+    countish/sticky.ml:24-39, 56-66 — the probabilistic r>1 regime VERDICT
+    r2 #4 asked to gate): parameters s=0.03, eps=0.022, delta=0.1 give
+    t0 = (2/eps) ln(1/(s*delta)) ~ 528, and every source's full sf0.01
+    stream (1136-1553 tokens, CAP_DOCS-bounded at any SF) crosses t0 and
+    2*t0 (smallest stream 1136 > 2*t0 = 1056, largest 1553 < 4*t0), so the
+    sampling rate r doubles exactly twice (r=4) and the geometric prune
+    path actually runs.
+
+    Gate shape follows heavy_hitter_tokens: rows are the EXACT
+    high-frequency set (f_exact >= s*n — engine-independent, DuckDB
+    recomputes it), plus Spark-computed guarantee columns the oracle emits
+    as literals:
+
+    * ``reported`` — the token is in the sampler's report (Manku-Motwani
+      VLDB'02 completeness: every f >= s*n item reported w.p. 1-delta;
+      deterministic under the fixed seed, so a sampler regression flips it)
+    * ``n_false_reports`` — reported tokens with f_exact < (s-eps)*n; 0
+      DETERMINISTICALLY because sampled counts never exceed true counts
+    * ``r_doubled_twice`` — the sampler really left the exact r=1 regime
+    """
+    import pandas as pd
+
+    from grenier_spark.core.countish import StickySampler
+    from pyspark.sql.window import Window
+
+    S, EPS, DELTA = 0.03, 0.022, 0.1
+    CAP_DOCS = 200
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    capped = (docs.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= CAP_DOCS).drop("rn"))
+
+    def sample(pdf: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        import numpy as np
+
+        src = pdf["source"].iloc[0]
+        toks = [w for t in pdf.sort_values("doc_id")["text"]
+                for w in t.split(" ") if w]
+        ss = StickySampler(S, EPS, DELTA, seed=42)
+        ss.observe_batch(np.asarray(toks, dtype=object))
+        report = {k for k, _ in ss.items_above_threshold(S)}
+        cnt = Counter(toks)
+        n = len(toks)
+        high = sorted(t for t, c in cnt.items() if c >= S * n)
+        n_false = sum(1 for k in report if cnt[k] < (S - EPS) * n)
+        return pd.DataFrame({
+            "source": [src] * len(high),
+            "token": high,
+            "f_exact": np.array([cnt[t] for t in high], dtype=np.int64),
+            "n": np.full(len(high), n, dtype=np.int64),
+            "reported": [t in report for t in high],
+            "n_false_reports": np.full(len(high), n_false, dtype=np.int64),
+            "r_doubled_twice": [ss.r >= 4] * len(high)})
+
+    return (capped.groupBy("source")
+            .applyInPandas(sample, "source string, token string, "
+                           "f_exact bigint, n bigint, reported boolean, "
+                           "n_false_reports bigint, r_doubled_twice boolean")
+            .orderBy("source", "token"))
+
+
 def q_exact_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-free distributed SUM: the double-double (D1) aggregator rides
     the two-level sketch pipeline as a 16-byte mergeable state; oracle is
@@ -783,6 +849,34 @@ def q_hll_card_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("event_type",
                       F.round(hll_card_col("sketch"), 6).alias("est_users"),
                       F.col("n_rows").alias("n_events"))
+
+
+def q_hll_card_orig_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both reference estimators side by side (H6 + H12): the HLL++
+    estimate (hll.ml:142-153) AND the original-paper 32-bit-range
+    ``card_hll`` (hll.ml:97-112), each at two precisions chosen to land in
+    DIFFERENT card_hll branches at sf0.01 — p=12 (few distinct users vs
+    m=4096 -> the <=2.5m linear-counting branch) and p=4 (>=2.5m raw
+    branch). Full estimator oracles on both sides
+    (sql_oracles.hll_card_hll_sql / hll_card_sql, 0-ULP)."""
+    from grenier_spark.functions import hll_card_orig_col
+
+    ev = _t(spark, sf_dir, "events")
+    res = build_sketches(ev, [SketchSpec.of("h12", "hll", "user_id", p=12),
+                              SketchSpec.of("h4", "hll", "user_id", p=4)],
+                         group_cols=["event_type"])
+
+    def _ests(name, suffix):
+        return (res.where(F.col("sketch_name") == name)
+                .select("event_type",
+                        F.round(hll_card_orig_col("sketch"), 6)
+                        .alias(f"est_orig_{suffix}"),
+                        F.round(hll_card_col("sketch"), 6)
+                        .alias(f"est_pp_{suffix}")))
+
+    return (_ests("h12", "p12").join(_ests("h4", "p4"), "event_type")
+            .select("event_type", "est_orig_p12", "est_pp_p12",
+                    "est_orig_p4", "est_pp_p4"))
 
 
 def _quantile_bound_gate(spark: SparkSession, sf_dir: str, table: str,
@@ -884,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "doc_winnow_fps": q_doc_winnow_fps,
         "hll_card_by_type": q_hll_card_by_type,
+        "hll_card_orig_by_type": q_hll_card_orig_by_type,
         "value_quantiles_tdigest": q_value_quantiles_tdigest,
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
         "token_hll_by_source": q_token_hll_by_source,
@@ -892,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jump_relocation": q_jump_relocation,
         "incremental_hll_stream": q_incremental_hll_stream,
         "sticky_sample_tokens": q_sticky_sample_tokens,
+        "sticky_sample_guarantees": q_sticky_sample_guarantees,
         "tpch_q3_join": q_tpch_q3_join,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dup_members": q_exact_dup_members,
@@ -973,6 +1069,23 @@ SELECT source, token, f, n,
        round(f / n::DOUBLE + 0.02::DOUBLE, 6) AS freq
 FROM c JOIN t USING (source)
 WHERE f >= (0.02::DOUBLE - 0.002::DOUBLE) * n""",
+        "sticky_sample_guarantees": """
+WITH d AS (SELECT source, text,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                    AS rn
+           FROM documents),
+tok AS (SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS token
+        FROM d WHERE rn <= 200),
+c AS (SELECT source, token, COUNT(*)::BIGINT AS f_exact
+      FROM tok GROUP BY 1, 2),
+t AS (SELECT source, COUNT(*)::BIGINT AS n FROM tok GROUP BY 1)
+SELECT source, token, f_exact, n,
+       TRUE AS reported, 0::BIGINT AS n_false_reports,
+       TRUE AS r_doubled_twice
+FROM c JOIN t USING (source)
+WHERE f_exact::DOUBLE >= 0.03::DOUBLE * n::DOUBLE""",
         "hll_registers": hll_registers_sql(
             "SELECT user_id::UHUGEINT AS k FROM events", "k", 8),
         "jump_buckets": jump_buckets_sql(
@@ -1034,6 +1147,25 @@ FROM events GROUP BY event_type""",
                 "k", 12, group_cols=["event_type"]) + ") c JOIN ("
             "SELECT event_type, COUNT(*)::BIGINT AS n_events FROM events "
             "GROUP BY 1) n USING (event_type)"),
+        "hll_card_orig_by_type": (
+            "SELECT a.event_type, round(a.est, 6) AS est_orig_p12, "
+            "round(b.est, 6) AS est_pp_p12, round(c.est, 6) AS est_orig_p4, "
+            "round(d.est, 6) AS est_pp_p4 "
+            "FROM (" + hll_card_hll_sql(
+                "SELECT event_type, user_id::UHUGEINT AS k FROM events",
+                "k", 12, group_cols=["event_type"]) + ") a JOIN ("
+            + hll_card_sql(
+                "SELECT event_type, user_id::UHUGEINT AS k FROM events",
+                "k", 12, group_cols=["event_type"])
+            + ") b USING (event_type) JOIN ("
+            + hll_card_hll_sql(
+                "SELECT event_type, user_id::UHUGEINT AS k FROM events",
+                "k", 4, group_cols=["event_type"])
+            + ") c USING (event_type) JOIN ("
+            + hll_card_sql(
+                "SELECT event_type, user_id::UHUGEINT AS k FROM events",
+                "k", 4, group_cols=["event_type"])
+            + ") d USING (event_type)"),
         "incremental_hll_stream": (
             "SELECT event_type, round(est, 6) AS est_users FROM ("
             + hll_card_sql(

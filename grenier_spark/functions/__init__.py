@@ -7,6 +7,7 @@ from .estimates import (  # noqa: F401
     cms_query_col,
     ddsum_col,
     hll_card_col,
+    hll_card_orig_col,
     kll_quantiles_col,
     tdigest_quantiles_col,
 )

@@ -34,6 +34,19 @@ def hll_card_col(col: "Column | str") -> Column:
     return _hll_card(_col(col))
 
 
+def hll_card_orig_col(col: "Column | str") -> Column:
+    """Original-paper 32-bit-range HLL estimate (``core.hll.card_hll``,
+    hll.ml:97-112) of a serialized HLL state — kept alongside
+    :func:`hll_card_col` for parity with the reference's dual estimator
+    surface."""
+
+    @pandas_udf("double")
+    def _hll_card_orig(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: hll.card_hll(hll.from_bytes(bytes(b))))
+
+    return _hll_card_orig(_col(col))
+
+
 def cms_query_col(sketch: "Column | str", key: "Column | str") -> Column:
     """Count-min point estimate for a (sketch, hashed-key) pair."""
 

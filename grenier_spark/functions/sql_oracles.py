@@ -221,6 +221,60 @@ SELECT {gsel}CASE WHEN v = 0 THEN ep
 FROM ep"""
 
 
+def hll_card_hll_sql(keys_sql: str, key_col: str, p: int,
+                     group_cols: "list[str] | None" = None,
+                     alias: str = "est") -> str:
+    """Original-paper 32-bit HLL estimator (``core.hll.card_hll``,
+    reference hll/hll.ml:97-112) in pure DuckDB SQL, per optional group:
+    raw estimate with registers clamped at 32-p, then the three
+    Flajolet et al. range corrections — linear counting when
+    ``e <= 2.5m`` (and any empty register), the raw estimate up to
+    ``2^32/30``, and the large-range ``-2^32 ln(1 - e/2^32)`` collision
+    correction above it.
+
+    Same 0-ULP engineering as :func:`hll_card_sql`: the denominator
+    ``sum 2^-min(32-p, reg)`` is summed exactly as scaled HUGEINT
+    integers (each term ``2^(32-p-clamped)``, total <= 2^32) and converted
+    to double once; division by a power of two commutes with IEEE
+    rounding, so the estimate equals the numpy ``math.fsum`` path
+    bit-for-bit. Validated in tests/test_sql_oracles.py.
+    """
+    from grenier_spark.core.hll import get_alpha
+
+    m = 1 << p
+    q32 = 32 - p
+    am2 = repr(get_alpha(p) * float(m) * float(m))
+    mid = repr((2.0 ** 32.0) / 30.0)
+    g = list(group_cols or [])
+    gsel = "".join(f"{c}, " for c in g)
+    gby = ("GROUP BY " + ", ".join(g)) if g else ""
+    hashed = chain_selects(keys_sql, wang64_stages(key_col, "h"))
+    lc = f"{m}.0 * ln({m}.0 / v::DOUBLE)"
+    return f"""
+WITH regs AS (
+  SELECT {gsel}(h % {m}::UHUGEINT)::BIGINT AS j,
+         MAX({rho_expr(f'(h // {m}::UHUGEINT)')}) AS reg
+  FROM ({hashed}) GROUP BY {", ".join(g + ['j'])}
+), agg AS (
+  SELECT {gsel}COUNT(*)::BIGINT AS present,
+         SUM((1::UBIGINT << ({q32} - LEAST({q32}, reg)))::HUGEINT)
+           AS s_present
+  FROM regs {gby}
+), est AS (
+  SELECT {gsel}({m} - present) AS v,
+         {am2} / ((s_present + ({m} - present)::HUGEINT *
+                   {1 << q32}::HUGEINT)::DOUBLE / {float(1 << q32)!r}) AS e
+  FROM agg
+)
+SELECT {gsel}CASE
+         WHEN e <= {2.5 * m!r} THEN
+           (CASE WHEN v = 0 THEN e ELSE {lc} END)
+         WHEN e <= {mid} THEN e
+         ELSE -4294967296.0 * ln(1.0 - e / 4294967296.0)
+       END AS {alias}
+FROM est"""
+
+
 def simhash_pairs_sql(docs_sql: str, id_col: str = "id",
                       text_col: str = "text", max_hamming: int = 3) -> str:
     """Near-dup pairs (id_a, id_b, hamming) via 64-bit simhash, matching

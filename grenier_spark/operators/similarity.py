@@ -130,7 +130,8 @@ def cosine_neardup_pairs(vectors: DataFrame, tau: float = 0.9,
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "query_id") -> DataFrame:
+             qid_col: str = "query_id",
+             centroids: "np.ndarray | None" = None) -> DataFrame:
     """IVF-flat approximate top-k (inverted-file ANN — the second scale
     path alongside :func:`lsh_topk`): vectors are assigned to the cell of
     their nearest coarse centroid, queries probe their ``n_probe`` nearest
@@ -138,20 +139,26 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     generation is a cell-id equi-join — shuffle on the cell id only, never
     an all-pairs product.
 
-    The coarse quantizer is SAMPLED centroids: the ``n_centroids``
+    The default coarse quantizer is SAMPLED centroids: the ``n_centroids``
     lowest-id vectors (deterministic, and — unlike k-means iterates —
     exactly reproducible in the DuckDB oracle, ``sql_oracles.ann_ivf_sql``).
-    k-means refinement of the same centroid matrix is a drop-in (the
-    assignment/probe/re-rank plan is identical); at 100TB the sample comes
-    from a bounded ``limit`` exactly as here. Cross-engine determinism is
-    by round-6 quantization of assignment cosines (ties -> lowest cell id)
-    and of the re-rank ordering, same contract as
-    :func:`lsh_topk_rademacher`.
+    Pass ``centroids`` (e.g. from :func:`ivf_refine_centroids`) to swap in
+    a refined quantizer — the assignment/probe/re-rank plan is identical,
+    only the broadcast matrix changes; recall at fixed n_probe improves
+    when the data is clustered (asserted in
+    tests/test_dedup_similarity.py::test_ivf_kmeans_refinement_beats_sampling).
+    Cross-engine determinism is by round-6 quantization of assignment
+    cosines (ties -> lowest cell id) and of the re-rank ordering, same
+    contract as :func:`lsh_topk_rademacher`.
     """
-    cents = (vectors.orderBy(id_col).limit(n_centroids)
-             .select(F.transform(vec_col, lambda x: x.cast("double"))
-                     .alias("cv")).toPandas())
-    C = np.asarray([np.asarray(v, dtype=np.float64) for v in cents["cv"]])
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        cents = (vectors.orderBy(id_col).limit(n_centroids)
+                 .select(F.transform(vec_col, lambda x: x.cast("double"))
+                         .alias("cv")).toPandas())
+        C = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in cents["cv"]])
     # zero-norm guard: an all-zero vector or centroid would divide by zero
     # and inject NaN cosines, whose ordering differs between numpy argsort
     # and DuckDB — with norm coerced to 1 the dot product is 0, so such
@@ -199,6 +206,73 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     return (cands.select(qid_col, id_col, F.round(cos, 6).alias("cos_sim"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def ivf_refine_centroids(vectors: DataFrame, n_centroids: int = 16,
+                         n_iter: int = 5, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> np.ndarray:
+    """Lloyd-refined IVF centroids (spherical k-means): start from the
+    same deterministic sample :func:`ivf_topk` uses (the ``n_centroids``
+    lowest-id vectors), then ``n_iter`` iterations of assign-to-nearest
+    (max cosine) + recompute-as-mean.
+
+    Distribution shape: each iteration is ONE pass over the vectors —
+    ``mapInPandas`` emits per-batch partial (cell, count, per-dim sums)
+    rows (n_centroids x (dim+1) doubles per batch, KB-sized), and the
+    driver reduces the partials in numpy. No token/vector-scale shuffle;
+    only sketch-sized partials move — the same two-level discipline as
+    ``operators.sketch_build``. Empty cells keep their previous centroid.
+
+    The result is a drop-in for ``ivf_topk(centroids=...)``: same
+    assignment semantics (round-6 cosine, argmax ties to lowest cell).
+    """
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    init = (vectors.orderBy(id_col).limit(n_centroids)
+            .select(F.transform(vec_col, lambda x: x.cast("double"))
+                    .alias("cv")).toPandas())
+    C = np.asarray([np.asarray(v, dtype=np.float64) for v in init["cv"]])
+    out_schema = StructType([
+        StructField("cell", IntegerType()),
+        StructField("cnt", LongType()),
+        StructField("sums", ArrayType(DoubleType()))])
+    vecs = vectors.select(F.transform(vec_col, lambda x: x.cast("double"))
+                          .alias("v"))
+
+    for _ in range(n_iter):
+        Cb = C.copy()
+        cnorm = np.sqrt((Cb * Cb).sum(axis=1))
+        cnorm = np.where(cnorm == 0, 1.0, cnorm)
+
+        def partials(batches, _C=Cb, _cn=cnorm):
+            for pdf in batches:
+                mat = np.asarray([np.asarray(v, dtype=np.float64)
+                                  for v in pdf["v"]])
+                if len(mat) == 0:
+                    continue
+                vnorm = np.sqrt((mat * mat).sum(axis=1))
+                vnorm = np.where(vnorm == 0, 1.0, vnorm)
+                cos6 = np.round((mat @ _C.T)
+                                / (vnorm[:, None] * _cn[None, :]), 6)
+                cells = np.argmax(cos6, axis=1)
+                rows = []
+                for c in np.unique(cells):
+                    sel = mat[cells == c]
+                    rows.append({"cell": int(c), "cnt": len(sel),
+                                 "sums": sel.sum(axis=0).tolist()})
+                yield pd.DataFrame(rows)
+
+        agg = vecs.mapInPandas(partials, out_schema).toPandas()
+        newC = C.copy()
+        for c in range(len(C)):
+            part = agg[agg.cell == c]
+            total = int(part.cnt.sum())
+            if total > 0:
+                s = np.sum([np.asarray(x) for x in part.sums], axis=0)
+                newC[c] = s / total
+        C = newC
+    return C
 
 
 def rademacher_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

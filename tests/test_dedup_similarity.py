@@ -293,3 +293,43 @@ def test_ivf_topk_planted_copies_and_determinism(spark, embeddings):
     key = ["query_id", "rank"]
     assert got.sort_values(key).vec_id.tolist() == \
         again.sort_values(key).vec_id.tolist()
+
+
+def test_ivf_kmeans_refinement_beats_sampling(spark):
+    """VERDICT r2 #6: Lloyd-refined centroids (ivf_refine_centroids) beat
+    the lowest-id sampled quantizer at fixed n_probe on clustered data.
+
+    Adversarial-for-sampling layout: 8 Gaussian blobs on the unit sphere,
+    ids ordered so the 16 LOWEST ids all sit in blob 0 — the sampled
+    quantizer gets 16 near-identical centroids and its cells carve noise,
+    while 5 Lloyd iterations separate the blobs."""
+    rng = np.random.default_rng(7)
+    dim, n_blobs, per_blob = 16, 8, 125
+    centers = rng.standard_normal((n_blobs, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    blob = np.repeat(np.arange(n_blobs), per_blob)
+    # ids 0..124 are blob 0 -> the 16 lowest-id vectors are one blob
+    vecs = centers[blob] + 0.15 * rng.standard_normal((len(blob), dim))
+    vdf = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": np.arange(len(blob), dtype=np.int64),
+         "embedding": [v.tolist() for v in vecs]}))
+    qidx = rng.choice(len(blob), size=10, replace=False)
+    qdf = spark.createDataFrame(pd.DataFrame(
+        {"query_id": np.arange(10, dtype=np.int64),
+         "embedding": [vecs[i].tolist() for i in qidx]}))
+
+    truth = similarity.cosine_topk(vdf, qdf, k=10).toPandas()
+    want = {q: set(g.vec_id) for q, g in truth.groupby("query_id")}
+
+    def recall(res):
+        got = {q: set(g.vec_id) for q, g in res.groupby("query_id")}
+        return np.mean([len(got.get(q, set()) & want[q]) / len(want[q])
+                        for q in want])
+
+    sampled = recall(similarity.ivf_topk(
+        vdf, qdf, k=10, n_centroids=16, n_probe=2).toPandas())
+    C = similarity.ivf_refine_centroids(vdf, n_centroids=16, n_iter=5)
+    refined = recall(similarity.ivf_topk(
+        vdf, qdf, k=10, n_centroids=16, n_probe=2, centroids=C).toPandas())
+    assert refined > sampled + 0.1, (refined, sampled)
+    assert refined >= 0.9, refined

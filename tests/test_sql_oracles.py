@@ -114,6 +114,43 @@ def test_hll_card_sql_bit_exact_vs_kernel(con, p, sizes):
         assert got == want, (p, n, got, want)
 
 
+@pytest.mark.parametrize("p,sizes", [(4, (1, 3, 40, 5000)),
+                                     (8, (5, 1000, 120000)),
+                                     (12, (50, 20000, 200000))])
+def test_hll_card_hll_sql_bit_exact_vs_kernel(con, p, sizes):
+    """The DuckDB twin of the ORIGINAL-paper estimator (card_hll,
+    hll.ml:97-112) must match numpy bit-for-bit across the reachable
+    branches (linear counting at low fill, raw estimate above 2.5m); the
+    2^32/30 large-range branch needs ~10^8 distincts and is locked by the
+    direct formula test below."""
+    rng = np.random.default_rng(200 + p)
+    for n in sizes:
+        keys = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+        t = hll.make_p(p)
+        hll.add_batch(t, wang64(keys))
+        want = hll.card_hll(t)
+        con.register("card_keys", __import__("pandas").DataFrame({"k": keys}))
+        sql = so.hll_card_hll_sql("SELECT k::UHUGEINT AS k FROM card_keys",
+                                  "k", p)
+        got = con.execute(sql).fetchone()[0]
+        assert got == want, (p, n, got, want)
+
+
+def test_hll_card_hll_large_range_formula(con):
+    """The large-range correction -2^32 ln(1 - e/2^32) agrees with Python
+    libm on representative raw-estimate values (the branch itself is
+    unreachable below ~1.4e8 distincts, so the arithmetic is checked
+    directly)."""
+    import math
+
+    for e in (2.0 ** 32 / 29.0, 1.0e9, 3.0e9):
+        want = -(2.0 ** 32.0) * math.log(1.0 - e / (2.0 ** 32.0))
+        got = con.execute(
+            f"SELECT -4294967296.0 * ln(1.0 - {e!r} / 4294967296.0)"
+        ).fetchone()[0]
+        assert got == want, (e, got, want)
+
+
 def test_hll_card_sql_grouped(con):
     """Grouped estimator: per-group results equal per-group kernel runs."""
     rng = np.random.default_rng(77)
