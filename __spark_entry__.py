@@ -285,6 +285,39 @@ def q_exact_dup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_members(_docs_with_planted_dups(spark, sf_dir))
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters (dedup.connected_components): the 5
+    lowest-id docs get CHAINED near-copies — a 75%-prefix (id+10^7) and a
+    50%-prefix (id+2*10^7) truncation. With 3-gram Jaccard at tau=0.6 the
+    prefix shingle ratios give edges full~75% (~0.75) and 75%~50% (~0.66)
+    but NOT full~50% (~0.49), so the 3-doc cluster exists only through
+    transitive closure — exactly what pairwise dedup cannot express. The
+    oracle recomputes the same pairs in SQL and closes them with a
+    recursive CTE; min-label propagation must agree node for node."""
+    from grenier_spark.operators.dedup import (connected_components,
+                                               ngram_word_jaccard_pairs)
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .orderBy("doc_id").limit(30))
+    base = docs.orderBy("doc_id").limit(5)
+    t75 = base.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, "
+               "(3*size(split(text, ' '))+3) div 4), ' ')").alias("text"))
+    t50 = base.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, "
+               "(size(split(text, ' '))+1) div 2), ' ')").alias("text"))
+    planted = docs.unionByName(t75).unionByName(t50)
+    pairs = ngram_word_jaccard_pairs(planted, "doc_id", "text",
+                                     n=3, tau=0.6)
+    cc = connected_components(
+        pairs, nodes=planted.select(F.col("doc_id").alias("id")))
+    return (cc.select(F.col("id").alias("doc_id"), "component_id")
+            .orderBy("doc_id"))
+
+
 def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source text-quality aggregates (operators/textstats.py)."""
     from grenier_spark.operators import textstats as ts
@@ -998,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_nation_segment": q_rollup_nation_segment,
         "string_funcs_parts": q_string_funcs_parts,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "neardup_components": q_neardup_components,
         "embedding_neardup": q_embedding_neardup,
         "user_sessions": q_user_sessions,
         "customers_without_orders": q_customers_without_orders,
@@ -1417,6 +1451,42 @@ SELECT id_a, id_b, inter,
        round(inter / (ca.n_sh + cb.n_sh - inter)::DOUBLE, 6) AS jaccard
 FROM ins JOIN c ca ON id_a = ca.id JOIN c cb ON id_b = cb.id
 WHERE round(inter / (ca.n_sh + cb.n_sh - inter)::DOUBLE, 6) >= 0.8""",
+        "neardup_components": """
+WITH RECURSIVE
+d0 AS (SELECT doc_id::BIGINT AS id, text FROM documents
+       ORDER BY doc_id::BIGINT LIMIT 30),
+b AS (SELECT id, string_split(text, ' ') AS w
+      FROM (SELECT * FROM d0 ORDER BY id LIMIT 5)),
+d AS (SELECT id, text FROM d0
+      UNION ALL
+      SELECT id + 10000000,
+             array_to_string(list_slice(w, 1, (3*len(w)+3)//4), ' ')
+      FROM b
+      UNION ALL
+      SELECT id + 20000000,
+             array_to_string(list_slice(w, 1, (len(w)+1)//2), ' ')
+      FROM b),
+dw AS (SELECT id, string_split(text, ' ') AS w FROM d),
+sh AS (SELECT id, unnest(list_distinct(
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE []::VARCHAR[] END)) AS s
+       FROM dw),
+c AS (SELECT id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+ins AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM ins JOIN c ca ON id_a = ca.id JOIN c cb ON id_b = cb.id
+          WHERE round(inter / (ca.n_sh + cb.n_sh - inter)::DOUBLE, 6)
+                >= 0.6::DOUBLE),
+edges AS (SELECT id_a AS a, id_b AS bb FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT id, id AS lab FROM d
+          UNION
+          SELECT e.bb AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id)
+SELECT id AS doc_id, MIN(lab)::BIGINT AS component_id
+FROM reach GROUP BY id""",
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
            FROM embeddings),

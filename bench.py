@@ -133,6 +133,81 @@ def hash_stress_job(spark, n_keys: int, n_parts: int):
     return res.select("sketch_name", "n_values").toPandas()
 
 
+CAL_QUIET_SEC = 0.15   # 1-core wang64 8M-pass, quiet window (2026-08-17)
+CAL_LOUD_RATIO = 1.5   # single-core slower than this ratio => loud
+CAL_PAR_THREADS = 8
+CAL_PAR_QUIET_EFF = 0.6  # quiet windows measure 0.8-1.0 (cache-resident)
+
+
+def calibration_probe() -> "tuple[float, float]":
+    """Two-axis loudness probe, returns ``(bw_ratio, par_eff)``.
+
+    This guest has TWO distinct contention modes (both measured
+    2026-08-17):
+
+    * co-tenant BANDWIDTH load — single-core memory ops slow down;
+      detected by ``bw_ratio`` = min-of-3 wang64 passes over 8M uint64
+      (~64 MB traffic) vs the quiet reference. A throwaway warm pass first:
+      the first memory-heavy op after idle costs 5-22 s (vCPU/page
+      wake-up) and would otherwise read as loudness.
+    * vCPU STARVATION — the 32 vCPUs are backed by ~1-2 physical cores
+      while co-tenants burst; single-core latency stays NORMAL (probe
+      ratios 0.9 were measured alongside 2-8x-slow 32-core builds), so
+      only a parallel probe sees it. ``par_eff`` = 8-thread speedup / 8 of
+      a CACHE-RESIDENT mul/xor kernel (GIL released by numpy): quiet
+      windows measure 0.8-1.0, starved windows 0.3-0.5.
+
+    A window is loud iff ``bw_ratio > CAL_LOUD_RATIO`` or
+    ``par_eff < CAL_PAR_QUIET_EFF``; both numbers ship in the bench JSON
+    so a loud draw self-documents instead of silently halving the headline
+    (the BENCH_r02 failure mode).
+
+    The parallel probe uses fork-based PROCESSES, not threads: under
+    starvation a descheduled GIL holder convoys every other thread, so a
+    threaded probe reads 0.06 where processes read the true 0.5 — the
+    process number is the one that predicts the Spark build's slowdown
+    (Spark python workers are processes too)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    from grenier_spark.core.bits import wang64
+
+    idx = np.arange(1 << 23, dtype=np.uint64)
+    wang64(idx)  # absorb the post-idle wake-up cost
+    bw = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        wang64(idx)
+        bw = min(bw, time.perf_counter() - t0)
+
+    _cal_cpu_pass(0)
+    single = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _cal_cpu_pass(0)
+        single = min(single, time.perf_counter() - t0)
+    n_tasks = CAL_PAR_THREADS * 2
+    with mp.get_context("fork").Pool(CAL_PAR_THREADS) as pool:
+        pool.map(_cal_cpu_pass, range(CAL_PAR_THREADS))  # warm forks
+        t0 = time.perf_counter()
+        pool.map(_cal_cpu_pass, range(n_tasks))
+        wall = time.perf_counter() - t0
+    par_eff = (single * n_tasks / wall) / CAL_PAR_THREADS
+    return bw / CAL_QUIET_SEC, par_eff
+
+
+def _cal_cpu_pass(_):
+    """Cache-resident compute kernel for the parallel probe (module-level
+    so fork-Pool workers can pickle it)."""
+    import numpy as np
+
+    x = np.arange(1 << 16, dtype=np.uint64)
+    for _ in range(200):
+        x = (x * np.uint64(0x9E3779B97F4A7C15)) ^ (x >> np.uint64(31))
+    return int(x[0])
+
+
 def warm_python_workers(spark, docs_path: str):
     """Pay the one-time Python-worker fork+import cost outside the timed
     section (measured ~20 s for 32 workers; a real cluster amortizes it
@@ -165,14 +240,42 @@ def run_default():
     # workers always did this; without it rep1 pays a cold virtio read)
     warm_python_workers(spark, docs_path)
 
+    # noise-robust build protocol (VERDICT r2 #1): this VM shows 2-10x
+    # co-tenant noise in windows lasting tens of seconds to minutes, and
+    # BENCH_r02 drew one — min-of-3 back-to-back reps all landed loud and
+    # the recorded number halved while the engine got faster. Now each
+    # attempt is paired with a calibration probe; attempts continue (with
+    # sleeps to outlive a loud window) until the BEST rep was measured in
+    # a certified-quiet window or the attempt budget runs out, and the
+    # per-attempt ratios ship in the JSON so a loud draw self-documents.
     timings: dict[str, float] = {}
-    reps = []
-    for i in range(3):  # this VM shows 2-10x co-tenant noise: min-of-3
+    reps: list[float] = []
+    bw_ratios: list[float] = []
+    par_effs: list[float] = []
+    MAX_ATTEMPTS = 6
+
+    def quiet(i: int) -> bool:
+        return (bw_ratios[i] <= CAL_LOUD_RATIO
+                and par_effs[i] >= CAL_PAR_QUIET_EFF)
+
+    for i in range(MAX_ATTEMPTS):
+        # contention flips on a seconds timescale here (measured 0.43 ->
+        # 0.83 par_eff back-to-back), so certify each rep with probes on
+        # BOTH sides of the build and keep the worst-case pair
+        bw_a, eff_a = calibration_probe()
         t0 = time.perf_counter()
         out = sketch_build_job(spark, docs_path, CPUS * 4)
         reps.append(round(time.perf_counter() - t0, 3))
+        bw_b, eff_b = calibration_probe()
+        bw_ratios.append(round(max(bw_a, bw_b), 2))
+        par_effs.append(round(min(eff_a, eff_b), 2))
         timings[f"sketch_build_rep{i + 1}"] = reps[-1]
+        if i >= 2 and quiet(reps.index(min(reps))):
+            break
+        if i < MAX_ATTEMPTS - 1:
+            time.sleep(20)  # wait out the loud window before retrying
     timings["sketch_build_tokens"] = min(reps)
+    loud_draw = not quiet(reps.index(min(reps)))
     n_tokens = int(out[out.sketch_name == "tok_hll"].n_values.sum())
     tokens_per_sec = n_tokens / timings["sketch_build_tokens"]
 
@@ -218,9 +321,12 @@ def run_default():
                  "top_tokens", "knn_topk", "hll_card_by_type",
                  "token_hll_by_source", "value_quantiles_tdigest",
                  "exact_value_sums", "user_sessions"]:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: queries are 1-7 s, noise is 2-10x
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(v for k, v in timings.items()
                       if not k.startswith("sketch_build_rep")), 3)
@@ -233,6 +339,20 @@ def run_default():
         "cpus": CPUS,
         "n_tokens": n_tokens,
         "tokens_per_sec": round(tokens_per_sec, 1),
+        # loudness self-documentation (probes taken before build rep i+1):
+        # bw_ratios = single-core bandwidth vs quiet reference (>1.5 =>
+        # co-tenant bandwidth load); par_effs = 8-thread cache-resident
+        # parallel efficiency (quiet 0.8-1.0; <0.6 => the guest's vCPUs
+        # are core-starved by the host — single-core looks normal but
+        # 32-core jobs run 2-8x slow). loud_draw means even the BEST rep
+        # was taken under contention, so the headline understates the
+        # engine (see BENCH/BASELINE.md round-3 notes).
+        "calibration": {"quiet_ref_sec": CAL_QUIET_SEC,
+                        "loud_ratio_threshold": CAL_LOUD_RATIO,
+                        "par_eff_quiet_min": CAL_PAR_QUIET_EFF,
+                        "bw_ratios": bw_ratios,
+                        "par_effs": par_effs,
+                        "loud_draw": loud_draw},
     }))
     spark.stop()
 

@@ -421,3 +421,65 @@ def ngram_word_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
           .withColumn("jaccard", F.round(F.col("inter") / F.col("union_sz"), 6))
           .where(F.col("jaccard") >= tau))
     return ja.select("id_a", "id_b", "inter", "union_sz", "jaccard")
+
+
+def connected_components(pairs: DataFrame, nodes: "DataFrame | None" = None,
+                         id_a: str = "id_a", id_b: str = "id_b",
+                         id_col: str = "id",
+                         max_iter: int = 20) -> DataFrame:
+    """Transitive closure of pairwise near-dup edges: (id, component_id)
+    with ``component_id`` = the minimum node id reachable from ``id`` —
+    the canonical survivor a transitive dedup pass keeps.
+
+    Near-dup relations are NOT transitive (A~B and B~C do not imply A~C
+    above the same threshold), but dedup policy usually IS — a chain of
+    near-copies is one cluster. This closes the gap between the pairwise
+    operators (:func:`simhash_candidates`, :func:`ngram_word_jaccard_pairs`,
+    :func:`lsh_candidate_pairs`) and per-document keep/drop decisions.
+
+    Algorithm: min-label propagation. Each iteration sends every node's
+    current label across its (symmetrized) edges and takes the min —
+    one equi-join + one groupBy per iteration, shuffles keyed on node id
+    only; converges in O(cluster diameter) iterations, and near-dup
+    clusters are shallow (a chain of k successive edits has diameter k).
+    The loop stops early via a per-iteration changed-label count (an
+    AGGREGATE, not a collect of labels). For web-scale graphs with deep
+    components the alternating large-star/small-star variant (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC 2014) halves
+    diameter per round and drops in here unchanged — near-dup dedup never
+    needs it.
+
+    ``nodes`` (one column ``id_col``) adds isolated documents as singleton
+    components; omitted, only nodes present in ``pairs`` appear.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct())
+    members = edges.select(F.col("src").alias("id")).distinct()
+    if nodes is not None:
+        members = (members.unionByName(
+            nodes.select(F.col(id_col).alias("id"))).distinct())
+    labels = members.select("id", F.col("id").alias("component_id"))
+    for _ in range(max_iter):
+        # labels reachable in one hop, min-combined with the current label
+        prop = (edges.join(labels.withColumnRenamed("id", "dst")
+                           .withColumnRenamed("component_id", "nbr_label"),
+                           "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("nbr_label").alias("nbr_min")))
+        new_labels = (labels.join(prop, "id", "left")
+                      .select("id",
+                              F.least("component_id",
+                                      F.coalesce("nbr_min", "component_id"))
+                              .alias("component_id")))
+        new_labels = new_labels.persist()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.component_id") != F.col("o.component_id"))
+                   .count())
+        labels.unpersist()  # no-op on the unpersisted first iterate
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

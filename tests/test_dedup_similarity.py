@@ -333,3 +333,19 @@ def test_ivf_kmeans_refinement_beats_sampling(spark):
         vdf, qdf, k=10, n_centroids=16, n_probe=2, centroids=C).toPandas())
     assert refined > sampled + 0.1, (refined, sampled)
     assert refined >= 0.9, refined
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation: a 4-chain collapses to its min id (needs 3
+    propagation rounds — true transitivity, not one-hop), disjoint pairs
+    stay separate, isolated nodes become singletons."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in
+                                   [1, 2, 3, 4, 10, 11, 20, 21, 99]],
+                                  "id long")
+    got = {r.id: r.component_id for r in
+           dedup.connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 99: 99}
