@@ -318,6 +318,40 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _docs_with_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, doc_id, n_tok) with n_tok = non-empty whitespace tokens —
+    the documents table's packing input (twin SQL in the oracles)."""
+    return _t(spark, sf_dir, "documents").select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long").alias("n_tok"))
+
+
+def q_token_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (operators/packing.py): per
+    source, docs form one token stream chopped into 512-token training
+    chunks; emits each doc's stream offset, first/last chunk and whether
+    it straddles a boundary. Window-only plan (one Exchange per group)."""
+    from grenier_spark.operators.packing import pack_fixed_chunks
+
+    return (pack_fixed_chunks(_docs_with_ntok(spark, sf_dir), budget=512)
+            .select("source", "doc_id", "n_tok", "tok_start", "batch_id",
+                    "end_batch_id", "straddles")
+            .orderBy("source", "doc_id"))
+
+
+def q_token_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy whole-doc packing at a 256-token budget: docs fill a batch
+    until one would overflow; oracle recomputes the same recursion with a
+    recursive CTE (depth = docs per source, 25 at sf0.01)."""
+    from grenier_spark.operators.packing import pack_greedy_contiguous
+
+    return (pack_greedy_contiguous(_docs_with_ntok(spark, sf_dir),
+                                   budget=256)
+            .select("source", "doc_id", "n_tok", "batch_id", "fill_after")
+            .orderBy("source", "doc_id"))
+
+
 def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source text-quality aggregates (operators/textstats.py)."""
     from grenier_spark.operators import textstats as ts
@@ -1032,6 +1066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs_parts": q_string_funcs_parts,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "neardup_components": q_neardup_components,
+        "token_pack_chunks": q_token_pack_chunks,
+        "token_pack_greedy": q_token_pack_greedy,
         "embedding_neardup": q_embedding_neardup,
         "user_sessions": q_user_sessions,
         "customers_without_orders": q_customers_without_orders,
@@ -1487,6 +1523,44 @@ reach AS (SELECT id, id AS lab FROM d
           SELECT e.bb AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id)
 SELECT id AS doc_id, MIN(lab)::BIGINT AS component_id
 FROM reach GROUP BY id""",
+        "token_pack_chunks": """
+WITH d AS (
+  SELECT source, doc_id::BIGINT AS doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tok
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tok,
+         (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+          - n_tok)::BIGINT AS tok_start
+  FROM d
+)
+SELECT source, doc_id, n_tok, tok_start,
+       (tok_start // 512)::BIGINT AS batch_id,
+       ((tok_start + n_tok - 1) // 512)::BIGINT AS end_batch_id,
+       ((tok_start + n_tok - 1) // 512) > (tok_start // 512) AS straddles
+FROM c""",
+        "token_pack_greedy": """
+WITH RECURSIVE d AS (
+  SELECT source, doc_id::BIGINT AS doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id::BIGINT)
+           AS rn
+  FROM documents
+), g AS (
+  SELECT source, doc_id, n_tok, rn, 0::BIGINT AS batch_id,
+         n_tok AS fill_after
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT nx.source, nx.doc_id, nx.n_tok, nx.rn,
+         CASE WHEN g.fill_after + nx.n_tok <= 256 THEN g.batch_id
+              ELSE g.batch_id + 1 END,
+         CASE WHEN g.fill_after + nx.n_tok <= 256
+              THEN g.fill_after + nx.n_tok ELSE nx.n_tok END
+  FROM g JOIN d nx ON nx.source = g.source AND nx.rn = g.rn + 1
+)
+SELECT source, doc_id, n_tok, batch_id, fill_after FROM g""",
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
            FROM embeddings),
