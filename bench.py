@@ -490,10 +490,15 @@ def run_scaling_pairs():
     levels = (1, 4, 2, 8)
     jobs = ("--scaling-worker", "--scaling-worker-hash")
     results = {(j, c): float("inf") for j in jobs for c in levels}
+    probes = {(j, c): (float("inf"), 0.0) for j in jobs for c in levels}
     n_items = {j: 0 for j in jobs}
     for _ in range(2):
         for cpus in levels:
             for job in jobs:
+                # certify the window each worker runs in (same two-axis
+                # probe as run_default); keep the probe pair of the pass
+                # that produced each level's BEST time
+                bw, eff = calibration_probe()
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), job,
                      str(cpus)],
@@ -507,7 +512,9 @@ def run_scaling_pairs():
                     raise RuntimeError(
                         f"scaling worker ({job}, cpus={cpus}) failed")
                 rec = json.loads(json_lines[-1])
-                results[(job, cpus)] = min(results[(job, cpus)], rec["sec"])
+                if rec["sec"] < results[(job, cpus)]:
+                    results[(job, cpus)] = rec["sec"]
+                    probes[(job, cpus)] = (round(bw, 2), round(eff, 2))
                 n_items[job] = rec["n_tokens"]
 
     tables, summary = [], {}
@@ -523,11 +530,13 @@ def run_scaling_pairs():
                 f"| local[{lo}] -> local[{hi}] | {results[(job, lo)]:.2f} | "
                 f"{results[(job, hi)]:.2f} | {n / results[(job, lo)]:,.0f} | "
                 f"{n / results[(job, hi)]:,.0f} | {sp:.2f}x | "
-                f"{sp / 4.0:.3f} |")
+                f"{sp / 4.0:.3f} | "
+                f"{probes[(job, lo)]} / {probes[(job, hi)]} |")
         tables.append(
             f"## {label} — {n:,} keys\n\n"
             "| pair | N sec | 4N sec | N items/s | 4N items/s | speedup | "
-            "efficiency |\n| --- | --- | --- | --- | --- | --- | --- |\n"
+            "efficiency | probes (bw, par_eff) N / 4N |\n"
+            "| --- | --- | --- | --- | --- | --- | --- | --- |\n"
             + "\n".join(rows))
     md = ("# BENCH/SCALING_PAIRS_LAST — non-saturated N->4N runs\n\n"
           "Protocol identical to --scaling (interleaved best-of-N, fresh "
