@@ -1537,8 +1537,13 @@ WITH d AS (
 )
 SELECT source, doc_id, n_tok, tok_start,
        (tok_start // 512)::BIGINT AS batch_id,
-       ((tok_start + n_tok - 1) // 512)::BIGINT AS end_batch_id,
-       ((tok_start + n_tok - 1) // 512) > (tok_start // 512) AS straddles
+       -- greatest() mirrors the Spark side's zero-token-doc pin (and
+       -- hides the //-truncates-vs-floor divergence on the one negative
+       -- numerator case tok_start=0, n_tok=0)
+       greatest(tok_start // 512,
+                (tok_start + n_tok - 1) // 512)::BIGINT AS end_batch_id,
+       greatest(tok_start // 512, (tok_start + n_tok - 1) // 512)
+         > (tok_start // 512) AS straddles
 FROM c""",
         "token_pack_greedy": """
 WITH RECURSIVE d AS (

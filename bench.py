@@ -272,8 +272,10 @@ def run_default():
         timings[f"sketch_build_rep{i + 1}"] = reps[-1]
         if i >= 2 and quiet(reps.index(min(reps))):
             break
-        if i < MAX_ATTEMPTS - 1:
+        if i < MAX_ATTEMPTS - 1 and not quiet(i):
             time.sleep(20)  # wait out the loud window before retrying
+            # (quiet attempts retry back-to-back — the sleep only buys
+            # anything when the window we just measured was loud)
     timings["sketch_build_tokens"] = min(reps)
     loud_draw = not quiet(reps.index(min(reps)))
     n_tokens = int(out[out.sketch_name == "tok_hll"].n_values.sum())
@@ -495,16 +497,21 @@ def run_scaling_pairs():
     for _ in range(2):
         for cpus in levels:
             for job in jobs:
-                # certify the window each worker runs in (same two-axis
-                # probe as run_default); keep the probe pair of the pass
-                # that produced each level's BEST time
-                bw, eff = calibration_probe()
+                # certify the window each worker runs in with probes on
+                # BOTH sides of the subprocess (contention flips on a
+                # seconds timescale here and a worker runs for tens of
+                # seconds — a before-only probe can certify a window that
+                # went loud mid-run); keep the worst-case pair of the pass
+                # that produced each level's BEST time, as run_default does
+                bw_a, eff_a = calibration_probe()
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), job,
                      str(cpus)],
                     capture_output=True, text=True, timeout=2400,
                     env={**os.environ,
                          "SPARK_GRAFT_BENCH_DOCS": str(BENCH_DOCS)})
+                bw_b, eff_b = calibration_probe()
+                bw, eff = max(bw_a, bw_b), min(eff_a, eff_b)
                 json_lines = [ln for ln in out.stdout.splitlines()
                               if ln.startswith("{")]
                 if out.returncode != 0 or not json_lines:

@@ -31,6 +31,19 @@ from pyspark.sql.functions import pandas_udf
 from ..core.bits import U64, splitmix64_scalar, wang64
 
 
+def _ranked_by_content_hash(df: DataFrame, text_col: str,
+                            id_col: str) -> DataFrame:
+    """(content_hash, id, rn, n_copies): md5 content hash + per-hash rank
+    and copy count — the shared frame behind :func:`exact_dup_groups` and
+    :func:`exact_dup_members` (single definition so hash/ordering
+    semantics can never drift between the two outputs)."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    wp = Window.partitionBy("content_hash")
+    return (df.select(h, F.col(id_col))
+            .withColumn("rn", F.row_number().over(wp.orderBy(id_col)))
+            .withColumn("n_copies", F.count(F.lit(1)).over(wp)))
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", max_ids: int = 100) -> DataFrame:
     """Groups of byte-identical documents: (content_hash, n_copies, keep_id,
@@ -43,11 +56,7 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
     ``collect_list`` would buffer them all into one row. Row-level
     membership without any array lives in :func:`exact_dup_members`.
     """
-    h = F.md5(F.col(text_col)).alias("content_hash")
-    wp = Window.partitionBy("content_hash")
-    ranked = (df.select(h, F.col(id_col))
-              .withColumn("rn", F.row_number().over(wp.orderBy(id_col)))
-              .withColumn("n_copies", F.count(F.lit(1)).over(wp)))
+    ranked = _ranked_by_content_hash(df, text_col, id_col)
     return (ranked.where(F.col("rn") <= max_ids)
             .groupBy("content_hash")
             .agg(F.max("n_copies").alias("n_copies"),
@@ -63,11 +72,7 @@ def exact_dup_members(df: DataFrame, text_col: str = "text",
     per-group array anywhere, so a million-copy boilerplate cluster is a
     million ordinary rows. ``is_keep`` marks the lowest id of each group
     (the survivor a dedup pass retains)."""
-    h = F.md5(F.col(text_col)).alias("content_hash")
-    wp = Window.partitionBy("content_hash")
-    ranked = (df.select(h, F.col(id_col))
-              .withColumn("rn", F.row_number().over(wp.orderBy(id_col)))
-              .withColumn("n_copies", F.count(F.lit(1)).over(wp)))
+    ranked = _ranked_by_content_hash(df, text_col, id_col)
     return (ranked.where("n_copies > 1")
             .select("content_hash", id_col,
                     (F.col("rn") == 1).alias("is_keep")))
@@ -461,6 +466,7 @@ def connected_components(pairs: DataFrame, nodes: "DataFrame | None" = None,
         members = (members.unionByName(
             nodes.select(F.col(id_col).alias("id"))).distinct())
     labels = members.select("id", F.col("id").alias("component_id"))
+    changed = -1  # "unknown" if max_iter == 0
     for _ in range(max_iter):
         # labels reachable in one hop, min-combined with the current label
         prop = (edges.join(labels.withColumnRenamed("id", "dst")
@@ -482,4 +488,12 @@ def connected_components(pairs: DataFrame, nodes: "DataFrame | None" = None,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent truncation would return WRONG component ids for any
+        # cluster whose diameter exceeds max_iter — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing): a component "
+            f"has diameter > {max_iter}; raise max_iter or pre-contract "
+            f"with the large-star/small-star rounds described above")
     return labels

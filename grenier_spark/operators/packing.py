@@ -4,13 +4,14 @@ fixed-token-budget batches.
 LLM training consumes documents in batches bounded by a token budget
 (sequence packing); the pipeline-side job is a DETERMINISTIC, distributed
 assignment doc -> (batch_id, offset) that downstream loaders can replay.
-Two strategies, both pure JVM window/aggregate plans (no UDFs, one shuffle
-on the group column):
+Two strategies, each one shuffle on the group column:
 
 * ``pack_greedy_contiguous`` — docs in ``order_col`` order fill batches
   contiguously; a doc that would overflow the budget starts the next
-  batch. This is the streaming-order packing a sequential loader performs,
-  expressed as a running-capacity recursion.
+  batch. This is the streaming-order packing a sequential loader performs;
+  the running-capacity recursion is solved per group with a numpy
+  batch-boundary scan (one ``searchsorted`` per BATCH, not per doc) in an
+  Arrow-batched grouped map.
 * ``pack_fixed_chunks`` — batch = ``floor(cumulative_tokens / budget)``:
   docs are split across chunk boundaries (the loss-less "concat then
   chunk" regime of GPT-style pretraining, where a document may straddle
@@ -49,9 +50,16 @@ def pack_fixed_chunks(df: DataFrame, budget: int,
     return (out
             .withColumn("batch_id",
                         F.floor(F.col("tok_start") / budget).cast("long"))
+            # greatest() pins a ZERO-token doc's last chunk to its first
+            # chunk: without it the numerator tok_start + n_tok - 1 goes
+            # negative for a zero-token doc at stream position 0 and
+            # floor(-1/budget) = -1 (DuckDB's // truncates toward zero and
+            # would emit 0 — a cross-engine gate breaker on empty docs)
             .withColumn("end_batch_id",
-                        F.floor((F.col("tok_start") + F.col(ntok_col) - 1)
-                                / budget).cast("long"))
+                        F.greatest(
+                            F.col("batch_id"),
+                            F.floor((F.col("tok_start") + F.col(ntok_col)
+                                     - 1) / budget).cast("long")))
             .withColumn("straddles",
                         F.col("end_batch_id") > F.col("batch_id")))
 
@@ -66,52 +74,50 @@ def pack_greedy_contiguous(df: DataFrame, budget: int,
     (they can never fit — same contract as a loader that truncates them).
 
     The recursion ``fill' = fill + n if fill + n <= budget else n`` is not
-    a plain window sum, but it has a closed form over the PREFIX-SUM
-    domain: a doc STARTS a new batch iff its greedy fill would overflow,
-    and between two consecutive batch starts the fill is just the
-    difference of prefix sums. Spark-side we compute it with one
-    ``aggregate`` fold over the group's (ordered) token-count array —
-    still a single Exchange + per-group linear scan, no Python. Group
-    cardinality bounds the array (documents per source shard); for
-    groups too large for one array, pre-chunk with
-    :func:`pack_fixed_chunks` on a super-budget first.
+    a plain window sum, but over the PREFIX-SUM domain a batch is just a
+    maximal run of docs whose cumulative sum stays within ``start +
+    budget`` — so the whole group packs with ONE ``np.searchsorted`` per
+    BATCH over the cumsum array (not per doc: a group of D docs in B
+    batches costs B·log D, and every per-doc quantity falls out of
+    vectorized indexing). Runs as an Arrow-batched grouped map: one
+    Exchange on the group column, groups (sources / shards) are the
+    parallelism unit. Group cardinality bounds the in-memory arrays
+    (documents per source shard); for groups too large for one worker,
+    pre-chunk with :func:`pack_fixed_chunks` on a super-budget first.
 
     Returns (group, order, n_tok, batch_id, fill_after) rows.
     """
+    import numpy as np
+    import pandas as pd
+
+    g_t = df.schema[group_col].dataType.simpleString()
     id_t = df.schema[order_col].dataType.simpleString()
-    grouped = (df.groupBy(group_col)
-               .agg(F.array_sort(F.collect_list(
-                   F.struct(F.col(order_col).alias("o"),
-                            F.col(ntok_col).alias("n"))))
-                   .alias("docs")))
-    # fold state: array of (o, n, batch_id, fill_after); batch increments
-    # when fill would exceed the budget
-    fold = F.aggregate(
-        "docs",
-        F.expr(f"CAST(array() AS array<struct<o:{id_t},n:long,"
-               "batch_id:long,fill_after:long>>)"),
-        lambda acc, d: F.concat(
-            acc,
-            F.array(F.struct(
-                d["o"].alias("o"),
-                d["n"].cast("long").alias("n"),
-                F.when(F.size(acc) == 0, F.lit(0).cast("long"))
-                .when(F.element_at(acc, -1)["fill_after"]
-                      + d["n"].cast("long") <= F.lit(budget),
-                      F.element_at(acc, -1)["batch_id"])
-                .otherwise(F.element_at(acc, -1)["batch_id"] + 1)
-                .alias("batch_id"),
-                F.when((F.size(acc) != 0)
-                       & (F.element_at(acc, -1)["fill_after"]
-                          + d["n"].cast("long") <= F.lit(budget)),
-                       F.element_at(acc, -1)["fill_after"]
-                       + d["n"].cast("long"))
-                .otherwise(d["n"].cast("long"))
-                .alias("fill_after")))))
-    packed = grouped.select(group_col, F.explode(fold).alias("p"))
-    return packed.select(
-        group_col,
-        F.col("p.o").alias(order_col),
-        F.col("p.n").alias(ntok_col),
-        F.col("p.batch_id").alias("batch_id"),
-        F.col("p.fill_after").alias("fill_after"))
+    schema = (f"{group_col} {g_t}, {order_col} {id_t}, "
+              f"{ntok_col} long, batch_id long, fill_after long")
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # same order as the old array_sort(struct(o, n)) fold: by order
+        # col, ties by token count (order col is normally unique)
+        pdf = pdf.sort_values([order_col, ntok_col], kind="mergesort")
+        n = pdf[ntok_col].fillna(0).to_numpy(dtype=np.int64)
+        cum = np.cumsum(n)
+        batch = np.empty(len(n), dtype=np.int64)
+        j, b = 0, 0
+        while j < len(n):
+            before = int(cum[j - 1]) if j else 0
+            # largest e with cum[e-1] <= before + budget: docs j..e-1 fit
+            e = int(np.searchsorted(cum, before + budget, side="right"))
+            if e == j:  # doc j alone exceeds the budget: its own batch
+                e = j + 1
+            batch[j:e] = b
+            b += 1
+            j = e
+        starts = np.flatnonzero(np.diff(batch, prepend=-1))
+        batch_before = np.where(starts > 0, cum[starts - 1], 0)
+        fill_after = cum - batch_before[batch]
+        return pd.DataFrame({
+            group_col: pdf[group_col].to_numpy(),
+            order_col: pdf[order_col].to_numpy(),
+            ntok_col: n, "batch_id": batch, "fill_after": fill_after})
+
+    return df.groupBy(group_col).applyInPandas(pack, schema)

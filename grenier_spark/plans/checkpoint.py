@@ -107,6 +107,15 @@ class CheckpointedSketchJob:
             try:
                 seen = {r.lineage_file for r in
                         partials.select("lineage_file").distinct().collect()}
+                # a lineage value NOT in todo is the normalization-regression
+                # signal itself: failing here keeps the zero-row declaration
+                # from laundering every file past the row-level gate below
+                stray = seen - set(todo)
+                if stray:
+                    raise RuntimeError(
+                        f"lineage normalization mismatch: {len(stray)} "
+                        f"partial lineage paths not in the input file list "
+                        f"(e.g. {sorted(stray)[:2]})")
                 zero_row = sorted(set(todo) - seen)
                 self.table.append(partials,
                                   properties={"covered_files": zero_row})

@@ -147,3 +147,19 @@ def test_lineage_metrics_surface(spark, tmp_path, input_table):
     h = m[m.sketch_name == "h"]
     assert h.groupby(["lineage_file", "source"]).size().max() == 1
     assert int(h.n_rows.sum()) == 400
+
+
+def test_stray_lineage_path_raises_not_launders(spark, tmp_path,
+                                               input_table, monkeypatch):
+    """If the URI-scheme normalization regresses, every partial's lineage
+    path misses the todo list; the old behavior declared ALL files covered
+    (zero-row set = todo) and silently merged nothing. The stray-path gate
+    must raise instead."""
+    import grenier_spark.plans.checkpoint as cp
+
+    monkeypatch.setattr(
+        cp.F, "regexp_replace",
+        lambda col, pattern, repl: cp.F.col(col))  # normalization no-op
+    job = CheckpointedSketchJob(str(tmp_path / "ckpt"), SPECS, ["source"])
+    with pytest.raises(RuntimeError, match="normalization mismatch"):
+        job.run(spark, input_table)

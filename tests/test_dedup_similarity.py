@@ -349,3 +349,15 @@ def test_connected_components_chain_and_singletons(spark):
            dedup.connected_components(edges, nodes=nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 20: 20, 21: 20, 99: 99}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A component whose diameter exceeds max_iter must fail loudly —
+    silent truncation would report one chain as several components."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=2).collect()
+    # the same chain converges with enough rounds
+    got = dedup.connected_components(chain, max_iter=10).toPandas()
+    assert set(got.component_id) == {0}

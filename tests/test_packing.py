@@ -77,3 +77,45 @@ def test_fixed_chunks_stream_invariants(spark, docs):
     assert ((got.end_batch_id - got.batch_id) ==
             ((got.tok_start + got.n_tok - 1) // BUDGET
              - got.tok_start // BUDGET)).all()
+
+
+def test_fixed_chunks_zero_token_doc(spark):
+    """A zero-token doc at stream position 0 must stay in chunk 0 (not
+    floor(-1/budget) = -1) and never count as straddling — on BOTH engines
+    (DuckDB // truncates toward zero, Spark floor rounds down; the
+    greatest() pin makes them agree)."""
+    docs = spark.createDataFrame(
+        [("z", 0, 0), ("z", 1, 250), ("z", 2, 0), ("z", 3, 1)],
+        "source string, doc_id long, n_tok long")
+    got = pack_fixed_chunks(docs, BUDGET).orderBy("doc_id").toPandas()
+    assert got.batch_id.tolist() == [0, 0, 2, 2]
+    assert got.end_batch_id.tolist() == [0, 2, 2, 2]
+    assert got.straddles.tolist() == [False, True, False, False]
+
+
+def test_greedy_large_group_is_linear(spark):
+    """50k docs in ONE group must pack in seconds (the old Catalyst
+    array-append fold was O(n^2) struct copies and effectively hung here)
+    and respect the batch-capacity invariant."""
+    import time
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({"source": "g",
+                        "doc_id": np.arange(50_000),
+                        "n_tok": rng.integers(1, 70, 50_000)})
+    docs = spark.createDataFrame(pdf)
+    t0 = time.perf_counter()
+    got = pack_greedy_contiguous(docs, BUDGET).toPandas()
+    assert time.perf_counter() - t0 < 60
+    assert len(got) == 50_000
+    agg = got.groupby("batch_id").agg(tot=("n_tok", "sum"))
+    assert (agg.tot <= BUDGET).all()  # no oversize docs in this fixture
+    # batches are contiguous in doc order and maximal: the NEXT doc after
+    # each batch would have overflowed
+    by_doc = got.sort_values("doc_id")
+    b = by_doc.batch_id.to_numpy()
+    assert (np.diff(b) >= 0).all() and b[0] == 0 and (np.diff(b) <= 1).all()
+    fill = by_doc.fill_after.to_numpy()
+    n = by_doc.n_tok.to_numpy()
+    starts = np.flatnonzero(np.diff(b, prepend=-1))[1:]  # skip batch 0
+    assert (fill[starts - 1] + n[starts] > BUDGET).all()
