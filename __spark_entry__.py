@@ -352,6 +352,44 @@ def q_token_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source", "doc_id"))
 
 
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold train/val/test assignment
+    (operators/splits.py): md5(id || seed) hex compared against
+    Python-precomputed cumulative-weight thresholds — a scan-stage
+    projection with NO shuffle beyond the count aggregate, retry/AQE-stable
+    (unlike df.sample). The oracle repeats the identical CASE with the same
+    literal thresholds, so both engines run zero float arithmetic."""
+    from grenier_spark.operators.splits import assign_split
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"))
+    return (assign_split(docs, _SPLIT_WEIGHTS, seed=7)
+            .groupBy("source", "split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("source", "split"))
+
+
+def q_doc_sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% Bernoulli document sample (operators/splits.py
+    stratified_sample): keep iff md5 hash-hex < threshold — a pushed-down
+    scan filter, bit-reproducible across retries and engines."""
+    from grenier_spark.operators.splits import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"))
+    return (stratified_sample(docs, 0.2, seed=11)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("source"))
+
+
 def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source text-quality aggregates (operators/textstats.py)."""
     from grenier_spark.operators import textstats as ts
@@ -1068,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components": q_neardup_components,
         "token_pack_chunks": q_token_pack_chunks,
         "token_pack_greedy": q_token_pack_greedy,
+        "train_val_split": q_train_val_split,
+        "doc_sample_frac": q_doc_sample_frac,
         "embedding_neardup": q_embedding_neardup,
         "user_sessions": q_user_sessions,
         "customers_without_orders": q_customers_without_orders,
@@ -1093,6 +1133,30 @@ SELECT {group_col}, unnest([{qlist}]) AS q, unnest(ex) AS exact_q,
        TRUE AS within_bound
 FROM (SELECT {group_col}, [{exacts}] AS ex FROM {table}
       GROUP BY {group_col})"""
+
+
+def _train_val_split_oracle() -> str:
+    from grenier_spark.operators.splits import assign_split_sql
+
+    return f"""
+WITH d AS (SELECT source, doc_id::BIGINT AS doc_id,
+                  {assign_split_sql('doc_id', _SPLIT_WEIGHTS, 7)} AS split
+           FROM documents)
+SELECT source, split, COUNT(*)::BIGINT AS n_docs,
+       MIN(doc_id)::BIGINT AS min_doc, MAX(doc_id)::BIGINT AS max_doc
+FROM d GROUP BY source, split"""
+
+
+def _doc_sample_frac_oracle() -> str:
+    from grenier_spark.operators.splits import stratified_sample_sql_pred
+
+    return f"""
+SELECT source, COUNT(*)::BIGINT AS n_sampled,
+       MIN(doc_id::BIGINT)::BIGINT AS min_doc,
+       MAX(doc_id::BIGINT)::BIGINT AS max_doc
+FROM documents
+WHERE {stratified_sample_sql_pred('doc_id', 0.2, 11)}
+GROUP BY source"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1566,6 +1630,8 @@ WITH RECURSIVE d AS (
   FROM g JOIN d nx ON nx.source = g.source AND nx.rn = g.rn + 1
 )
 SELECT source, doc_id, n_tok, batch_id, fill_after FROM g""",
+        "train_val_split": _train_val_split_oracle(),
+        "doc_sample_frac": _doc_sample_frac_oracle(),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
            FROM embeddings),
