@@ -143,3 +143,19 @@ def test_quantile_bound_gate_broadcasts_estimates(spark):
               entry_mod.q_value_quantiles_tdigest):
         plan = plan_of(q(spark, SF))
         assert "BroadcastHashJoin" in plan, plan
+
+
+def test_split_assignment_is_scan_stage(spark):
+    """Split assignment must be pure JVM expressions fused with the scan:
+    no Python nodes anywhere, exactly one Exchange (the count aggregate),
+    and the sample's hash filter evaluated BELOW that Exchange (pre-shuffle
+    — at 100 TB the dropped 80% never leaves the scan stage)."""
+    for q in (entry_mod.q_train_val_split, entry_mod.q_doc_sample_frac):
+        plan = plan_of(q(spark, SF))
+        assert "Python" not in plan and "BatchEval" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    plan = plan_of(entry_mod.q_doc_sample_frac(spark, SF))
+    lines = plan.splitlines()
+    filt = max(i for i, ln in enumerate(lines) if "Filter" in ln)
+    exch = max(i for i, ln in enumerate(lines) if "Exchange" in ln)
+    assert filt > exch, plan  # deeper in the tree = printed later
