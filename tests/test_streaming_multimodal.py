@@ -360,3 +360,82 @@ def test_lossy_state_stream_matches_batch_counter(spark, tmp_path):
         got = {(int(r.token), int(r.f), int(r.n))
                for r in got_src[got_src.n == final_n].itertuples()}
         assert got == expect, (src, len(got), len(expect))
+
+
+def test_dedup_stream_global_first_wins(spark, tmp_path):
+    """Global streaming dedup: exactly one row per distinct content hash
+    across micro-batches, and it is the first arrival (file order)."""
+    import time as _time
+
+    from grenier_spark.streaming.dedup import dedup_stream
+
+    src_dir, ckpt = str(tmp_path / "dg_in"), str(tmp_path / "dg_ck")
+    schema = "doc_id long, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src_dir}/{name}")
+        _time.sleep(0.05)
+
+    write_batch("b1", [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{src_dir}/*"))
+    q = (dedup_stream(stream, "text").writeStream
+         .outputMode("append").format("memory").queryName("dg")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        write_batch("b2", [(4, "beta"), (5, "gamma"), (6, "gamma")])
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM dg").toPandas()
+    finally:
+        q.stop()
+    # one survivor per distinct text, dups dropped within AND across batches
+    assert sorted(got.text) == ["alpha", "beta", "gamma"]
+    by_text = dict(zip(got.text, got.doc_id))
+    assert by_text["alpha"] == 1 and by_text["beta"] == 2
+    assert by_text["gamma"] in (5, 6)  # same-file tie: either survivor ok
+    assert got.content_hash.nunique() == 3
+
+
+def test_dedup_stream_watermarked_drops_within_horizon(spark, tmp_path):
+    """Watermarked dedup: a re-crawl within the delay is dropped; state for
+    hashes behind the watermark is purged, so a far-later identical doc is
+    re-emitted (the documented bounded-state trade)."""
+    import datetime as dt
+    import time as _time
+
+    from grenier_spark.streaming.dedup import dedup_stream
+
+    T = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    src_dir, ckpt = str(tmp_path / "dw_in"), str(tmp_path / "dw_ck")
+    schema = "doc_id long, text string, ts timestamp"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src_dir}/{name}")
+        _time.sleep(0.05)
+
+    write_batch("b1", [(1, "alpha", T(0, 0)), (2, "alpha", T(0, 5)),
+                       (3, "beta", T(0, 6))])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{src_dir}/*"))
+    q = (dedup_stream(stream, "text", ts_col="ts", delay="10 minutes")
+         .writeStream.outputMode("append").format("memory").queryName("dw")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past 00:00+10m, purging alpha's state …
+        write_batch("b2", [(4, "gamma", T(2, 0))])
+        q.processAllAvailable()
+        # … so this identical alpha (event time beyond the horizon) re-emits
+        write_batch("b3", [(5, "alpha", T(3, 0))])
+        q.processAllAvailable()
+        got = spark.sql("SELECT doc_id, text FROM dw").toPandas()
+    finally:
+        q.stop()
+    ids = set(got.doc_id)
+    assert 1 in ids and 2 not in ids          # within-horizon dup dropped
+    assert {3, 4} <= ids                      # distinct docs pass
+    assert 5 in ids                           # post-purge re-occurrence
+    assert len(got) == 4
