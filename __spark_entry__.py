@@ -390,6 +390,34 @@ def q_doc_sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.0}
+
+
+def q_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture resampling (operators/splits.py mixture_resample):
+    each source is replicated to its epoch weight — w=2.5 emits two full
+    copies of every doc plus a deterministic half-probability third, w=0.25
+    keeps a quarter, w=0 drops the source, unlisted sources ride the 0.5
+    default. Row-level output (source, doc_id, rep) so the gate checks the
+    exact replica set, not just counts; the oracle replays the identical
+    CASE literals + md5 keep rule, zero float arithmetic on either engine."""
+    from grenier_spark.operators.splits import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"))
+    return (mixture_resample(docs, _MIX_WEIGHTS, default_weight=0.5, seed=5)
+            .select("source", "doc_id", F.col("rep").cast("long").alias("rep")))
+
+
+def _mixture_docs_oracle() -> str:
+    from grenier_spark.operators.splits import mixture_resample_sql
+
+    return mixture_resample_sql(
+        "SELECT source, doc_id::BIGINT AS doc_id FROM documents",
+        _MIX_WEIGHTS, default_weight=0.5, seed=5,
+        cols="source, doc_id, rep::BIGINT AS rep")
+
+
 def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source text-quality aggregates (operators/textstats.py)."""
     from grenier_spark.operators import textstats as ts
@@ -1108,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pack_greedy": q_token_pack_greedy,
         "train_val_split": q_train_val_split,
         "doc_sample_frac": q_doc_sample_frac,
+        "mixture_docs": q_mixture_docs,
         "embedding_neardup": q_embedding_neardup,
         "user_sessions": q_user_sessions,
         "customers_without_orders": q_customers_without_orders,
@@ -1632,6 +1661,7 @@ WITH RECURSIVE d AS (
 SELECT source, doc_id, n_tok, batch_id, fill_after FROM g""",
         "train_val_split": _train_val_split_oracle(),
         "doc_sample_frac": _doc_sample_frac_oracle(),
+        "mixture_docs": _mixture_docs_oracle(),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
            FROM embeddings),

@@ -102,3 +102,77 @@ def stratified_sample_sql_pred(id_expr: str, fraction: float,
                                seed: int = 0) -> str:
     thr = format(min(int(fraction * 2.0**64), 2**64 - 1), "016x")
     return f"{hash_hex_sql(id_expr, seed)} < '{thr}'"
+
+
+# -- source-mixture resampling ---------------------------------------------
+
+def _mixture_parts(weights: "dict[str, float]", default_weight: float):
+    """Per-source (full_copies, fractional_hex_threshold) plus the default,
+    computed ONCE in Python so the Spark plan and the SQL oracle carry
+    identical literals."""
+    def split_w(w):
+        if w < 0:
+            raise ValueError("mixture weight must be >= 0")
+        full = int(w)
+        frac = w - full
+        return full, format(min(int(frac * 2.0**64), 2**64 - 1), "016x")
+    return ({s: split_w(w) for s, w in weights.items()},
+            split_w(default_weight))
+
+
+def mixture_resample(df: DataFrame, weights: "dict[str, float]",
+                     source_col: str = "source", id_col: str = "doc_id",
+                     default_weight: float = 1.0, seed: int = 0) -> DataFrame:
+    """Dataset mixing: resample each source to its weight. ``w = 2.5``
+    emits every doc twice (``rep`` 0 and 1) plus a third copy with
+    probability 0.5; ``w = 0.25`` keeps a quarter of the docs — the
+    epoch-weighting scheme of mixture-trained corpora, deterministic per
+    (doc, rep, seed) so a re-run (or a retried task) reproduces the exact
+    same replica set.
+
+    Pure JVM plan: a CASE over the (small, literal) weight map picks the
+    per-source copy count, ``explode(sequence(...))`` emits the replicas,
+    and the fractional copy survives iff md5(id:rep:seed) hex falls under
+    the source's precomputed threshold. No shuffle, no UDF; output rows
+    carry ``rep`` (replica index) so downstream packing/shuffling can fold
+    it into the order key.
+    """
+    per_src, (dfull, dthr) = _mixture_parts(weights, default_weight)
+    full_c = F.lit(dfull)
+    thr_c = F.lit(dthr)
+    for s, (full, thr) in per_src.items():
+        full_c = F.when(F.col(source_col) == s, F.lit(full)).otherwise(full_c)
+        thr_c = F.when(F.col(source_col) == s, F.lit(thr)).otherwise(thr_c)
+    out = (df.withColumn("_full", full_c)
+           .withColumn("rep", F.explode(F.sequence(F.lit(0), F.col("_full"))))
+           )
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                       F.col("rep").cast("string"), F.lit(f":{seed}"))),
+        1, 16)
+    return (out.where((F.col("rep") < F.col("_full")) | (h < thr_c))
+            .drop("_full"))
+
+
+def mixture_resample_sql(table_sql: str, weights: "dict[str, float]",
+                         source_col: str = "source", id_col: str = "doc_id",
+                         default_weight: float = 1.0, seed: int = 0,
+                         cols: str = "* EXCLUDE (_thr, _full)") -> str:
+    """DuckDB twin: same literals, same md5 chain, same keep rule. ``cols``
+    selects from the replicated inner frame (original columns + ``rep``);
+    the default drops only the helper columns."""
+    per_src, (dfull, dthr) = _mixture_parts(weights, default_weight)
+    full_case = " ".join(f"WHEN {source_col} = '{s}' THEN {full}"
+                         for s, (full, _) in per_src.items())
+    thr_case = " ".join(f"WHEN {source_col} = '{s}' THEN '{thr}'"
+                        for s, (_, thr) in per_src.items())
+    h = (f"substr(md5({id_col}::VARCHAR || ':' || rep::VARCHAR || "
+         f"':{seed}'), 1, 16)")
+    return f"""
+SELECT {cols} FROM (
+  SELECT t.*, unnest(generate_series(0, CASE {full_case} ELSE {dfull} END))
+         AS rep,
+         CASE {thr_case} ELSE '{dthr}' END AS _thr,
+         CASE {full_case} ELSE {dfull} END AS _full
+  FROM ({table_sql}) t)
+WHERE rep < _full OR {h} < _thr"""

@@ -159,3 +159,14 @@ def test_split_assignment_is_scan_stage(spark):
     filt = max(i for i, ln in enumerate(lines) if "Filter" in ln)
     exch = max(i for i, ln in enumerate(lines) if "Exchange" in ln)
     assert filt > exch, plan  # deeper in the tree = printed later
+
+
+def test_mixture_resample_is_narrow(spark):
+    """Source-mixture resampling is replicate-in-place: CASE + explode +
+    filter fused with the scan. NO Exchange of any kind and no Python —
+    at 100 TB the up/down-sampled rows are produced inside the scan stage
+    and flow straight to the consumer."""
+    plan = plan_of(entry_mod.q_mixture_docs(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+    assert "Generate explode" in plan, plan

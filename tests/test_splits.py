@@ -4,7 +4,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from grenier_spark.operators.splits import (assign_split, split_thresholds,
+from grenier_spark.operators.splits import (assign_split, mixture_resample,
+                                            split_thresholds,
                                             stratified_sample)
 
 WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -45,6 +46,50 @@ def test_assign_split_seed_rotates_membership(spark, ids):
             == c.sort_values("doc_id").split.to_numpy()).mean()
     # P(same split under independent hashes) = sum w_i^2 = 0.66
     assert 0.55 < same < 0.77, same
+
+
+MIX = {"a": 2.5, "b": 0.25, "c": 0.0, "d": 2.0}
+
+
+@pytest.fixture(scope="module")
+def sourced(spark):
+    n = 2000
+    return spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": np.array(list("abcde"))[np.arange(n) % 5]}))
+
+
+def test_mixture_counts_and_replica_semantics(spark, sourced):
+    out = mixture_resample(sourced, MIX, default_weight=0.5,
+                           seed=3).toPandas()
+    per = out.groupby("source").size()
+    # 400 docs/source. Integer part is EXACT, fractional part binomial.
+    assert per["d"] == 800  # w=2 -> exactly 2 copies, no fractional leak
+    assert "c" not in per.index  # w=0 drops the source entirely
+    for s, w in (("a", 2.5), ("b", 0.25), ("e", 0.5)):
+        full, frac = int(w), w - int(w)
+        sigma = (400 * frac * (1 - frac)) ** 0.5
+        assert abs(per[s] - 400 * w) < 5 * sigma + 1e-9, (s, per[s])
+    # full copies are unconditional: every 'a' doc has reps {0, 1}
+    a = out[out.source == "a"]
+    full_reps = a[a.rep < 2].groupby("doc_id").rep.agg(["size", "max"])
+    assert (full_reps["size"] == 2).all() and (full_reps["max"] == 1).all()
+    assert a.rep.max() == 2 and set(a.rep) == {0, 1, 2}
+
+
+def test_mixture_deterministic_under_repartition_and_seed(spark, sourced):
+    a = mixture_resample(sourced, MIX, seed=3).toPandas()
+    b = mixture_resample(sourced.repartition(17), MIX, seed=3).toPandas()
+    key = lambda d: set(zip(d.doc_id, d.rep, d.source))
+    assert key(a) == key(b)
+    c = mixture_resample(sourced, MIX, seed=4).toPandas()
+    # fractional replicas rotate with the seed; full copies never move
+    assert key(a) != key(c)
+    fw = {"a": 2, "b": 0, "c": 0, "d": 2, "e": 0}  # floor(weight)
+    full = lambda d: d[d.rep < d.source.map(fw)]
+    assert key(full(a)) == key(full(c))
+    with pytest.raises(ValueError):
+        mixture_resample(sourced, {"a": -1.0})
 
 
 def test_stratified_sample_fraction_and_subset_property(spark, ids):
