@@ -418,6 +418,37 @@ def _mixture_docs_oracle() -> str:
         cols="source, doc_id, rep::BIGINT AS rep")
 
 
+def q_shuffle_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture -> deterministic global training shuffle
+    (operators/ordering.py shuffle_order over splits.mixture_resample):
+    every surviving replica gets a seeded md5 order_key (16-hex global
+    shuffle position) and a shard from exact top-32-bit integer arithmetic,
+    so shard boundaries coincide with order_key ranges. Row-level gate:
+    the exact (doc, rep) -> (shard, order_key) map must match DuckDB."""
+    from grenier_spark.operators.ordering import shuffle_order
+    from grenier_spark.operators.splits import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"))
+    mixed = mixture_resample(docs, _MIX_WEIGHTS, default_weight=0.5, seed=5)
+    return (shuffle_order(mixed, 8, rep_col="rep", seed=13)
+            .select("doc_id", F.col("rep").cast("long").alias("rep"),
+                    "shard", "order_key"))
+
+
+def _shuffle_order_docs_oracle() -> str:
+    from grenier_spark.operators.ordering import shuffle_order_sql
+    from grenier_spark.operators.splits import mixture_resample_sql
+
+    mixed = mixture_resample_sql(
+        "SELECT source, doc_id::BIGINT AS doc_id FROM documents",
+        _MIX_WEIGHTS, default_weight=0.5, seed=5,
+        cols="doc_id, rep::BIGINT AS rep")
+    okey, shard = shuffle_order_sql("doc_id", 8, seed=13, rep_expr="rep")
+    return (f"SELECT doc_id, rep, ({shard})::BIGINT AS shard, "
+            f"{okey} AS order_key FROM ({mixed}) m")
+
+
 def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source text-quality aggregates (operators/textstats.py)."""
     from grenier_spark.operators import textstats as ts
@@ -1137,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "doc_sample_frac": q_doc_sample_frac,
         "mixture_docs": q_mixture_docs,
+        "shuffle_order_docs": q_shuffle_order_docs,
         "embedding_neardup": q_embedding_neardup,
         "user_sessions": q_user_sessions,
         "customers_without_orders": q_customers_without_orders,
@@ -1662,6 +1694,7 @@ SELECT source, doc_id, n_tok, batch_id, fill_after FROM g""",
         "train_val_split": _train_val_split_oracle(),
         "doc_sample_frac": _doc_sample_frac_oracle(),
         "mixture_docs": _mixture_docs_oracle(),
+        "shuffle_order_docs": _shuffle_order_docs_oracle(),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
            FROM embeddings),

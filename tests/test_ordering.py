@@ -1,0 +1,107 @@
+"""Deterministic training-order shuffle (operators/ordering.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from grenier_spark.operators.ordering import shuffle_order
+from grenier_spark.operators.splits import mixture_resample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    n = 4000
+    return spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": np.array(list("abcd"))[np.arange(n) % 4]}))
+
+
+def test_shard_agrees_with_order_ranges_and_balance(spark, docs):
+    out = (shuffle_order(docs, 8, seed=2).toPandas()
+           .sort_values("order_key").reset_index(drop=True))
+    # shard boundaries ARE order_key ranges: globally sorted keys walk the
+    # shards monotonically, so "read shards in order, each sorted" == the
+    # one global order
+    assert (out.shard.diff().dropna() >= 0).all()
+    assert set(out.shard) == set(range(8))
+    # balanced to binomial deviation
+    sigma = (4000 * (1 / 8) * (7 / 8)) ** 0.5
+    assert (abs(out.shard.value_counts() - 500) < 5 * sigma).all()
+    # order keys unique at this scale, fixed-width lowercase hex
+    assert out.order_key.is_unique
+    assert out.order_key.str.fullmatch(r"[0-9a-f]{16}").all()
+
+
+def test_deterministic_and_seed_rotates(spark, docs):
+    a = shuffle_order(docs, 8, seed=2).toPandas()
+    b = shuffle_order(docs.repartition(11), 8, seed=2).toPandas()
+    ka = dict(zip(a.doc_id, zip(a.order_key, a.shard)))
+    assert ka == dict(zip(b.doc_id, zip(b.order_key, b.shard)))
+    c = shuffle_order(docs, 8, seed=3).toPandas()
+    order_a = a.sort_values("order_key").doc_id.tolist()
+    order_c = c.sort_values("order_key").doc_id.tolist()
+    assert order_a != order_c  # fresh epoch order
+    assert sorted(order_a) == sorted(order_c)  # same corpus
+    with pytest.raises(ValueError):
+        shuffle_order(docs, 0)
+
+
+def test_replicas_get_distinct_positions(spark, docs):
+    mixed = mixture_resample(docs, {"a": 3.0}, default_weight=1.0, seed=1)
+    out = shuffle_order(mixed, 4, rep_col="rep", seed=2).toPandas()
+    a = out[out.source == "a"]
+    assert len(a) == 3000 and a.order_key.is_unique  # replicas spread out
+    # a replica's position is independent of its siblings: the 3 copies of
+    # one doc should not cluster in one shard systematically
+    spread = a.groupby("doc_id").shard.nunique()
+    assert spread.mean() > 2.0  # E[distinct shards of 3 draws from 4]=2.31
+
+
+def test_single_shard_degenerate(spark, docs):
+    out = shuffle_order(docs, 1, seed=0).toPandas()
+    assert (out.shard == 0).all()
+
+
+def test_write_read_shards_roundtrip_and_verify(spark, docs, tmp_path):
+    from grenier_spark.operators.ordering import (read_training_shards,
+                                                  write_training_shards)
+
+    sh = shuffle_order(docs, 4, seed=9)
+    path = str(tmp_path / "corpus")
+    manifest = write_training_shards(sh, path, 4)
+    assert sum(s["n_rows"] for s in manifest["shards"]) == 4000
+    # shard key ranges don't overlap: reading shard dirs in shard order,
+    # each file already sorted, replays the single global order
+    for a, b in zip(manifest["shards"], manifest["shards"][1:]):
+        assert a["max_key"] < b["min_key"]
+    back = read_training_shards(spark, path).toPandas()
+    expect = sh.toPandas()
+    assert (set(zip(back.doc_id, back.order_key, back.shard.astype(int)))
+            == set(zip(expect.doc_id, expect.order_key, expect.shard)))
+    # each shard dir holds ONE sorted file (deterministic layout)
+    import glob
+    for s in manifest["shards"]:
+        files = glob.glob(f"{path}/shard={s['shard']}/*.parquet")
+        assert len(files) == 1, files
+        pdf = pd.read_parquet(files[0])
+        assert pdf.order_key.is_monotonic_increasing
+        assert len(pdf) == s["n_rows"]
+
+
+def test_read_shards_fails_loudly_on_damage(spark, docs, tmp_path):
+    import glob
+    import os
+
+    from grenier_spark.operators.ordering import (read_training_shards,
+                                                  write_training_shards)
+
+    path = str(tmp_path / "corpus")
+    write_training_shards(shuffle_order(docs, 4, seed=9), path, 4)
+    victim = glob.glob(f"{path}/shard=2/*.parquet")[0]
+    os.remove(victim)
+    with pytest.raises(RuntimeError, match="diverge"):
+        read_training_shards(spark, path)
+    # manifest-less dir (crashed write) is "no table", not silent data
+    os.remove(f"{path}/_manifest.json")
+    with pytest.raises(FileNotFoundError):
+        read_training_shards(spark, path)

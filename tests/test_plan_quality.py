@@ -170,3 +170,13 @@ def test_mixture_resample_is_narrow(spark):
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "BatchEval" not in plan, plan
     assert "Generate explode" in plan, plan
+
+
+def test_shuffle_order_is_narrow(spark):
+    """Training-order assignment (mixture -> order_key/shard) stays a
+    scan-stage projection: the 100 TB shuffle happens only when a WRITER
+    repartitions on the precomputed shard column — the assignment itself
+    must not exchange."""
+    plan = plan_of(entry_mod.q_shuffle_order_docs(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEval" not in plan, plan
