@@ -150,6 +150,33 @@ class CheckpointedSketchJob:
                 f"coverage declaration: {sorted(missing)[:3]}...")
         return self._final_merge(merged_rows)
 
+    def history(self, spark) -> DataFrame:
+        """Metric evolution across input snapshots from checkpoint state
+        ALONE — the merge-tree query: for each input snapshot id present in
+        the checkpoint, the associative merge of every partial with
+        ``snapshot_id <= s`` is exactly the sketch "as of" s (each run
+        covers precisely that snapshot's new files, and the merges are
+        associative), so the full time series costs zero raw-data rescans —
+        only KB-sized sketch rows move. Returns the merged sketch rows
+        (same schema as :meth:`run`'s result) plus ``as_of_snapshot``;
+        decode with the usual estimators. Snapshots whose inputs were all
+        empty contribute no partials and inherit the next run's row.
+
+        At 10^12 sequences this is the operational dashboard query —
+        "distinct tokens per source, by ingest day" — answered from the
+        checkpoint table an Iceberg catalog would hold anyway."""
+        rows = self.table.read(spark) if self.table.files() else None
+        if rows is None:
+            raise ValueError("checkpoint holds no partials — run() first")
+        sids = sorted(r.snapshot_id for r in
+                      rows.select("snapshot_id").distinct().collect())
+        out = None
+        for s in sids:  # few snapshots; each merge is a KB-row Spark job
+            m = (self._final_merge(rows.where(F.col("snapshot_id") <= s))
+                 .withColumn("as_of_snapshot", F.lit(s).cast("long")))
+            out = m if out is None else out.unionByName(m)
+        return out
+
     def _final_merge(self, partial_rows: DataFrame) -> DataFrame:
         kind_of = {s.name: s.kind for s in self.specs}
         rows = partial_rows.drop("snapshot_id")

@@ -163,3 +163,35 @@ def test_stray_lineage_path_raises_not_launders(spark, tmp_path,
     job = CheckpointedSketchJob(str(tmp_path / "ckpt"), SPECS, ["source"])
     with pytest.raises(RuntimeError, match="normalization mismatch"):
         job.run(spark, input_table)
+
+
+def test_history_is_prefix_exact_merge_tree(spark, tmp_path, input_table):
+    """history() answers "the sketch as of snapshot s" for every s from
+    checkpoint partials alone; each prefix must be BIT-IDENTICAL to a
+    from-scratch build pinned at that input snapshot."""
+    job = CheckpointedSketchJob(str(tmp_path / "ckpt"), SPECS, ["source"])
+    with pytest.raises(ValueError, match="run\\(\\) first"):
+        job.history(spark)
+    job.run(spark, input_table)  # input snapshot 1
+
+    extra = str(tmp_path / "gen2")
+    write_documents_local(extra, 150)
+    input_table.append(spark.read.parquet(extra).repartition(2))
+    job.run(spark, input_table)  # input snapshot 2
+
+    hist = job.history(spark).toPandas()
+    assert sorted(hist.as_of_snapshot.unique()) == [1, 2]
+    by_snap = {
+        s: {(r.source, r.sketch_name): bytes(r.sketch)
+            for r in g.itertuples()}
+        for s, g in hist.groupby("as_of_snapshot")}
+    for s in (1, 2):
+        scratch = CheckpointedSketchJob(
+            str(tmp_path / f"scr{s}"), SPECS, ["source"])
+        want = sketches_of(scratch.run(spark, input_table, snapshot_id=s))
+        assert by_snap[s] == want, f"as-of-{s} diverges from scratch"
+    # growth is visible: snapshot-2 HLL estimates >= snapshot-1's
+    for (src, name), blob in by_snap[1].items():
+        if name == "h":
+            assert (hll.card_hllpp(hll.from_bytes(by_snap[2][(src, name)]))
+                    >= hll.card_hllpp(hll.from_bytes(blob)))
