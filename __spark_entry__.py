@@ -449,6 +449,29 @@ def _shuffle_order_docs_oracle() -> str:
             f"{okey} AS order_key FROM ({mixed}) m")
 
 
+def q_stride_interleave_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted curriculum interleaving (operators/ordering.py
+    stride_interleave): source i occupies every ~1/w_i positions of the
+    training stream EXACTLY (integer stride scheduling), docs within a
+    source in seeded-hash order. One window Exchange; position arithmetic
+    is all int64 literals so both engines agree bit-for-bit."""
+    from grenier_spark.operators.ordering import stride_interleave
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"))
+    return stride_interleave(docs, {"src0": 4.0, "src1": 0.5},
+                             default_weight=1.0, seed=3)
+
+
+def _stride_interleave_docs_oracle() -> str:
+    from grenier_spark.operators.ordering import stride_interleave_sql
+
+    return stride_interleave_sql(
+        "SELECT source, doc_id::BIGINT AS doc_id FROM documents",
+        {"src0": 4.0, "src1": 0.5}, default_weight=1.0, seed=3,
+        cols="source, doc_id")
+
+
 def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source text-quality aggregates (operators/textstats.py)."""
     from grenier_spark.operators import textstats as ts
@@ -1169,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_frac": q_doc_sample_frac,
         "mixture_docs": q_mixture_docs,
         "shuffle_order_docs": q_shuffle_order_docs,
+        "stride_interleave_docs": q_stride_interleave_docs,
         "embedding_neardup": q_embedding_neardup,
         "user_sessions": q_user_sessions,
         "customers_without_orders": q_customers_without_orders,
@@ -1695,6 +1719,7 @@ SELECT source, doc_id, n_tok, batch_id, fill_after FROM g""",
         "doc_sample_frac": _doc_sample_frac_oracle(),
         "mixture_docs": _mixture_docs_oracle(),
         "shuffle_order_docs": _shuffle_order_docs_oracle(),
+        "stride_interleave_docs": _stride_interleave_docs_oracle(),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
            FROM embeddings),

@@ -80,6 +80,81 @@ def shuffle_order_sql(id_expr: str, n_shards: int, seed: int = 0,
     return h, f"(({hi32}) * {n_shards}) // 4294967296"
 
 
+# -- weighted stride interleaving -------------------------------------------
+
+_STRIDE_SCALE = 2**20
+
+
+def _strides(weights: "dict[str, float]", default_weight: float):
+    def one(w):
+        if w <= 0:
+            raise ValueError(
+                "interleave weight must be > 0 (drop a source with "
+                "mixture_resample weight 0 instead)")
+        return max(1, round(_STRIDE_SCALE / w))
+    return {s: one(w) for s, w in weights.items()}, one(default_weight)
+
+
+def stride_interleave(df: DataFrame, weights: "dict[str, float]",
+                      source_col: str = "source", id_col: str = "doc_id",
+                      rep_col: "str | None" = None,
+                      default_weight: float = 1.0, seed: int = 0) -> DataFrame:
+    """Deterministic curriculum interleaving: sorting by the returned
+    ``pos`` yields a stream where source i appears every ~1/w_i positions
+    UNIFORMLY — any prefix of P stride units holds exactly
+    ``floor(P / stride_i)`` docs of source i (stride scheduling), unlike the
+    hash shuffle whose mixing holds only in expectation. Within a source,
+    docs run in seeded-hash order (a per-epoch shuffle of the source).
+
+    ``pos = rank_within_source * stride_s`` with
+    ``stride_s = round(2^20 / w_s)`` — strides are Python-computed integer
+    LITERALS, the rank is a row_number window, so the position is exact
+    64-bit arithmetic on both engines (no float comparisons). Positions
+    stay in int64 while ``n_docs(source) * stride < 2^63`` — at stride
+    2^20 that is 8.7e12 docs per unit-weight source, above the 10^12-doc
+    design point; raise the weight floor rather than _STRIDE_SCALE if a
+    source must sit below w ~ 1e-6.
+
+    Cost: ONE hash Exchange (the per-source window). The global sort by
+    ``pos`` is the consumer's (writer's) range shuffle, same as
+    ``shuffle_order``'s contract. Ties cannot happen across sources at
+    co-prime-ish strides but ARE possible (equal strides); sort consumers
+    should tie-break on (pos, {source_col}, {id_col}).
+    """
+    from pyspark.sql import Window
+
+    per_src, dstride = _strides(weights, default_weight)
+    stride_c = F.lit(dstride)
+    for s, st in per_src.items():
+        stride_c = F.when(F.col(source_col) == s, F.lit(st)).otherwise(
+            stride_c)
+    order = [_order_hex(id_col, seed, rep_col).asc(), F.col(id_col).asc()]
+    if rep_col is not None:
+        order.append(F.col(rep_col).asc())
+    w = Window.partitionBy(source_col).orderBy(*order)
+    return df.withColumn(
+        "pos", (F.row_number().over(w).cast("long") * stride_c.cast("long")))
+
+
+def stride_interleave_sql(table_sql: str, weights: "dict[str, float]",
+                          source_col: str = "source", id_col: str = "doc_id",
+                          rep_expr: "str | None" = None,
+                          default_weight: float = 1.0, seed: int = 0,
+                          cols: str = "*") -> str:
+    """DuckDB twin: identical stride literals, identical window order."""
+    per_src, dstride = _strides(weights, default_weight)
+    case = " ".join(f"WHEN {source_col} = '{s}' THEN {st}"
+                    for s, st in per_src.items())
+    h = _order_hex_sql(id_expr=id_col, seed=seed, rep_expr=rep_expr)
+    tie = f", {rep_expr}" if rep_expr is not None else ""
+    return f"""
+SELECT {cols},
+       (row_number() OVER (PARTITION BY {source_col}
+                           ORDER BY {h}, {id_col}{tie}))::BIGINT
+       * (CASE {case} ELSE {dstride} END)::BIGINT AS pos
+FROM ({table_sql}) t"""
+
+
 # -- sharded corpus writer --------------------------------------------------
 
 def write_training_shards(df: DataFrame, path: str, n_shards: int,

@@ -62,6 +62,39 @@ def test_single_shard_degenerate(spark, docs):
     assert (out.shard == 0).all()
 
 
+def test_stride_interleave_prefix_exactness(spark, docs):
+    from grenier_spark.operators.ordering import (_STRIDE_SCALE,
+                                                  stride_interleave)
+
+    out = stride_interleave(docs, {"a": 4.0, "b": 2.0}, seed=1).toPandas()
+    strides = {"a": _STRIDE_SCALE // 4, "b": _STRIDE_SCALE // 2,
+               "c": _STRIDE_SCALE, "d": _STRIDE_SCALE}
+    # stride scheduling is EXACT, not in-expectation: source s occupies
+    # positions stride_s, 2*stride_s, ... so any prefix P holds exactly
+    # min(n_s, P // stride_s) docs of s
+    for P in (_STRIDE_SCALE * 3, _STRIDE_SCALE * 117, _STRIDE_SCALE * 5000):
+        got = out[out.pos <= P].groupby("source").size()
+        for s, st in strides.items():
+            assert got.get(s, 0) == min(1000, P // st), (P, s)
+    # within a source the pos sequence is the full arithmetic progression
+    a = sorted(out[out.source == "a"].pos)
+    assert a == [strides["a"] * k for k in range(1, 1001)]
+
+
+def test_stride_interleave_deterministic_and_seeded(spark, docs):
+    from grenier_spark.operators.ordering import stride_interleave
+
+    a = stride_interleave(docs, {"a": 4.0}, seed=1).toPandas()
+    b = stride_interleave(docs.repartition(7), {"a": 4.0}, seed=1).toPandas()
+    assert (dict(zip(a.doc_id, a.pos)) == dict(zip(b.doc_id, b.pos)))
+    c = stride_interleave(docs, {"a": 4.0}, seed=2).toPandas()
+    # the position GRID is fixed; which doc sits where rotates with seed
+    assert sorted(a.pos) == sorted(c.pos)
+    assert dict(zip(a.doc_id, a.pos)) != dict(zip(c.doc_id, c.pos))
+    with pytest.raises(ValueError):
+        stride_interleave(docs, {"a": 0.0})
+
+
 def test_write_read_shards_roundtrip_and_verify(spark, docs, tmp_path):
     from grenier_spark.operators.ordering import (read_training_shards,
                                                   write_training_shards)

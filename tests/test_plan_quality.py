@@ -180,3 +180,14 @@ def test_shuffle_order_is_narrow(spark):
     plan = plan_of(entry_mod.q_shuffle_order_docs(spark, SF))
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "BatchEval" not in plan, plan
+
+
+def test_stride_interleave_single_window_exchange(spark):
+    """Stride interleaving pays exactly ONE hash Exchange (the per-source
+    row_number window) and stays JVM-side — the stride CASE and the
+    position multiply must not add shuffles or Python."""
+    plan = plan_of(entry_mod.q_stride_interleave_docs(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+    assert "Window" in plan, plan
