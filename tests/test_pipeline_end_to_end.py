@@ -1,0 +1,126 @@
+"""The full training-data pipeline, composed end to end:
+
+quality filter -> exact dedup -> source mixture -> global shuffle ->
+sharded manifest-verified write -> read-back -> sequence packing.
+
+Each stage is individually oracle- or property-gated elsewhere; this test
+proves they COMPOSE — schemas line up, determinism survives the chain, and
+corpus-level invariants (no duplicate bytes, weights realized, tokens
+conserved, one global order) hold at the end. The same chain is the
+100 TB shape: filter/dedup shuffle once on content hash, mixture and
+shuffle-order are scan-stage, the writer pays the one repartition."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from grenier_spark.operators.dedup import exact_dup_members
+from grenier_spark.operators.ordering import (read_training_shards,
+                                              shuffle_order,
+                                              write_training_shards)
+from grenier_spark.operators.packing import pack_fixed_chunks
+from grenier_spark.operators.splits import mixture_resample
+from grenier_spark.operators.textstats import quality_score, word_count
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """600 docs / 3 sources; 30 planted cross-source exact dups; 90 junk
+    docs that must fail the quality gate."""
+    rng = np.random.default_rng(11)
+    rows = []
+    words = ["the", "model", "trains", "tokens", "data", "sample", "batch",
+             "shard", "merge", "sketch"]
+    for i in range(600):
+        src = ["web", "code", "books"][i % 3]
+        if i < 90:
+            # junk: short AND non-alpha -> quality <= 1/3 for any length
+            text = "7" * int(rng.integers(1, 30))
+        elif i < 120:
+            text = " ".join(words) * 8  # planted dup bytes (30 copies)
+        else:
+            text = " ".join(rng.choice(words, size=60)) * 2
+        rows.append((i, src, text))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+
+
+def test_pipeline_composes_with_corpus_invariants(spark, corpus, tmp_path):
+    # 1. quality gate
+    kept = corpus.where(quality_score("text") >= 0.5)
+    # 2. exact dedup: drop every dup-group member except the keeper
+    losers = (exact_dup_members(kept).where("NOT is_keep")
+              .select("doc_id"))
+    deduped = kept.join(losers, "doc_id", "left_anti")
+    # 3. epoch mixture: code x2, web halved, books as-is
+    mixed = mixture_resample(deduped, {"code": 2.0, "web": 0.5}, seed=4)
+    # 4. global deterministic shuffle + 5. sharded write with manifest
+    ordered = shuffle_order(mixed.withColumn("n_tok", word_count("text")),
+                            4, rep_col="rep", seed=8)
+    path = str(tmp_path / "corpus")
+    manifest = write_training_shards(ordered, path, 4, token_col="n_tok")
+    back = read_training_shards(spark, path)  # verify=True recounts
+    pdf = back.toPandas()
+
+    # -- corpus invariants ------------------------------------------------
+    # junk is gone, and the 30 planted byte-identical docs collapsed to 1
+    base = pdf[pdf.rep == 0]
+    assert base.text.nunique() == len(base)  # no duplicate bytes survive
+    assert not base.doc_id.isin(range(90)).any()  # junk filtered
+    # dedup left exactly one of the 30 planted copies (pre-mixture); the
+    # survivor is a 'web' doc, so the 0.5 mixture may legitimately drop it
+    dedup_ids = [r.doc_id for r in deduped.select("doc_id").collect()]
+    assert sum(90 <= i < 120 for i in dedup_ids) == 1
+    assert base.doc_id.between(90, 119).sum() <= 1
+    # mixture realized: every surviving code doc has exactly 2 full copies
+    per_rep = pdf[pdf.source == "code"].groupby("doc_id").rep.max()
+    assert (per_rep >= 1).all()
+    n_code_base = base[base.source == "code"].doc_id.nunique()
+    assert len(pdf[pdf.source == "code"]) >= 2 * n_code_base
+    # web is downsampled: kept fraction within binomial range of 0.5
+    n_web_in = deduped.where("source = 'web'").count()
+    n_web_out = len(pdf[pdf.source == "web"])
+    sigma = (n_web_in * 0.25) ** 0.5
+    assert abs(n_web_out - 0.5 * n_web_in) < 5 * sigma
+    # tokens conserved: manifest total == recompute from rows
+    assert (sum(s["n_tokens"] for s in manifest["shards"])
+            == int(pdf.n_tok.sum()))
+    # one global order: shard ranges partition the order_key space
+    ms = manifest["shards"]
+    assert all(a["max_key"] < b["min_key"] for a, b in zip(ms, ms[1:]))
+
+    # 6. packing the read-back stream into 256-token batches per shard
+    packed = pack_fixed_chunks(back, 256, group_col="shard",
+                               order_col="order_key").toPandas()
+    for _, g in packed.groupby("shard"):
+        total = g.n_tok.sum()
+        assert g.end_batch_id.max() == (total - 1) // 256  # no empty batches
+        # chunk offsets are a single consistent stream per shard
+        g = g.sort_values("tok_start")
+        assert (g.tok_start + g.n_tok).iloc[-1] == total
+
+
+def test_pipeline_is_rerun_deterministic(spark, corpus, tmp_path):
+    """The exact bytes a trainer reads must not depend on partitioning or
+    on which run wrote them: two independent executions of the whole chain
+    produce identical shard contents."""
+    def run(path, df):
+        kept = df.where(quality_score("text") >= 0.5)
+        losers = (exact_dup_members(kept).where("NOT is_keep")
+                  .select("doc_id"))
+        deduped = kept.join(losers, "doc_id", "left_anti")
+        mixed = mixture_resample(deduped, {"code": 2.0, "web": 0.5}, seed=4)
+        ordered = shuffle_order(
+            mixed.withColumn("n_tok", word_count("text")),
+            4, rep_col="rep", seed=8)
+        write_training_shards(ordered, path, 4)
+        return (read_training_shards(spark, path).toPandas()
+                .sort_values(["shard", "order_key"]).reset_index(drop=True))
+
+    a = run(str(tmp_path / "a"), corpus)
+    b = run(str(tmp_path / "b"), corpus.repartition(13))
+    pd.testing.assert_frame_equal(
+        a[["doc_id", "rep", "shard", "order_key"]],
+        b[["doc_id", "rep", "shard", "order_key"]])
