@@ -472,6 +472,41 @@ def _stride_interleave_docs_oracle() -> str:
         cols="source, doc_id")
 
 
+def q_ingest_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated incremental ingest dedup (operators/dedup.py
+    incremental_ingest_dedup): 'is this newly ingested doc already in the
+    corpus' — the broadcast corpus Bloom prunes in the scan stage (a miss
+    is definitely new), only candidates get exact md5 verification via
+    broadcast semi-joins, so the corpus side is never exchanged. The new
+    batch re-ingests the first 50 docs under fresh ids (planted dups) plus
+    the genuinely-new tail. Output is EXACT by construction, so the oracle
+    is a plain content anti-join — the Bloom only routes."""
+    from grenier_spark.operators.dedup import (bloom_of_corpus,
+                                               incremental_ingest_dedup)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    existing = docs.where("doc_id < 350")
+    new = (docs.where("doc_id < 50")
+           .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+           .unionByName(docs.where("doc_id >= 350")))
+    blob = bloom_of_corpus(existing, expected_docs=400, fpr=0.05, seed=9)
+    return (incremental_ingest_dedup(existing, new, blob)
+            .select("doc_id", "is_new"))
+
+
+_INGEST_DEDUP_ORACLE = """
+WITH ex AS (SELECT DISTINCT md5(text) AS h FROM documents
+            WHERE doc_id < 350),
+     nw AS (SELECT doc_id::BIGINT + 10000 AS doc_id, text FROM documents
+            WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id::BIGINT AS doc_id, text FROM documents
+            WHERE doc_id >= 350)
+SELECT n.doc_id, (e.h IS NULL) AS is_new
+FROM nw n LEFT JOIN ex e ON md5(n.text) = e.h"""
+
+
 def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source text-quality aggregates (operators/textstats.py)."""
     from grenier_spark.operators import textstats as ts
@@ -1193,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_docs": q_mixture_docs,
         "shuffle_order_docs": q_shuffle_order_docs,
         "stride_interleave_docs": q_stride_interleave_docs,
+        "ingest_dedup_docs": q_ingest_dedup_docs,
         "embedding_neardup": q_embedding_neardup,
         "user_sessions": q_user_sessions,
         "customers_without_orders": q_customers_without_orders,
@@ -1720,6 +1756,7 @@ SELECT source, doc_id, n_tok, batch_id, fill_after FROM g""",
         "mixture_docs": _mixture_docs_oracle(),
         "shuffle_order_docs": _shuffle_order_docs_oracle(),
         "stride_interleave_docs": _stride_interleave_docs_oracle(),
+        "ingest_dedup_docs": _INGEST_DEDUP_ORACLE,
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
            FROM embeddings),

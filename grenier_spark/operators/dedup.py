@@ -497,3 +497,93 @@ def connected_components(pairs: DataFrame, nodes: "DataFrame | None" = None,
             f"has diameter > {max_iter}; raise max_iter or pre-contract "
             f"with the large-star/small-star rounds described above")
     return labels
+
+
+# -- incremental ingest dedup (Bloom-gated) ---------------------------------
+
+def _md5_low64_signed(text_col: str):
+    """Low 64 bits of md5(text) as a signed long (JVM-side) — the scalar
+    content key the Bloom filter hashes internally (salted wang64,
+    core/bloom.py). Same chain as the word-id hash, applied to whole docs."""
+    return F.conv(F.substring(F.md5(F.col(text_col)), 17, 16),
+                  16, -10).cast("long")
+
+
+def bloom_of_corpus(existing: DataFrame, text_col: str = "text",
+                    expected_docs: int = 1_000_000,
+                    fpr: float = 0.01, seed: int = 9) -> bytes:
+    """One Bloom filter over the whole corpus's content keys, built with
+    the standard two-level sketch pipeline (partition partials -> bounded
+    fan-in OR-merge) and collected to the driver: ~``1.2 * expected_docs``
+    BYTES at fpr=1% (125 MB for 10^9 docs — broadcastable; shard the
+    filter by key range above that). Reference analog: countish's
+    calibrated-sketch discipline (grenier countish/lossy.ml:14-20), sized
+    by :func:`grenier_spark.core.bloom.params_for`."""
+    from ..core.bloom import params_for
+    from .sketch_build import SketchSpec, build_sketches
+
+    m, k = params_for(max(1, expected_docs), fpr)
+    keys = existing.select(_md5_low64_signed(text_col).alias("content_key"))
+    row = build_sketches(
+        keys, [SketchSpec.of("seen", "bloom", "content_key",
+                             m=m, k=k, seed=seed)]).select("sketch").first()
+    return bytes(row.sketch)
+
+
+def incremental_ingest_dedup(existing: DataFrame, new: DataFrame,
+                             bloom_bytes: bytes, text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """EXACT "is this new doc already in the corpus" at ingest time,
+    without ever shuffling the corpus: the broadcast Bloom filter
+    (``bloom_of_corpus``) prunes in the scan stage — a no-hit is
+    DEFINITELY new (no false negatives) — and only the surviving
+    candidates (true dups + the fpr-bounded false positives, a tiny
+    fraction of the batch) are verified exactly against the corpus with
+    two broadcast semi-joins, so the 100 TB side is only ever scanned and
+    filtered, never exchanged. Returns ``new`` plus boolean ``is_new``;
+    the output is exact (the filter only routes, never decides), so the
+    operator carries a plain anti-join oracle.
+
+    CONTRACT: ``bloom_bytes`` must cover every content key of ``existing``
+    — a doc whose key the filter misses is declared new WITHOUT
+    verification (that miss-is-new shortcut is the whole speedup). Blooms
+    OR-merge (core/bloom.py), so maintain coverage incrementally: build a
+    partial over each appended batch and merge, never probe a stale
+    filter against a newer corpus.
+
+    Vectorized probe: one Arrow-batched pandas UDF over the constant
+    broadcast blob — ``Bloom.contains`` on the whole batch at once, not
+    the per-row blob-column probe of ``functions.bloom_contains_col``.
+    Marked nondeterministic ON PURPOSE: the probe is a pure function of
+    the join key, so Catalyst's constraint inference would otherwise copy
+    the predicate across the semi-join onto the CORPUS scan — a
+    semantically harmless but Python-UDF-per-corpus-row pessimization.
+    """
+    blob = bytes(bloom_bytes)
+
+    def _probe_udf():
+        from ..core.bloom import Bloom
+
+        @pandas_udf("boolean")
+        def _maybe_seen(keys: pd.Series) -> pd.Series:
+            bf = Bloom.from_bytes(blob)  # rebuilt once per executor task
+            ks = keys.to_numpy(dtype=np.int64).view(np.uint64)
+            return pd.Series(bf.contains(ks))
+        return _maybe_seen.asNondeterministic()
+
+    keyed = (new.withColumn("_ckey", _md5_low64_signed(text_col))
+             .withColumn("_chash", F.md5(F.col(text_col))))
+    probed = keyed.withColumn("_maybe", _probe_udf()(F.col("_ckey")))
+    # verification equality is the FULL 128-bit md5 (the same content
+    # identity as exact_dup_*); only the Bloom routing key is 64-bit
+    cand_keys = probed.where("_maybe").select("_chash").distinct()
+    # corpus side: scan + filter against the (small) candidate key set,
+    # emit only the keys that truly exist — KB-scale output
+    confirmed = (existing.select(F.md5(F.col(text_col)).alias("_chash"))
+                 .join(F.broadcast(cand_keys), "_chash", "left_semi")
+                 .distinct())
+    return (probed
+            .join(F.broadcast(confirmed.withColumn("_hit", F.lit(True))),
+                  "_chash", "left")
+            .withColumn("is_new", F.col("_hit").isNull())
+            .drop("_ckey", "_chash", "_maybe", "_hit"))

@@ -361,3 +361,74 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # the same chain converges with enough rounds
     got = dedup.connected_components(chain, max_iter=10).toPandas()
     assert set(got.component_id) == {0}
+
+
+# -- incremental ingest dedup ----------------------------------------------
+
+def test_ingest_dedup_exact_even_under_heavy_false_positives(spark):
+    """The Bloom only routes; the verification joins decide. With a
+    deliberately undersized filter (huge fpr) the output must STILL equal
+    the brute-force content anti-join, and no true dup may ever slip
+    through (no false negatives by construction)."""
+    import pandas as pd
+
+    from grenier_spark.core.bloom import Bloom, params_for
+    from grenier_spark.operators.dedup import (bloom_of_corpus,
+                                               incremental_ingest_dedup)
+
+    ex_rows = [(i, f"existing document number {i} body") for i in range(300)]
+    new_rows = ([(1000 + i, f"existing document number {i} body")
+                 for i in range(0, 60)]          # 60 true dups
+                + [(2000 + i, f"fresh document {i}") for i in range(200)])
+    existing = spark.createDataFrame(
+        pd.DataFrame(ex_rows, columns=["doc_id", "text"]))
+    new = spark.createDataFrame(
+        pd.DataFrame(new_rows, columns=["doc_id", "text"]))
+
+    for expected, fpr in ((300, 0.01), (4, 0.5)):  # sane and absurd sizing
+        blob = bloom_of_corpus(existing, expected_docs=expected, fpr=fpr)
+        out = incremental_ingest_dedup(existing, new, blob).toPandas()
+        got = dict(zip(out.doc_id, out.is_new))
+        assert all(got[1000 + i] is np.bool_(False) or not got[1000 + i]
+                   for i in range(60))            # every dup caught
+        assert all(got[2000 + i] for i in range(200)), fpr  # exactness
+    # sizing sanity: the corpus filter reports a fill-based cardinality
+    # in the right ballpark when sized correctly
+    bf = Bloom.from_bytes(bloom_of_corpus(existing, expected_docs=300,
+                                          fpr=0.01))
+    assert abs(bf.cardinality() - 300) / 300 < 0.15
+    m, _ = params_for(300, 0.01)
+    assert bf.m == m
+
+
+def test_ingest_dedup_bloom_maintained_by_or_merge_across_appends(spark):
+    """The coverage contract under corpus growth: a stale filter misses
+    docs appended after it was built (and the miss-is-new shortcut then
+    under-reports dups), so ingest maintains the filter by OR-merging a
+    partial built over each appended batch — after the merge the dup is
+    caught again."""
+    import pandas as pd
+
+    from grenier_spark.core.bloom import Bloom
+    from grenier_spark.operators.dedup import (bloom_of_corpus,
+                                               incremental_ingest_dedup)
+
+    old = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(100), "text": [f"doc {i}" for i in range(100)]}))
+    appended = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(100, 120),
+         "text": [f"doc {i}" for i in range(100, 120)]}))
+    grown = old.unionByName(appended)
+    new = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [500], "text": ["doc 110"]}))  # dup of an appended doc
+
+    stale = bloom_of_corpus(old, expected_docs=200, fpr=0.01)
+    out = incremental_ingest_dedup(grown, new, stale).toPandas()
+    assert bool(out.is_new[0])  # stale filter -> contract violated -> miss
+
+    part = bloom_of_corpus(appended, expected_docs=200, fpr=0.01)
+    merged = Bloom.from_bytes(stale)
+    merged.merge(Bloom.from_bytes(part))
+    out = incremental_ingest_dedup(grown, new,
+                                   merged.to_bytes()).toPandas()
+    assert not bool(out.is_new[0])  # maintained filter catches the dup

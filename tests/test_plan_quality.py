@@ -182,6 +182,19 @@ def test_shuffle_order_is_narrow(spark):
     assert "Python" not in plan and "BatchEval" not in plan, plan
 
 
+def test_ingest_dedup_never_exchanges_the_corpus(spark):
+    """Incremental ingest dedup: the Bloom probe runs ONCE (on the new
+    batch — the nondeterministic marking must keep Catalyst's constraint
+    inference from copying the Python predicate onto the corpus scan),
+    and every join is broadcast — a SortMergeJoin here means the corpus
+    got exchanged, the 100 TB anti-pattern this operator exists to
+    avoid."""
+    plan = plan_of(entry_mod.q_ingest_dedup_docs(spark, SF))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
 def test_stride_interleave_single_window_exchange(spark):
     """Stride interleaving pays exactly ONE hash Exchange (the per-source
     row_number window) and stays JVM-side — the stride CASE and the
