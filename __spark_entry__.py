@@ -870,6 +870,61 @@ def q_incremental_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.toPandas())
 
 
+def q_hll_history_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-tree time travel in the gate (plans/checkpoint.py
+    CheckpointedSketchJob.history): documents land in two input snapshots
+    (doc_id parity), the checkpointed build runs once per snapshot, and
+    history() answers per-source distinct-doc estimates AS OF each
+    snapshot purely from checkpoint partials — no raw rescan. Engine-
+    independent surface: exact per-prefix distinct counts both engines
+    compute, plus a Spark-computed boolean asserting every history
+    estimate sits within 3x the published HLL bound (DuckDB emits literal
+    TRUE; a merge/lineage regression flips the boolean)."""
+    import os
+    import tempfile
+
+    from grenier_spark.plans.checkpoint import CheckpointedSketchJob
+    from grenier_spark.sources.tableio import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source")
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(os.path.join(d, "docs"))
+        t.append(docs.where("doc_id % 2 = 0"))
+        t.append(docs.where("doc_id % 2 = 1"))
+        job = CheckpointedSketchJob(
+            os.path.join(d, "ckpt"),
+            [SketchSpec.of("h", "hll", "doc_id", p=12)], ["source"])
+        job.run(spark, t, snapshot_id=1)
+        job.run(spark, t)
+        est = (job.history(spark)
+               .select("as_of_snapshot", "source",
+                       hll_card_col("sketch").alias("est")))
+        exact = (docs.where("doc_id % 2 = 0").groupBy("source")
+                 .agg(F.countDistinct("doc_id").alias("n_docs"))
+                 .withColumn("as_of_snapshot", F.lit(1).cast("long"))
+                 .unionByName(
+                     docs.groupBy("source")
+                     .agg(F.countDistinct("doc_id").alias("n_docs"))
+                     .withColumn("as_of_snapshot", F.lit(2).cast("long"))))
+        out = (est.join(exact, ["as_of_snapshot", "source"])
+               .select("as_of_snapshot", "source",
+                       F.col("n_docs").cast("long").alias("n_docs"),
+                       (F.abs(F.col("est") / F.col("n_docs") - 1.0)
+                        <= 3 * 1.04 / (2 ** 12) ** 0.5)
+                       .alias("within_bound")))
+        # materialize before the checkpoint TemporaryDirectory vanishes
+        return spark.createDataFrame(out.toPandas())
+
+
+_HLL_HISTORY_ORACLE = """
+SELECT s.snap::BIGINT AS as_of_snapshot, d.source,
+       COUNT(DISTINCT d.doc_id)::BIGINT AS n_docs, TRUE AS within_bound
+FROM documents d JOIN (VALUES (1), (2)) s(snap)
+  ON s.snap = 2 OR d.doc_id % 2 = 0
+GROUP BY 1, 2"""
+
+
 def q_sticky_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sticky sampling (reference countish/sticky.ml, C5-C8): single-stream
     per-source samplers over whitespace tokens, BOUNDED and value-gated.
@@ -1208,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "jump_relocation": q_jump_relocation,
         "incremental_hll_stream": q_incremental_hll_stream,
+        "hll_history_snapshots": q_hll_history_snapshots,
         "sticky_sample_tokens": q_sticky_sample_tokens,
         "sticky_sample_guarantees": q_sticky_sample_guarantees,
         "tpch_q3_join": q_tpch_q3_join,
@@ -1421,6 +1477,7 @@ FROM events GROUP BY event_type""",
                 "SELECT event_type, user_id::UHUGEINT AS k FROM events",
                 "k", 4, group_cols=["event_type"])
             + ") d USING (event_type)"),
+        "hll_history_snapshots": _HLL_HISTORY_ORACLE,
         "incremental_hll_stream": (
             "SELECT event_type, round(est, 6) AS est_users FROM ("
             + hll_card_sql(
