@@ -98,7 +98,8 @@ def _strides(weights: "dict[str, float]", default_weight: float):
 def stride_interleave(df: DataFrame, weights: "dict[str, float]",
                       source_col: str = "source", id_col: str = "doc_id",
                       rep_col: "str | None" = None,
-                      default_weight: float = 1.0, seed: int = 0) -> DataFrame:
+                      default_weight: float = 1.0, seed: int = 0,
+                      rank_buckets: "int | None" = None) -> DataFrame:
     """Deterministic curriculum interleaving: sorting by the returned
     ``pos`` yields a stream where source i appears every ~1/w_i positions
     UNIFORMLY — any prefix of P stride units holds exactly
@@ -120,6 +121,16 @@ def stride_interleave(df: DataFrame, weights: "dict[str, float]",
     ``shuffle_order``'s contract. Ties cannot happen across sources at
     co-prime-ish strides but ARE possible (equal strides); sort consumers
     should tie-break on (pos, {source_col}, {id_col}).
+
+    SKEW AT SCALE: a plain per-source window ranks each source on ONE
+    task — fatal when a single source holds 10^12 rows. Pass
+    ``rank_buckets=B`` to switch to an exact two-pass rank: the seeded
+    hash's top 32 bits split every source into B hex-RANGE buckets (so
+    bucket order == hash order), local row_numbers run per
+    (source, bucket) — B-way parallel per source — and the driver
+    broadcasts the per-bucket prefix-count offsets (B x n_sources tiny
+    rows). The positions are IDENTICAL to the single-window path
+    (asserted in tests); only the physical rank computation changes.
     """
     from pyspark.sql import Window
 
@@ -128,12 +139,45 @@ def stride_interleave(df: DataFrame, weights: "dict[str, float]",
     for s, st in per_src.items():
         stride_c = F.when(F.col(source_col) == s, F.lit(st)).otherwise(
             stride_c)
-    order = [_order_hex(id_col, seed, rep_col).asc(), F.col(id_col).asc()]
+    h = _order_hex(id_col, seed, rep_col)
+    order = [h.asc(), F.col(id_col).asc()]
     if rep_col is not None:
         order.append(F.col(rep_col).asc())
-    w = Window.partitionBy(source_col).orderBy(*order)
-    return df.withColumn(
-        "pos", (F.row_number().over(w).cast("long") * stride_c.cast("long")))
+
+    if rank_buckets is None:
+        w = Window.partitionBy(source_col).orderBy(*order)
+        return df.withColumn(
+            "pos",
+            (F.row_number().over(w).cast("long") * stride_c.cast("long")))
+
+    if rank_buckets < 1:
+        raise ValueError("rank_buckets must be >= 1")
+    hi32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    bucketed = df.withColumn(
+        "_rbkt", F.shiftright(hi32 * F.lit(rank_buckets), 32).cast("long"))
+    # pass 1: bucket occupancy -> prefix offsets per source, in bucket
+    # (== hash) order; tiny (n_sources * B rows), computed on the driver
+    counts = (bucketed.groupBy(source_col, "_rbkt")
+              .agg(F.count(F.lit(1)).alias("_n")).collect())
+    by_src: dict = {}
+    for r in counts:
+        by_src.setdefault(r[source_col], {})[r["_rbkt"]] = r["_n"]
+    off_rows = []
+    for s, bkts in by_src.items():
+        run = 0
+        for b in sorted(bkts):
+            off_rows.append((s, b, run))
+            run += bkts[b]
+    offsets = df.sparkSession.createDataFrame(
+        off_rows, schema=f"{source_col} string, _rbkt long, _off long")
+    # pass 2: local rank within (source, bucket) + broadcast offset
+    w = Window.partitionBy(source_col, "_rbkt").orderBy(*order)
+    return (bucketed
+            .join(F.broadcast(offsets), [source_col, "_rbkt"])
+            .withColumn("pos",
+                        ((F.row_number().over(w).cast("long") + F.col("_off"))
+                         * stride_c.cast("long")))
+            .drop("_rbkt", "_off"))
 
 
 def stride_interleave_sql(table_sql: str, weights: "dict[str, float]",

@@ -95,6 +95,22 @@ def test_stride_interleave_deterministic_and_seeded(spark, docs):
         stride_interleave(docs, {"a": 0.0})
 
 
+def test_stride_interleave_bucketed_rank_identical(spark, docs):
+    """The skew-proof two-pass rank (hex-range buckets + broadcast prefix
+    offsets) must produce POSITIONS IDENTICAL to the single-window path —
+    it's a physical rewrite, not a semantic variant."""
+    from grenier_spark.operators.ordering import stride_interleave
+
+    base = stride_interleave(docs, {"a": 4.0, "b": 2.0}, seed=1).toPandas()
+    for B in (1, 7, 64):
+        bkt = stride_interleave(docs, {"a": 4.0, "b": 2.0}, seed=1,
+                                rank_buckets=B).toPandas()
+        assert (dict(zip(bkt.doc_id, bkt.pos))
+                == dict(zip(base.doc_id, base.pos))), B
+    with pytest.raises(ValueError):
+        stride_interleave(docs, {"a": 1.0}, rank_buckets=0)
+
+
 def test_write_read_shards_roundtrip_and_verify(spark, docs, tmp_path):
     from grenier_spark.operators.ordering import (read_training_shards,
                                                   write_training_shards)
