@@ -501,10 +501,34 @@ def connected_components(pairs: DataFrame, nodes: "DataFrame | None" = None,
 
 # -- incremental ingest dedup (Bloom-gated) ---------------------------------
 
+_BLOOM_PROBE_CACHE: "dict[bytes, object]" = {}
+
+
+def _bloom_from_cache(blob: bytes):
+    """Per-worker-process memo of the DESERIALIZED Bloom filter (unpacked
+    bit array = 8x the wire blob): Python workers are reused across Arrow
+    batches and tasks, so the unpack cost is paid once per worker, not per
+    batch. Keyed on an md5 digest of the blob; bounded to a handful of
+    concurrently-live filters."""
+    import hashlib
+
+    from ..core.bloom import Bloom
+
+    key = hashlib.md5(blob).digest()
+    bf = _BLOOM_PROBE_CACHE.get(key)
+    if bf is None:
+        if len(_BLOOM_PROBE_CACHE) >= 4:
+            _BLOOM_PROBE_CACHE.clear()
+        bf = _BLOOM_PROBE_CACHE.setdefault(key, Bloom.from_bytes(blob))
+    return bf
+
 def _md5_low64_signed(text_col: str):
-    """Low 64 bits of md5(text) as a signed long (JVM-side) — the scalar
-    content key the Bloom filter hashes internally (salted wang64,
-    core/bloom.py). Same chain as the word-id hash, applied to whole docs."""
+    """LOW half (hex chars 17-32) of md5(text) as a signed long (JVM-side)
+    — the scalar content key the Bloom filter hashes internally (salted
+    wang64, core/bloom.py). Deliberately the OTHER half of the digest than
+    ``functions.hashing.md5_low64_col`` / ``sql_oracles.md5_low64_expr``
+    (chars 1-16), so the Bloom key stream is independent of the word-id
+    chain; never pair this with those oracle expressions."""
     return F.conv(F.substring(F.md5(F.col(text_col)), 17, 16),
                   16, -10).cast("long")
 
@@ -514,12 +538,15 @@ def bloom_of_corpus(existing: DataFrame, text_col: str = "text",
                     fpr: float = 0.01, seed: int = 9) -> bytes:
     """One Bloom filter over the whole corpus's content keys, built with
     the standard two-level sketch pipeline (partition partials -> bounded
-    fan-in OR-merge) and collected to the driver: ~``1.2 * expected_docs``
-    BYTES at fpr=1% (125 MB for 10^9 docs — broadcastable; shard the
-    filter by key range above that). Reference analog: countish's
-    calibrated-sketch discipline (grenier countish/lossy.ml:14-20), sized
-    by :func:`grenier_spark.core.bloom.params_for`."""
-    from ..core.bloom import params_for
+    fan-in OR-merge) and collected to the driver: ``~9.6 bits/doc`` packed
+    at fpr=1% = **1.2 GB for 10^9 docs** on the wire (and 8x that — one
+    byte per bit — once deserialized for probing), so broadcast works to
+    ~10^8-10^9 docs on big-memory executors; shard the filter by key
+    range beyond that. Reference analog: countish's calibrated-sketch
+    discipline (grenier countish/lossy.ml:14-20), sized by
+    :func:`grenier_spark.core.bloom.params_for`. An EMPTY corpus yields a
+    valid all-zero filter (everything probes new)."""
+    from ..core.bloom import Bloom, params_for
     from .sketch_build import SketchSpec, build_sketches
 
     m, k = params_for(max(1, expected_docs), fpr)
@@ -527,6 +554,8 @@ def bloom_of_corpus(existing: DataFrame, text_col: str = "text",
     row = build_sketches(
         keys, [SketchSpec.of("seen", "bloom", "content_key",
                              m=m, k=k, seed=seed)]).select("sketch").first()
+    if row is None:  # zero input rows -> no partials -> empty filter
+        return Bloom(m, k, seed=seed).to_bytes()
     return bytes(row.sketch)
 
 
@@ -551,22 +580,24 @@ def incremental_ingest_dedup(existing: DataFrame, new: DataFrame,
     partial over each appended batch and merge, never probe a stale
     filter against a newer corpus.
 
-    Vectorized probe: one Arrow-batched pandas UDF over the constant
-    broadcast blob — ``Bloom.contains`` on the whole batch at once, not
-    the per-row blob-column probe of ``functions.bloom_contains_col``.
+    Vectorized probe: one Arrow-batched pandas UDF over the blob —
+    ``Bloom.contains`` on the whole batch at once, not the per-row
+    blob-column probe of ``functions.bloom_contains_col``. The blob ships
+    via ``SparkContext.broadcast`` (fetched once per executor, not
+    serialized into every task), and the DESERIALIZED filter (unpackbits
+    is an 8x allocation) is memoized per Python worker process keyed on a
+    blob digest — paid once per worker, not once per Arrow batch.
     Marked nondeterministic ON PURPOSE: the probe is a pure function of
     the join key, so Catalyst's constraint inference would otherwise copy
     the predicate across the semi-join onto the CORPUS scan — a
     semantically harmless but Python-UDF-per-corpus-row pessimization.
     """
-    blob = bytes(bloom_bytes)
+    bc = new.sparkSession.sparkContext.broadcast(bytes(bloom_bytes))
 
     def _probe_udf():
-        from ..core.bloom import Bloom
-
         @pandas_udf("boolean")
         def _maybe_seen(keys: pd.Series) -> pd.Series:
-            bf = Bloom.from_bytes(blob)  # rebuilt once per executor task
+            bf = _bloom_from_cache(bc.value)
             ks = keys.to_numpy(dtype=np.int64).view(np.uint64)
             return pd.Series(bf.contains(ks))
         return _maybe_seen.asNondeterministic()

@@ -41,16 +41,21 @@ from pyspark.sql import functions as F
 
 
 def _order_hex(id_col: str, seed: int, rep_col: "str | None") -> Column:
+    # the ``ord`` domain tag keeps this chain independent of every other
+    # md5(id...) hash in the engine — in particular splits.mixture_resample's
+    # keep-hash: without the tag, a same-seed mixture's surviving fractional
+    # replicas (keep-hash < threshold) would BE the lowest order keys and
+    # cluster at the front of the "uniform" shuffle
     parts = [F.col(id_col).cast("string")]
     if rep_col is not None:
         parts += [F.lit(":"), F.col(rep_col).cast("string")]
-    parts += [F.lit(f":{seed}")]
+    parts += [F.lit(f":ord{seed}")]
     return F.substring(F.md5(F.concat(*parts)), 1, 16)
 
 
 def _order_hex_sql(id_expr: str, seed: int, rep_expr: "str | None") -> str:
     mid = f" || ':' || {rep_expr}::VARCHAR" if rep_expr is not None else ""
-    return f"substr(md5({id_expr}::VARCHAR{mid} || ':{seed}'), 1, 16)"
+    return f"substr(md5({id_expr}::VARCHAR{mid} || ':ord{seed}'), 1, 16)"
 
 
 def shuffle_order(df: DataFrame, n_shards: int, id_col: str = "doc_id",
@@ -169,15 +174,20 @@ def stride_interleave(df: DataFrame, weights: "dict[str, float]",
             off_rows.append((s, b, run))
             run += bkts[b]
     offsets = df.sparkSession.createDataFrame(
-        off_rows, schema=f"{source_col} string, _rbkt long, _off long")
-    # pass 2: local rank within (source, bucket) + broadcast offset
+        off_rows, schema="_osrc string, _orbkt long, _off long")
+    # pass 2: local rank within (source, bucket) + broadcast offset.
+    # NULL-SAFE source equality: a NULL source is a legitimate window
+    # partition on the single-window path, so the bucketed rewrite must
+    # keep those rows too, not drop them in a null-unsafe inner join
     w = Window.partitionBy(source_col, "_rbkt").orderBy(*order)
     return (bucketed
-            .join(F.broadcast(offsets), [source_col, "_rbkt"])
+            .join(F.broadcast(offsets),
+                  F.col(source_col).eqNullSafe(F.col("_osrc"))
+                  & (F.col("_rbkt") == F.col("_orbkt")))
             .withColumn("pos",
                         ((F.row_number().over(w).cast("long") + F.col("_off"))
                          * stride_c.cast("long")))
-            .drop("_rbkt", "_off"))
+            .drop("_rbkt", "_osrc", "_orbkt", "_off"))
 
 
 def stride_interleave_sql(table_sql: str, weights: "dict[str, float]",
@@ -186,16 +196,19 @@ def stride_interleave_sql(table_sql: str, weights: "dict[str, float]",
                           default_weight: float = 1.0, seed: int = 0,
                           cols: str = "*") -> str:
     """DuckDB twin: identical stride literals, identical window order."""
+    from .splits import _case_or_literal
+
     per_src, dstride = _strides(weights, default_weight)
-    case = " ".join(f"WHEN {source_col} = '{s}' THEN {st}"
-                    for s, st in per_src.items())
+    case = _case_or_literal(
+        [f"WHEN {source_col} = '{s}' THEN {st}"
+         for s, st in per_src.items()], str(dstride))
     h = _order_hex_sql(id_expr=id_col, seed=seed, rep_expr=rep_expr)
     tie = f", {rep_expr}" if rep_expr is not None else ""
     return f"""
 SELECT {cols},
        (row_number() OVER (PARTITION BY {source_col}
                            ORDER BY {h}, {id_col}{tie}))::BIGINT
-       * (CASE {case} ELSE {dstride} END)::BIGINT AS pos
+       * ({case})::BIGINT AS pos
 FROM ({table_sql}) t"""
 
 
@@ -213,9 +226,13 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
     shard file is internally in training order; reading shard dirs in
     shard order replays the exact global shuffle.
 
-    The manifest is computed FROM THE WRITTEN FILES (a metadata-cheap
-    re-read: counts come from parquet row-group footers, min/max from the
-    order_key column only), so it certifies the bytes on disk, and it is
+    The manifest is computed FROM THE WRITTEN FILES — a re-read of the
+    ``order_key`` column (plus ``token_col`` if given) only, NOT a
+    footer-stats lookup: at full scale that is one narrow column scan of
+    the output (~16 bytes/row); pushing it down to parquet row-group
+    footer statistics (pyarrow metadata per shard file) is the documented
+    cheaper path if that scan ever matters. The re-read is deliberate:
+    it certifies the bytes on disk, not the plan that wrote them. It is
     committed atomically AFTER the data — a crash mid-write leaves data
     dirs without a manifest, which :func:`read_training_shards` treats as
     "no table", the same orphan-is-invisible discipline as

@@ -107,15 +107,21 @@ def stratified_sample_sql_pred(id_expr: str, fraction: float,
 # -- source-mixture resampling ---------------------------------------------
 
 def _mixture_parts(weights: "dict[str, float]", default_weight: float):
-    """Per-source (full_copies, fractional_hex_threshold) plus the default,
-    computed ONCE in Python so the Spark plan and the SQL oracle carry
-    identical literals."""
+    """Per-source (full_copies, fractional_hex_threshold, seq_upper) plus
+    the default, computed ONCE in Python so the Spark plan and the SQL
+    oracle carry identical literals. ``seq_upper`` is the replica-sequence
+    upper bound: ``full`` when a fractional copy must be coin-flipped,
+    ``full - 1`` for integer weights (no doomed always-filtered replica —
+    at 10^12 rows a w=1.0 source must not explode+hash 2x its rows), and
+    ``-1`` for w=0 (an EMPTY sequence, dropping the source in the
+    explode on both engines)."""
     def split_w(w):
         if w < 0:
             raise ValueError("mixture weight must be >= 0")
         full = int(w)
         frac = w - full
-        return full, format(min(int(frac * 2.0**64), 2**64 - 1), "016x")
+        thr = format(min(int(frac * 2.0**64), 2**64 - 1), "016x")
+        return full, thr, (full if frac > 0 else full - 1)
     return ({s: split_w(w) for s, w in weights.items()},
             split_w(default_weight))
 
@@ -131,48 +137,74 @@ def mixture_resample(df: DataFrame, weights: "dict[str, float]",
     same replica set.
 
     Pure JVM plan: a CASE over the (small, literal) weight map picks the
-    per-source copy count, ``explode(sequence(...))`` emits the replicas,
-    and the fractional copy survives iff md5(id:rep:seed) hex falls under
-    the source's precomputed threshold. No shuffle, no UDF; output rows
-    carry ``rep`` (replica index) so downstream packing/shuffling can fold
-    it into the order key.
+    per-source replica sequence (integer weights emit EXACTLY their copies
+    — no doomed extra replica is ever exploded or hashed), and the
+    fractional copy survives iff md5(id:rep:mix-seed) hex falls under the
+    source's precomputed threshold. The hashed string carries a ``mix``
+    domain tag so this keep-hash can NEVER alias the order-key chain of
+    :mod:`.ordering` — without it, surviving fractional replicas would
+    all sit below the keep threshold and cluster at the front of a
+    same-seed global shuffle. No shuffle, no UDF; output rows carry
+    ``rep`` (replica index) so downstream packing/shuffling can fold it
+    into the order key.
     """
-    per_src, (dfull, dthr) = _mixture_parts(weights, default_weight)
-    full_c = F.lit(dfull)
-    thr_c = F.lit(dthr)
-    for s, (full, thr) in per_src.items():
-        full_c = F.when(F.col(source_col) == s, F.lit(full)).otherwise(full_c)
-        thr_c = F.when(F.col(source_col) == s, F.lit(thr)).otherwise(thr_c)
+    per_src, (dfull, dthr, dub) = _mixture_parts(weights, default_weight)
+
+    def seq_for(ub: int):
+        if ub < 0:
+            return F.array().cast("array<int>")
+        return F.sequence(F.lit(0), F.lit(ub))
+
+    full_c, thr_c, seq_c = F.lit(dfull), F.lit(dthr), seq_for(dub)
+    for s, (full, thr, ub) in per_src.items():
+        is_s = F.col(source_col) == s
+        full_c = F.when(is_s, F.lit(full)).otherwise(full_c)
+        thr_c = F.when(is_s, F.lit(thr)).otherwise(thr_c)
+        seq_c = F.when(is_s, seq_for(ub)).otherwise(seq_c)
     out = (df.withColumn("_full", full_c)
-           .withColumn("rep", F.explode(F.sequence(F.lit(0), F.col("_full"))))
-           )
+           .withColumn("rep", F.explode(seq_c)))
     h = F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
-                       F.col("rep").cast("string"), F.lit(f":{seed}"))),
+                       F.col("rep").cast("string"), F.lit(f":mix{seed}"))),
         1, 16)
     return (out.where((F.col("rep") < F.col("_full")) | (h < thr_c))
             .drop("_full"))
+
+
+def _case_or_literal(arms: "list[str]", default: str) -> str:
+    """``CASE WHEN ... ELSE d END`` — or the bare default when the weight
+    map is empty (``CASE ELSE d END`` is a DuckDB parse error)."""
+    if not arms:
+        return default
+    return "CASE " + " ".join(arms) + f" ELSE {default} END"
 
 
 def mixture_resample_sql(table_sql: str, weights: "dict[str, float]",
                          source_col: str = "source", id_col: str = "doc_id",
                          default_weight: float = 1.0, seed: int = 0,
                          cols: str = "* EXCLUDE (_thr, _full)") -> str:
-    """DuckDB twin: same literals, same md5 chain, same keep rule. ``cols``
-    selects from the replicated inner frame (original columns + ``rep``);
-    the default drops only the helper columns."""
-    per_src, (dfull, dthr) = _mixture_parts(weights, default_weight)
-    full_case = " ".join(f"WHEN {source_col} = '{s}' THEN {full}"
-                         for s, (full, _) in per_src.items())
-    thr_case = " ".join(f"WHEN {source_col} = '{s}' THEN '{thr}'"
-                        for s, (_, thr) in per_src.items())
+    """DuckDB twin: same literals, same domain-tagged md5 chain, same
+    sequence bounds (``generate_series(0, -1)`` is empty on DuckDB, so
+    w=0 sources drop in the unnest exactly like Spark's empty-array
+    explode), same keep rule. ``cols`` selects from the replicated inner
+    frame (original columns + ``rep``); the default drops only the helper
+    columns."""
+    per_src, (dfull, dthr, dub) = _mixture_parts(weights, default_weight)
+    full_case = _case_or_literal(
+        [f"WHEN {source_col} = '{s}' THEN {full}"
+         for s, (full, _, _) in per_src.items()], str(dfull))
+    thr_case = _case_or_literal(
+        [f"WHEN {source_col} = '{s}' THEN '{thr}'"
+         for s, (_, thr, _) in per_src.items()], f"'{dthr}'")
+    ub_case = _case_or_literal(
+        [f"WHEN {source_col} = '{s}' THEN {ub}"
+         for s, (_, _, ub) in per_src.items()], str(dub))
     h = (f"substr(md5({id_col}::VARCHAR || ':' || rep::VARCHAR || "
-         f"':{seed}'), 1, 16)")
+         f"':mix{seed}'), 1, 16)")
     return f"""
 SELECT {cols} FROM (
-  SELECT t.*, unnest(generate_series(0, CASE {full_case} ELSE {dfull} END))
-         AS rep,
-         CASE {thr_case} ELSE '{dthr}' END AS _thr,
-         CASE {full_case} ELSE {dfull} END AS _full
+  SELECT t.*, unnest(generate_series(0, {ub_case})) AS rep,
+         {thr_case} AS _thr,
+         {full_case} AS _full
   FROM ({table_sql}) t)
 WHERE rep < _full OR {h} < _thr"""

@@ -432,3 +432,10 @@ def test_ingest_dedup_bloom_maintained_by_or_merge_across_appends(spark):
     out = incremental_ingest_dedup(grown, new,
                                    merged.to_bytes()).toPandas()
     assert not bool(out.is_new[0])  # maintained filter catches the dup
+
+    # first-ever ingest: an EMPTY corpus yields a valid all-zero filter
+    # and everything is new
+    empty = old.where("doc_id < 0")
+    blob0 = bloom_of_corpus(empty, expected_docs=200, fpr=0.01)
+    out = incremental_ingest_dedup(empty, new, blob0).toPandas()
+    assert bool(out.is_new[0])

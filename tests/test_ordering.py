@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from grenier_spark.operators.ordering import shuffle_order
 from grenier_spark.operators.splits import mixture_resample
@@ -98,17 +99,40 @@ def test_stride_interleave_deterministic_and_seeded(spark, docs):
 def test_stride_interleave_bucketed_rank_identical(spark, docs):
     """The skew-proof two-pass rank (hex-range buckets + broadcast prefix
     offsets) must produce POSITIONS IDENTICAL to the single-window path —
-    it's a physical rewrite, not a semantic variant."""
+    it's a physical rewrite, not a semantic variant — INCLUDING rows with
+    a NULL source (a legitimate window partition; the offset join is
+    null-safe)."""
     from grenier_spark.operators.ordering import stride_interleave
 
-    base = stride_interleave(docs, {"a": 4.0, "b": 2.0}, seed=1).toPandas()
+    withnull = docs.withColumn(
+        "source", F.when(F.col("doc_id") % 17 == 0, F.lit(None))
+        .otherwise(F.col("source")))
+    base = stride_interleave(withnull, {"a": 4.0, "b": 2.0},
+                             seed=1).toPandas()
+    assert base.source.isna().any()  # the NULL partition is populated
     for B in (1, 7, 64):
-        bkt = stride_interleave(docs, {"a": 4.0, "b": 2.0}, seed=1,
+        bkt = stride_interleave(withnull, {"a": 4.0, "b": 2.0}, seed=1,
                                 rank_buckets=B).toPandas()
         assert (dict(zip(bkt.doc_id, bkt.pos))
                 == dict(zip(base.doc_id, base.pos))), B
     with pytest.raises(ValueError):
         stride_interleave(docs, {"a": 1.0}, rank_buckets=0)
+
+
+def test_mixture_then_shuffle_same_seed_is_unbiased(spark, docs):
+    """Regression: the mixture keep-hash and the order-key chain are
+    domain-tagged (mix/ord). If they aliased, a same-seed pipeline's
+    surviving fractional replicas (keep-hash < threshold) would BE the
+    lowest order keys: every kept doc of a w=0.5 source would land in the
+    first half of the shuffle and in shards [0, n/2) only."""
+    from grenier_spark.operators.splits import mixture_resample
+
+    mixed = mixture_resample(docs, {"a": 0.5}, default_weight=1.0, seed=3)
+    out = (shuffle_order(mixed, 8, rep_col="rep", seed=3)
+           .where("source = 'a'").toPandas())
+    top_half = (out.order_key >= "8000000000000000").mean()
+    assert 0.35 < top_half < 0.65, top_half  # ~half, not zero
+    assert set(out.shard) == set(range(8))   # all shards populated
 
 
 def test_write_read_shards_roundtrip_and_verify(spark, docs, tmp_path):
