@@ -504,6 +504,21 @@ def connected_components(pairs: DataFrame, nodes: "DataFrame | None" = None,
 _BLOOM_PROBE_CACHE: "dict[bytes, object]" = {}
 
 
+def bloom_probe_udf(bc):
+    """Arrow-batched probe of a broadcast Bloom blob (``bc`` = a
+    ``SparkContext.broadcast`` of the wire bytes): whole-batch vectorized
+    ``contains`` over the per-worker-memoized deserialized filter.
+    Nondeterministic ON PURPOSE (see :func:`incremental_ingest_dedup`).
+    Created lazily per call — module-level pandas_udfs break import (see
+    CLAUDE.md env gotchas)."""
+    @pandas_udf("boolean")
+    def _maybe_seen(keys: pd.Series) -> pd.Series:
+        bf = _bloom_from_cache(bc.value)
+        ks = keys.to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.Series(bf.contains(ks))
+    return _maybe_seen.asNondeterministic()
+
+
 def _bloom_from_cache(blob: bytes):
     """Per-worker-process memo of the DESERIALIZED Bloom filter (unpacked
     bit array = 8x the wire blob): Python workers are reused across Arrow
@@ -593,14 +608,7 @@ def incremental_ingest_dedup(existing: DataFrame, new: DataFrame,
     semantically harmless but Python-UDF-per-corpus-row pessimization.
     """
     bc = new.sparkSession.sparkContext.broadcast(bytes(bloom_bytes))
-
-    def _probe_udf():
-        @pandas_udf("boolean")
-        def _maybe_seen(keys: pd.Series) -> pd.Series:
-            bf = _bloom_from_cache(bc.value)
-            ks = keys.to_numpy(dtype=np.int64).view(np.uint64)
-            return pd.Series(bf.contains(ks))
-        return _maybe_seen.asNondeterministic()
+    _probe_udf = lambda: bloom_probe_udf(bc)
 
     keyed = (new.withColumn("_ckey", _md5_low64_signed(text_col))
              .withColumn("_chash", F.md5(F.col(text_col))))

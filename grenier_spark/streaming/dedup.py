@@ -45,3 +45,44 @@ def dedup_stream(stream_df: DataFrame, text_col: str = "text",
         return out.dropDuplicates(["content_hash"])
     return (out.withWatermark(ts_col, delay)
             .dropDuplicatesWithinWatermark(["content_hash"]))
+
+
+def ingest_dedup_stream(stream_df: DataFrame, corpus_hashes: DataFrame,
+                        bloom_bytes: bytes, text_col: str = "text",
+                        hash_col: str = "content_hash") -> DataFrame:
+    """Streaming vs-CORPUS dedup: flag each arriving doc against the
+    already-ingested corpus (the streaming shape of
+    ``operators.dedup.incremental_ingest_dedup``; compose with
+    :func:`dedup_stream` upstream for within-stream re-crawls).
+
+    The Bloom filter (``operators.dedup.bloom_of_corpus``, coverage
+    contract identical: must cover ``corpus_hashes``) routes in the scan
+    stage: a probe MISS is definitely new and **bypasses the join
+    entirely** — at a 1% false-positive rate ~99% of genuinely-new docs
+    never touch the corpus index, so the stream-static join only carries
+    true dups + the fpr tail. Candidates verify exactly against
+    ``corpus_hashes`` — the persistent dedup INDEX table (already
+    distinct md5 hex, 16 bytes/doc; the thing an ingest pipeline
+    maintains anyway) — via a per-microbatch stream-static left join.
+    Output = input + ``content_hash`` + exact ``is_new``.
+
+    State: none (stateless filter + join), so restart/exactly-once come
+    from the sink's checkpoint alone. The index is re-resolved per
+    micro-batch (stream-static semantics), which is what keeps a
+    concurrently-growing corpus visible between batches."""
+    from ..operators.dedup import _md5_low64_signed, bloom_probe_udf
+
+    bc = stream_df.sparkSession.sparkContext.broadcast(bytes(bloom_bytes))
+    keyed = (stream_df
+             .withColumn("content_hash", F.md5(F.col(text_col)))
+             .withColumn("_maybe",
+                         bloom_probe_udf(bc)(_md5_low64_signed(text_col))))
+    clean = keyed.where(~F.col("_maybe")).withColumn("is_new", F.lit(True))
+    hits = (corpus_hashes
+            .select(F.col(hash_col).alias("content_hash"))
+            .withColumn("_hit", F.lit(True)))
+    verified = (keyed.where(F.col("_maybe"))
+                .join(hits, "content_hash", "left")
+                .withColumn("is_new", F.col("_hit").isNull())
+                .drop("_hit"))
+    return clean.unionByName(verified).drop("_maybe")

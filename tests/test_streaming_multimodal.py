@@ -439,3 +439,45 @@ def test_dedup_stream_watermarked_drops_within_horizon(spark, tmp_path):
     assert {3, 4} <= ids                      # distinct docs pass
     assert 5 in ids                           # post-purge re-occurrence
     assert len(got) == 4
+
+
+def test_ingest_dedup_stream_vs_corpus(spark, tmp_path):
+    """Streaming vs-corpus dedup: corpus dups flagged is_new=False across
+    micro-batches, fresh docs True, exact despite an undersized (high-fpr)
+    Bloom — the filter only routes, the index join decides."""
+    import time as _time
+
+    from grenier_spark.operators.dedup import bloom_of_corpus
+    from grenier_spark.streaming.dedup import ingest_dedup_stream
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i}") for i in range(80)],
+        "doc_id long, text string")
+    index = corpus.select(F.md5("text").alias("content_hash")).distinct()
+    # undersized on purpose: plenty of false positives, output still exact
+    blob = bloom_of_corpus(corpus, expected_docs=8, fpr=0.3)
+
+    src_dir, ckpt = str(tmp_path / "ig_in"), str(tmp_path / "ig_ck")
+    schema = "doc_id long, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src_dir}/{name}")
+        _time.sleep(0.05)
+
+    write_batch("b1", [(100, "corpus doc 3"), (101, "fresh one")])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{src_dir}/*"))
+    q = (ingest_dedup_stream(stream, index, blob).writeStream
+         .outputMode("append").format("memory").queryName("ig")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        write_batch("b2", [(102, "corpus doc 55"), (103, "fresh two")])
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM ig").toPandas()
+    finally:
+        q.stop()
+    flags = dict(zip(got.doc_id, got.is_new))
+    assert flags == {100: False, 101: True, 102: False, 103: True}
+    assert got.content_hash.notna().all()
