@@ -171,6 +171,66 @@ def mixture_resample(df: DataFrame, weights: "dict[str, float]",
             .drop("_full"))
 
 
+# -- temperature-based mixture weights --------------------------------------
+
+def temperature_weights(sizes: "dict[str, float]", temperature: float,
+                        budget: "float | None" = None,
+                        max_weight: "float | None" = None
+                        ) -> "dict[str, float]":
+    """Mixture weights realizing temperature-scaled source sampling — the
+    standard multi-source training recipe: sampling share
+    ``q_i = n_i^(1/T) / sum_j n_j^(1/T)`` (T=1 proportional/pass-through,
+    T→inf uniform shares — upweights small sources), realized as
+    per-source replica factors ``w_i = budget * q_i / n_i`` for
+    :func:`mixture_resample`, so the expected OUTPUT volume follows q.
+    ``budget`` is the target output volume in the same units as ``sizes``
+    (docs or tokens; defaults to the input total — a reshuffled same-size
+    epoch). ``max_weight`` caps repetition of tiny sources (the "don't
+    epoch a small source 100x" guard); capping redistributes nothing —
+    callers wanting exact budgets should renormalize or accept the
+    shortfall (documented, deterministic).
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    if any(n <= 0 for n in sizes.values()):
+        raise ValueError("source sizes must be > 0")
+    total = float(sum(sizes.values()))
+    if budget is None:
+        budget = total
+    inv_t = 1.0 / temperature
+    powered = {s: float(n) ** inv_t for s, n in sizes.items()}
+    z = sum(powered.values())
+    out = {}
+    for s, n in sizes.items():
+        w = budget * (powered[s] / z) / float(n)
+        if max_weight is not None:
+            w = min(w, max_weight)
+        out[s] = w
+    return out
+
+
+def annealed_temperature_schedule(sizes: "dict[str, float]",
+                                  t_start: float, t_end: float,
+                                  n_epochs: int,
+                                  budget: "float | None" = None,
+                                  max_weight: "float | None" = None
+                                  ) -> "list[dict[str, float]]":
+    """Per-epoch weight maps interpolating 1/T linearly from ``t_start``
+    to ``t_end`` — the curriculum shape "start near-uniform over sources,
+    end proportional to size" (or the reverse). Feed epoch e's map to
+    ``mixture_resample(..., weights=schedule[e], seed=e)``: the seed
+    rotation re-draws the fractional replicas each epoch while the
+    schedule moves the mix."""
+    if n_epochs < 1:
+        raise ValueError("n_epochs must be >= 1")
+    if n_epochs == 1:
+        return [temperature_weights(sizes, t_start, budget, max_weight)]
+    a, b = 1.0 / t_start, 1.0 / t_end
+    return [temperature_weights(
+        sizes, 1.0 / (a + (b - a) * e / (n_epochs - 1)), budget, max_weight)
+        for e in range(n_epochs)]
+
+
 def _case_or_literal(arms: "list[str]", default: str) -> str:
     """``CASE WHEN ... ELSE d END`` — or the bare default when the weight
     map is empty (``CASE ELSE d END`` is a DuckDB parse error)."""

@@ -101,3 +101,61 @@ def test_stratified_sample_fraction_and_subset_property(spark, ids):
     assert set(s10.doc_id) <= set(s20.doc_id)
     with pytest.raises(ValueError):
         stratified_sample(ids, 1.5)
+
+
+# -- temperature mixture weights -------------------------------------------
+
+def test_temperature_weights_properties():
+    from grenier_spark.operators.splits import temperature_weights
+
+    sizes = {"big": 8000.0, "mid": 1500.0, "small": 500.0}
+    # T=1: proportional sampling == pass-through (every weight 1.0 at
+    # default budget)
+    w1 = temperature_weights(sizes, 1.0)
+    assert all(abs(w - 1.0) < 1e-12 for w in w1.values())
+    # T>1 upweights small sources, downweights big ones; expected output
+    # volume == budget exactly
+    w5 = temperature_weights(sizes, 5.0)
+    assert w5["small"] > 1.0 > w5["big"]
+    assert w5["small"] > w5["mid"] > w5["big"]
+    out_volume = sum(w5[s] * n for s, n in sizes.items())
+    assert abs(out_volume - sum(sizes.values())) < 1e-6
+    # budget scales linearly; max_weight caps tiny-source repetition
+    wb = temperature_weights(sizes, 5.0, budget=5000.0)
+    assert abs(wb["mid"] / w5["mid"] - 0.5) < 1e-12
+    wc = temperature_weights(sizes, 100.0, max_weight=2.0)
+    assert wc["small"] == 2.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        temperature_weights(sizes, 0.0)
+    with _pt.raises(ValueError):
+        temperature_weights({"a": 0.0}, 1.0)
+
+
+def test_annealed_schedule_moves_monotonically():
+    from grenier_spark.operators.splits import annealed_temperature_schedule
+
+    sizes = {"big": 8000.0, "small": 500.0}
+    sched = annealed_temperature_schedule(sizes, t_start=5.0, t_end=1.0,
+                                          n_epochs=4)
+    assert len(sched) == 4
+    # annealing toward T=1: the small source's upweighting decays each
+    # epoch, ending at pass-through
+    smalls = [m["small"] for m in sched]
+    assert all(a > b for a, b in zip(smalls, smalls[1:]))
+    assert abs(smalls[-1] - 1.0) < 1e-12
+    assert len(annealed_temperature_schedule(sizes, 2.0, 1.0, 1)) == 1
+
+
+def test_temperature_weights_drive_mixture(spark, sourced):
+    """Integration: temperature weights feed mixture_resample and the
+    realized per-source counts hit budget * q_i within binomial noise."""
+    from grenier_spark.operators.splits import temperature_weights
+
+    sizes = {s: 400.0 for s in "abcde"}  # uniform fixture
+    # uniform sizes => any T gives q=1/5; use a budget to force fractions
+    w = temperature_weights(sizes, 2.0, budget=1000.0)
+    out = mixture_resample(sourced, w, default_weight=0.0, seed=6).toPandas()
+    per = out.groupby("source").size()
+    for s in sizes:
+        assert abs(per.get(s, 0) - 200.0) < 5 * (400 * 0.5 * 0.5) ** 0.5
