@@ -214,8 +214,43 @@ FROM ({table_sql}) t"""
 
 # -- sharded corpus writer --------------------------------------------------
 
+def _footer_shard_stats(path: str) -> "list[dict]":
+    """Per-shard (n_rows, min/max order_key) from parquet FOOTERS only —
+    pyarrow metadata, zero data pages read. Raises if any file lacks
+    order_key min/max statistics (writers always emit them for plain
+    string columns; absence means the file wasn't written by this
+    pipeline)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for d in sorted(glob.glob(os.path.join(path, "shard=*")),
+                    key=lambda p: int(p.rsplit("=", 1)[1])):
+        n_rows, mins, maxs = 0, [], []
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            n_rows += md.num_rows
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for c in (rg.column(i) for i in range(rg.num_columns)):
+                    if c.path_in_schema == "order_key":
+                        st = c.statistics
+                        if st is None or not st.has_min_max:
+                            raise RuntimeError(
+                                f"{f} row group {g} lacks order_key "
+                                "min/max statistics")
+                        mins.append(st.min)
+                        maxs.append(st.max)
+        out.append({"shard": int(d.rsplit("=", 1)[1]), "n_rows": n_rows,
+                    "min_key": min(mins), "max_key": max(maxs)})
+    return out
+
+
 def write_training_shards(df: DataFrame, path: str, n_shards: int,
-                          token_col: "str | None" = None) -> dict:
+                          token_col: "str | None" = None,
+                          stats: str = "scan") -> dict:
     """Write a shuffled corpus (``shuffle_order`` output) as
     ``shard=K/`` parquet directories plus an atomic ``_manifest.json``.
 
@@ -226,13 +261,14 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
     shard file is internally in training order; reading shard dirs in
     shard order replays the exact global shuffle.
 
-    The manifest is computed FROM THE WRITTEN FILES — a re-read of the
-    ``order_key`` column (plus ``token_col`` if given) only, NOT a
-    footer-stats lookup: at full scale that is one narrow column scan of
-    the output (~16 bytes/row); pushing it down to parquet row-group
-    footer statistics (pyarrow metadata per shard file) is the documented
-    cheaper path if that scan ever matters. The re-read is deliberate:
-    it certifies the bytes on disk, not the plan that wrote them. It is
+    The manifest is computed FROM THE WRITTEN FILES — deliberately: it
+    certifies the bytes on disk, not the plan that wrote them. Two modes:
+    ``stats="scan"`` (default) re-reads the ``order_key`` column (~16
+    bytes/row, one narrow scan) and can also sum ``token_col``;
+    ``stats="footer"`` reads ONLY parquet row-group footers via pyarrow
+    (zero data pages — the at-scale mode; local/NFS paths, and
+    ``token_col`` sums are unavailable because footers don't store sums).
+    Both produce identical n_rows/min/max (asserted in tests). It is
     committed atomically AFTER the data — a crash mid-write leaves data
     dirs without a manifest, which :func:`read_training_shards` treats as
     "no table", the same orphan-is-invisible discipline as
@@ -248,17 +284,26 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
        .sortWithinPartitions("shard", "order_key")
        .write.partitionBy("shard").mode("error").parquet(path))
 
-    spark = df.sparkSession
-    written = spark.read.parquet(path)
-    aggs = [F.count(F.lit(1)).alias("n_rows"),
-            F.min("order_key").alias("min_key"),
-            F.max("order_key").alias("max_key")]
-    if token_col is not None:
-        aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
-    stats = (written.groupBy("shard").agg(*aggs)
-             .orderBy("shard").collect())  # n_shards KB-sized rows
+    if stats not in ("scan", "footer"):
+        raise ValueError("stats must be 'scan' or 'footer'")
+    if stats == "footer":
+        if token_col is not None:
+            raise ValueError("token_col sums need stats='scan' "
+                             "(footers carry no sums)")
+        shard_stats = _footer_shard_stats(path)
+    else:
+        spark = df.sparkSession
+        written = spark.read.parquet(path)
+        aggs = [F.count(F.lit(1)).alias("n_rows"),
+                F.min("order_key").alias("min_key"),
+                F.max("order_key").alias("max_key")]
+        if token_col is not None:
+            aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
+        shard_stats = [r.asDict() for r in
+                       (written.groupBy("shard").agg(*aggs)
+                        .orderBy("shard").collect())]  # KB-sized
     manifest = {"n_shards": n_shards, "token_col": token_col,
-                "shards": [r.asDict() for r in stats]}
+                "shards": shard_stats}
     tmp = os.path.join(path, f"_manifest.json.tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, default=int)

@@ -178,3 +178,21 @@ def test_read_shards_fails_loudly_on_damage(spark, docs, tmp_path):
     os.remove(f"{path}/_manifest.json")
     with pytest.raises(FileNotFoundError):
         read_training_shards(spark, path)
+
+
+def test_footer_stats_manifest_matches_scan(spark, docs, tmp_path):
+    """stats='footer' builds the manifest from parquet row-group footers
+    only (zero data pages) and must agree with the scan mode on
+    n_rows/min/max per shard."""
+    from grenier_spark.operators.ordering import write_training_shards
+
+    sh = shuffle_order(docs, 4, seed=9)
+    m_scan = write_training_shards(sh, str(tmp_path / "a"), 4)
+    m_foot = write_training_shards(sh, str(tmp_path / "b"), 4,
+                                   stats="footer")
+    key = lambda m: [(s["shard"], s["n_rows"], s["min_key"], s["max_key"])
+                     for s in m["shards"]]
+    assert key(m_scan) == key(m_foot)
+    with pytest.raises(ValueError, match="footers carry no sums"):
+        write_training_shards(sh, str(tmp_path / "c"), 4,
+                              token_col="doc_id", stats="footer")
