@@ -12,11 +12,18 @@ Layout:
                    estimate extraction over BinaryType sketch states).
 * ``operators/`` — distributed operators: two-level sketch build
                    (mapInArrow partial -> grouped merge -> tree merge),
-                   dedup, similarity, text stats.
+                   dedup (exact / MinHash-LSH / SimHash / Bloom-gated
+                   incremental ingest), similarity/ANN, text stats,
+                   sequence packing, splits & source mixture
+                   (+ temperature curricula), training-order shuffle /
+                   stride interleaving / sharded manifest writer.
 * ``sources/``   — TableIO seam (parquet + JSON snapshot manifest standing in
                    for an Iceberg catalog) and deterministic fixture synthesis.
-* ``plans/``     — checkpoint / lineage / resume logic.
-* ``streaming/`` — Structured Streaming incremental sketch maintenance.
+* ``plans/``     — checkpoint / lineage / resume logic + merge-tree
+                   history (estimates as-of every snapshot).
+* ``streaming/`` — Structured Streaming incremental sketch maintenance,
+                   stateful sketches, streaming dedup (within-stream +
+                   vs-corpus ingest).
 """
 
 __version__ = "0.1.0"

@@ -78,6 +78,19 @@ def exact_dup_members(df: DataFrame, text_col: str = "text",
                     (F.col("rn") == 1).alias("is_keep")))
 
 
+def dedup_keep_first(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus itself: every column of ``df``, one row per
+    distinct content (md5 of ``text_col``), survivor = lowest ``id_col``
+    — the same keep rule as :func:`exact_dup_members`. ONE content-hash
+    shuffle total (a row_number window over the full frame), versus the
+    two shuffles of the diagnose-then-anti-join composition; use the
+    member/group variants when you need the dropped side."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1").drop("_rn"))
+
+
 def _shingle_hashes(df: DataFrame, text_col: str, w: int) -> DataFrame:
     """(id cols..., shingle bigint) — hash of each w-word window.
 

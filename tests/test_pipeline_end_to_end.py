@@ -16,7 +16,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from grenier_spark.operators.dedup import exact_dup_members
+from grenier_spark.operators.dedup import dedup_keep_first, exact_dup_members
 from grenier_spark.operators.ordering import (read_training_shards,
                                               shuffle_order,
                                               write_training_shards)
@@ -50,10 +50,14 @@ def corpus(spark):
 def test_pipeline_composes_with_corpus_invariants(spark, corpus, tmp_path):
     # 1. quality gate
     kept = corpus.where(quality_score("text") >= 0.5)
-    # 2. exact dedup: drop every dup-group member except the keeper
+    # 2. exact dedup in ONE content-hash shuffle (keep-first window);
+    # asserted equivalent to the diagnose-then-anti-join composition
+    deduped = dedup_keep_first(kept)
     losers = (exact_dup_members(kept).where("NOT is_keep")
               .select("doc_id"))
-    deduped = kept.join(losers, "doc_id", "left_anti")
+    via_join = kept.join(losers, "doc_id", "left_anti")
+    assert (sorted(r.doc_id for r in deduped.select("doc_id").collect())
+            == sorted(r.doc_id for r in via_join.select("doc_id").collect()))
     # 3. epoch mixture: code x2, web halved, books as-is
     mixed = mixture_resample(deduped, {"code": 2.0, "web": 0.5}, seed=4)
     # 4. global deterministic shuffle + 5. sharded write with manifest
@@ -108,9 +112,7 @@ def test_pipeline_is_rerun_deterministic(spark, corpus, tmp_path):
     produce identical shard contents."""
     def run(path, df):
         kept = df.where(quality_score("text") >= 0.5)
-        losers = (exact_dup_members(kept).where("NOT is_keep")
-                  .select("doc_id"))
-        deduped = kept.join(losers, "doc_id", "left_anti")
+        deduped = dedup_keep_first(kept)
         mixed = mixture_resample(deduped, {"code": 2.0, "web": 0.5}, seed=4)
         ordered = shuffle_order(
             mixed.withColumn("n_tok", word_count("text")),
