@@ -472,6 +472,42 @@ def _stride_interleave_docs_oracle() -> str:
         cols="source, doc_id")
 
 
+def q_shard_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharded WRITER gated end-to-end (operators/ordering.py
+    write_training_shards): documents are shuffled, written as shard=K/
+    parquet + manifest into a temp dir, and the MANIFEST rows (computed
+    from the bytes on disk) are returned — DuckDB recomputes the same
+    per-shard n_rows / min / max order_key from pure SQL, so a writer
+    that loses, duplicates or mis-sorts rows hash-mismatches."""
+    import os
+    import tempfile
+
+    from grenier_spark.operators.ordering import (shuffle_order,
+                                                  write_training_shards)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    with tempfile.TemporaryDirectory() as d:
+        manifest = write_training_shards(
+            shuffle_order(docs, 8, seed=21), os.path.join(d, "c"), 8)
+    rows = [(int(s["shard"]), int(s["n_rows"]), s["min_key"], s["max_key"])
+            for s in manifest["shards"]]
+    return spark.createDataFrame(
+        rows, "shard long, n_rows long, min_key string, max_key string")
+
+
+def _shard_manifest_stats_oracle() -> str:
+    from grenier_spark.operators.ordering import shuffle_order_sql
+
+    okey, shard = shuffle_order_sql("doc_id", 8, seed=21)
+    return f"""
+WITH o AS (SELECT {okey} AS order_key, ({shard})::BIGINT AS shard
+           FROM (SELECT doc_id::BIGINT AS doc_id FROM documents))
+SELECT shard, COUNT(*)::BIGINT AS n_rows,
+       MIN(order_key) AS min_key, MAX(order_key) AS max_key
+FROM o GROUP BY shard"""
+
+
 def q_ingest_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-gated incremental ingest dedup (operators/dedup.py
     incremental_ingest_dedup): 'is this newly ingested doc already in the
@@ -1285,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order_docs": q_shuffle_order_docs,
         "stride_interleave_docs": q_stride_interleave_docs,
         "ingest_dedup_docs": q_ingest_dedup_docs,
+        "shard_manifest_stats": q_shard_manifest_stats,
         "embedding_neardup": q_embedding_neardup,
         "user_sessions": q_user_sessions,
         "customers_without_orders": q_customers_without_orders,
@@ -1814,6 +1851,7 @@ SELECT source, doc_id, n_tok, batch_id, fill_after FROM g""",
         "shuffle_order_docs": _shuffle_order_docs_oracle(),
         "stride_interleave_docs": _stride_interleave_docs_oracle(),
         "ingest_dedup_docs": _INGEST_DEDUP_ORACLE,
+        "shard_manifest_stats": _shard_manifest_stats_oracle(),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
            FROM embeddings),
