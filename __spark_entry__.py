@@ -34,9 +34,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from grenier_spark.functions import (hll_card_col, jump_bucket_col,
-                                     kll_quantiles_col, tdigest_quantiles_col,
-                                     wang64_col)
+from grenier_spark.functions import (hll_card_col, hll_merge_col,
+                                     jump_bucket_col, kll_quantiles_col,
+                                     tdigest_quantiles_col, wang64_col)
 from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  ann_rademacher_sql,
                                                  bloom_membership_sql,
@@ -1272,6 +1272,109 @@ def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_values").alias("n_tokens"))
 
 
+_OVERLAP_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
+_OVERLAP_EPS3 = 0.0975  # 3 * 1.04/sqrt(2^10), literal on BOTH engines
+
+
+def q_source_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra over per-source sketches: for every source pair,
+    union cardinality from the MERGED sketch (hll.ml:58-65 byte max) and
+    intersection by inclusion-exclusion — the sketch-library answer to
+    "how much vocabulary do two corpus slices share" computed on KB states
+    with zero rescan. FULL oracle: the 0-ULP SQL estimator
+    (sql_oracles.hll_card_sql) recomputes per-source AND per-pair-union
+    estimates from the same md5-low64 word ids, so est values match
+    bit-exactly; exact counts + 3-sigma bound booleans ride alongside
+    (union err <= 3*1.04/sqrt(m)*|A∪B|; intersection err bounded by the
+    sum of the three estimate errors)."""
+    docs = (_tokenized_docs(spark, sf_dir)
+            .where(F.col("source").isin(_OVERLAP_SOURCES)))
+    res = build_sketches(docs, [SketchSpec.of("h", "hll", "tokens", p=10)],
+                         group_cols=["source"])
+    sk = res.select("source", "sketch")
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = (a.join(b, F.col("a.source") < F.col("b.source"))
+             .select(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"),
+                     hll_card_col("a.sketch").alias("est_a"),
+                     hll_card_col("b.sketch").alias("est_b"),
+                     hll_card_col(
+                         hll_merge_col("a.sketch", "b.sketch"))
+                     .alias("est_union")))
+    dk = (docs.select("source", F.explode("tokens").alias("k")).distinct())
+    cards = dk.groupBy("source").agg(F.count(F.lit(1)).alias("exact"))
+    x, y = dk.alias("x"), dk.alias("y")
+    inter = (x.join(y, "k").where(F.col("x.source") < F.col("y.source"))
+             .groupBy(F.col("x.source").alias("source_a"),
+                      F.col("y.source").alias("source_b"))
+             .agg(F.count(F.lit(1)).alias("exact_inter")))
+    out = (pairs
+           .join(cards.select(F.col("source").alias("source_a"),
+                              F.col("exact").alias("exact_a")), "source_a")
+           .join(cards.select(F.col("source").alias("source_b"),
+                              F.col("exact").alias("exact_b")), "source_b")
+           .join(inter, ["source_a", "source_b"], "left")
+           .withColumn("exact_inter",
+                       F.coalesce("exact_inter", F.lit(0)).cast("long"))
+           .withColumn("exact_union",
+                       (F.col("exact_a") + F.col("exact_b")
+                        - F.col("exact_inter")).cast("long"))
+           .withColumn("est_inter",
+                       F.col("est_a") + F.col("est_b") - F.col("est_union")))
+    eps = F.lit(_OVERLAP_EPS3)
+    return out.select(
+        "source_a", "source_b",
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        "exact_union", "exact_inter",
+        F.round("est_a", 6).alias("est_a"),
+        F.round("est_b", 6).alias("est_b"),
+        F.round("est_union", 6).alias("est_union"),
+        F.round("est_inter", 6).alias("est_inter"),
+        (F.abs(F.col("est_union") - F.col("exact_union"))
+         <= eps * F.col("exact_union")).alias("union_ok"),
+        (F.abs(F.col("est_inter") - F.col("exact_inter"))
+         <= eps * (F.col("exact_a") + F.col("exact_b")
+                   + F.col("exact_union"))).alias("inter_ok"))
+
+
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition signals (distinct-word ratio, top
+    word/bigram fractions) — full row-level oracle
+    (textstats.repetition_stats_sql)."""
+    from grenier_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep: docs sharing any 4-word shingle
+    with the held-out eval slice (doc_id % 25 == 0 — the planted near-dup
+    structure guarantees real hits). Broadcast eval shingles; corpus never
+    shuffled. FULL oracle (decontam.contamination_report_sql)."""
+    from grenier_spark.operators.decontam import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 25 == 0)
+    tr = docs.where(F.col("doc_id") % 25 != 0)
+    return contamination_report(tr, ev, n=4)
+
+
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (priority sampling,
+    Duffield-Lund-Thorup JACM'07): top-5 docs per source by n_chars-weighted
+    deterministic priority. Rank arithmetic is transcendental-free exact
+    IEEE, so the FULL row set is oracle-gated (splits.priority_sample_sql)."""
+    from grenier_spark.operators.splits import priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (priority_sample(docs, k=5, weight_col="n_chars",
+                            group_col="source", id_col="doc_id", seed=3)
+            .select("source", F.col("sample_rank"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_chars").cast("long").alias("n_chars")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_registers": q_hll_registers,
@@ -1331,6 +1434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
+        "source_token_overlap": q_source_token_overlap,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "benchmark_contamination": q_benchmark_contamination,
+        "weighted_doc_sample": q_weighted_doc_sample,
     }
 
 
@@ -1347,6 +1454,88 @@ SELECT {group_col}, unnest([{qlist}]) AS q, unnest(ex) AS exact_q,
        TRUE AS within_bound
 FROM (SELECT {group_col}, [{exacts}] AS ex FROM {table}
       GROUP BY {group_col})"""
+
+
+def _source_overlap_oracle() -> str:
+    """DuckDB twin of q_source_token_overlap: per-source and per-pair-union
+    estimates through the 0-ULP SQL estimator over the SAME md5-low64 word
+    ids, exact counts via distinct (source, token) self-join, identical
+    inclusion-exclusion arithmetic and 3-sigma bound booleans."""
+    srcs = ", ".join(f"'{s}'" for s in _OVERLAP_SOURCES)
+    tok = (f"SELECT source, {md5_low64_expr('w')} AS k FROM ("
+           f"SELECT source, unnest(string_split(text, ' ')) AS w "
+           f"FROM documents WHERE source IN ({srcs}))")
+    pair_keys = f"""
+SELECT p.source_a, p.source_b, t.k
+FROM (SELECT x.source AS source_a, y.source AS source_b
+      FROM (SELECT DISTINCT source FROM documents
+            WHERE source IN ({srcs})) x
+      JOIN (SELECT DISTINCT source FROM documents
+            WHERE source IN ({srcs})) y ON x.source < y.source) p
+JOIN ({tok}) t ON t.source = p.source_a OR t.source = p.source_b"""
+    scard = hll_card_sql(tok, "k", 10, group_cols=["source"])
+    ucard = hll_card_sql(pair_keys, "k", 10,
+                         group_cols=["source_a", "source_b"])
+    return f"""
+WITH dk AS (SELECT DISTINCT source, k FROM ({tok})),
+cards AS (SELECT source, COUNT(*)::BIGINT AS exact FROM dk GROUP BY 1),
+inter AS (SELECT x.source AS source_a, y.source AS source_b,
+                 COUNT(*)::BIGINT AS exact_inter
+          FROM dk x JOIN dk y USING (k) WHERE x.source < y.source
+          GROUP BY 1, 2),
+se AS ({scard}),
+ue AS ({ucard}),
+j AS (SELECT ue.source_a, ue.source_b,
+             ca.exact AS exact_a, cb.exact AS exact_b,
+             (ca.exact + cb.exact - COALESCE(i.exact_inter, 0))::BIGINT
+               AS exact_union,
+             COALESCE(i.exact_inter, 0)::BIGINT AS exact_inter,
+             sa.est AS est_a, sb.est AS est_b, ue.est AS est_union,
+             (sa.est + sb.est) - ue.est AS est_inter
+      FROM ue
+      JOIN se sa ON sa.source = ue.source_a
+      JOIN se sb ON sb.source = ue.source_b
+      JOIN cards ca ON ca.source = ue.source_a
+      JOIN cards cb ON cb.source = ue.source_b
+      LEFT JOIN inter i ON i.source_a = ue.source_a
+                       AND i.source_b = ue.source_b)
+SELECT source_a, source_b, exact_a, exact_b, exact_union, exact_inter,
+       round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+       round(est_union, 6) AS est_union, round(est_inter, 6) AS est_inter,
+       (abs(est_union - exact_union)
+        <= {_OVERLAP_EPS3!r}::DOUBLE * exact_union) AS union_ok,
+       (abs(est_inter - exact_inter)
+        <= {_OVERLAP_EPS3!r}::DOUBLE * (exact_a + exact_b + exact_union))
+         AS inter_ok
+FROM j"""
+
+
+def _repetition_oracle() -> str:
+    from grenier_spark.operators.textstats import repetition_stats_sql
+
+    return repetition_stats_sql(
+        "SELECT doc_id::BIGINT AS doc_id, text FROM documents")
+
+
+def _contamination_oracle() -> str:
+    from grenier_spark.operators.decontam import contamination_report_sql
+
+    return contamination_report_sql(
+        "SELECT doc_id::BIGINT AS doc_id, text FROM documents "
+        "WHERE doc_id % 25 <> 0",
+        "SELECT doc_id::BIGINT AS doc_id, text FROM documents "
+        "WHERE doc_id % 25 = 0", n=4)
+
+
+def _weighted_sample_oracle() -> str:
+    from grenier_spark.operators.splits import priority_sample_sql
+
+    return priority_sample_sql(
+        "SELECT source, doc_id::BIGINT AS doc_id, "
+        "n_chars::BIGINT AS n_chars FROM documents",
+        k=5, weight_col="n_chars", group_col="source",
+        id_col="doc_id", seed=3,
+        cols="source, sample_rank, doc_id, n_chars")
 
 
 def _train_val_split_oracle() -> str:
@@ -1742,6 +1931,10 @@ SELECT doc_id::BIGINT AS media_id,
        len(list_filter(split(text, ''), c -> unicode(c) // 16 = 6))::BIGINT AS f6,
        len(list_filter(split(text, ''), c -> unicode(c) // 16 = 7))::BIGINT AS f7
 FROM documents""",
+        "source_token_overlap": _source_overlap_oracle(),
+        "doc_repetition_stats": _repetition_oracle(),
+        "benchmark_contamination": _contamination_oracle(),
+        "weighted_doc_sample": _weighted_sample_oracle(),
         "simhash_dups": simhash_pairs_sql(
             "WITH base AS (SELECT doc_id::BIGINT AS id, text FROM documents "
             "ORDER BY id LIMIT 60) "

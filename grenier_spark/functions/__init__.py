@@ -8,6 +8,7 @@ from .estimates import (  # noqa: F401
     ddsum_col,
     hll_card_col,
     hll_card_orig_col,
+    hll_merge_col,
     kll_quantiles_col,
     tdigest_quantiles_col,
 )

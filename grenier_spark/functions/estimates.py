@@ -34,6 +34,25 @@ def hll_card_col(col: "Column | str") -> Column:
     return _hll_card(_col(col))
 
 
+def hll_merge_col(a: "Column | str", b: "Column | str") -> Column:
+    """Pairwise HLL merge of two serialized states (element-wise register
+    max, hll.ml:58-65) -> the serialized UNION sketch. The sketch-algebra
+    primitive behind set-overlap queries: union cardinality comes from the
+    merged state, intersection from inclusion-exclusion — all on KB-sized
+    states, never rescanning data. Raises on mismatched precision
+    (merge precondition Q6)."""
+
+    @pandas_udf("binary")
+    def _m(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        def one(x, y):
+            u = hll.from_bytes(bytes(x))
+            hll.merge(u, hll.from_bytes(bytes(y)))
+            return hll.to_bytes(u)
+        return pd.Series([one(x, y) for x, y in zip(xs, ys)])
+
+    return _m(_col(a), _col(b))
+
+
 def hll_card_orig_col(col: "Column | str") -> Column:
     """Original-paper 32-bit-range HLL estimate (``core.hll.card_hll``,
     hll.ml:97-112) of a serialized HLL state — kept alongside

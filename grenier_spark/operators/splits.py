@@ -104,6 +104,87 @@ def stratified_sample_sql_pred(id_expr: str, fraction: float,
     return f"{hash_hex_sql(id_expr, seed)} < '{thr}'"
 
 
+# -- weighted sampling without replacement (priority sampling) --------------
+
+_P52 = float(1 << 52)  # exact power of two; scaling by it never rounds
+
+
+def _priority_inputs(id_col: str, weight_col: str, seed: int):
+    """(h52, priority) Columns for :func:`priority_sample`.
+
+    Priority sampling (Duffield-Lund-Thorup, JACM 2007): draw u_i uniform
+    in (0, 1], give item i priority q_i = w_i / u_i, keep the k largest.
+    Inclusion probability ~ min(1, w_i/tau) for the k-th largest threshold
+    tau — the standard weighted-sample-without-replacement for streams.
+
+    Determinism + cross-engine bit-exactness: u_i comes from 52 bits of
+    md5 (hex chars 4..16 of the ``id:prio<seed>`` digest), so
+    u = (h52+1)/2^52 in (0, 1] and q = w * 2^52 / (h52+1). Every operand
+    is exactly representable (h52+1 <= 2^52, integer weights < 2^52), the
+    2^52 scaling only shifts the exponent, and IEEE division is correctly
+    rounded — so Spark and DuckDB produce the SAME double bit-for-bit and
+    the SAME ranking, with no transcendental (ln/pow) whose libm rounding
+    could differ between engines. The ``prio`` domain tag keeps this hash
+    chain disjoint from the split/mixture/order chains.
+    """
+    h52 = F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f":prio{seed}"))), 4, 13), 16, 10).cast("long")
+    prio = (F.col(weight_col).cast("double") * F.lit(_P52)
+            / (h52 + F.lit(1)).cast("double"))
+    return h52, prio
+
+
+def priority_sample(df: DataFrame, k: int, weight_col: str,
+                    group_col: str = "source", id_col: str = "doc_id",
+                    seed: int = 0) -> DataFrame:
+    """Per-group weighted sample WITHOUT replacement: the k items with the
+    largest deterministic priorities w/u (see :func:`_priority_inputs`).
+    Adds ``sample_rank`` (1-based, by descending priority, ties by id).
+
+    Plan shape: weight/id projection + hash in the scan stage, then ONE
+    window Exchange on ``group_col`` over (group, id, w) triples — the
+    corpus payload never shuffles (project first at the call site, or let
+    Catalyst prune). At 10^12 rows the exact per-group top-k via window is
+    the bottleneck only if a group is a significant fraction of the input;
+    for that regime pre-prune per partition (groupBy(group, pid) top-k,
+    then the global window over <= k * n_partitions survivors) — the
+    two-pass shape of ordering.stride_interleave's rank_buckets.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    _, prio = _priority_inputs(id_col, weight_col, seed)
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.desc("_prio"), F.col(id_col).asc()))
+    return (df.withColumn("_prio", prio)
+            .withColumn("sample_rank",
+                        F.row_number().over(w).cast("long"))
+            .where(F.col("sample_rank") <= k)
+            .drop("_prio"))
+
+
+def priority_sample_sql(table_sql: str, k: int, weight_col: str,
+                        group_col: str = "source", id_col: str = "doc_id",
+                        seed: int = 0,
+                        cols: str = "* EXCLUDE (_prio)") -> str:
+    """DuckDB twin: identical md5-52-bit chain and exact-double priority
+    arithmetic, so ranks match bit-for-bit (see :func:`_priority_inputs`)."""
+    h52 = (f"('0x' || substr(md5({id_col}::VARCHAR || ':prio{seed}'), "
+           f"4, 13))::UBIGINT")
+    prio = (f"({weight_col}::DOUBLE * {_P52!r}) / "
+            f"(({h52} + 1)::DOUBLE)")
+    return f"""
+SELECT {cols} FROM (
+  SELECT t.*, {prio} AS _prio,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY {prio} DESC, {id_col} ASC)::BIGINT
+           AS sample_rank
+  FROM ({table_sql}) t)
+WHERE sample_rank <= {k}"""
+
+
 # -- source-mixture resampling ---------------------------------------------
 
 def _mixture_parts(weights: "dict[str, float]", default_weight: float):

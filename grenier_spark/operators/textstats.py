@@ -61,6 +61,93 @@ def doc_fingerprint(text: "Column | str") -> Column:
     return F.md5(c)
 
 
+def repetition_stats(df, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Per-document repetition quality signals (the Gopher/MassiveText
+    filter family, Rae et al. 2021 §A1.1, adapted to flat word streams):
+
+    * ``distinct_word_ratio`` — |distinct words| / |words| (low = repetitive)
+    * ``top_word_frac``      — occurrences of the most frequent word / |words|
+    * ``top_bigram_frac``    — occurrences of the most frequent word 2-gram
+      / |2-grams| (boilerplate/spam detector)
+
+    Shape: words and bigrams are JVM array ops fused into the scan; the
+    frequency modes go through ONE explode + two-level groupBy whose keys
+    are (doc_id, gram) — doc-local keys, so partial aggregation absorbs
+    the fan-out map-side and the shuffle carries at most |distinct grams
+    per doc| rows per doc. That beats the O(n_words * n_distinct)
+    per-row higher-order-function alternative for the huge-doc tail
+    (100k-token docs), which is exactly where repetition filters matter.
+    Docs with zero words are dropped (both engines drop them in the
+    explode/unnest, keeping the oracle aligned).
+    """
+    wcol = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = (df.select(id_col, wcol.alias("_w"))
+            .where(F.size("_w") >= 1))
+    big = F.zip_with(F.slice("_w", 1, F.size("_w") - 1),
+                     F.slice("_w", 2, F.size("_w") - 1),
+                     lambda a, b: F.concat(a, F.lit(" "), b))
+    uni = (base.select(id_col, F.explode("_w").alias("g"))
+           .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy(id_col)
+           .agg(F.sum("c").alias("n_words"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.max("c").alias("top_cnt")))
+    bi = (base.select(id_col, F.explode(big).alias("g"))
+          .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy(id_col)
+          .agg(F.sum("c").alias("n_bigrams"),
+               F.max("c").alias("top_big_cnt")))
+    return (uni.join(bi, id_col, "left")
+            .select(id_col,
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.round(F.col("n_distinct") / F.col("n_words"), 6)
+                    .alias("distinct_word_ratio"),
+                    F.round(F.col("top_cnt") / F.col("n_words"), 6)
+                    .alias("top_word_frac"),
+                    F.round(F.coalesce(F.col("top_big_cnt"), F.lit(0))
+                            / F.greatest(
+                                F.coalesce(F.col("n_bigrams"), F.lit(0)),
+                                F.lit(1)), 6)
+                    .alias("top_bigram_frac")))
+
+
+def repetition_stats_sql(table_sql: str, text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`repetition_stats` — same filtered word split,
+    same BIGINT counts and double divisions (int/int is float division on
+    both engines, correctly rounded -> bit-identical), same
+    left-join/greatest guard for 1-word docs."""
+    return f"""
+WITH w AS (SELECT {id_col},
+                  list_filter(string_split({text_col}, ' '), x -> x <> '')
+                    AS words
+           FROM ({table_sql}) WHERE len(list_filter(
+               string_split({text_col}, ' '), x -> x <> '')) >= 1),
+uni AS (SELECT {id_col}, SUM(c)::BIGINT AS n_words,
+               COUNT(*)::BIGINT AS n_distinct, MAX(c)::BIGINT AS top_cnt
+        FROM (SELECT {id_col}, g, COUNT(*)::BIGINT AS c
+              FROM (SELECT {id_col}, unnest(words) AS g FROM w)
+              GROUP BY 1, 2)
+        GROUP BY 1),
+pos AS (SELECT {id_col}, words,
+               unnest(range(greatest(len(words) - 1, 0)))::BIGINT AS i
+        FROM w),
+bi AS (SELECT {id_col}, SUM(c)::BIGINT AS n_bigrams,
+              MAX(c)::BIGINT AS top_big_cnt
+       FROM (SELECT {id_col}, g, COUNT(*)::BIGINT AS c
+             FROM (SELECT {id_col}, words[i + 1] || ' ' || words[i + 2] AS g
+                   FROM pos)
+             GROUP BY 1, 2)
+       GROUP BY 1)
+SELECT {id_col}, n_words,
+       round(n_distinct / n_words, 6) AS distinct_word_ratio,
+       round(top_cnt / n_words, 6) AS top_word_frac,
+       round(COALESCE(top_big_cnt, 0) / greatest(COALESCE(n_bigrams, 0), 1), 6)
+         AS top_bigram_frac
+FROM uni LEFT JOIN bi USING ({id_col})"""
+
+
 # GPT2-style simplification: letter runs | digit runs | single other glyph.
 # Chosen so Java regex (Spark), RE2 (DuckDB) and Python `re` tokenize
 # identically — verified in tests.

@@ -159,3 +159,78 @@ def test_temperature_weights_drive_mixture(spark, sourced):
     per = out.groupby("source").size()
     for s in sizes:
         assert abs(per.get(s, 0) - 200.0) < 5 * (400 * 0.5 * 0.5) ** 0.5
+
+
+# -- priority sampling (weighted, without replacement) ----------------------
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    n = 3000
+    rng = np.random.default_rng(5)
+    return spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": np.array(list("abc"))[np.arange(n) % 3],
+        "w": rng.integers(1, 1000, n).astype(np.int64)}))
+
+
+def test_priority_sample_shape_and_determinism(spark, weighted):
+    from grenier_spark.operators.splits import priority_sample
+
+    a = (priority_sample(weighted, k=7, weight_col="w", group_col="source",
+                         seed=1).toPandas().sort_values(["source",
+                                                         "sample_rank"]))
+    assert set(a.groupby("source").size()) == {7}
+    assert all(list(g.sample_rank) == list(range(1, 8))
+               for _, g in a.groupby("source"))
+    b = (priority_sample(weighted.repartition(17), k=7, weight_col="w",
+                         group_col="source", seed=1)
+         .toPandas().sort_values(["source", "sample_rank"]))
+    assert list(a.doc_id) == list(b.doc_id)
+    c = priority_sample(weighted, k=7, weight_col="w", group_col="source",
+                        seed=2).toPandas()
+    assert set(a.doc_id) != set(c.doc_id)  # seed rotates the sample
+
+
+def test_priority_sample_weight_bias(spark, weighted):
+    """Across many seeds, mean weight of sampled docs must exceed the
+    population mean by a wide margin (w/u priorities favor heavy items)."""
+    from grenier_spark.operators.splits import priority_sample
+
+    pop = weighted.toPandas()
+    means = []
+    for seed in range(8):
+        s = priority_sample(weighted, k=20, weight_col="w",
+                            group_col="source", seed=seed).toPandas()
+        means.append(s.w.mean())
+    # size-biased sampling: expected sampled-weight mean ~ E[w^2]/E[w]
+    # (= 4/3 of the mean for uniform weights); assert well above the
+    # unweighted mean but below the exact size-biased ceiling
+    assert np.mean(means) > 1.2 * pop.w.mean(), (np.mean(means),
+                                                 pop.w.mean())
+
+
+def test_priority_sample_matches_pure_python(spark, weighted):
+    """Bit-exact twin of the documented spec: u from md5 hex chars 4..16,
+    q = w * 2^52 / (h52+1), top-k by (q desc, id)."""
+    import hashlib
+
+    from grenier_spark.operators.splits import priority_sample
+
+    pop = weighted.toPandas()
+    k, seed = 5, 9
+
+    def prio(row):
+        h = hashlib.md5(f"{row.doc_id}:prio{seed}".encode()).hexdigest()
+        h52 = int(h[3:16], 16)
+        return row.w * float(1 << 52) / float(h52 + 1)
+
+    pop["q"] = [prio(r) for r in pop.itertuples()]
+    exp = (pop.sort_values(["q", "doc_id"], ascending=[False, True])
+           .groupby("source").head(k))
+    exp_ids = {s: list(g.sort_values("q", ascending=False).doc_id)
+               for s, g in exp.groupby("source")}
+    got = priority_sample(weighted, k=k, weight_col="w",
+                          group_col="source", seed=seed).toPandas()
+    got_ids = {s: list(g.sort_values("sample_rank").doc_id)
+               for s, g in got.groupby("source")}
+    assert got_ids == exp_ids
