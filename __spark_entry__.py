@@ -1272,6 +1272,23 @@ def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_values").alias("n_tokens"))
 
 
+def q_token_hll_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_hll_by_source recomputed through the plain-SQL UDAF surface
+    (functions/aggregates.py): ``hll_card(hll_agg(tokens)) GROUP BY
+    source`` — gates that the GROUPED_AGG combiner path emits the SAME
+    registers as build_sketches (the oracle is the same 0-ULP estimator
+    SQL, so an estimate match here is register-exact)."""
+    from grenier_spark.functions.aggregates import register_sql_aggregates
+    from grenier_spark.functions.register import register_sql_functions
+
+    register_sql_functions(spark)
+    register_sql_aggregates(spark, hll_p=12)
+    _tokenized_docs(spark, sf_dir).createOrReplaceTempView("g_udaf_docs")
+    return spark.sql(
+        "SELECT source, round(hll_card(hll_agg(tokens)), 6) AS est_tokens "
+        "FROM g_udaf_docs GROUP BY source")
+
+
 _OVERLAP_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
 _OVERLAP_EPS3 = 0.0975  # 3 * 1.04/sqrt(2^10), literal on BOTH engines
 
@@ -1434,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
+        "token_hll_udaf": q_token_hll_udaf,
         "source_token_overlap": q_source_token_overlap,
         "doc_repetition_stats": q_doc_repetition_stats,
         "benchmark_contamination": q_benchmark_contamination,
@@ -1931,6 +1949,13 @@ SELECT doc_id::BIGINT AS media_id,
        len(list_filter(split(text, ''), c -> unicode(c) // 16 = 6))::BIGINT AS f6,
        len(list_filter(split(text, ''), c -> unicode(c) // 16 = 7))::BIGINT AS f7
 FROM documents""",
+        "token_hll_udaf": (
+            "SELECT source, round(est, 6) AS est_tokens FROM ("
+            + hll_card_sql(
+                "SELECT source, " + md5_low64_expr("token") + " AS k FROM ("
+                "SELECT source, unnest(string_split(text, ' ')) AS token "
+                "FROM documents)",
+                "k", 12, group_cols=["source"]) + ")"),
         "source_token_overlap": _source_overlap_oracle(),
         "doc_repetition_stats": _repetition_oracle(),
         "benchmark_contamination": _contamination_oracle(),

@@ -12,3 +12,13 @@ from .estimates import (  # noqa: F401
     kll_quantiles_col,
     tdigest_quantiles_col,
 )
+from .aggregates import (  # noqa: F401
+    bloom_agg_col,
+    cms_agg_col,
+    ddsum_agg_col,
+    hll_agg_col,
+    kll_agg_col,
+    register_sql_aggregates,
+    sketch_agg_col,
+    tdigest_agg_col,
+)

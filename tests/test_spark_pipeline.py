@@ -344,3 +344,68 @@ def test_grouped_counts_equals_generic_path_fuzz():
             applicable = (int(flat_np.min()) >= 0 and
                           (int(flat_np.max()) + 1) * n_groups < (1 << 22))
             assert (gc is not None) == applicable, trial
+
+
+# -- grouped-aggregate (UDAF) surface ---------------------------------------
+
+def test_grouped_agg_udaf_byte_parity(spark, docs_df):
+    """hll/cms/bloom through the GROUPED_AGG pandas UDAF must emit bytes
+    IDENTICAL to build_sketches over the same rows (same _update kernel,
+    order-insensitive merges), at any input partitioning."""
+    from grenier_spark.functions.aggregates import (bloom_agg_col,
+                                                    cms_agg_col, hll_agg_col)
+
+    ref = build_sketches(docs_df, SPECS[:3], group_cols=["source"]).toPandas()
+    ref = {(r.source, r.sketch_name): bytes(r.sketch)
+           for r in ref.itertuples()}
+    got = (docs_df.repartition(11).groupBy("source")
+           .agg(hll_agg_col("tokens", p=12).alias("h"),
+                cms_agg_col("tokens", depth=4, width=2048, seed=7).alias("c"),
+                bloom_agg_col("tokens", m=1 << 18, k=5, seed=7).alias("b"))
+           .toPandas())
+    assert len(got) == 4
+    for r in got.itertuples():
+        assert bytes(r.h) == ref[(r.source, "tok_hll")], r.source
+        assert bytes(r.c) == ref[(r.source, "tok_cms")], r.source
+        assert bytes(r.b) == ref[(r.source, "tok_bloom")], r.source
+
+
+def test_sql_aggregate_surface_composes(spark, docs_df, local_rows):
+    """Plain-SQL GROUP BY through registered hll_agg/ddsum_agg composes
+    with the scalar estimators; HLL estimate equals the kernel's."""
+    from grenier_spark.functions.aggregates import register_sql_aggregates
+    from grenier_spark.functions.register import register_sql_functions
+
+    register_sql_functions(spark)
+    register_sql_aggregates(spark, hll_p=12)
+    docs_df.createOrReplaceTempView("udaf_docs")
+    out = {r.source: (r.est, r.total) for r in spark.sql(
+        "SELECT source, hll_card(hll_agg(tokens)) AS est, "
+        "       ddsum_value(ddsum_agg(n_tok)) AS total "
+        "FROM udaf_docs GROUP BY source").collect()}
+    for src in ["web", "books", "code", "wiki"]:
+        toks = local_tokens(local_rows, src)
+        t = hll.make_p(12)
+        hll.add_batch(t, wang64(toks))
+        assert out[src][0] == hll.card(t), src
+        sel = local_rows[local_rows.source == src]
+        assert out[src][1] == float(sum(int(x) for x in sel.n_tok)), src
+
+
+def test_udaf_kll_quantiles_within_rank_bound(spark, docs_df, local_rows):
+    """Order-sensitive kinds through the UDAF: KLL quantile estimates stay
+    within the sketch's rank-error bound of the exact quantile."""
+    from grenier_spark.functions.aggregates import kll_agg_col
+    from grenier_spark.core.kll import KLL
+
+    got = {r.source: bytes(r.k) for r in
+           (docs_df.groupBy("source")
+            .agg(kll_agg_col("tokens", k=200).alias("k"))).collect()}
+    for src in ["web", "books"]:
+        vals = np.sort(local_tokens(local_rows, src).view(np.int64)
+                       .astype(np.float64))
+        sk = KLL.from_bytes(got[src])
+        for q in (0.1, 0.5, 0.9):
+            est = sk.quantiles([q])[0]
+            rank = np.searchsorted(vals, est, side="right") / len(vals)
+            assert abs(rank - q) < 0.05, (src, q, rank)
