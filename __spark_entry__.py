@@ -1272,6 +1272,26 @@ def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_values").alias("n_tokens"))
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents with deterministically planted
+    emails/IPs/phones (derived from doc_id, identical expression on both
+    engines — the raw corpus has none). Gates the per-category counts AND
+    the redacted text byte-for-byte (md5), i.e. the full rewrite chain.
+    Scan-stage JVM regex only (operators/redact.py)."""
+    from grenier_spark.operators.redact import redact_pii
+
+    planted = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com at 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".7 call 555-867-5309")).alias("text"))
+    rep = redact_pii(planted)
+    return rep.select("doc_id", "n_email", "n_ip", "n_phone",
+                      F.md5("redacted").alias("redacted_md5"))
+
+
 def q_token_hll_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_hll_by_source recomputed through the plain-SQL UDAF surface
     (functions/aggregates.py): ``hll_card(hll_agg(tokens)) GROUP BY
@@ -1452,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "token_hll_udaf": q_token_hll_udaf,
+        "pii_redaction": q_pii_redaction,
         "source_token_overlap": q_source_token_overlap,
         "doc_repetition_stats": q_doc_repetition_stats,
         "benchmark_contamination": q_benchmark_contamination,
@@ -1543,6 +1564,17 @@ def _contamination_oracle() -> str:
         "WHERE doc_id % 25 <> 0",
         "SELECT doc_id::BIGINT AS doc_id, text FROM documents "
         "WHERE doc_id % 25 = 0", n=4)
+
+
+def _pii_redaction_oracle() -> str:
+    from grenier_spark.operators.redact import redact_pii_sql
+
+    planted = (
+        "SELECT doc_id::BIGINT AS doc_id, "
+        "text || ' contact user' || doc_id::VARCHAR || "
+        "'@example.com at 10.0.' || (doc_id % 256)::VARCHAR || "
+        "'.7 call 555-867-5309' AS text FROM documents")
+    return redact_pii_sql(planted, hash_output=True)
 
 
 def _weighted_sample_oracle() -> str:
@@ -1949,6 +1981,7 @@ SELECT doc_id::BIGINT AS media_id,
        len(list_filter(split(text, ''), c -> unicode(c) // 16 = 6))::BIGINT AS f6,
        len(list_filter(split(text, ''), c -> unicode(c) // 16 = 7))::BIGINT AS f7
 FROM documents""",
+        "pii_redaction": _pii_redaction_oracle(),
         "token_hll_udaf": (
             "SELECT source, round(est, 6) AS est_tokens FROM ("
             + hll_card_sql(

@@ -204,3 +204,22 @@ def test_stride_interleave_single_window_exchange(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Python" not in plan and "BatchEval" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_contamination_broadcasts_eval_shingles(spark):
+    """benchmark_contamination: the eval shingle set rides a broadcast
+    join; the training corpus must never hit a SortMergeJoin (at web
+    scale that join would shuffle every corpus shingle)."""
+    plan = plan_of(entry_mod.q_benchmark_contamination(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_priority_sample_single_window_exchange(spark):
+    """weighted_doc_sample: hash + priority are scan-stage projections;
+    exactly one Exchange (the per-group window) touches the rows."""
+    plan = plan_of(entry_mod.q_weighted_doc_sample(spark, SF))
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange" in ln and "Broadcast" not in ln
+                and "Reused" not in ln]
+    assert len(shuffles) == 1, plan
