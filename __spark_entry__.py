@@ -1272,6 +1272,16 @@ def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_values").alias("n_tokens"))
 
 
+def q_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency-of-frequencies spectrum over the md5 token
+    ids (textstats.token_freq_spectrum) — the vocab-sizing / Zipf view.
+    freq_bin is integer-exact bit-length arithmetic on both engines."""
+    from grenier_spark.operators.textstats import token_freq_spectrum
+
+    return token_freq_spectrum(_tokenized_docs(spark, sf_dir),
+                               group_col="source")
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents with deterministically planted
     emails/IPs/phones (derived from doc_id, identical expression on both
@@ -1473,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "token_hll_udaf": q_token_hll_udaf,
         "pii_redaction": q_pii_redaction,
+        "token_freq_spectrum": q_token_freq_spectrum,
         "source_token_overlap": q_source_token_overlap,
         "doc_repetition_stats": q_doc_repetition_stats,
         "benchmark_contamination": q_benchmark_contamination,
@@ -1564,6 +1575,17 @@ def _contamination_oracle() -> str:
         "WHERE doc_id % 25 <> 0",
         "SELECT doc_id::BIGINT AS doc_id, text FROM documents "
         "WHERE doc_id % 25 = 0", n=4)
+
+
+def _freq_spectrum_oracle() -> str:
+    from grenier_spark.operators.textstats import token_freq_spectrum_sql
+
+    # token identity via the md5 hex slice: equality on the hex equals
+    # equality on the int64 id, so counts match the Spark side exactly
+    return token_freq_spectrum_sql(
+        "SELECT source, substr(md5(w), 1, 16) AS t FROM ("
+        "SELECT source, unnest(string_split(text, ' ')) AS w "
+        "FROM documents)", group_col="source")
 
 
 def _pii_redaction_oracle() -> str:
@@ -1982,6 +2004,7 @@ SELECT doc_id::BIGINT AS media_id,
        len(list_filter(split(text, ''), c -> unicode(c) // 16 = 7))::BIGINT AS f7
 FROM documents""",
         "pii_redaction": _pii_redaction_oracle(),
+        "token_freq_spectrum": _freq_spectrum_oracle(),
         "token_hll_udaf": (
             "SELECT source, round(est, 6) AS est_tokens FROM ("
             + hll_card_sql(

@@ -191,3 +191,59 @@ def winnow_fingerprints(text: "Column | str", k: int = 8,
                     lambda j: F.array_min(F.slice(grams, j, window)))
     ).otherwise(F.array().cast("array<long>"))
     return F.array_sort(F.array_distinct(wins))
+
+
+def token_freq_spectrum(df, tokens_col: str = "tokens",
+                        group_col: "str | None" = None):
+    """Frequency-of-frequencies spectrum (the Zipf/vocab-sizing view): for
+    each log2 bin b, how many DISTINCT tokens occur in [2^b, 2^(b+1))
+    total occurrences, and how much corpus mass they carry.
+
+    The question "what vocab size covers 99.9% of occurrences" (BPE sizing,
+    rare-token filtering) needs exact counts per frequency class — the one
+    corpus statistic the sketch suite deliberately doesn't approximate
+    (CMS answers point queries, not the count-of-counts histogram).
+
+    Shape: explode -> two-level groupBy. The first groupBy (token counts)
+    is the canonical word-count shuffle: partial aggregation reduces the
+    map side to one row per distinct token per partition, so the exchange
+    carries vocab-scale rows (tens of M), not token-scale (10^12); the
+    second groupBy reduces to <=64 bins. This is the ONE analysis query
+    in the suite where a vocab-scale shuffle is inherent — everything
+    upstream of it stays in the scan stage.
+
+    Returns (group?, freq_bin, n_distinct_tokens, n_occurrences).
+    """
+    gcols = [group_col] if group_col else []
+    tok = df.select(*gcols, F.explode(tokens_col).alias("t"))
+    counts = (tok.groupBy(*gcols, "t")
+              .agg(F.count(F.lit(1)).alias("c")))
+    # freq_bin = floor(log2(c)) computed INTEGER-exactly as bit_length-1
+    # (conv to base 2, count digits): no libm log2 whose rounding at exact
+    # powers of two could differ between the JVM and DuckDB.
+    binned = counts.withColumn(
+        "freq_bin",
+        (F.length(F.conv(F.col("c").cast("string"), 10, 2)) - 1)
+        .cast("long"))
+    return (binned.groupBy(*gcols, "freq_bin")
+            .agg(F.count(F.lit(1)).alias("n_distinct_tokens"),
+                 F.sum("c").cast("long").alias("n_occurrences")))
+
+
+def token_freq_spectrum_sql(token_rows_sql: str,
+                            group_col: "str | None" = None) -> str:
+    """DuckDB twin of :func:`token_freq_spectrum`. ``token_rows_sql``
+    emits one row per token occurrence, columns (group?, t) — t may be
+    any equality-comparable token id (e.g. the md5-low64 hex slice).
+    freq_bin uses the same integer-exact bit-length formula as the Spark
+    side (``length(bin(c)) - 1`` == floor(log2(c)) for c >= 1) — no libm
+    log2 in either engine."""
+    g = f"{group_col}, " if group_col else ""
+    return f"""
+SELECT {g}(length(bin(c)) - 1)::BIGINT AS freq_bin,
+       COUNT(*)::BIGINT AS n_distinct_tokens,
+       SUM(c)::BIGINT AS n_occurrences
+FROM (SELECT {g}t, COUNT(*)::BIGINT AS c
+      FROM ({token_rows_sql})
+      GROUP BY {g}t)
+GROUP BY {g}freq_bin"""

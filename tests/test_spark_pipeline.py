@@ -409,3 +409,22 @@ def test_udaf_kll_quantiles_within_rank_bound(spark, docs_df, local_rows):
             est = sk.quantiles([q])[0]
             rank = np.searchsorted(vals, est, side="right") / len(vals)
             assert abs(rank - q) < 0.05, (src, q, rank)
+
+
+def test_token_freq_spectrum_matches_counter(spark, docs_df, local_rows):
+    """Spectrum vs a pure-python Counter over the same token arrays."""
+    from collections import Counter
+
+    from grenier_spark.operators.textstats import token_freq_spectrum
+
+    got = {(r.source, r.freq_bin): (r.n_distinct_tokens, r.n_occurrences)
+           for r in token_freq_spectrum(docs_df, group_col="source")
+           .collect()}
+    want = {}
+    for src in ["web", "books", "code", "wiki"]:
+        cnt = Counter(local_tokens(local_rows, src).tolist())
+        for t, c in cnt.items():
+            b = c.bit_length() - 1
+            d, o = want.get((src, b), (0, 0))
+            want[(src, b)] = (d + 1, o + c)
+    assert got == want
