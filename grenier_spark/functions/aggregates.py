@@ -57,20 +57,28 @@ def _group_values(xs: pd.Series, array_input: bool) -> np.ndarray:
     dtype = np.int64 if array_input else np.float64
     vals = [v for v in xs if v is not None]
     if vals and isinstance(vals[0], (list, tuple, np.ndarray)):
-        return (np.concatenate([np.asarray(v, dtype=dtype) for v in vals])
-                if vals else np.empty(0, dtype=dtype))
-    return xs.dropna().to_numpy(dtype=dtype)
+        return np.concatenate([np.asarray(v, dtype=dtype) for v in vals])
+    kept = xs.dropna()
+    if array_input and kept.dtype.kind == "f":
+        # a nullable BIGINT column reaches pandas as float64: above 2^53
+        # the int64->double round-trip is lossy and the hashed keys would
+        # silently diverge from build_sketches. Refuse instead of corrupt.
+        f = kept.to_numpy(dtype=np.float64)
+        if len(f) and (np.abs(f) >= 2.0 ** 53).any():
+            raise ValueError(
+                "sketch aggregate over a nullable int64 column with values "
+                ">= 2^53: Arrow->pandas promoted the group to float64, "
+                "which cannot represent the keys exactly. Filter the NULLs "
+                "out first (WHERE col IS NOT NULL) so the column stays "
+                "int64, or use operators.sketch_build.build_sketches.")
+    return kept.to_numpy(dtype=dtype)
 
 
-def sketch_agg_col(kind: str, col: "Column | str", **params) -> Column:
-    """A grouped-aggregate Column building one ``kind`` sketch per group.
-
-    ``params`` mirror :class:`operators.sketch_build.SketchSpec` (``p`` for
-    hll, ``depth``/``width``/``seed`` for cms, ``m``/``k``/``seed`` for
-    bloom, ``k``/``seed`` for kll, ``delta`` for tdigest). The UDF is
-    created lazily per call (module-level pandas_udf creation breaks under
-    spark-submit import ordering — see BENCH/BASELINE.md).
-    """
+def _make_agg_udf(kind: str, params: dict):
+    """The one GROUPED_AGG UDF builder both surfaces share (a fix to the
+    kernel sequence must reach the DataFrame and SQL paths together).
+    Created lazily per call (module-level pandas_udf creation breaks under
+    spark-submit import ordering — see BENCH/BASELINE.md)."""
     if kind not in _ARRAY_KINDS + _VALUE_KINDS:
         raise ValueError(f"unknown sketch kind {kind!r}")
     spec = SketchSpec.of("s", kind, "v", **params)
@@ -88,8 +96,18 @@ def sketch_agg_col(kind: str, col: "Column | str", **params) -> Column:
         return (hll.to_bytes(state) if kind == "hll"
                 else state.to_bytes())
 
+    return _agg
+
+
+def sketch_agg_col(kind: str, col: "Column | str", **params) -> Column:
+    """A grouped-aggregate Column building one ``kind`` sketch per group.
+
+    ``params`` mirror :class:`operators.sketch_build.SketchSpec` (``p`` for
+    hll, ``depth``/``width``/``seed`` for cms, ``m``/``k``/``seed`` for
+    bloom, ``k``/``seed`` for kll, ``delta`` for tdigest).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return _agg(c)
+    return _make_agg_udf(kind, params)(c)
 
 
 def hll_agg_col(col: "Column | str", p: int = 12) -> Column:
@@ -139,16 +157,4 @@ def register_sql_aggregates(spark, hll_p: int = 12, cms_depth: int = 5,
         "ddsum_agg": ("ddsum", {}),
     }
     for name, (kind, params) in regs.items():
-        spec = SketchSpec.of("s", kind, "v", **params)
-        array_input = kind in _ARRAY_KINDS
-
-        def make(spec=spec, kind=kind, array_input=array_input):
-            @pandas_udf("binary", F.PandasUDFType.GROUPED_AGG)
-            def _agg(xs: pd.Series) -> bytes:
-                state = _new_state(spec)
-                _update(state, spec, _group_values(xs, array_input))
-                return (hll.to_bytes(state) if kind == "hll"
-                        else state.to_bytes())
-            return _agg
-
-        spark.udf.register(name, make())
+        spark.udf.register(name, _make_agg_udf(kind, params))

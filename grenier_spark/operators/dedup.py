@@ -379,8 +379,12 @@ def simhash_candidate_pairs(fp_df: DataFrame, id_col: str = "doc_id",
         acc = None
         for bi in combo:
             sh, w = layout[bi]
-            block = F.shiftrightunsigned("simhash", sh).bitwiseAND(
-                F.lit((1 << w) - 1))
+            # w == 64 (max_hamming=0, n_blocks=1: exact-match keying):
+            # (1 << 64) - 1 overflows a long literal into DecimalType and
+            # the AND fails to analyze; -1 is the same all-ones mask in
+            # two's complement
+            mask = F.lit(-1 if w == 64 else (1 << w) - 1)
+            block = F.shiftrightunsigned("simhash", sh).bitwiseAND(mask)
             acc = block if acc is None else \
                 F.shiftleft(acc, w).bitwiseOR(block)
         keys.append(acc)
@@ -469,6 +473,12 @@ def connected_components(pairs: DataFrame, nodes: "DataFrame | None" = None,
 
     ``nodes`` (one column ``id_col``) adds isolated documents as singleton
     components; omitted, only nodes present in ``pairs`` appear.
+
+    OWNERSHIP: the returned DataFrame is persisted (it was materialized by
+    the convergence check, and unpersisting would make every downstream
+    read replay the whole iteration lineage). Call ``.unpersist()`` on the
+    RESULT when done with it — repeated calls that drop the handle leak
+    one cached (id, component_id) frame each into the SQL cache manager.
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
@@ -527,6 +537,18 @@ def bloom_probe_udf(bc):
     @pandas_udf("boolean")
     def _maybe_seen(keys: pd.Series) -> pd.Series:
         bf = _bloom_from_cache(bc.value)
+        # A batch with NULL keys arrives as float64 with NaN — and the
+        # float64 promotion has ALREADY corrupted any present key with
+        # |k| >= 2^53 (md5 keys span the full int64 range), so a silent
+        # dropna-and-probe could claim "definitely new" for a true dup.
+        # Callers must feed a NULL-free long column (ingest dedup wraps
+        # the key in coalesce(.., 0)); fail loudly otherwise.
+        if keys.isna().any():
+            raise ValueError(
+                "bloom_probe_udf received NULL keys: the Arrow batch was "
+                "promoted to float64, which corrupts 64-bit content keys. "
+                "coalesce() the key column (NULL text -> constant) before "
+                "probing — see incremental_ingest_dedup.")
         ks = keys.to_numpy(dtype=np.int64).view(np.uint64)
         return pd.Series(bf.contains(ks))
     return _maybe_seen.asNondeterministic()
@@ -623,7 +645,15 @@ def incremental_ingest_dedup(existing: DataFrame, new: DataFrame,
     bc = new.sparkSession.sparkContext.broadcast(bytes(bloom_bytes))
     _probe_udf = lambda: bloom_probe_udf(bc)
 
-    keyed = (new.withColumn("_ckey", _md5_low64_signed(text_col))
+    # NULL-safe probe key: a NULL-text doc gets constant 0 so the batch
+    # stays int64 end-to-end (a single NaN would promote the whole Arrow
+    # batch to float64 and corrupt full-range keys — probe UDF raises).
+    # Routing stays correct either way: a 0-key false positive just
+    # reaches the exact _chash verification, where md5(NULL) = NULL
+    # matches nothing => is_new = true, same as batch dedup's NULL-keep.
+    keyed = (new.withColumn(
+        "_ckey", F.coalesce(_md5_low64_signed(text_col),
+                            F.lit(0).cast("long")))
              .withColumn("_chash", F.md5(F.col(text_col))))
     probed = keyed.withColumn("_maybe", _probe_udf()(F.col("_ckey")))
     # verification equality is the FULL 128-bit md5 (the same content

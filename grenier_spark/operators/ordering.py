@@ -173,8 +173,12 @@ def stride_interleave(df: DataFrame, weights: "dict[str, float]",
         for b in sorted(bkts):
             off_rows.append((s, b, run))
             run += bkts[b]
+    # offsets schema mirrors the REAL source-column type (an int source
+    # column would crash a hardcoded string schema); simpleString() keeps
+    # nested/decimal types intact
+    src_type = df.schema[source_col].dataType.simpleString()
     offsets = df.sparkSession.createDataFrame(
-        off_rows, schema="_osrc string, _orbkt long, _off long")
+        off_rows, schema=f"_osrc {src_type}, _orbkt long, _off long")
     # pass 2: local rank within (source, bucket) + broadcast offset.
     # NULL-SAFE source equality: a NULL source is a legitimate window
     # partition on the single-window path, so the bucketed rewrite must

@@ -160,7 +160,10 @@ class CheckpointedSketchJob:
         only KB-sized sketch rows move. Returns the merged sketch rows
         (same schema as :meth:`run`'s result) plus ``as_of_snapshot``;
         decode with the usual estimators. Snapshots whose inputs were all
-        empty contribute no partials and inherit the next run's row.
+        empty contribute no partial rows and therefore have NO
+        ``as_of_snapshot`` row here (the series skips them; the state "as
+        of" such a snapshot equals the previous emitted row) — consumers
+        wanting a dense series should forward-fill on snapshot id.
 
         At 10^12 sequences this is the operational dashboard query —
         "distinct tokens per source, by ingest day" — answered from the

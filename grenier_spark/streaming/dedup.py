@@ -75,8 +75,12 @@ def ingest_dedup_stream(stream_df: DataFrame, corpus_hashes: DataFrame,
     bc = stream_df.sparkSession.sparkContext.broadcast(bytes(bloom_bytes))
     keyed = (stream_df
              .withColumn("content_hash", F.md5(F.col(text_col)))
+             # coalesce: NULL-safe probe key, same contract as the batch
+             # ingest dedup (a NaN batch would corrupt full-range keys)
              .withColumn("_maybe",
-                         bloom_probe_udf(bc)(_md5_low64_signed(text_col))))
+                         bloom_probe_udf(bc)(
+                             F.coalesce(_md5_low64_signed(text_col),
+                                        F.lit(0).cast("long")))))
     clean = keyed.where(~F.col("_maybe")).withColumn("is_new", F.lit(True))
     hits = (corpus_hashes
             .select(F.col(hash_col).alias("content_hash"))

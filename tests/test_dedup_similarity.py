@@ -439,3 +439,38 @@ def test_ingest_dedup_bloom_maintained_by_or_merge_across_appends(spark):
     blob0 = bloom_of_corpus(empty, expected_docs=200, fpr=0.01)
     out = incremental_ingest_dedup(empty, new, blob0).toPandas()
     assert bool(out.is_new[0])
+
+
+def test_ingest_dedup_tolerates_null_text(spark):
+    """NULL-text rows must not crash the probe (NaN batch) and must come
+    out is_new=true, matching batch dedup's NULL-keep semantics."""
+    import pandas as pd
+
+    from grenier_spark.operators.dedup import (bloom_of_corpus,
+                                               incremental_ingest_dedup)
+
+    existing = spark.createDataFrame(
+        pd.DataFrame([(i, f"corpus doc {i}") for i in range(50)],
+                     columns=["doc_id", "text"]))
+    new = spark.createDataFrame(
+        pd.DataFrame([(100, "corpus doc 7"), (101, None),
+                      (102, "brand new"), (103, None)],
+                     columns=["doc_id", "text"]))
+    blob = bloom_of_corpus(existing, expected_docs=50, fpr=0.01)
+    out = dict(zip(*(lambda p: (p.doc_id, p.is_new))(
+        incremental_ingest_dedup(existing, new, blob).toPandas())))
+    assert not out[100]
+    assert out[101] and out[102] and out[103]
+
+
+def test_simhash_exact_match_keying_w64(spark, docs_with_plants):
+    """max_hamming=0 with n_blocks=1 is legal (single 64-bit block =
+    exact-fingerprint equality): the all-ones mask must not overflow."""
+    from grenier_spark.operators import dedup
+
+    fps = dedup.simhash64(docs_with_plants)
+    got = dedup.simhash_candidates(fps, max_hamming=0, n_blocks=1)
+    pdf = got.toPandas()
+    # exact copies share the fingerprint -> present with hamming 0
+    assert (pdf.hamming == 0).all()
+    assert len(pdf) >= 1

@@ -196,3 +196,21 @@ def test_footer_stats_manifest_matches_scan(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="footers carry no sums"):
         write_training_shards(sh, str(tmp_path / "c"), 4,
                               token_col="doc_id", stats="footer")
+
+
+def test_stride_interleave_bucketed_nonstring_source(spark, docs):
+    """rank_buckets path must accept a non-string source column (offsets
+    schema mirrors the real dtype instead of hardcoding string)."""
+    from pyspark.sql import functions as F
+
+    from grenier_spark.operators.ordering import stride_interleave
+
+    idocs = docs.withColumn(
+        "src_id", (F.col("doc_id") % 3).cast("long")).drop("source")
+    a = (stride_interleave(idocs, {0: 2.0}, source_col="src_id",
+                           rank_buckets=4, seed=2)
+         .select("doc_id", "pos").toPandas().sort_values("doc_id"))
+    b = (stride_interleave(idocs, {0: 2.0}, source_col="src_id",
+                           seed=2)
+         .select("doc_id", "pos").toPandas().sort_values("doc_id"))
+    assert a.pos.tolist() == b.pos.tolist()

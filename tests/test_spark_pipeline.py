@@ -428,3 +428,25 @@ def test_token_freq_spectrum_matches_counter(spark, docs_df, local_rows):
             d, o = want.get((src, b), (0, 0))
             want[(src, b)] = (d + 1, o + c)
     assert got == want
+
+
+def test_udaf_refuses_lossy_nullable_int64(spark):
+    """A nullable BIGINT key column with values >= 2^53 reaches the
+    grouped-agg UDF as float64 (lossy): the aggregate must raise, not emit
+    a silently-wrong sketch."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from grenier_spark.functions.aggregates import hll_agg_col
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "a", "a"],
+                      "k": [2 ** 62 + 1, None, 5]}),
+        schema="g string, k long")
+    with _pytest.raises(Exception, match="2\\^53|float64"):
+        df.groupBy("g").agg(hll_agg_col("k").alias("s")).collect()
+    # NULL-free stays exact int64 and works
+    ok = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "a"], "k": [2 ** 62 + 1, 5]}),
+        schema="g string, k long")
+    assert ok.groupBy("g").agg(hll_agg_col("k").alias("s")).count() == 1
