@@ -1,7 +1,8 @@
 """The full training-data pipeline, composed end to end:
 
-quality filter -> exact dedup -> source mixture -> global shuffle ->
-sharded manifest-verified write -> read-back -> sequence packing.
+quality filter -> PII redaction -> benchmark decontamination -> exact
+dedup -> source mixture -> global shuffle -> sharded manifest-verified
+write -> read-back -> sequence packing.
 
 Each stage is individually oracle- or property-gated elsewhere; this test
 proves they COMPOSE — schemas line up, determinism survives the chain, and
@@ -40,16 +41,41 @@ def corpus(spark):
             text = "7" * int(rng.integers(1, 30))
         elif i < 120:
             text = " ".join(words) * 8  # planted dup bytes (30 copies)
+        elif 300 <= i < 305:
+            # the "leaked benchmark" docs: disjoint vocabulary so their
+            # 4-gram shingles cannot collide with the word-soup docs and
+            # the decontamination stage drops EXACTLY these five
+            ev = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+            text = " ".join(rng.choice(ev, size=40)) + f" mark {i}"
         else:
             text = " ".join(rng.choice(words, size=60)) * 2
+            if 200 <= i < 210:  # planted PII for the redaction stage
+                text += f" mail user{i}@example.com"
         rows.append((i, src, text))
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
 
 
 def test_pipeline_composes_with_corpus_invariants(spark, corpus, tmp_path):
+    from grenier_spark.operators.decontam import contamination_report
+    from grenier_spark.operators.redact import PII_PATTERNS, redact_text
+
     # 1. quality gate
-    kept = corpus.where(quality_score("text") >= 0.5)
+    filtered = corpus.where(quality_score("text") >= 0.5)
+    # 1a. PII redaction (scan-stage regex chain): planted emails vanish
+    anonymized = filtered.withColumn("text", redact_text("text"))
+    email_pat = PII_PATTERNS[0][1]
+    assert (filtered.where(F.col("text").rlike(email_pat)).count() == 10
+            and anonymized.where(F.col("text").rlike(email_pat)).count()
+            == 0)
+    # 1b. benchmark decontamination: docs 300-304 double as the "eval
+    # set" — any training doc sharing a 4-gram with them is dropped
+    # (here: exactly themselves; the word-soup texts don't collide)
+    eval_set = corpus.where(F.col("doc_id").between(300, 304))
+    dirty = contamination_report(anonymized, eval_set, n=4)
+    kept = anonymized.join(dirty.select("doc_id"), "doc_id", "left_anti")
+    assert (kept.where(F.col("doc_id").between(300, 304)).count() == 0
+            and anonymized.count() - kept.count() == 5)
     # 2. exact dedup in ONE content-hash shuffle (keep-first window);
     # asserted equivalent to the diagnose-then-anti-join composition
     deduped = dedup_keep_first(kept)
