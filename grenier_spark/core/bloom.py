@@ -38,6 +38,10 @@ class Bloom:
     def __init__(self, m: int, k: int, seed: int = 0, bits: np.ndarray | None = None):
         if m <= 0 or k <= 0:
             raise ValueError("m and k must be positive")
+        if not 0 <= seed < (1 << 32):
+            # the wire header packs seed as u32 — fail at construction,
+            # not mid-task at partial-state serialization
+            raise ValueError("seed must fit an unsigned 32-bit int")
         self.m = m
         self.k = k
         self.seed = seed

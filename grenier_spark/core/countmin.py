@@ -38,6 +38,9 @@ class CountMin:
                  counts: np.ndarray | None = None, total: int = 0):
         if depth <= 0 or width <= 0:
             raise ValueError("depth and width must be positive")
+        if not 0 <= seed < (1 << 32):
+            # wire header packs seed as u32 — fail fast, not at to_bytes
+            raise ValueError("seed must fit an unsigned 32-bit int")
         self.depth = depth
         self.width = width
         self.seed = seed
@@ -63,6 +66,13 @@ class CountMin:
         keys = np.asarray(keys).astype(U64, copy=False)
         salts = self.row_salts()
         w = None if weights is None else np.asarray(weights, dtype=np.int64)
+        # bincount sums weights in float64 — exact only while every cell's
+        # per-call sum stays under 2^53 (always true for the multiplicity
+        # weights the build pipeline passes: bounded by the Arrow batch
+        # size). Huge explicit weights would silently round, breaking the
+        # exact-int64-counter contract — take the slow exact scatter-add.
+        exact_slow = w is not None and len(w) and (
+            int(np.abs(w).max()) >= (1 << 53) // max(len(w), 1))
         pow2 = (self.width & (self.width - 1)) == 0
         for i in range(self.depth):
             pos = wang64(keys ^ salts[i])
@@ -73,6 +83,8 @@ class CountMin:
             ip = pos.astype(np.intp, copy=False)
             if w is None:
                 self.counts[i] += np.bincount(ip, minlength=self.width)
+            elif exact_slow:
+                np.add.at(self.counts[i], ip, w)
             else:
                 self.counts[i] += np.bincount(
                     ip, weights=w, minlength=self.width).astype(np.int64)

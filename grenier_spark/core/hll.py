@@ -215,6 +215,12 @@ def from_bytes_any(s: bytes) -> np.ndarray:
     if len(s) != 3 + 3 * nnz:
         raise ValueError("Hll.from_bytes_any: truncated sparse sketch")
     j = np.frombuffer(s, dtype="<u2", count=nnz, offset=3).astype(np.intp)
+    # canonical encoding (to_bytes_auto) emits strictly increasing register
+    # indices < 2^p: reject anything else LOUDLY — an out-of-range index
+    # would escape as a bare IndexError and a duplicate would decode
+    # last-wins into a plausible-but-wrong register array
+    if len(j) and (j[-1] >= (1 << p) or (np.diff(j) <= 0).any()):
+        raise ValueError("Hll.from_bytes_any: invalid sparse indices")
     rho = np.frombuffer(s, dtype=np.uint8, count=nnz, offset=3 + 2 * nnz)
     t[1:][j] = rho
     return t

@@ -105,9 +105,11 @@ class TDigest:
 
     def quantiles(self, qs: "np.ndarray | list[float]") -> np.ndarray:
         self._flush()
-        qs = np.asarray(qs, dtype=np.float64)
+        # atleast_1d: a scalar q must work on every branch (len() of a 0-d
+        # array raises only on the single-centroid path otherwise)
+        qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
         if not len(self.means):
-            return np.full(len(np.atleast_1d(qs)), np.nan)
+            return np.full(len(qs), np.nan)
         if len(self.means) == 1:
             return np.full(len(qs), self.means[0])
         cum = np.cumsum(self.weights) - 0.5 * self.weights

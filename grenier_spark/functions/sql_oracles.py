@@ -149,7 +149,7 @@ FROM ({hashed}) CROSS JOIN generate_series(0, {k - 1}) AS i(i)"""
     bits = f"SELECT DISTINCT pos FROM ({positions(members_sql)})"
     probes = positions(cands_sql)
     return f"""
-SELECT {key_col}, (COUNT(b.pos) = {k}) AS present
+SELECT {key_col}, (COUNT(DISTINCT b.pos) = {k}) AS present
 FROM ({probes}) p LEFT JOIN ({bits}) b ON p.pos = b.pos
 GROUP BY {key_col}"""
 
@@ -212,7 +212,7 @@ WITH regs AS (
   FROM est CROSS JOIN (VALUES {consts}) AS c(idx, raw, bias)
 ), ep AS (
   SELECT {gsel}e, v,
-         CASE WHEN e <= {5.0 * m!r} THEN e - AVG(bias) ELSE e END AS ep
+         CASE WHEN e <= {5.0 * m!r}::DOUBLE THEN e - AVG(bias) ELSE e END AS ep
   FROM nn WHERE rn <= 6 GROUP BY {", ".join(g + ['e', 'v'])}
 )
 SELECT {gsel}CASE WHEN v = 0 THEN ep
@@ -267,9 +267,9 @@ WITH regs AS (
   FROM agg
 )
 SELECT {gsel}CASE
-         WHEN e <= {2.5 * m!r} THEN
+         WHEN e <= {2.5 * m!r}::DOUBLE THEN
            (CASE WHEN v = 0 THEN e ELSE {lc} END)
-         WHEN e <= {mid} THEN e
+         WHEN e <= {mid}::DOUBLE THEN e
          ELSE -4294967296.0 * ln(1.0 - e / 4294967296.0)
        END AS {alias}
 FROM est"""
@@ -382,7 +382,7 @@ WITH sigs AS (
   JOIN sigs sb ON sb.id = c.id_b AND sa.perm = sb.perm
   GROUP BY 1, 2
 ), goodc AS (
-  SELECT id_a, id_b FROM est WHERE est_j >= {min_est!r}
+  SELECT id_a, id_b FROM est WHERE est_j >= {min_est!r}::DOUBLE
 ), shc AS (
   SELECT id, COUNT(DISTINCT shingle) AS nsh FROM ({shingles}) GROUP BY 1
 ), inter AS (
@@ -395,7 +395,7 @@ WITH sigs AS (
 SELECT id_a, id_b,
        round(i / (ca.nsh + cb.nsh - i)::DOUBLE, 6) AS jaccard
 FROM inter JOIN shc ca ON id_a = ca.id JOIN shc cb ON id_b = cb.id
-WHERE i / (ca.nsh + cb.nsh - i)::DOUBLE >= {tau!r}"""
+WHERE i / (ca.nsh + cb.nsh - i)::DOUBLE >= {tau!r}::DOUBLE"""
 
 
 def ann_rademacher_sql(vectors_sql: str, queries_sql: str, k: int = 10,

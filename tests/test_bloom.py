@@ -59,3 +59,8 @@ def test_from_bytes_rejects_truncation():
         Bloom.from_bytes(blob[:-5])
     assert Bloom.from_bytes(blob).contains(
         np.array([5], dtype=np.uint64))[0]
+
+
+def test_seed_must_fit_u32():
+    with pytest.raises(ValueError, match="32-bit"):
+        Bloom(64, 3, seed=-1)

@@ -70,3 +70,20 @@ def test_serde_roundtrip():
 def test_params_for():
     d, w = params_for(0.001, 0.01)
     assert w >= np.e / 0.001 - 1 and d >= 4
+
+
+def test_weighted_update_exact_above_float53():
+    """Weights >= 2^53 must not round through bincount's float64 path."""
+    from grenier_spark.core.countmin import CountMin
+
+    cm = CountMin(1, 8, 0)
+    cm.update_batch(np.array([42], dtype=np.uint64),
+                    weights=np.array([(1 << 60) + 1], dtype=np.int64))
+    assert int(cm.query(np.array([42], dtype=np.uint64))[0]) == (1 << 60) + 1
+
+
+def test_seed_must_fit_u32():
+    from grenier_spark.core.countmin import CountMin
+
+    with pytest.raises(ValueError, match="32-bit"):
+        CountMin(2, 8, seed=1 << 32)

@@ -195,3 +195,24 @@ def test_from_bytes_rejects_empty():
         hll.from_bytes(b"")
     with _pt.raises(ValueError):
         hll.from_bytes(b"\x07")  # header only, no registers
+
+
+def test_sparse_decode_rejects_corrupt_indices():
+    """Out-of-range or duplicate sparse register indices must raise the
+    ValueError contract, not IndexError or a last-wins wrong decode."""
+    import struct
+
+    def blob(p, idx, rho):
+        out = bytearray([0x80 | p])
+        out += struct.pack("<H", len(idx))
+        for j in idx:
+            out += struct.pack("<H", j)
+        out += bytes(rho)
+        return bytes(out)
+
+    with pytest.raises(ValueError, match="invalid sparse"):
+        hll.from_bytes_any(blob(8, [300], [4]))
+    with pytest.raises(ValueError, match="invalid sparse"):
+        hll.from_bytes_any(blob(8, [5, 5], [9, 3]))
+    t = hll.from_bytes_any(blob(8, [3, 7], [2, 6]))  # canonical: fine
+    assert t[1 + 3] == 2 and t[1 + 7] == 6

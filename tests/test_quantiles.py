@@ -132,3 +132,11 @@ def test_tdigest_nan_values_drop_their_weights():
     with _pt.raises(ValueError):
         TDigest(100).update_batch(np.array([1.0, 2.0]),
                                   weights=np.array([1.0]))
+
+
+def test_tdigest_scalar_q_single_centroid():
+    from grenier_spark.core.tdigest import TDigest
+
+    td = TDigest()
+    td.update_batch(np.array([5.0]))
+    assert float(td.quantiles(0.5)[0]) == 5.0

@@ -292,3 +292,18 @@ def test_minhash_neardup_sql_fuzz_vs_kernel_replica(con):
         got = sorted(con.execute(sql).fetchall())
         assert got == sorted(expect), (trial, got, expect)
         assert any(r[:2] == (0, 100) for r in got), trial  # planted exact
+
+
+def test_bloom_membership_sql_tolerates_duplicate_candidates(con):
+    """A candidate key appearing twice must still read present=true
+    (COUNT DISTINCT of matched positions, not raw row count)."""
+    from grenier_spark.core.bloom import Bloom
+
+    bf = Bloom(128, 4, seed=3)
+    bf.update_batch(np.array([5, 9, 17], dtype=np.uint64))
+    got = dict(con.execute(so.bloom_membership_sql(
+        "SELECT * FROM (VALUES (5), (9), (17)) t(key)",
+        "SELECT * FROM (VALUES (5), (5), (42)) t(key)",
+        "key", 128, 4, 3)).fetchall())
+    assert got[5] is True and got[42] is False
+    assert bool(bf.contains(np.array([5], dtype=np.uint64))[0])
