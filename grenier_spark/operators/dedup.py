@@ -609,6 +609,32 @@ def bloom_of_corpus(existing: DataFrame, text_col: str = "text",
     return bytes(row.sketch)
 
 
+def bloom_of_hash_index(corpus_hashes: DataFrame,
+                        hash_col: str = "content_hash",
+                        expected_docs: int = 1_000_000,
+                        fpr: float = 0.01, seed: int = 9) -> bytes:
+    """:func:`bloom_of_corpus` built from the persistent md5-hex INDEX
+    table instead of document text — the input an ingest pipeline actually
+    keeps. The probe key is the SAME 64 bits :func:`_md5_low64_signed`
+    extracts from md5(text) (hex chars 17-32 of the digest), so filters
+    from either builder are interchangeable against the same probe chain;
+    building from the index with a re-hash of the hex string would yield a
+    filter that misses EVERY true duplicate."""
+    from ..core.bloom import Bloom, params_for
+    from .sketch_build import SketchSpec, build_sketches
+
+    m, k = params_for(max(1, expected_docs), fpr)
+    keys = corpus_hashes.select(
+        F.conv(F.substring(F.col(hash_col), 17, 16), 16, -10)
+        .cast("long").alias("content_key"))
+    row = build_sketches(
+        keys, [SketchSpec.of("seen", "bloom", "content_key",
+                             m=m, k=k, seed=seed)]).select("sketch").first()
+    if row is None:
+        return Bloom(m, k, seed=seed).to_bytes()
+    return bytes(row.sketch)
+
+
 def incremental_ingest_dedup(existing: DataFrame, new: DataFrame,
                              bloom_bytes: bytes, text_col: str = "text",
                              id_col: str = "doc_id") -> DataFrame:

@@ -209,6 +209,14 @@ def _update(state, spec: SketchSpec, values: np.ndarray) -> None:
             else:
                 state.update_batch(keys)
             return
+        if values.dtype.kind == "f":
+            # astype would TRUNCATE floats (1.1 and 1.9 both -> key 1),
+            # silently collapsing distinct values; hashed kinds take
+            # integer keys by contract — hash float bits explicitly if
+            # that is what you mean
+            raise ValueError(
+                f"{spec.kind} sketch over a float column: hashed kinds "
+                f"need integer keys (cast, or hash the bit pattern)")
         keys = values.astype(np.int64, copy=False).view(U64)
         for s in range(0, len(keys), _CHUNK):
             chunk = keys[s:s + _CHUNK]
@@ -275,7 +283,7 @@ def _grouped_column(batch: pa.RecordBatch, col: str, codes: np.ndarray,
         flat = flat.drop_null()
         vcodes = vcodes[ok]
     values = flat.to_numpy(zero_copy_only=False)
-    if values.dtype == np.float64:
+    if values.dtype.kind == "f":  # float32 NaN must filter like float64
         keep = ~np.isnan(values)
         values, vcodes = values[keep], vcodes[keep]
     if n_groups == 1:
@@ -410,7 +418,14 @@ class _Accumulator:
             return None
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
+        # build_us is the TASK's wall time apportioned across its emitted
+        # rows (remainder on the first), so SUM(build_us) over any row set
+        # equals total build wall time — stamping the full elapsed on
+        # every (group, spec) row would overcount by rows-per-task once
+        # the metrics table is aggregated
         elapsed_us = int((time.monotonic() - self.t0) * 1e6)
+        n_out = max(len(self.states), 1)
+        share, rem = divmod(elapsed_us, n_out)
         out: dict = {f.name: [] for f in self.out_schema.fields}
         for (gkey, name), st in self.states.items():
             for c, v in zip(self.group_cols, gkey):
@@ -420,7 +435,8 @@ class _Accumulator:
             out["n_rows"].append(self.counts[(gkey, name)][0])
             out["n_values"].append(self.counts[(gkey, name)][1])
             out["part_id"].append(pid)
-            out["build_us"].append(elapsed_us)
+            out["build_us"].append(share + (rem if not out["build_us"]
+                                            else 0))
         return pa.RecordBatch.from_pydict(out, schema=self.arrow_schema)
 
 

@@ -77,9 +77,37 @@ class CheckpointedSketchJob:
         snap = input_table.snapshot(snapshot_id)
         if snap is None:
             raise ValueError("input table has no snapshot")
-        want = {os.path.join(input_table.path, f) for f in snap["files"]}
+        # abspath: lineage from input_file_name() is always absolute, so a
+        # relative input_table.path would trip the stray-lineage gate on
+        # every legitimate run (and the isin merge filter would miss)
+        want = {os.path.abspath(os.path.join(input_table.path, f))
+                for f in snap["files"]}
         have = self.covered_files(spark)
         todo = sorted(want - have)
+
+        # single-writer guard for the whole diff->build->append window:
+        # the manifest lock in SnapshotTable only serializes the COMMIT,
+        # so two concurrent run()s would both see the same todo and
+        # double-append file F's partials — CMS counts and n_rows for F
+        # would merge twice (HLL/Bloom would mask it; counts cannot)
+        import fcntl
+
+        os.makedirs(self.table.path, exist_ok=True)
+        run_lock = open(os.path.join(self.table.path, "_run.lock"), "w")
+        try:
+            fcntl.flock(run_lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            run_lock.close()
+            raise RuntimeError(
+                f"another run() holds {self.table.path}/_run.lock — "
+                f"concurrent runs on one checkpoint would double-count "
+                f"input files") from None
+        try:
+            return self._run_locked(spark, want, todo, snap)
+        finally:
+            run_lock.close()
+
+    def _run_locked(self, spark, want: set, todo: list, snap) -> DataFrame:
 
         if todo:
             src = (spark.read.parquet(*todo)

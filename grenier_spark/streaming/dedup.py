@@ -55,21 +55,33 @@ def ingest_dedup_stream(stream_df: DataFrame, corpus_hashes: DataFrame,
     ``operators.dedup.incremental_ingest_dedup``; compose with
     :func:`dedup_stream` upstream for within-stream re-crawls).
 
-    The Bloom filter (``operators.dedup.bloom_of_corpus``, coverage
-    contract identical: must cover ``corpus_hashes``) routes in the scan
-    stage: a probe MISS is definitely new and **bypasses the join
-    entirely** — at a 1% false-positive rate ~99% of genuinely-new docs
-    never touch the corpus index, so the stream-static join only carries
-    true dups + the fpr tail. Candidates verify exactly against
-    ``corpus_hashes`` — the persistent dedup INDEX table (already
-    distinct md5 hex, 16 bytes/doc; the thing an ingest pipeline
-    maintains anyway) — via a per-microbatch stream-static left join.
-    Output = input + ``content_hash`` + exact ``is_new``.
+    The Bloom filter routes in the scan stage: a probe MISS is definitely
+    new and **bypasses the join entirely** — at a 1% false-positive rate
+    ~99% of genuinely-new docs never touch the corpus index, so the
+    stream-static join only carries true dups + the fpr tail. Candidates
+    verify exactly against ``corpus_hashes`` — the persistent dedup INDEX
+    table (already distinct md5 hex, 16 bytes/doc; the thing an ingest
+    pipeline maintains anyway) — via a per-microbatch stream-static left
+    join. Output = input + ``content_hash`` + exact ``is_new``.
+
+    COVERAGE CONTRACT: ``bloom_bytes`` must cover every hash in
+    ``corpus_hashes`` — build it from the index itself with
+    ``operators.dedup.bloom_of_hash_index(corpus_hashes)`` (same 64
+    probe bits as ``bloom_of_corpus`` over the raw text; a naive re-hash
+    of the hex strings would miss every true dup). The broadcast filter
+    is FROZEN at stream start, so corpus rows added while the stream runs
+    are only visible to probe *hits*: a doc whose key the stale filter
+    misses bypasses the join and reads is_new=true even if another writer
+    inserted it mid-stream. Within-stream re-crawls are the common case
+    and are caught by composing :func:`dedup_stream` upstream; for
+    external writers, restart the stream with a refreshed filter (or run
+    the batch ``incremental_ingest_dedup`` against a current filter in a
+    reconciliation pass).
 
     State: none (stateless filter + join), so restart/exactly-once come
     from the sink's checkpoint alone. The index is re-resolved per
-    micro-batch (stream-static semantics), which is what keeps a
-    concurrently-growing corpus visible between batches."""
+    micro-batch (stream-static semantics), which keeps the growing corpus
+    visible to the VERIFY side between batches."""
     from ..operators.dedup import _md5_low64_signed, bloom_probe_udf
 
     bc = stream_df.sparkSession.sparkContext.broadcast(bytes(bloom_bytes))

@@ -44,10 +44,16 @@ def hll_state_stream(stream_df, group_col: str, tokens_col: str = "tokens",
         else:
             t, n_docs, n_tokens = hll.make_p(p), 0, 0
         for pdf in pdfs:
-            toks = (np.concatenate([np.asarray(v) for v in pdf[tokens_col]])
-                    if len(pdf) else np.empty(0, dtype=np.int64))
+            # NULL tokens cells: np.asarray(None) is 0-d and concatenate
+            # raises — and a poison row would be REPLAYED from the
+            # checkpoint on every restart, wedging the stream. Skip them
+            # (same guard as lossy_state_stream below).
+            arrs = [np.asarray(v, dtype=np.int64)
+                    for v in pdf[tokens_col] if v is not None]
+            toks = (np.concatenate(arrs) if arrs
+                    else np.empty(0, dtype=np.int64))
             if len(toks):
-                hll.add_batch(t, wang64(toks.astype(np.int64).view(U64)))
+                hll.add_batch(t, wang64(toks.view(U64)))
             n_docs += len(pdf)
             n_tokens += len(toks)
         state.update((hll.to_bytes(t), n_docs, n_tokens))
@@ -178,7 +184,14 @@ def windowed_hll_stream(stream_df, ts_col: str, group_col: str,
     tz = _tzinfo(session_tz) if session_tz else _dt.timezone.utc
 
     def _epoch_ms(naive_dt) -> int:
-        return int(naive_dt.replace(tzinfo=tz).timestamp() * 1000)
+        # fold=1: at a DST fall-back the naive window end is ambiguous
+        # (two instants, 1h apart). Resolve to the LATER one — a timeout
+        # an hour late just delays the append emission by an hour once a
+        # year, while the earlier instant would fire BEFORE the watermark
+        # truly passed (emitting a window missing an hour of data, or
+        # crashing on setTimeoutTimestamp-below-watermark when the state
+        # is recreated).
+        return int(naive_dt.replace(tzinfo=tz, fold=1).timestamp() * 1000)
 
     # the watermarked event-time column must survive into the stateful
     # operator's child plan, so keep ts_col in the projection
@@ -210,7 +223,20 @@ def windowed_hll_stream(stream_df, ts_col: str, group_col: str,
         else:
             t, n_rows = hll.make_p(p), 0
         for pdf in pdfs:
-            vals = pdf[key_col].to_numpy(dtype=np.int64)
+            col = pdf[key_col]
+            if col.isna().any():
+                # one NULL promotes the batch to float64: NaN would cast
+                # to garbage INT64_MIN and full-range keys above 2^53
+                # would round — drop the NULLs and refuse lossy batches
+                # (same contract as operators/dedup.bloom_probe_udf)
+                col = col.dropna()
+                f = col.to_numpy(dtype=np.float64)
+                if len(f) and (np.abs(f) >= 2.0 ** 53).any():
+                    raise ValueError(
+                        "windowed_hll_stream: NULL keys promoted the "
+                        "batch to float64 and keys exceed 2^53 — filter "
+                        "NULL keys upstream to keep the column int64")
+            vals = col.to_numpy(dtype=np.int64)
             if len(vals):
                 hll.add_batch(t, wang64(vals.view(U64)))
             n_rows += len(pdf)

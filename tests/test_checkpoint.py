@@ -195,3 +195,21 @@ def test_history_is_prefix_exact_merge_tree(spark, tmp_path, input_table):
         if name == "h":
             assert (hll.card_hllpp(hll.from_bytes(by_snap[2][(src, name)]))
                     >= hll.card_hllpp(hll.from_bytes(blob)))
+
+
+def test_run_accepts_relative_input_path(spark, tmp_path, monkeypatch):
+    """A relative input-table path must not trip the stray-lineage gate
+    (lineage from input_file_name() is absolute)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"source": ["a"] * 10,
+                        "v": np.arange(10, dtype=np.int64)})
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(tmp_path / "intab_rel" / "data"))
+    monkeypatch.chdir(tmp_path)  # AFTER the write: JVM keeps its own cwd
+    rel = SnapshotTable.from_parquet_dir("intab_rel/data")  # RELATIVE
+    job = CheckpointedSketchJob(
+        str(tmp_path / "ckpt_rel"),
+        [SketchSpec.of("h", "hll", "v", p=8)], group_cols=["source"])
+    out = job.run(spark, rel).toPandas()
+    assert len(out) == 1 and out.n_values[0] == 10

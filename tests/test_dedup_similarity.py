@@ -474,3 +474,22 @@ def test_simhash_exact_match_keying_w64(spark, docs_with_plants):
     # exact copies share the fingerprint -> present with hamming 0
     assert (pdf.hamming == 0).all()
     assert len(pdf) >= 1
+
+
+def test_bloom_of_hash_index_matches_text_built_filter(spark):
+    """A filter built from the md5-hex index must be byte-identical to one
+    built from the raw text (same 64 probe bits), so either feeds the
+    stream/batch probes interchangeably."""
+    import pandas as pd
+
+    from grenier_spark.operators.dedup import (bloom_of_corpus,
+                                               bloom_of_hash_index)
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        pd.DataFrame([(i, f"doc body {i}") for i in range(80)],
+                     columns=["doc_id", "text"]))
+    idx = docs.select(F.md5("text").alias("content_hash"))
+    a = bloom_of_corpus(docs, expected_docs=80, fpr=0.01)
+    b = bloom_of_hash_index(idx, expected_docs=80, fpr=0.01)
+    assert a == b

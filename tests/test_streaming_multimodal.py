@@ -481,3 +481,35 @@ def test_ingest_dedup_stream_vs_corpus(spark, tmp_path):
     flags = dict(zip(got.doc_id, got.is_new))
     assert flags == {100: False, 101: True, 102: False, 103: True}
     assert got.content_hash.notna().all()
+
+
+def test_stateful_hll_stream_skips_null_token_cells(spark, tmp_path):
+    """A NULL tokens cell must not wedge the stream (the poison row would
+    replay from the checkpoint forever) — it is skipped, other rows in
+    the same batch still count."""
+    import pandas as pd
+
+    from grenier_spark.streaming.stateful import hll_state_stream
+
+    src_dir = str(tmp_path / "null_src")
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "tokens": [[1, 2, 3], None, [3, 4]],
+        "n_tok": [3, 0, 2],
+        "source": ["s1", "s1", "s1"]})
+    spark.createDataFrame(
+        pdf, "doc_id string, tokens array<int>, n_tok int, source string"
+    ).coalesce(1).write.parquet(src_dir)
+    stream = (spark.readStream
+              .schema("doc_id string, tokens array<int>, n_tok int, "
+                      "source string")
+              .parquet(src_dir))
+    out = hll_state_stream(stream, "source", "tokens", p=10)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("null_hll")
+         .option("checkpointLocation", str(tmp_path / "null_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    last = spark.sql("select * from null_hll").toPandas().iloc[-1]
+    assert last.n_docs == 3 and last.n_tokens == 5
+    assert abs(last.est_distinct - 4) < 0.5  # {1,2,3,4}
