@@ -71,15 +71,15 @@ def cms_query_col(sketch: "Column | str", key: "Column | str") -> Column:
 
     @pandas_udf("long")
     def _q(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        # one VECTORIZED query per distinct blob (the common shape is one
+        # broadcast sketch against many keys — a per-row query() loop is
+        # the per-row-Python anti-pattern CLAUDE.md bans)
         out = np.empty(len(blobs), dtype=np.int64)
-        cache: dict[bytes, CountMin] = {}
         ks = keys.to_numpy(dtype=np.int64).view(np.uint64)
-        for i, b in enumerate(blobs):
-            b = bytes(b)
-            cm = cache.get(b)
-            if cm is None:
-                cm = cache.setdefault(b, CountMin.from_bytes(b))
-            out[i] = cm.query(ks[i:i + 1])[0]
+        codes, uniq = pd.factorize(blobs.map(bytes), sort=False)
+        for c, b in enumerate(uniq):
+            m = codes == c
+            out[m] = CountMin.from_bytes(b).query(ks[m])
         return pd.Series(out)
 
     return _q(_col(sketch), _col(key))
@@ -88,13 +88,13 @@ def cms_query_col(sketch: "Column | str", key: "Column | str") -> Column:
 def bloom_contains_col(sketch: "Column | str", key: "Column | str") -> Column:
     @pandas_udf("boolean")
     def _c(blobs: pd.Series, keys: pd.Series) -> pd.Series:
-        cache: dict[bytes, Bloom] = {}
+        # vectorized per distinct blob, as in cms_query_col above
         ks = keys.to_numpy(dtype=np.int64).view(np.uint64)
         out = np.empty(len(blobs), dtype=bool)
-        for i, b in enumerate(blobs):
-            b = bytes(b)
-            bf = cache.get(b) or cache.setdefault(b, Bloom.from_bytes(b))
-            out[i] = bf.contains(ks[i:i + 1])[0]
+        codes, uniq = pd.factorize(blobs.map(bytes), sort=False)
+        for c, b in enumerate(uniq):
+            m = codes == c
+            out[m] = Bloom.from_bytes(b).contains(ks[m])
         return pd.Series(out)
 
     return _c(_col(sketch), _col(key))

@@ -57,10 +57,19 @@ def repartition_by_jump(df, key_col: str, n_buckets: int):
     ``n_buckets`` relocates only ``(m-n)/m`` of the keys — the reference's
     stated key property (jmphash/jmphash.mli:9-11) — which keeps
     checkpointed per-bucket sketch state mostly valid when the bucket count
-    is re-tuned (plans/checkpoint.py).
+    is re-tuned (plans/checkpoint.py). The ``_jump_bucket`` column stays in
+    the output on purpose: it is the stable state key downstream grouping
+    should use.
+
+    Placement uses a RANGE exchange on the bucket id, not hash: hashing
+    the n bucket values into n partitions is balls-in-bins (~1/e of
+    partitions empty, fullest holds 3-4 buckets — a 3-4x skew from the
+    very operator meant to control skew), while range boundaries over the
+    uniform bucket ids land ~one bucket per partition.
     """
     bucket = jump_bucket_col(wang64_col(F.xxhash64(F.col(key_col))), n_buckets)
-    return df.withColumn("_jump_bucket", bucket).repartition(n_buckets, "_jump_bucket")
+    return (df.withColumn("_jump_bucket", bucket)
+            .repartitionByRange(n_buckets, "_jump_bucket"))
 
 
 def md5_low64_col(col: "Column | str") -> Column:

@@ -62,7 +62,17 @@ def heavy_hitter_tokens(df: DataFrame, token_col: str, support: float,
                     pd.MultiIndex.from_frame(gvals) if len(group_cols) > 1
                     else gvals[group_cols[0]], sort=False,
                     use_na_sentinel=False)
-                gkeys = [u if isinstance(u, tuple) else (u,) for u in uniques]
+
+                def _norm(v):
+                    # NaN group values (nullable numeric group col) never
+                    # match as dict keys across batches (nan != nan) — a
+                    # fresh counter per batch for the null group would
+                    # inflate n_parts and weaken every bound for it
+                    return None if (not isinstance(v, (tuple, list))
+                                    and pd.isna(v)) else v
+
+                gkeys = [tuple(_norm(x) for x in u) if isinstance(u, tuple)
+                         else (_norm(u),) for u in uniques]
             else:
                 codes = np.zeros(batch.num_rows, dtype=np.int64)
                 gkeys = [()]
@@ -117,7 +127,14 @@ def heavy_hitter_tokens(df: DataFrame, token_col: str, support: float,
 
     import math
 
-    partials = src.mapInArrow(partial, cand_schema)
+    # persist: totals and cands are two DIFFERENT aggregations of the same
+    # mapInArrow output, and without a cache Spark re-executes the token
+    # scan + lossy counting (the dominant stage) once per branch. The
+    # cached rows are candidate summaries — KB-scale by the counter's
+    # prune guarantee. OWNERSHIP: the cache entry lives until the session
+    # drops it; call .unpersist() on the result's source if calling in a
+    # tight loop (one-shot analysis queries — the normal use — don't care).
+    partials = src.mapInArrow(partial, cand_schema).persist()
     totals = (partials.where("is_total")
               .groupBy(*group_cols).agg(F.sum("n").alias("n_total")))
     cands = (partials.where(~F.col("is_total"))

@@ -43,8 +43,14 @@ def pack_fixed_chunks(df: DataFrame, budget: int,
     * ``straddles`` — doc crosses a chunk boundary
 
     Pure window plan: one cumulative sum over the group partition.
+    ``order_col`` ties: the explicit ROWS frame makes peers accumulate
+    one-by-one (the default RANGE frame would give tied rows the SAME
+    cumulative sum — overlapping token offsets that no longer tile the
+    stream); WHICH peer packs first is engine-chosen, so use a unique
+    order key when byte-stable output matters (every caller here does).
     """
-    w = Window.partitionBy(group_col).orderBy(order_col)
+    w = (Window.partitionBy(group_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     start = (F.sum(ntok_col).over(w) - F.col(ntok_col)).alias("tok_start")
     out = df.withColumn("tok_start", start)
     return (out
@@ -107,8 +113,11 @@ def pack_greedy_contiguous(df: DataFrame, budget: int,
             before = int(cum[j - 1]) if j else 0
             # largest e with cum[e-1] <= before + budget: docs j..e-1 fit
             e = int(np.searchsorted(cum, before + budget, side="right"))
-            if e == j:  # doc j alone exceeds the budget: its own batch
-                e = j + 1
+            # max(): a doc alone exceeding the budget gets its own batch;
+            # and a NEGATIVE n_tok (corrupt row) makes cum non-monotonic,
+            # where searchsorted may return e < j — without the clamp the
+            # cursor moves backwards and the executor loops forever
+            e = max(e, j + 1)
             batch[j:e] = b
             b += 1
             j = e

@@ -26,6 +26,57 @@ def _dot(a, b):
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _cos(a, b):
+    """Cosine similarity, NULL when either operand has zero norm: 0/0
+    would be NaN, which Spark ranks ABOVE every real score under desc()
+    — a single all-zero embedding (failed encoder, padding doc) would
+    otherwise surface as the rank-1 neighbor of every query and pass any
+    ``>= tau`` filter. NULLs sort last under desc() and fail ``>=``, so
+    zero vectors simply never match (the guard ivf_topk's numpy path
+    already had)."""
+    na, nb = _dot(a, a), _dot(b, b)
+    return F.when((na > 0) & (nb > 0),
+                  _dot(a, b) / (F.sqrt(na) * F.sqrt(nb)))
+
+
+def _rerank_topk(cands, k: int, qid_col: str, id_col: str,
+                 round6: bool = False):
+    """Shared exact re-rank tail: window-rank candidates per query by
+    cosine desc (NULLs excluded), ties by id. ``round6`` ranks by the
+    round-6 cosine (cross-engine contract of the rademacher/IVF paths)."""
+    cos = _cos("_v", "_qv")
+    cos = F.round(cos, 6) if round6 else cos
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"),
+                                            F.asc(id_col))
+    return (cands.select(qid_col, id_col, cos.alias("cos_sim"))
+            .where(F.col("cos_sim").isNotNull())
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def _bucket_candidates(vectors, queries, bucket_udf, id_col: str,
+                       vec_col: str, qid_col: str):
+    """Candidate (query, vector) pairs sharing any LSH bucket, WITHOUT
+    moving vector payloads: both sides bucketize to narrow (id, bucket)
+    rows — the join shuffles 16-byte pairs, not embeddings (the naive
+    explode-with-payload shape replicates every vector ``bands`` times
+    through the exchange: ~200 GB instead of ~6 GB at 1M x 768-d).
+    Vector payloads are joined back exactly once for the re-rank."""
+    v_b = vectors.select(
+        F.col(id_col), F.explode(bucket_udf(F.col(vec_col))).alias("bucket"))
+    q_b = queries.select(
+        F.col(qid_col), F.explode(bucket_udf(F.col(vec_col))).alias("bucket"))
+    pairs = (v_b.join(F.broadcast(q_b), "bucket")
+             .select(qid_col, id_col)
+             .dropDuplicates([qid_col, id_col]))
+    return (pairs
+            .join(vectors.select(F.col(id_col),
+                                 F.col(vec_col).alias("_v")), id_col)
+            .join(F.broadcast(queries.select(F.col(qid_col),
+                                             F.col(vec_col).alias("_qv"))),
+                  qid_col))
+
+
 def _dim_of(df: DataFrame, vec_col: str, dim: "int | None") -> int:
     """Embedding dimensionality without a driver job: honor an explicit
     ``dim=``, else read the fixed element count parquet statistics can't
@@ -41,14 +92,10 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                 qid_col: str = "query_id") -> DataFrame:
     """Exact top-k by cosine for every query row. Queries must be small
     enough to broadcast (they are, by construction of the problem)."""
-    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
-    j = vectors.crossJoin(F.broadcast(q))
-    cos = _dot(vec_col, "qv") / (F.sqrt(_dot(vec_col, vec_col))
-                                 * F.sqrt(_dot("qv", "qv")))
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (j.select(qid_col, id_col, cos.alias("cos_sim"))
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("_qv"))
+    j = (vectors.select(F.col(id_col), F.col(vec_col).alias("_v"))
+         .crossJoin(F.broadcast(q)))
+    return _rerank_topk(j, k, qid_col, id_col)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -80,22 +127,9 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             out[:, b] = (np.int64(b) << 32) | packed
         return pd.Series(list(out))
 
-    def bucketize(df, idc):
-        return df.select(F.col(idc), F.col(vec_col),
-                         F.explode(_all_buckets(F.col(vec_col)))
-                         .alias("bucket"))
-
-    v_b = bucketize(vectors, id_col)
-    q_b = bucketize(queries.select(F.col(qid_col),
-                                   F.col(vec_col)), qid_col)
-    cands = (v_b.join(q_b.withColumnRenamed(vec_col, "qv"), "bucket")
-             .dropDuplicates([qid_col, id_col]))
-    cos = _dot(vec_col, "qv") / (F.sqrt(_dot(vec_col, vec_col))
-                                 * F.sqrt(_dot("qv", "qv")))
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (cands.select(qid_col, id_col, cos.alias("cos_sim"))
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    cands = _bucket_candidates(vectors, queries, _all_buckets,
+                               id_col, vec_col, qid_col)
+    return _rerank_topk(cands, k, qid_col, id_col)
 
 
 def cosine_neardup_pairs(vectors: DataFrame, tau: float = 0.9,
@@ -121,8 +155,7 @@ def cosine_neardup_pairs(vectors: DataFrame, tau: float = 0.9,
     a = dv.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = dv.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     j = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = _dot("va", "vb") / (F.sqrt(_dot("va", "va"))
-                              * F.sqrt(_dot("vb", "vb")))
+    cos = _cos("va", "vb")  # NULL for zero-norm rows -> fails >= tau
     return (j.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
             .where(F.col("cos_sim") >= tau))
 
@@ -328,21 +361,8 @@ def lsh_topk_rademacher(vectors: DataFrame, queries: DataFrame, k: int = 10,
             out[:, b] = (b << 32) | packed
         return pd.Series(list(out))
 
-    def bucketize(df, idc):
-        return (df.select(F.col(idc), F.col(vec_col),
-                          F.explode(_all_buckets(F.col(vec_col)))
-                          .alias("bucket")))
-
-    v_b = bucketize(vectors, id_col)
-    q_b = bucketize(queries.select(F.col(qid_col), F.col(vec_col)), qid_col)
-    cands = (v_b.join(q_b.withColumnRenamed(vec_col, "qv"), "bucket")
-             .dropDuplicates([qid_col, id_col]))
-    cos = _dot(vec_col, "qv") / (F.sqrt(_dot(vec_col, vec_col))
-                                 * F.sqrt(_dot("qv", "qv")))
+    cands = _bucket_candidates(vectors, queries, _all_buckets,
+                               id_col, vec_col, qid_col)
     # rank by the ROUND-6 cosine (ties then by id): cross-engine rank
     # stability must not depend on last-ulp cosine agreement
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (cands.select(qid_col, id_col,
-                         F.round(cos, 6).alias("cos_sim"))
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return _rerank_topk(cands, k, qid_col, id_col, round6=True)

@@ -493,3 +493,30 @@ def test_bloom_of_hash_index_matches_text_built_filter(spark):
     a = bloom_of_corpus(docs, expected_docs=80, fpr=0.01)
     b = bloom_of_hash_index(idx, expected_docs=80, fpr=0.01)
     assert a == b
+
+
+def test_zero_norm_vectors_never_rank_or_match(spark):
+    """An all-zero embedding must not surface as anyone's neighbor (NaN
+    cosine would rank above every real score) nor pass the near-dup tau."""
+    import pandas as pd
+
+    from grenier_spark.operators.similarity import (cosine_neardup_pairs,
+                                                    cosine_topk, lsh_topk)
+
+    rng = np.random.default_rng(3)
+    vecs = [rng.standard_normal(16).astype("float32") for _ in range(20)]
+    vecs[7] = np.zeros(16, dtype="float32")
+    vdf = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(20), "embedding": [list(map(float, v))
+                                                         for v in vecs]}),
+        "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0], "embedding":
+                      [list(map(float, rng.standard_normal(16)))]}),
+        "query_id long, embedding array<float>")
+    top = cosine_topk(vdf, qdf, k=5).toPandas()
+    assert 7 not in set(top.vec_id) and top.cos_sim.notna().all()
+    ltop = lsh_topk(vdf, qdf, k=5, bands=4, band_bits=4, dim=16).toPandas()
+    assert 7 not in set(ltop.vec_id)
+    pairs = cosine_neardup_pairs(vdf, tau=0.0).toPandas()
+    assert not ((pairs.id_a == 7) | (pairs.id_b == 7)).any()
