@@ -223,3 +223,16 @@ def test_priority_sample_single_window_exchange(spark):
                 if "Exchange" in ln and "Broadcast" not in ln
                 and "Reused" not in ln]
     assert len(shuffles) == 1, plan
+
+
+def test_lsh_bucket_join_moves_no_vector_payload(spark):
+    """ann_lsh_topk: the bucket join must broadcast the query side and
+    the only exchanged vector-side rows are narrow (id, bucket) pairs —
+    embeddings join back once for the re-rank, never once-per-band."""
+    plan = plan_of(entry_mod.q_ann_lsh_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    # no Exchange line may carry the embedding column (the re-rank joins
+    # read it scan-side / broadcast-side only)
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "Reused" not in ln:
+            assert "embedding" not in ln, ln
