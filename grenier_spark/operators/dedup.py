@@ -37,7 +37,16 @@ def _ranked_by_content_hash(df: DataFrame, text_col: str,
     and copy count — the shared frame behind :func:`exact_dup_groups` and
     :func:`exact_dup_members` (single definition so hash/ordering
     semantics can never drift between the two outputs)."""
-    h = F.md5(F.col(text_col)).alias("content_hash")
+    # NULL text hashes to NULL, and window partitioning groups NULLs as
+    # EQUAL — 1000 failed-fetch rows would collapse into one "duplicate"
+    # cluster and dedup_keep_first would silently discard 999 distinct
+    # docs. A per-id surrogate makes each NULL-text row its own singleton
+    # group (n_copies=1: never reported as a dup, always kept — the
+    # NULL-keep contract the ingest-dedup paths already follow).
+    h = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string"))
+    ).alias("content_hash")
     wp = Window.partitionBy("content_hash")
     return (df.select(h, F.col(id_col))
             .withColumn("rn", F.row_number().over(wp.orderBy(id_col)))
@@ -218,7 +227,17 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     bucket (smaller shuffle rows at scale, vanishing collision rate);
     ``False`` joins on the raw sub-signature arrays — identical candidates
     minus hash collisions, and exactly reproducible in SQL (the oracle path).
+
+    ``bands`` must divide the signature length: width 0 (bands > n_hashes)
+    would make EVERY band slice empty — identical buckets for all docs,
+    i.e. the N^2 all-pairs join this module exists to avoid — and a
+    non-divisible width silently ignores trailing signature positions.
     """
+    sig_len = sig_df.select(F.size("sig")).first()[0]
+    if sig_len is None or bands > sig_len or sig_len % bands:
+        raise ValueError(
+            f"bands={bands} must divide the signature length ({sig_len}); "
+            f"bands > n_hashes degenerates to an all-pairs join")
     width = (F.size("sig") / bands).cast("int")
     if hash_buckets:
         bucket_of = lambda b: F.xxhash64(F.slice("sig", b * width + 1,
@@ -480,10 +499,13 @@ def connected_components(pairs: DataFrame, nodes: "DataFrame | None" = None,
     RESULT when done with it — repeated calls that drop the handle leak
     one cached (id, component_id) frame each into the SQL cache manager.
     """
+    # persist: every label-propagation iteration joins against edges —
+    # without the cache the (expensive) upstream candidate-pair pipeline
+    # replays once per iteration; released before return
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst")))
-             .distinct())
+             .distinct().persist())
     members = edges.select(F.col("src").alias("id")).distinct()
     if nodes is not None:
         members = (members.unionByName(
@@ -510,10 +532,12 @@ def connected_components(pairs: DataFrame, nodes: "DataFrame | None" = None,
         labels.unpersist()  # no-op on the unpersisted first iterate
         labels = new_labels
         if changed == 0:
+            edges.unpersist()
             break
     else:
         # silent truncation would return WRONG component ids for any
         # cluster whose diameter exceeds max_iter — fail loudly instead
+        edges.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             f"iterations ({changed} labels still changing): a component "

@@ -64,12 +64,19 @@ def extract_features(df: DataFrame, decoder: "Callable | None" = fake_decoder,
                     "no media decoder available in this environment; pass "
                     "decoder= (e.g. a PIL/torchaudio-backed callable) or use "
                     "multimodal.fake_decoder for plumbing tests")
-            feats = [decoder(bytes(p), t).astype(np.float32).tolist()
-                     for p, t in zip(pdf[payload_col], pdf[type_col])]
+            # convert once (payloads are MB-scale — a second bytes() pass
+            # just for len() doubles the copy traffic); NULL payloads
+            # (failed downloads) yield a null feature row instead of
+            # crashing the task on bytes(None)
+            ps = [None if p is None else bytes(p)
+                  for p in pdf[payload_col]]
+            feats = [None if p is None
+                     else decoder(p, t).astype(np.float32).tolist()
+                     for p, t in zip(ps, pdf[type_col])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf[type_col],
-                "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
+                "n_bytes": [0 if p is None else len(p) for p in ps],
                 "feature": feats,
             })
 

@@ -155,8 +155,11 @@ def stride_interleave(df: DataFrame, weights: "dict[str, float]",
             "pos",
             (F.row_number().over(w).cast("long") * stride_c.cast("long")))
 
-    if rank_buckets < 1:
-        raise ValueError("rank_buckets must be >= 1")
+    if not 1 <= rank_buckets <= (1 << 31):
+        # hi32 (< 2^32) * rank_buckets must fit int64: beyond 2^31 the
+        # product wraps negative and bucket order silently diverges from
+        # hash order (same bound shuffle_order enforces for n_shards)
+        raise ValueError("rank_buckets must be in [1, 2^31]")
     hi32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     bucketed = df.withColumn(
         "_rbkt", F.shiftright(hi32 * F.lit(rank_buckets), 32).cast("long"))

@@ -5,7 +5,8 @@ per document (re-runs, retries and AQE re-execution must not move a doc
 between train and val — ``df.sample`` gives none of that), (b) seedable
 (rotating the seed produces a fresh split), and (c) cheap at 100 TB.
 
-Mechanism: ``hash = substr(md5(id || ':' || seed), 1, 16)`` compared
+Mechanism: ``hash = substr(md5(id || '<tag>:' || seed), 1, 16)`` (tag =
+``:spl`` for splits, ``:smp`` for sampling — disjoint chains) compared
 against PRECOMPUTED 16-digit hex thresholds (one per cumulative split
 boundary, ``floor(cum_fraction * 2^64)`` rendered as zero-padded lowercase
 hex). Fixed-width lowercase-hex string comparison IS unsigned numeric
@@ -35,7 +36,13 @@ def split_thresholds(weights: "dict[str, float]") -> "list[tuple[str, str]]":
     names = list(weights)
     if len(names) < 2:
         raise ValueError("need at least 2 splits")
+    if any(w < 0 for w in weights.values()):
+        # a negative weight silently shifts every later cumulative
+        # threshold backwards (unreachable splits) — fail loudly
+        raise ValueError("split weights must be >= 0")
     total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to > 0")
     out, cum = [], 0.0
     for name in names[:-1]:
         cum += weights[name] / total
@@ -44,16 +51,22 @@ def split_thresholds(weights: "dict[str, float]") -> "list[tuple[str, str]]":
     return out
 
 
-def _hash_hex(id_col: str, seed: int) -> Column:
+def _hash_hex(id_col: str, seed: int, tag: str = "") -> Column:
+    """``tag`` is the DOMAIN separator (":spl" for splits, ":smp" for
+    sampling): without it, same-seed composition of assign_split and
+    stratified_sample shares one hash chain, so a 10% sample feeds 100%
+    into the lowest-threshold split — the correlation the ':ord'/':mix'/
+    ':prio' tags elsewhere exist to prevent."""
     return F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+        F.md5(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f"{tag}:{seed}"))),
         1, 16)
 
 
-def hash_hex_sql(id_expr: str, seed: int) -> str:
+def hash_hex_sql(id_expr: str, seed: int, tag: str = "") -> str:
     """DuckDB twin of the Spark hash expression (md5 hex is lowercase on
     both engines; BIGINT::VARCHAR matches Spark's long->string cast)."""
-    return f"substr(md5({id_expr}::VARCHAR || ':{seed}'), 1, 16)"
+    return f"substr(md5({id_expr}::VARCHAR || '{tag}:{seed}'), 1, 16)"
 
 
 def assign_split(df: DataFrame, weights: "dict[str, float]",
@@ -61,7 +74,7 @@ def assign_split(df: DataFrame, weights: "dict[str, float]",
     """Adds a ``split`` column: the first split whose cumulative-weight hex
     threshold exceeds the doc's hash (hash < t1 -> split1, ...; remainder ->
     last split). Every row gets exactly one split."""
-    h = _hash_hex(id_col, seed)
+    h = _hash_hex(id_col, seed, ":spl")
     expr = None
     for name, thr in split_thresholds(weights):
         if thr is None:
@@ -76,7 +89,7 @@ def assign_split(df: DataFrame, weights: "dict[str, float]",
 def assign_split_sql(id_expr: str, weights: "dict[str, float]",
                      seed: int = 0) -> str:
     """The oracle-side CASE expression with the SAME literal thresholds."""
-    h = hash_hex_sql(id_expr, seed)
+    h = hash_hex_sql(id_expr, seed, ":spl")
     parts = []
     for name, thr in split_thresholds(weights):
         if thr is None:
@@ -95,13 +108,13 @@ def stratified_sample(df: DataFrame, fraction: float,
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
     thr = format(min(int(fraction * 2.0**64), 2**64 - 1), "016x")
-    return df.where(_hash_hex(id_col, seed) < F.lit(thr))
+    return df.where(_hash_hex(id_col, seed, ":smp") < F.lit(thr))
 
 
 def stratified_sample_sql_pred(id_expr: str, fraction: float,
                                seed: int = 0) -> str:
     thr = format(min(int(fraction * 2.0**64), 2**64 - 1), "016x")
-    return f"{hash_hex_sql(id_expr, seed)} < '{thr}'"
+    return f"{hash_hex_sql(id_expr, seed, ':smp')} < '{thr}'"
 
 
 # -- weighted sampling without replacement (priority sampling) --------------
