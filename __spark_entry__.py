@@ -644,6 +644,118 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram CONTAINMENT pairs (dedup.ngram_containment_pairs): the 6
+    lowest-id docs get a half-prefix truncated copy (id+3*10^7) — a subset
+    duplicate whose Jaccard vs the original is only ~0.5 but whose
+    containment is exactly 1.0, the quote/truncation case Jaccard-gated
+    dedup misses. Oracle recomputes the inverted-index join in SQL."""
+    from grenier_spark.operators.dedup import ngram_containment_pairs
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .orderBy("doc_id").limit(40))
+    base = docs.orderBy("doc_id").limit(6)
+    t50 = base.select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, "
+               "(size(split(text, ' '))+1) div 2), ' ')").alias("text"))
+    planted = docs.unionByName(t50)
+    return (ngram_containment_pairs(planted, "doc_id", "text", n=3, tau=0.8)
+            .orderBy("id_a", "id_b"))
+
+
+_BOILER_B1 = "click here to subscribe to our daily newsletter"
+_BOILER_B2 = "all rights reserved copyright twenty twenty four inc"
+
+
+def _boiler_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 200 docs with two 8-word banners prepended (b2 where
+    doc_id%3==0, then b1 where doc_id%2==0) — exactly one aligned segment
+    per banner at width=8, mirrored verbatim in the DuckDB oracle."""
+    d = (_t(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"),
+                 "source", "text")
+         .orderBy("doc_id").limit(200))
+    t1 = F.when(F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(_BOILER_B2 + " "), F.col("text"))
+                ).otherwise(F.col("text"))
+    t2 = F.when(F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(_BOILER_B1 + " "), t1)).otherwise(t1)
+    return d.select("doc_id", "source", t2.alias("text"))
+
+
+def _boiler_planted_sql() -> str:
+    """The oracle-side CTEs (d0, p) twinning :func:`_boiler_planted`."""
+    return f"""
+d0 AS (SELECT doc_id::BIGINT AS doc_id, source, text FROM documents
+       ORDER BY doc_id::BIGINT LIMIT 200),
+p AS (SELECT doc_id, source,
+             CASE WHEN doc_id % 2 = 0
+                  THEN '{_BOILER_B1} ' || t ELSE t END AS text
+      FROM (SELECT doc_id, source,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '{_BOILER_B2} ' || text ELSE text END AS t
+            FROM d0))"""
+
+
+def q_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate segments (boilerplate.boilerplate_segments):
+    8-word windows appearing in >= 3 distinct docs of one source. The two
+    planted banners must surface in every source; the oracle recomputes
+    segmentation + doc-frequency in SQL."""
+    from grenier_spark.operators.boilerplate import boilerplate_segments
+
+    rep = boilerplate_segments(_boiler_planted(spark, sf_dir),
+                               width=8, min_df=3)
+    return (rep.select(F.col("grp").alias("source"), "seg", "df")
+            .orderBy("source", "seg"))
+
+
+def q_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL gated byte-for-byte: per planted doc, segment
+    counts plus md5 of the cleaned text (boilerplate.remove_boilerplate);
+    the oracle rebuilds the cleaned string with string_agg ORDER BY
+    seg_idx and must hash identically."""
+    from grenier_spark.operators.boilerplate import (boilerplate_segments,
+                                                     remove_boilerplate)
+
+    planted = _boiler_planted(spark, sf_dir)
+    boiler = boilerplate_segments(planted, width=8, min_df=3)
+    clean = remove_boilerplate(planted, boiler, width=8)
+    return (clean.select(F.col("id").alias("doc_id"), "n_segs", "n_boiler",
+                         F.md5("clean_text").alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
+def _boilerplate_report_oracle() -> str:
+    from grenier_spark.operators.boilerplate import segment_rows_sql
+    return f"""
+WITH {_boiler_planted_sql()}, {segment_rows_sql(
+        'SELECT doc_id, source, text FROM p', 'text', 'doc_id', 'source', 8)}
+SELECT grp AS source, seg, COUNT(DISTINCT id)::BIGINT AS df
+FROM segs GROUP BY 1, 2 HAVING COUNT(DISTINCT id) >= 3
+ORDER BY source, seg"""
+
+
+def _boilerplate_clean_oracle() -> str:
+    from grenier_spark.operators.boilerplate import segment_rows_sql
+    return f"""
+WITH {_boiler_planted_sql()}, {segment_rows_sql(
+        'SELECT doc_id, source, text FROM p', 'text', 'doc_id', 'source', 8)},
+bo AS (SELECT grp, seg FROM segs GROUP BY grp, seg
+       HAVING COUNT(DISTINCT id) >= 3),
+m AS (SELECT s.id, s.grp, s.seg_idx, s.seg, b.seg AS bseg
+      FROM segs s LEFT JOIN bo b ON s.grp = b.grp AND s.seg = b.seg),
+cl AS (SELECT id, grp, COUNT(*)::BIGINT AS n_segs,
+              COUNT(bseg)::BIGINT AS n_boiler,
+              coalesce(string_agg(CASE WHEN bseg IS NULL THEN seg END,
+                                  ' ' ORDER BY seg_idx), '') AS clean_text
+       FROM m GROUP BY id, grp)
+SELECT id AS doc_id, n_segs, n_boiler, md5(clean_text) AS clean_md5
+FROM cl ORDER BY doc_id"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over embeddings + 10 planted
     perturbed copies (first component +0.25), exact all-pairs fold."""
@@ -1462,6 +1574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_nation_segment": q_rollup_nation_segment,
         "string_funcs_parts": q_string_funcs_parts,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_containment_pairs": q_ngram_containment,
+        "boilerplate_report": q_boilerplate_report,
+        "boilerplate_clean_docs": q_boilerplate_clean,
         "neardup_components": q_neardup_components,
         "token_pack_chunks": q_token_pack_chunks,
         "token_pack_greedy": q_token_pack_greedy,
@@ -2040,6 +2155,33 @@ SELECT id_a, id_b, inter,
        round(inter / (ca.n_sh + cb.n_sh - inter)::DOUBLE, 6) AS jaccard
 FROM ins JOIN c ca ON id_a = ca.id JOIN c cb ON id_b = cb.id
 WHERE round(inter / (ca.n_sh + cb.n_sh - inter)::DOUBLE, 6) >= 0.8""",
+        "boilerplate_report": _boilerplate_report_oracle(),
+        "boilerplate_clean_docs": _boilerplate_clean_oracle(),
+        "ngram_containment_pairs": """
+WITH d0 AS (SELECT doc_id::BIGINT AS id, text FROM documents
+            ORDER BY doc_id::BIGINT LIMIT 40),
+b AS (SELECT id, string_split(text, ' ') AS w
+      FROM (SELECT * FROM d0 ORDER BY id LIMIT 6)),
+d AS (SELECT id, text FROM d0
+      UNION ALL
+      SELECT id + 30000000,
+             array_to_string(list_slice(w, 1, (len(w)+1)//2), ' ')
+      FROM b),
+dw AS (SELECT id, string_split(text, ' ') AS w FROM d),
+sh AS (SELECT id, unnest(list_distinct(
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE []::VARCHAR[] END)) AS s
+       FROM dw),
+c AS (SELECT id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+ins AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b, inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+       round(inter / least(ca.n_sh, cb.n_sh)::DOUBLE, 6) AS containment
+FROM ins JOIN c ca ON id_a = ca.id JOIN c cb ON id_b = cb.id
+WHERE round(inter / least(ca.n_sh, cb.n_sh)::DOUBLE, 6) >= 0.8::DOUBLE
+ORDER BY id_a, id_b""",
         "neardup_components": """
 WITH RECURSIVE
 d0 AS (SELECT doc_id::BIGINT AS id, text FROM documents

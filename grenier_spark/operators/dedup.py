@@ -464,6 +464,50 @@ def ngram_word_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return ja.select("id_a", "id_b", "inter", "union_sz", "jaccard")
 
 
+def ngram_containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            tau: float = 0.8) -> DataFrame:
+    """Exact word-n-gram CONTAINMENT near-dup pairs: ``inter / min(|A|,|B|)``.
+
+    Jaccard misses asymmetric duplication — a doc that quotes or truncates
+    another shares almost all of the smaller doc's shingles but few of the
+    larger one's, so ``inter/union`` stays low while containment is ~1.
+    This is the Broder (1997) containment coefficient, the standard signal
+    for quote/boilerplate/subset dedup in web-corpus pipelines.
+
+    Same inverted-index join as :func:`ngram_word_jaccard_pairs` (cost
+    ``sum_s c_s^2`` over shingle doc-frequencies, never ``n_docs^2``); at
+    100 TB feed LSH candidates instead of the full corpus. Returns
+    ``(id_a, id_b, inter, n_a, n_b, containment)`` with
+    ``containment >= tau``, ``id_a < id_b``.
+    """
+    w = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1)
+                                         for j in range(n)])))
+    ).otherwise(F.array().cast("array<string>"))
+    sh = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    cont = (inter
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("n_sh").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("n_sh").alias("n_b")), "id_b")
+            .withColumn("containment",
+                        F.round(F.col("inter")
+                                / F.least("n_a", "n_b"), 6))
+            .where(F.col("containment") >= tau))
+    return cont.select("id_a", "id_b", "inter", "n_a", "n_b", "containment")
+
+
 def connected_components(pairs: DataFrame, nodes: "DataFrame | None" = None,
                          id_a: str = "id_a", id_b: str = "id_b",
                          id_col: str = "id",

@@ -197,6 +197,23 @@ def test_ngram_jaccard_pairs_exact_values(spark):
     assert r.jaccard == round(2 / 3, 6)
 
 
+def test_ngram_containment_pairs_exact_values(spark):
+    """Hand-computed containment: doc1 'a b c d' ({abc, bcd}) is fully
+    contained in doc2 'a b c d e f' ({abc, bcd, cde, def}) -> C = 2/2 = 1
+    while Jaccard is only 0.5; doc3 half-overlaps doc1 (shares bcd only:
+    C = 1/2, below tau)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e f"), (3, "b c d z")],
+        "doc_id long, text string")
+    got = dedup.ngram_containment_pairs(df, tau=0.8).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.id_a, r.id_b, r.inter, r.n_a, r.n_b) == (1, 2, 2, 2, 4)
+    assert r.containment == 1.0
+    # same docs under Jaccard at the same tau: nothing survives
+    assert len(dedup.ngram_word_jaccard_pairs(df, tau=0.8).toPandas()) == 0
+
+
 def test_ngram_jaccard_recovers_exact_dups(spark, docs_with_plants):
     """Exact copies have Jaccard 1.0; near-dups (last word dropped) stay
     above 0.8 for 100+-word docs."""
