@@ -42,6 +42,7 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  bloom_membership_sql,
                                                  cms_cells_sql,
                                                  cms_point_sql,
+                                                 fuzzy_contamination_sql,
                                                  hll_card_hll_sql,
                                                  hll_card_sql,
                                                  hll_registers_sql,
@@ -1519,6 +1520,28 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(tr, ev, n=4)
 
 
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: training docs near-duplicating a planted
+    "benchmark" (8 train docs with the last word dropped, shifted ids) via
+    cross-table MinHash+LSH. md5/raw-band variant — the ENTIRE chain
+    (shingles, signatures, banding, estimate, exact Jaccard) carries a
+    value-exact DuckDB oracle (fuzzy_contamination_sql)."""
+    from grenier_spark.operators.decontam import fuzzy_contamination
+
+    train = (_t(spark, sf_dir, "documents")
+             .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+             .where("length(text) > 100").orderBy("doc_id").limit(40))
+    evals = (train.orderBy("doc_id").limit(8)
+             .select((F.col("doc_id") + 5_000_000).alias("eval_id"),
+                     F.expr("substring(text, 1, length(text) - "
+                            "length(element_at(split(text, ' '), -1)) - 1)")
+                     .alias("text")))
+    return (fuzzy_contamination(train, evals, word_hash="md5",
+                                hash_buckets=False, n_hashes=64, seed=42,
+                                bands=16, min_est=0.5, tau=0.7)
+            .orderBy("doc_id", "eval_id"))
+
+
 def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sample without replacement (priority sampling,
     Duffield-Lund-Thorup JACM'07): top-5 docs per source by n_chars-weighted
@@ -1602,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_overlap": q_source_token_overlap,
         "doc_repetition_stats": q_doc_repetition_stats,
         "benchmark_contamination": q_benchmark_contamination,
+        "fuzzy_contamination": q_fuzzy_contamination,
         "weighted_doc_sample": q_weighted_doc_sample,
     }
 
@@ -2130,6 +2154,18 @@ FROM documents""",
         "source_token_overlap": _source_overlap_oracle(),
         "doc_repetition_stats": _repetition_oracle(),
         "benchmark_contamination": _contamination_oracle(),
+        "fuzzy_contamination": fuzzy_contamination_sql(
+            "SELECT doc_id::BIGINT AS doc_id, text FROM documents "
+            "WHERE length(text) > 100 ORDER BY doc_id LIMIT 40",
+            "WITH b0 AS (SELECT doc_id::BIGINT AS doc_id, text "
+            "FROM documents WHERE length(text) > 100 "
+            "ORDER BY doc_id LIMIT 40) "
+            "SELECT doc_id + 5000000 AS eval_id, "
+            "substr(text, 1, length(text) - "
+            "length(string_split(text, ' ')[-1]) - 1) AS text "
+            "FROM (SELECT * FROM b0 ORDER BY doc_id LIMIT 8)",
+            id_col="doc_id", eval_id_col="eval_id", w=3, n_hashes=64,
+            seed=42, bands=16, min_est=0.5, tau=0.7),
         "weighted_doc_sample": _weighted_sample_oracle(),
         "simhash_dups": simhash_pairs_sql(
             "WITH base AS (SELECT doc_id::BIGINT AS id, text FROM documents "

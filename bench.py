@@ -136,7 +136,10 @@ def hash_stress_job(spark, n_keys: int, n_parts: int):
 CAL_QUIET_SEC = 0.15   # 1-core wang64 8M-pass, quiet window (2026-08-17)
 CAL_LOUD_RATIO = 1.5   # single-core slower than this ratio => loud
 CAL_PAR_THREADS = 8
-CAL_PAR_QUIET_EFF = 0.6  # quiet windows measure 0.8-1.0 (cache-resident)
+CAL_PAR_QUIET_EFF = 0.75  # quiet windows measure 0.8-1.0 (cache-resident);
+# 0.6 proved too lenient: a par_eff-0.66 window certified a 9.4 s build as
+# "quiet" when the same engine does 3.5-4.4 s in real quiet windows —
+# moderate vCPU starvation (0.6-0.75) still slows 32-core jobs 2-3x
 
 
 def calibration_probe() -> "tuple[float, float]":
@@ -252,7 +255,9 @@ def run_default():
     reps: list[float] = []
     bw_ratios: list[float] = []
     par_effs: list[float] = []
-    MAX_ATTEMPTS = 6
+    MAX_ATTEMPTS = 10  # starved windows last minutes; with 20 s sleeps a
+    # 10-attempt budget spans ~5-8 min of wall — long enough to outlive
+    # most draws while staying bounded for the per-round driver run
 
     def quiet(i: int) -> bool:
         return (bw_ratios[i] <= CAL_LOUD_RATIO

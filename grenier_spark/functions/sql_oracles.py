@@ -316,30 +316,16 @@ FROM fps a JOIN fps b ON a.id < b.id
 WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}"""
 
 
-def minhash_neardup_sql(docs_sql: str, id_col: str = "id",
-                        text_col: str = "text", w: int = 3,
-                        n_hashes: int = 64, seed: int = 42, bands: int = 16,
-                        min_est: float = 0.5, tau: float = 0.7) -> str:
-    """The COMPLETE MinHash+LSH near-dup pipeline in DuckDB SQL, matching
-    ``dedup.minhash_signatures(word_hash='md5')`` +
-    ``lsh_candidate_pairs(hash_buckets=False)`` +
-    ``exact_jaccard_for_pairs(word_hash='md5')`` value-for-value:
-
-    md5-low64 word hashes -> per-window wang64 fold shingles -> per-salt
-    wang64 min (the signature) -> banded candidates joined on RAW
-    sub-signature arrays -> matching-position Jaccard estimate filter ->
-    exact distinct-shingle Jaccard >= tau. All hashes are the library's own
-    kernels (core/bits.py), so the whole chain is deterministic and
-    engine-independent.
-    """
+def _minhash_chain_sql(docs_sql: str, id_col: str, text_col: str,
+                       w: int, n_hashes: int, seed: int) -> "tuple[str, str]":
+    """Shared MinHash chain: returns ``(shingles_sql, sigrows_sql)`` —
+    the (id, shingle) window-fold subquery and the per-(id, perm) salted
+    wang64 rows feeding the ``MIN(h)`` signature aggregate. Twin of
+    ``dedup.minhash_signatures(word_hash='md5')``; used by both the
+    self-join near-dup oracle and the cross-table fuzzy-contamination
+    oracle so the two can never drift."""
     from grenier_spark.core.bits import splitmix64_scalar
 
-    if n_hashes % bands:
-        # Spark's lsh_candidate_pairs slices only bands*width positions;
-        # perm // width here would invent an extra band from the leftover
-        # positions and diverge from the Spark candidate set
-        raise ValueError("minhash_neardup_sql requires bands | n_hashes")
-    width = n_hashes // bands
     salts = ", ".join(
         f"({i}, {splitmix64_scalar(seed + i + 1)}::UHUGEINT)"
         for i in range(n_hashes))
@@ -363,6 +349,33 @@ def minhash_neardup_sql(docs_sql: str, id_col: str = "id",
         f"SELECT id, perm, xor(shingle, salt) AS k "
         f"FROM ({shingles}) CROSS JOIN (VALUES {salts}) s(perm, salt)",
         wang64_stages("k", "h"))
+    return shingles, sigrows
+
+
+def minhash_neardup_sql(docs_sql: str, id_col: str = "id",
+                        text_col: str = "text", w: int = 3,
+                        n_hashes: int = 64, seed: int = 42, bands: int = 16,
+                        min_est: float = 0.5, tau: float = 0.7) -> str:
+    """The COMPLETE MinHash+LSH near-dup pipeline in DuckDB SQL, matching
+    ``dedup.minhash_signatures(word_hash='md5')`` +
+    ``lsh_candidate_pairs(hash_buckets=False)`` +
+    ``exact_jaccard_for_pairs(word_hash='md5')`` value-for-value:
+
+    md5-low64 word hashes -> per-window wang64 fold shingles -> per-salt
+    wang64 min (the signature) -> banded candidates joined on RAW
+    sub-signature arrays -> matching-position Jaccard estimate filter ->
+    exact distinct-shingle Jaccard >= tau. All hashes are the library's own
+    kernels (core/bits.py), so the whole chain is deterministic and
+    engine-independent.
+    """
+    if n_hashes % bands:
+        # Spark's lsh_candidate_pairs slices only bands*width positions;
+        # perm // width here would invent an extra band from the leftover
+        # positions and diverge from the Spark candidate set
+        raise ValueError("minhash_neardup_sql requires bands | n_hashes")
+    width = n_hashes // bands
+    shingles, sigrows = _minhash_chain_sql(docs_sql, id_col, text_col,
+                                           w, n_hashes, seed)
     return f"""
 WITH sigs AS (
   SELECT id, perm, MIN(h) AS sigv FROM ({sigrows}) GROUP BY 1, 2
@@ -396,6 +409,68 @@ SELECT id_a, id_b,
        round(i / (ca.nsh + cb.nsh - i)::DOUBLE, 6) AS jaccard
 FROM inter JOIN shc ca ON id_a = ca.id JOIN shc cb ON id_b = cb.id
 WHERE i / (ca.nsh + cb.nsh - i)::DOUBLE >= {tau!r}::DOUBLE"""
+
+
+def fuzzy_contamination_sql(train_sql: str, eval_sql: str,
+                            id_col: str = "doc_id",
+                            eval_id_col: str = "eval_id",
+                            text_col: str = "text", w: int = 3,
+                            n_hashes: int = 64, seed: int = 42,
+                            bands: int = 16, min_est: float = 0.5,
+                            tau: float = 0.7) -> str:
+    """Cross-table MinHash+LSH decontamination in DuckDB SQL, matching
+    ``decontam.fuzzy_contamination(word_hash='md5')`` value-for-value:
+    both tables signed with the SAME salt chain (:func:`_minhash_chain_sql`
+    — shared with the near-dup oracle), banded candidates joined train x
+    eval on raw sub-signature arrays, matching-position estimate filter,
+    exact distinct-shingle Jaccard >= tau."""
+    if n_hashes % bands:
+        raise ValueError("fuzzy_contamination_sql requires bands | n_hashes")
+    width = n_hashes // bands
+    t_sh, t_sig = _minhash_chain_sql(train_sql, id_col, text_col,
+                                     w, n_hashes, seed)
+    e_sh, e_sig = _minhash_chain_sql(eval_sql, eval_id_col, text_col,
+                                     w, n_hashes, seed)
+    return f"""
+WITH tsig AS (
+  SELECT id, perm, MIN(h) AS sigv FROM ({t_sig}) GROUP BY 1, 2
+), esig AS (
+  SELECT id, perm, MIN(h) AS sigv FROM ({e_sig}) GROUP BY 1, 2
+), tband AS (
+  SELECT id, perm // {width} AS band, list(sigv ORDER BY perm) AS bvals
+  FROM tsig GROUP BY 1, 2
+), eband AS (
+  SELECT id, perm // {width} AS band, list(sigv ORDER BY perm) AS bvals
+  FROM esig GROUP BY 1, 2
+), cands AS (
+  SELECT DISTINCT t.id AS doc_id, e.id AS eval_id
+  FROM tband t JOIN eband e ON t.band = e.band AND t.bvals = e.bvals
+), est AS (
+  SELECT c.doc_id, c.eval_id,
+         SUM(CASE WHEN st.sigv = se.sigv THEN 1 ELSE 0 END)
+           / {n_hashes}.0 AS est_j
+  FROM cands c
+  JOIN tsig st ON st.id = c.doc_id
+  JOIN esig se ON se.id = c.eval_id AND st.perm = se.perm
+  GROUP BY 1, 2
+), goodc AS (
+  SELECT doc_id, eval_id, est_j FROM est
+  WHERE est_j >= {min_est!r}::DOUBLE
+), tsh AS (
+  SELECT id, COUNT(DISTINCT shingle) AS nsh FROM ({t_sh}) GROUP BY 1
+), esh AS (
+  SELECT id, COUNT(DISTINCT shingle) AS nsh FROM ({e_sh}) GROUP BY 1
+), inter AS (
+  SELECT g.doc_id, g.eval_id, g.est_j, COUNT(DISTINCT st.shingle) AS i
+  FROM goodc g
+  JOIN ({t_sh}) st ON st.id = g.doc_id
+  JOIN ({e_sh}) se ON se.id = g.eval_id AND st.shingle = se.shingle
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, eval_id, round(est_j, 6) AS est_jaccard,
+       round(i / (ct.nsh + ce.nsh - i)::DOUBLE, 6) AS jaccard
+FROM inter JOIN tsh ct ON doc_id = ct.id JOIN esh ce ON eval_id = ce.id
+WHERE i / (ct.nsh + ce.nsh - i)::DOUBLE >= {tau!r}::DOUBLE"""
 
 
 def ann_rademacher_sql(vectors_sql: str, queries_sql: str, k: int = 10,

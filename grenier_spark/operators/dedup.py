@@ -215,9 +215,46 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
             .applyInPandas(sign, f"{id_col} {id_type}, sig array<bigint>"))
 
 
+def banded_signatures(sig_df: DataFrame, id_col: str = "doc_id",
+                      bands: int = 16, hash_buckets: bool = True,
+                      sig_len: "int | None" = None) -> DataFrame:
+    """(id, sig, band, bucket) rows — one per (doc, band) — the shared LSH
+    banding stage of the self-join near-dup pipeline
+    (:func:`lsh_candidate_pairs`) and the cross-table decontamination
+    pipeline (``decontam.fuzzy_contamination``); both tables MUST band with
+    identical parameters or candidates silently vanish.
+
+    Pass ``sig_len`` (= n_hashes of the signing stage) when known to skip
+    the one-row driver probe job.
+
+    ``bands`` must divide the signature length: width 0 (bands > n_hashes)
+    would make EVERY band slice empty — identical buckets for all docs,
+    i.e. the N^2 all-pairs join this module exists to avoid — and a
+    non-divisible width silently ignores trailing signature positions.
+    """
+    if sig_len is None:
+        sig_len = sig_df.select(F.size("sig")).first()[0]
+    if sig_len is None or bands > sig_len or sig_len % bands:
+        raise ValueError(
+            f"bands={bands} must divide the signature length ({sig_len}); "
+            f"bands > n_hashes degenerates to an all-pairs join")
+    width = sig_len // bands
+    if hash_buckets:
+        bucket_of = lambda b: F.xxhash64(F.slice("sig", b * width + 1,
+                                                 width), b)
+    else:
+        bucket_of = lambda b: F.slice("sig", b * width + 1, width)
+    return sig_df.select(
+        id_col, "sig",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            bucket_of)).alias("band", "bucket"))
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                         bands: int = 16, min_est_jaccard: float = 0.5,
-                        hash_buckets: bool = True) -> DataFrame:
+                        hash_buckets: bool = True,
+                        sig_len: "int | None" = None) -> DataFrame:
     """Candidate near-dup pairs from banded LSH + signature-estimated Jaccard.
 
     Pairs (a, b), a < b, sharing >= 1 band bucket; est_jaccard = fraction of
@@ -228,27 +265,9 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     ``False`` joins on the raw sub-signature arrays — identical candidates
     minus hash collisions, and exactly reproducible in SQL (the oracle path).
 
-    ``bands`` must divide the signature length: width 0 (bands > n_hashes)
-    would make EVERY band slice empty — identical buckets for all docs,
-    i.e. the N^2 all-pairs join this module exists to avoid — and a
-    non-divisible width silently ignores trailing signature positions.
+    Banding + validation live in :func:`banded_signatures`.
     """
-    sig_len = sig_df.select(F.size("sig")).first()[0]
-    if sig_len is None or bands > sig_len or sig_len % bands:
-        raise ValueError(
-            f"bands={bands} must divide the signature length ({sig_len}); "
-            f"bands > n_hashes degenerates to an all-pairs join")
-    width = (F.size("sig") / bands).cast("int")
-    if hash_buckets:
-        bucket_of = lambda b: F.xxhash64(F.slice("sig", b * width + 1,
-                                                 width), b)
-    else:
-        bucket_of = lambda b: F.slice("sig", b * width + 1, width)
-    banded = sig_df.select(
-        id_col, "sig",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            bucket_of)).alias("band", "bucket"))
+    banded = banded_signatures(sig_df, id_col, bands, hash_buckets, sig_len)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, (F.col("l.band") == F.col("r.band"))

@@ -537,3 +537,36 @@ def test_zero_norm_vectors_never_rank_or_match(spark):
     assert 7 not in set(ltop.vec_id)
     pairs = cosine_neardup_pairs(vdf, tau=0.0).toPandas()
     assert not ((pairs.id_a == 7) | (pairs.id_b == 7)).any()
+
+
+def test_fuzzy_contamination_cross_table(spark, docs_with_plants):
+    """Cross-table MinHash decontamination: an eval set made of lightly
+    edited train docs is flagged pair-for-pair; an unrelated eval doc and a
+    NULL-text eval doc flag nothing; est/jaccard respect thresholds."""
+    import pandas as pd
+
+    from grenier_spark.operators.decontam import fuzzy_contamination
+
+    train = docs_with_plants.where("doc_id < 1000000")
+    base = train.orderBy("doc_id").limit(6).toPandas()
+    ev = base.copy()
+    ev["eval_id"] = ev.doc_id + 9_000_000
+    ev["text"] = ev.text.str.rsplit(" ", n=1).str[0]
+    extra = pd.DataFrame({
+        "eval_id": [9_900_000, 9_900_001],
+        "doc_id": [0, 0],
+        "text": ["completely unrelated benchmark prompt about nothing",
+                 None]})
+    ev = pd.concat([ev, extra], ignore_index=True)[["eval_id", "text"]]
+    eval_df = spark.createDataFrame(ev, "eval_id long, text string")
+
+    out = fuzzy_contamination(train, eval_df, tau=0.7).toPandas()
+    got = set(zip(out.doc_id, out.eval_id))
+    assert {(d, d + 9_000_000) for d in base.doc_id} <= got
+    assert not (out.eval_id >= 9_900_000).any()
+    assert (out.est_jaccard >= 0.5).all() and (out.jaccard >= 0.7).all()
+    # md5/raw-band oracle variant finds the same planted pairs
+    out2 = fuzzy_contamination(train, eval_df, tau=0.7, word_hash="md5",
+                               hash_buckets=False).toPandas()
+    assert {(d, d + 9_000_000) for d in base.doc_id} <= \
+        set(zip(out2.doc_id, out2.eval_id))

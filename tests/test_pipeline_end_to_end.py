@@ -152,3 +152,38 @@ def test_pipeline_is_rerun_deterministic(spark, corpus, tmp_path):
     pd.testing.assert_frame_equal(
         a[["doc_id", "rep", "shard", "order_key"]],
         b[["doc_id", "rep", "shard", "order_key"]])
+
+
+def test_fuzzy_vs_exact_decontamination_precision(spark):
+    """Why the pipeline carries BOTH decontamination modes: exact n-gram
+    overlap flags any doc sharing a single 4-gram with the eval set (high
+    recall, over-drops boilerplate), while fuzzy MinHash flags only true
+    near-duplicates with per-(train, eval) pair attribution."""
+    from grenier_spark.operators.decontam import (contamination_report,
+                                                  fuzzy_contamination)
+
+    ev_text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            # 1: benign doc quoting ONE eval 4-gram inside unrelated text
+            "the model trains alpha beta gamma delta on batches of data "
+            "with sample shard merge sketch tokens and more tokens here",
+            # 2: paraphrased leak — eval doc with the last two words dropped
+            ev_text.rsplit(" ", 2)[0],
+            # 3: unrelated
+            "the model trains tokens data sample batch shard merge sketch "
+            "over and over again without any greek letters at all today",
+        ]}))
+    eval_set = spark.createDataFrame(
+        pd.DataFrame({"eval_id": [100], "text": [ev_text]}))
+
+    exact = contamination_report(
+        train, eval_set.withColumnRenamed("eval_id", "doc_id"),
+        n=4).toPandas()
+    assert set(exact.doc_id) == {1, 2}  # boilerplate doc 1 over-dropped
+
+    fuzzy = fuzzy_contamination(train, eval_set, tau=0.7).toPandas()
+    assert set(zip(fuzzy.doc_id, fuzzy.eval_id)) == {(2, 100)}
+    assert (fuzzy.jaccard >= 0.7).all()

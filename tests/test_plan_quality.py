@@ -236,3 +236,22 @@ def test_lsh_bucket_join_moves_no_vector_payload(spark):
     for ln in plan.splitlines():
         if "Exchange" in ln and "Reused" not in ln:
             assert "embedding" not in ln, ln
+
+
+def test_fuzzy_contamination_broadcasts_eval_side(spark):
+    """fuzzy_contamination: the eval band table and eval shingle sets ride
+    broadcast joins — the candidate and verify joins must never
+    SortMergeJoin (that would shuffle corpus-scale banded rows against a
+    benchmark-sized table at web scale)."""
+    from pyspark.sql import functions as F
+
+    from grenier_spark.operators.decontam import fuzzy_contamination
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .where("length(text) > 100").limit(40))
+    ev = (docs.limit(4)
+          .select((F.col("doc_id") + 5_000_000).alias("eval_id"), "text"))
+    plan = plan_of(fuzzy_contamination(docs, ev))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
