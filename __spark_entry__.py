@@ -922,6 +922,36 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-refined IVF ANN (similarity.ivf_refine_centroids, 2 spherical
+    k-means iterations), guarantee-gated: per query, recall@10 of the
+    refined-centroid IVF at n_probe=4 vs the exact brute-force top-10 is
+    computed FOR REAL Spark-side and emitted as recall_ok (>= 8/10). The
+    DuckDB twin emits the same query ids with literal TRUE — k-means
+    iterates are not SQL-reproducible, so the guarantee boolean is the
+    engine-independent surface (the sampled-centroid variant
+    ann_ivf_topk carries the value-exact oracle for the shared
+    assign/probe/re-rank plan)."""
+    from grenier_spark.operators.similarity import (cosine_topk,
+                                                    ivf_refine_centroids,
+                                                    ivf_topk)
+
+    em = _t(spark, sf_dir, "embeddings")
+    queries = (em.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    cents = ivf_refine_centroids(em, n_centroids=16, n_iter=2)
+    approx = ivf_topk(em, queries, k=10, n_centroids=16, n_probe=4,
+                      centroids=cents)
+    brute = cosine_topk(em, queries, k=10).select("query_id", "vec_id")
+    hits = (approx.join(brute, ["query_id", "vec_id"], "semi")
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    return (queries.select("query_id").join(hits, "query_id", "left")
+            .select(F.col("query_id").cast("long").alias("query_id"),
+                    F.lit(10).cast("long").alias("k"),
+                    (F.coalesce("n_hit", F.lit(0)) >= 8).alias("recall_ok"))
+            .orderBy("query_id"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing with a FULL oracle: binary payloads (UTF-8 bytes
     of document text, so DuckDB can reconstruct them) -> mapInPandas
@@ -1542,6 +1572,18 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "eval_id"))
 
 
+def q_embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality eval: nearest-label-centroid confusion
+    matrix. Centroids are EXACT per-(label, dim) means (double-double sum
+    == DuckDB fsum to the last ulp), cosines fold sequentially on both
+    engines, so the full matrix is value-gated
+    (similarity.label_centroid_confusion)."""
+    from grenier_spark.operators.similarity import label_centroid_confusion
+
+    em = _t(spark, sf_dir, "embeddings")
+    return label_centroid_confusion(em).orderBy("label", "pred_label")
+
+
 def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sample without replacement (priority sampling,
     Duffield-Lund-Thorup JACM'07): top-5 docs per source by n_chars-weighted
@@ -1618,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "media_features": q_media_features,
         "token_hll_udaf": q_token_hll_udaf,
         "pii_redaction": q_pii_redaction,
@@ -1626,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": q_doc_repetition_stats,
         "benchmark_contamination": q_benchmark_contamination,
         "fuzzy_contamination": q_fuzzy_contamination,
+        "embedding_label_confusion": q_embedding_label_confusion,
         "weighted_doc_sample": q_weighted_doc_sample,
     }
 
@@ -2118,6 +2162,12 @@ GROUP BY ROLLUP (n_name, c_mktsegment)""",
             "SELECT vec_id::BIGINT AS qid, embedding::DOUBLE[] AS v "
             "FROM embeddings ORDER BY vec_id LIMIT 3",
             k=10, n_centroids=16, n_probe=4),
+        "ann_ivf_kmeans_topk": (
+            # guarantee surface: Spark computes recall@10 of the k-means-
+            # refined IVF against brute force for real; the oracle pins the
+            # query-id set and asserts the guarantee held (literal TRUE)
+            "SELECT vec_id::BIGINT AS query_id, 10::BIGINT AS k, "
+            "TRUE AS recall_ok FROM embeddings ORDER BY vec_id LIMIT 3"),
         "ann_lsh_topk": ann_rademacher_sql(
             "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
             "FROM embeddings",
@@ -2167,6 +2217,24 @@ FROM documents""",
             id_col="doc_id", eval_id_col="eval_id", w=3, n_hashes=64,
             seed=42, bands=16, min_est=0.5, tau=0.7),
         "weighted_doc_sample": _weighted_sample_oracle(),
+        "embedding_label_confusion": """
+WITH e AS (SELECT vec_id::BIGINT AS id, label::BIGINT AS label,
+                  embedding::DOUBLE[] AS v FROM embeddings),
+cells AS (SELECT label AS clabel, i AS dim,
+                 fsum(v[i + 1]) / COUNT(v[i + 1]) AS m
+          FROM e CROSS JOIN range(0, 64) t(i) GROUP BY 1, 2),
+carr AS (SELECT clabel, list(m ORDER BY dim) AS cv FROM cells GROUP BY 1),
+asg AS (SELECT id, label, clabel,
+               round(list_inner_product(v, cv) /
+                     (sqrt(list_inner_product(v, v)) *
+                      sqrt(list_inner_product(cv, cv))), 6) AS cos6
+        FROM e CROSS JOIN carr),
+pred AS (SELECT id, label, clabel,
+                row_number() OVER (PARTITION BY id
+                                   ORDER BY cos6 DESC, clabel ASC) AS rn
+         FROM asg)
+SELECT label, clabel AS pred_label, COUNT(*)::BIGINT AS n
+FROM pred WHERE rn = 1 GROUP BY 1, 2""",
         "simhash_dups": simhash_pairs_sql(
             "WITH base AS (SELECT doc_id::BIGINT AS id, text FROM documents "
             "ORDER BY id LIMIT 60) "

@@ -366,3 +366,62 @@ def lsh_topk_rademacher(vectors: DataFrame, queries: DataFrame, k: int = 10,
     # rank by the ROUND-6 cosine (ties then by id): cross-engine rank
     # stability must not depend on last-ulp cosine agreement
     return _rerank_topk(cands, k, qid_col, id_col, round6=True)
+
+
+def label_centroid_confusion(vectors: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             label_col: str = "label") -> DataFrame:
+    """Embedding-space quality eval: nearest-label-centroid confusion
+    matrix — (label, pred_label, n) where pred_label is the label whose
+    centroid has the highest cosine to the vector (round-6, ties to the
+    lowest label). The diagonal mass measures how well the embedding
+    clusters by label (encoder regression check for a training-data
+    pipeline).
+
+    Cross-engine exact by construction: centroids are per-(label, dim)
+    EXACT means — the double-double sum rides ``build_sketches``
+    (reference grenier doubledouble/doubledouble.ml:1-120 semantics; equal
+    to DuckDB ``fsum`` to the last ulp) — and cosines fold sequentially
+    over the dim-ascending arrays on both engines (Spark ``F.aggregate``
+    == DuckDB ``list_inner_product``), so the round-6 argmax agrees
+    value-for-value.
+
+    Scale posture at 100 TB: the exploded (label, dim, value) stream is
+    map-side combined into n_labels x dim double-double cells (KB-sized;
+    the same two-level merge as every sketch build — vectors themselves
+    never shuffle), centroids broadcast back, and the per-vector argmax is
+    one max(struct) aggregate exchanging a single narrow row per vector.
+    """
+    from ..functions import ddsum_col
+    from .sketch_build import SketchSpec, build_sketches
+
+    cells = (vectors.select(
+        F.col(label_col).cast("long").alias("clabel"),
+        F.posexplode(F.transform(vec_col, lambda x: x.cast("double")))
+        .alias("dim", "val")))
+    cent_cells = build_sketches(cells, [SketchSpec.of("c", "ddsum", "val")],
+                                group_cols=["clabel", "dim"])
+    cents = (cent_cells
+             .select("clabel", "dim",
+                     (ddsum_col("sketch") / F.col("n_values")).alias("m"))
+             .groupBy("clabel")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                 lambda s: s.getField("m")).alias("cv")))
+    asg = (vectors.select(F.col(id_col).alias("id"),
+                          F.col(label_col).cast("long").alias("label"),
+                          F.transform(vec_col, lambda x: x.cast("double"))
+                          .alias("v"))
+           .crossJoin(F.broadcast(cents)))
+    cos6 = F.round(_cos("v", "cv"), 6)
+    # argmax by (cos6 desc, clabel asc) as one map-side-combinable
+    # max(struct): lexicographic max of (cos6, -clabel) — no per-id window
+    best = (asg.select("id", "label",
+                       F.struct(cos6.alias("c"),
+                                (-F.col("clabel")).alias("neg")).alias("s"))
+            .where(F.col("s.c").isNotNull())  # zero-norm vectors: no vote
+            .groupBy("id", "label").agg(F.max("s").alias("b")))
+    return (best.select("label", (-F.col("b.neg")).alias("pred_label"))
+            .groupBy("label", "pred_label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("label", "pred_label", F.col("n").cast("long").alias("n")))
