@@ -255,3 +255,17 @@ def test_fuzzy_contamination_broadcasts_eval_side(spark):
     plan = plan_of(fuzzy_contamination(docs, ev))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_label_confusion_never_shuffles_vectors(spark):
+    """embedding_label_confusion: centroid cells ride the sketch pipeline
+    (KB partials), centroids broadcast back, and the per-vector argmax
+    exchanges only narrow (id, label, struct) rows — no Exchange may carry
+    the embedding payload, and the centroid join must broadcast."""
+    plan = plan_of(entry_mod.q_embedding_label_confusion(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, \
+        plan
+    assert "SortMergeJoin" not in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "Reused" not in ln:
+            assert "embedding" not in ln, ln
