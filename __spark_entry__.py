@@ -1575,8 +1575,8 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space quality eval: nearest-label-centroid confusion
     matrix. Centroids are EXACT per-(label, dim) means (double-double sum
-    == DuckDB fsum to the last ulp), cosines fold sequentially on both
-    engines, so the full matrix is value-gated
+    == DuckDB fsum to the last ulp); the argmax compares round-6 quantized
+    cosines (ties to lowest label) so the full matrix is value-gated
     (similarity.label_centroid_confusion)."""
     from grenier_spark.operators.similarity import label_centroid_confusion
 
@@ -2228,7 +2228,11 @@ asg AS (SELECT id, label, clabel,
                round(list_inner_product(v, cv) /
                      (sqrt(list_inner_product(v, v)) *
                       sqrt(list_inner_product(cv, cv))), 6) AS cos6
-        FROM e CROSS JOIN carr),
+        -- zero-norm guard mirrors the Spark side's NULL-cosine drop
+        -- (similarity._cos): such vectors vote for no centroid
+        FROM e CROSS JOIN carr
+        WHERE list_inner_product(v, v) > 0
+          AND list_inner_product(cv, cv) > 0),
 pred AS (SELECT id, label, clabel,
                 row_number() OVER (PARTITION BY id
                                    ORDER BY cos6 DESC, clabel ASC) AS rn

@@ -215,6 +215,25 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
             .applyInPandas(sign, f"{id_col} {id_type}, sig array<bigint>"))
 
 
+def est_jaccard_col(sig_a, sig_b):
+    """Fraction of matching signature positions — the LSH Jaccard
+    estimate. Shared by the self-join near-dup pipeline and the
+    cross-table decontamination pipeline (and mirrored position-for-
+    position by their DuckDB oracles): both MUST use this one expression
+    or the estimate-filter stages drift."""
+    return (F.size(F.filter(F.zip_with(sig_a, sig_b,
+                                       lambda a, b: a == b), lambda x: x))
+            / F.size(sig_a))
+
+
+def set_jaccard_col(sh_a, sh_b):
+    """Exact Jaccard of two DISTINCT-element shingle arrays
+    (collect_set output) — the verify-stage expression shared by the
+    self-join and cross-table pipelines."""
+    return (F.size(F.array_intersect(sh_a, sh_b))
+            / F.size(F.array_union(sh_a, sh_b))).cast("double")
+
+
 def banded_signatures(sig_df: DataFrame, id_col: str = "doc_id",
                       bands: int = 16, hash_buckets: bool = True,
                       sig_len: "int | None" = None) -> DataFrame:
@@ -277,10 +296,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                      F.col(f"r.{id_col}").alias("id_b"),
                      F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
              .dropDuplicates(["id_a", "id_b"]))
-    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
-                                      lambda a, b: a == b), lambda x: x))
-           / F.size("sig_a"))
-    return (pairs.withColumn("est_jaccard", est)
+    return (pairs.withColumn("est_jaccard", est_jaccard_col("sig_a", "sig_b"))
             .where(F.col("est_jaccard") >= min_est_jaccard)
             .select("id_a", "id_b", "est_jaccard"))
 
@@ -294,10 +310,8 @@ def exact_jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
           .groupBy(id_col).agg(F.collect_set("shingle").alias("sh")))
     a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
-    j = (F.size(F.array_intersect("sh_a", "sh_b"))
-         / F.size(F.array_union("sh_a", "sh_b")))
     return (pairs.join(a, "id_a").join(b, "id_b")
-            .withColumn("jaccard", j.cast("double"))
+            .withColumn("jaccard", set_jaccard_col("sh_a", "sh_b"))
             .select("id_a", "id_b", "est_jaccard", "jaccard"))
 
 

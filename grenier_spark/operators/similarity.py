@@ -378,13 +378,15 @@ def label_centroid_confusion(vectors: DataFrame, id_col: str = "vec_id",
     clusters by label (encoder regression check for a training-data
     pipeline).
 
-    Cross-engine exact by construction: centroids are per-(label, dim)
-    EXACT means — the double-double sum rides ``build_sketches``
-    (reference grenier doubledouble/doubledouble.ml:1-120 semantics; equal
-    to DuckDB ``fsum`` to the last ulp) — and cosines fold sequentially
-    over the dim-ascending arrays on both engines (Spark ``F.aggregate``
-    == DuckDB ``list_inner_product``), so the round-6 argmax agrees
-    value-for-value.
+    Cross-engine agreement is two-layered: the centroid INPUTS are exact —
+    per-(label, dim) means from the double-double sum riding
+    ``build_sketches`` (reference grenier doubledouble/doubledouble.ml:1-120
+    semantics; equal to DuckDB ``fsum`` to the last ulp) — and the argmax
+    compares cosines QUANTIZED to 6 dp (ties to the lowest label), the same
+    round-6 contract as :func:`lsh_topk_rademacher`, whose docstring
+    records why quantization (not summation order — DuckDB's
+    ``list_inner_product`` is not a bit-exact sequential fold) is the
+    mechanism and what the measure-zero grid-boundary caveat is.
 
     Scale posture at 100 TB: the exploded (label, dim, value) stream is
     map-side combined into n_labels x dim double-double cells (KB-sized;
