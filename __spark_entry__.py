@@ -722,7 +722,11 @@ def q_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      remove_boilerplate)
 
     planted = _boiler_planted(spark, sf_dir)
-    boiler = boilerplate_segments(planted, width=8, min_df=3)
+    # persist the boilerplate set: it derives from the same segmentation
+    # scan the removal probes, and unpersisted the broadcast build side
+    # would replay segmentation + groupBy once more (the exact replay
+    # remove_boilerplate's docstring warns about)
+    boiler = boilerplate_segments(planted, width=8, min_df=3).persist()
     clean = remove_boilerplate(planted, boiler, width=8)
     return (clean.select(F.col("id").alias("doc_id"), "n_segs", "n_boiler",
                          F.md5("clean_text").alias("clean_md5"))
@@ -747,7 +751,9 @@ WITH {_boiler_planted_sql()}, {segment_rows_sql(
 bo AS (SELECT grp, seg FROM segs GROUP BY grp, seg
        HAVING COUNT(DISTINCT id) >= 3),
 m AS (SELECT s.id, s.grp, s.seg_idx, s.seg, b.seg AS bseg
-      FROM segs s LEFT JOIN bo b ON s.grp = b.grp AND s.seg = b.seg),
+      -- null-safe group match, twin of remove_boilerplate's eqNullSafe
+      FROM segs s LEFT JOIN bo b
+        ON s.grp IS NOT DISTINCT FROM b.grp AND s.seg = b.seg),
 cl AS (SELECT id, grp, COUNT(*)::BIGINT AS n_segs,
               COUNT(bseg)::BIGINT AS n_boiler,
               coalesce(string_agg(CASE WHEN bseg IS NULL THEN seg END,

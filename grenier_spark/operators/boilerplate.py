@@ -50,9 +50,13 @@ def segment_col(text: "F.Column | str", width: int = 8) -> F.Column:
     c = F.col(text) if isinstance(text, str) else text
     w = F.split(c, " ")
     n_seg = F.floor((F.size(w) + (width - 1)) / width).cast("int")
-    return F.transform(
+    # explicit NULL guard instead of relying on NULL propagation: with
+    # spark.sql.ansi.enabled=false, size(NULL) = -1 -> sequence(0, -2)
+    # infers a NEGATIVE step and emits phantom '' segments for NULL text,
+    # which would inflate df('') and diverge from the DuckDB oracle
+    return F.when(c.isNotNull(), F.transform(
         F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.concat_ws(" ", F.slice(w, i * width + 1, width)))
+        lambda i: F.concat_ws(" ", F.slice(w, i * width + 1, width))))
 
 
 def segment_rows(df: DataFrame, text_col: str = "text",
@@ -92,14 +96,23 @@ def remove_boilerplate(df: DataFrame, boiler: DataFrame,
     scan; unpersisted, Spark replays the segmentation once per consumer).
     The join side is broadcast: the boilerplate set is bounded by
     n_segment_instances / min_df, KB..MB at any corpus size that chose a
-    sane min_df. Every input doc yields exactly one output row; a doc that
-    is 100% boilerplate comes back with clean_text = '' (caller decides
-    whether to drop empties — that is a quality-filter policy, not dedup).
+    sane min_df. Every non-NULL-text input doc yields exactly one output
+    row (NULL-text docs drop at the segment explode — the same NULL-drop
+    contract as the dedup paths); a doc that is 100% boilerplate comes
+    back with clean_text = '' (caller decides whether to drop empties —
+    that is a quality-filter policy, not dedup).
     """
     segs = segment_rows(df, text_col, id_col, group_col, width)
-    b = F.broadcast(boiler.select(F.col("grp"), F.col("seg"),
+    b = F.broadcast(boiler.select(F.col("grp").alias("_bgrp"),
+                                  F.col("seg").alias("_bseg"),
                                   F.lit(True).alias("_is_boiler")))
-    marked = segs.join(b, ["grp", "seg"], "left")
+    # null-SAFE group match: a NULL group (missing source/domain) is a
+    # real group to boilerplate_segments' groupBy, so removal must match
+    # it too — a plain equi-join would report its boilerplate but never
+    # strip it (DuckDB twin: grp IS NOT DISTINCT FROM _bgrp)
+    marked = (segs.join(b, F.col("grp").eqNullSafe(F.col("_bgrp"))
+                        & (F.col("seg") == F.col("_bseg")), "left")
+              .drop("_bgrp", "_bseg"))
     keep = F.when(F.col("_is_boiler").isNull(),
                   F.struct("seg_idx", "seg"))
     return (marked.groupBy("id", "grp")

@@ -453,6 +453,35 @@ def simhash_candidate_pairs(fp_df: DataFrame, id_col: str = "doc_id",
             .dropDuplicates(["id_a", "id_b"]))
 
 
+def _ngram_inverted_index(df: DataFrame, id_col: str, text_col: str,
+                          n: int):
+    """Shared machinery of the word-n-gram pair operators: returns
+    ``(inter, sizes)`` — per-pair intersection counts from the
+    inverted-index shingle self-join (cost ``sum_s c_s^2`` over shingle
+    doc-frequencies, never ``n_docs^2``) and per-doc DISTINCT shingle
+    counts. Docs with fewer than ``n`` words yield no shingles. The
+    caller's id type is preserved (casting to long would silently null
+    non-numeric ids and return zero pairs). Single-sourced so the Jaccard
+    and containment scorers can never drift."""
+    w = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1)
+                                         for j in range(n)])))
+    ).otherwise(F.array().cast("array<string>"))
+    sh = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    return inter, sizes
+
+
 def ngram_word_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text", n: int = 3,
                              tau: float = 0.8) -> DataFrame:
@@ -469,23 +498,7 @@ def ngram_word_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     Returns (id_a, id_b, inter, union_sz, jaccard) with ``jaccard >= tau``,
     ``id_a < id_b``.
     """
-    w = F.split(F.col(text_col), " ")
-    grams = F.when(
-        F.size(w) >= n,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1)
-                                         for j in range(n)])))
-    ).otherwise(F.array().cast("array<string>"))
-    # keep the caller's id type (casting to long would silently null
-    # non-numeric ids and return zero pairs)
-    sh = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("s"))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
-                    & (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("inter")))
+    inter, sizes = _ngram_inverted_index(df, id_col, text_col, n)
     ja = (inter
           .join(sizes.select(F.col("id").alias("id_a"),
                              F.col("n_sh").alias("na")), "id_a")
@@ -514,21 +527,7 @@ def ngram_containment_pairs(df: DataFrame, id_col: str = "doc_id",
     ``(id_a, id_b, inter, n_a, n_b, containment)`` with
     ``containment >= tau``, ``id_a < id_b``.
     """
-    w = F.split(F.col(text_col), " ")
-    grams = F.when(
-        F.size(w) >= n,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1)
-                                         for j in range(n)])))
-    ).otherwise(F.array().cast("array<string>"))
-    sh = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("s"))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
-                    & (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("inter")))
+    inter, sizes = _ngram_inverted_index(df, id_col, text_col, n)
     cont = (inter
             .join(sizes.select(F.col("id").alias("id_a"),
                                F.col("n_sh").alias("n_a")), "id_a")

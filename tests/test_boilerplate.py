@@ -68,3 +68,40 @@ def test_boilerplate_join_is_broadcast(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_null_group_boilerplate_is_removed(spark):
+    """A NULL group (missing source/domain — common in web corpora) is a
+    real group to the detector's groupBy, so removal must strip its
+    boilerplate too: a plain equi-join would report it but never match."""
+    df = spark.createDataFrame(
+        [(i, None, BANNER + f" tail {i} of doc") for i in range(3)]
+        + [(9, "g", "no banner here at all friend")],
+        "doc_id long, source string, text string")
+    boiler = B.boilerplate_segments(df, width=8, min_df=3)
+    rep = boiler.collect()
+    assert len(rep) == 1 and rep[0].grp is None and rep[0].df == 3
+    clean = {r.id: (r.n_boiler, r.clean_text)
+             for r in B.remove_boilerplate(df, boiler, width=8).collect()}
+    for i in range(3):
+        assert clean[i][0] == 1 and BANNER not in clean[i][1]
+    assert clean[9] == (0, "no banner here at all friend")
+
+
+def test_null_text_emits_no_segments_in_any_ansi_mode(spark):
+    """With ansi=false, size(NULL) = -1 makes sequence(0, -2) infer a
+    negative step and emit phantom '' segments for NULL text — the guard
+    must drop NULL-text docs identically in both modes (they'd otherwise
+    inflate df('') and diverge from the DuckDB oracle)."""
+    df = spark.createDataFrame(
+        [(1, "g", None), (2, "g", "two words")],
+        "doc_id long, source string, text string")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for mode in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            rows = B.segment_rows(df, width=8).collect()
+            assert [(r.id, r.seg_idx, r.seg) for r in rows] == \
+                [(2, 0, "two words")], mode
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
