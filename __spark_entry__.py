@@ -875,7 +875,7 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(full, n_hashes=64, seed=42,
                                     word_hash="md5")
     pairs = dedup.lsh_candidate_pairs(sigs, min_est_jaccard=0.5,
-                                      hash_buckets=False)
+                                      hash_buckets=False, sig_len=64)
     ver = dedup.exact_jaccard_for_pairs(full, pairs, word_hash="md5")
     return (ver.where("jaccard >= 0.7")
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -907,7 +907,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (em.orderBy("vec_id").limit(3)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return (lsh_topk_rademacher(em, queries, k=10, bands=32, band_bits=4,
-                                seed=42)
+                                seed=42, dim=64)
             .select("query_id", F.col("rank").cast("long").alias("rank"),
                     "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
             .orderBy("query_id", "rank"))
