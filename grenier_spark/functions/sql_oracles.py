@@ -275,19 +275,14 @@ SELECT {gsel}CASE
 FROM est"""
 
 
-def simhash_pairs_sql(docs_sql: str, id_col: str = "id",
-                      text_col: str = "text", max_hamming: int = 3) -> str:
-    """Near-dup pairs (id_a, id_b, hamming) via 64-bit simhash, matching
-    ``operators.dedup.simhash64`` + ``simhash_candidates`` exactly.
-
-    The fingerprint chain — md5-low64 word ids (the cross-engine word hash,
-    :func:`md5_low64_expr` == Spark ``md5_low64_col``), wang64 mix,
-    count-weighted bit votes — is recomputed in SQL; pairs come from
-    brute-force ``bit_count(xor) <= max_hamming``, which for
-    ``max_hamming <= 3`` is EXACTLY the banded-LSH result (4 disjoint
-    16-bit bands: <= 3 differing bits leave >= 1 band identical, so banding
-    has guaranteed 100% recall).
-    """
+def simhash_fps_sql(docs_sql: str, id_col: str = "id",
+                    text_col: str = "text") -> str:
+    """(id, fp UBIGINT) — per-doc 64-bit simhash fingerprint, matching
+    ``operators.dedup.simhash64`` value-for-value: md5-low64 word ids
+    (:func:`md5_low64_expr` == Spark ``md5_low64_col``), wang64 mix,
+    count-weighted bit votes (Charikar 2002). Docs whose word list is
+    empty after filtering (empty/NULL text, separators only) get fp = 0
+    on both engines. Fuzzed directly in test_differential_fuzz.py."""
     powers = ", ".join(f"({b}, {1 << b}::UHUGEINT)" for b in range(64))
     hashed = chain_selects(
         f"SELECT id, cnt, {md5_low64_expr('w')} AS k FROM ("
@@ -305,11 +300,25 @@ votes AS (
 ), fp0 AS (
   SELECT id, SUM(CASE WHEN vote > 0 THEN p::HUGEINT ELSE 0::HUGEINT END) AS fp
   FROM votes GROUP BY 1
-), fps AS (
-  SELECT d.id, COALESCE(f.fp, 0::HUGEINT)::UBIGINT AS fp
-  FROM (SELECT DISTINCT {id_col} AS id FROM ({docs_sql})) d
-  LEFT JOIN fp0 f ON d.id = f.id
 )
+SELECT d.id, COALESCE(f.fp, 0::HUGEINT)::UBIGINT AS fp
+FROM (SELECT DISTINCT {id_col} AS id FROM ({docs_sql})) d
+LEFT JOIN fp0 f ON d.id = f.id"""
+
+
+def simhash_pairs_sql(docs_sql: str, id_col: str = "id",
+                      text_col: str = "text", max_hamming: int = 3) -> str:
+    """Near-dup pairs (id_a, id_b, hamming) via 64-bit simhash, matching
+    ``operators.dedup.simhash64`` + ``simhash_candidates`` exactly.
+
+    Fingerprints come from :func:`simhash_fps_sql`; pairs come from
+    brute-force ``bit_count(xor) <= max_hamming``, which for
+    ``max_hamming <= 3`` is EXACTLY the banded-LSH result (4 disjoint
+    16-bit bands: <= 3 differing bits leave >= 1 band identical, so banding
+    has guaranteed 100% recall).
+    """
+    return f"""
+WITH fps AS ({simhash_fps_sql(docs_sql, id_col, text_col)})
 SELECT a.id AS id_a, b.id AS id_b,
        bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
 FROM fps a JOIN fps b ON a.id < b.id

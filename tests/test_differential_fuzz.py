@@ -79,6 +79,94 @@ def test_minhash_signature_rows_match_duckdb(spark, corpus, duck):
     assert sigs.doc_id.nunique() >= 12
 
 
+def test_simhash_fps_match_duckdb(spark, corpus, duck):
+    """The 64-bit simhash fingerprint chain (md5-low64 word ids -> wang64
+    -> count-weighted bit votes) agrees per doc on adversarial texts.
+    Empty/NULL/separator-only texts get fp = 0 on BOTH engines."""
+    from grenier_spark.functions.sql_oracles import simhash_fps_sql
+    from grenier_spark.operators.dedup import simhash64
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = (simhash64(df, id_col="doc_id").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    to_signed = ("(CASE WHEN fp >= 9223372036854775808::UHUGEINT "
+                 "THEN fp::HUGEINT - 18446744073709551616::HUGEINT "
+                 "ELSE fp::HUGEINT END)::BIGINT")
+    exp = duck.execute(
+        "SELECT id AS doc_id, " + to_signed + " AS simhash FROM ("
+        + simhash_fps_sql("SELECT doc_id, text FROM docs", "doc_id")
+        + ") ORDER BY 1").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # empty-ish docs (ids 0 and 17) and NULL text must land on fp = 0
+    zero = set(got.loc[got.simhash == 0, "doc_id"])
+    assert {0, 17, len(ADVERSARIAL)} <= zero
+    assert got.simhash.nunique() >= 12  # the rest are real fingerprints
+
+
+def test_repetition_stats_match_duckdb(spark, corpus, duck):
+    """Gopher-style repetition signals (distinct ratio, top word/bigram
+    fracs) agree on adversarial texts, including 1-word docs (no bigrams
+    -> left-join/greatest guard) and the 50x repeat doc (fracs = 1.0)."""
+    from grenier_spark.operators.textstats import (repetition_stats,
+                                                   repetition_stats_sql)
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = (repetition_stats(df).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = duck.execute(
+        "SELECT * FROM (" + repetition_stats_sql(
+            "SELECT doc_id, text FROM docs") + ") ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    rep = got[got.doc_id == 14].iloc[0]  # the ('repeat ' * 50) doc
+    assert rep.top_word_frac == 1.0 and rep.top_bigram_frac == 1.0
+    assert (got[got.doc_id == 1].top_bigram_frac == 0.0).all()  # 1-word doc
+
+
+PII_ADVERSARIAL = [
+    "mail a@b.co end",                          # minimal email
+    "a.b-c_d%e+f@sub.domain.org tail",          # full local-part class
+    "ip 1.2.3.4 mid",                           # minimal IP
+    "999.999.999.999 out-of-range still hits",  # \\d{1,3} is not value-aware
+    "1.2.3.4.5 five groups",                    # overlapping-boundary shape
+    "edge 10.0.0.255",                          # IP at end of string
+    "call 555-123-4567 now",                    # dash phone
+    "call 555.123.4567 now",                    # dot phone
+    "call 555 123 4567 now",                    # space phone
+    "x@y.com 1.2.3.4 555-123-4567",             # all three, chain order
+    "v1.2.3 semver is not an ip",               # 3 groups: must NOT match
+    "a@@b.com double at",                       # malformed email
+    "email@domain@again.com chained ats",
+    "(555)-123-4567 parens break \\b? no: inner still matches",
+    "digits 12345678901234567890 long run",
+    "unicode café@naïve.com around pii 1.2.3.4",
+]
+
+
+def test_redact_pii_match_duckdb(spark, duck):
+    """The EMAIL -> IP -> PHONE regexp_replace chain and the per-category
+    counts are byte-identical across Java regex and RE2 on boundary-shaped
+    PII (minimal forms, out-of-range octets, overlapping digit groups,
+    malformed emails, all-three-in-one ordering)."""
+    from grenier_spark.operators.redact import redact_pii, redact_pii_sql
+
+    rows = [(i, t) for i, t in enumerate(PII_ADVERSARIAL)]
+    rows.append((len(rows), None))
+    pii = pd.DataFrame(rows, columns=["doc_id", "text"])
+    duck.register("pii_docs", pii)
+    df = spark.createDataFrame(pii, "doc_id long, text string")
+    got = (redact_pii(df).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = duck.execute(
+        "SELECT * FROM (" + redact_pii_sql(
+            "SELECT doc_id, text FROM pii_docs") + ") ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the fuzz must exercise every category and the not-an-ip negatives
+    assert got.n_email.fillna(0).sum() >= 4
+    assert got.n_ip.fillna(0).sum() >= 4
+    assert got.n_phone.fillna(0).sum() >= 4
+    assert (got.loc[got.doc_id == 10, "n_ip"] == 0).all()  # semver row
+
+
 def test_segment_rows_match_duckdb(spark, corpus, duck):
     """Boilerplate segmentation (8-word windows, ragged tail) agrees on
     adversarial texts; NULL text yields no rows on both engines."""
