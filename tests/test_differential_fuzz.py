@@ -167,6 +167,127 @@ def test_redact_pii_match_duckdb(spark, duck):
     assert (got.loc[got.doc_id == 10, "n_ip"] == 0).all()  # semver row
 
 
+ADVERSARIAL_IDS = [
+    "",                # empty id
+    " ",               # whitespace id
+    "0", "00", "1", "01",  # numeric lookalikes — distinct strings
+    "a:b",             # the domain-separator glyph inside an id
+    "a:b:0",           # id that LOOKS like an (id, rep) composite
+    "héllo",           # accents (2-byte UTF-8)
+    "日本語id",         # CJK (3-byte UTF-8)
+    "emoji\U0001f642id",  # astral plane (4-byte UTF-8 / surrogate pair)
+    "x" * 500,         # long id
+    "UPPER", "upper",  # case-distinct
+    "a'b\"c\\d",       # quotes/backslash travel as DATA, not literals
+    "tab\tid",
+]
+
+
+@pytest.fixture(scope="module")
+def idcorpus():
+    rows = [(i_, "s0" if i % 2 == 0 else "s1", (i % 5) + 1)
+            for i, i_ in enumerate(ADVERSARIAL_IDS)]
+    return pd.DataFrame(rows, columns=["doc_id", "source", "w"])
+
+
+@pytest.fixture(scope="module")
+def iduck(idcorpus):
+    con = duckdb.connect()
+    con.register("iddocs", idcorpus)
+    return con
+
+
+def _cmp(got, exp, keys):
+    got = got.sort_values(keys).reset_index(drop=True)
+    exp = exp[got.columns].sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_split_and_sample_chains_match_duckdb(spark, idcorpus, iduck):
+    """assign_split / stratified_sample md5-hex chains agree on adversarial
+    STRING ids (empty, colons, unicode incl. astral plane, 500-char):
+    both engines hash the same UTF-8 bytes and the same domain tags."""
+    from grenier_spark.operators.splits import (
+        assign_split, assign_split_sql, stratified_sample,
+        stratified_sample_sql_pred)
+
+    W = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.createDataFrame(idcorpus,
+                               "doc_id string, source string, w long")
+    got = assign_split(df, W, seed=3).select("doc_id", "split").toPandas()
+    exp = iduck.execute(
+        f"SELECT doc_id, {assign_split_sql('doc_id', W, seed=3)} AS split "
+        "FROM iddocs").df()
+    _cmp(got, exp, ["doc_id"])
+    assert got.split.nunique() >= 2  # the fuzz must hit >= 2 splits
+
+    kept = (stratified_sample(df, 0.5, seed=9).select("doc_id").toPandas())
+    kexp = iduck.execute(
+        "SELECT doc_id FROM iddocs WHERE "
+        + stratified_sample_sql_pred("doc_id", 0.5, seed=9)).df()
+    _cmp(kept, kexp, ["doc_id"])
+    assert 0 < len(kept) < len(ADVERSARIAL_IDS)
+
+
+def test_priority_and_order_chains_match_duckdb(spark, idcorpus, iduck):
+    """priority_sample's 52-bit exact-double priorities and shuffle_order's
+    (order_key, shard) top-32-bit arithmetic agree on adversarial ids."""
+    from grenier_spark.operators.ordering import (shuffle_order,
+                                                  shuffle_order_sql)
+    from grenier_spark.operators.splits import (priority_sample,
+                                                priority_sample_sql)
+
+    df = spark.createDataFrame(idcorpus,
+                               "doc_id string, source string, w long")
+    got = (priority_sample(df, k=4, weight_col="w", seed=5)
+           .select("doc_id", "source", "sample_rank").toPandas())
+    exp = iduck.execute(priority_sample_sql(
+        "SELECT doc_id, source, w FROM iddocs", k=4, weight_col="w",
+        seed=5, cols="doc_id, source, sample_rank")).df()
+    _cmp(got, exp, ["source", "sample_rank"])
+    assert set(got.groupby("source").size()) == {4}
+
+    ogot = (shuffle_order(df, n_shards=7, seed=11)
+            .select("doc_id", "order_key", "shard").toPandas())
+    okey, oshard = shuffle_order_sql("doc_id", n_shards=7, seed=11)
+    oexp = iduck.execute(
+        f"SELECT doc_id, {okey} AS order_key, ({oshard})::BIGINT AS shard "
+        "FROM iddocs").df()
+    _cmp(ogot, oexp, ["doc_id"])
+    assert ogot.shard.nunique() >= 3  # ids spread over the 7 shards
+
+
+def test_mixture_and_stride_chains_match_duckdb(spark, idcorpus, iduck):
+    """mixture_resample replica/keep chain and stride_interleave positions
+    agree row-for-row on adversarial ids, including the colon-bearing id
+    whose (id, rep) concat must not alias another id's chain."""
+    from grenier_spark.operators.ordering import (stride_interleave,
+                                                  stride_interleave_sql)
+    from grenier_spark.operators.splits import (mixture_resample,
+                                                mixture_resample_sql)
+
+    W = {"s0": 1.5, "s1": 0.5}
+    df = spark.createDataFrame(idcorpus,
+                               "doc_id string, source string, w long")
+    got = (mixture_resample(df, W, seed=7)
+           .select("doc_id", "rep").toPandas())
+    exp = iduck.execute(mixture_resample_sql(
+        "SELECT doc_id, source FROM iddocs", W, seed=7,
+        cols="doc_id, rep")).df()
+    _cmp(got, exp, ["doc_id", "rep"])
+    n0 = len(idcorpus[idcorpus.source == "s0"])
+    assert len(got[got.rep == 0]) >= n0  # every s0 doc keeps replica 0
+
+    SW = {"s0": 1.0, "s1": 2.5}
+    sgot = (stride_interleave(df, SW, seed=13)
+            .select("doc_id", "pos").toPandas())
+    sexp = iduck.execute(stride_interleave_sql(
+        "SELECT doc_id, source FROM iddocs", SW, seed=13,
+        cols="doc_id")).df()
+    _cmp(sgot, sexp, ["doc_id"])
+    assert sgot.pos.is_unique
+
+
 def test_segment_rows_match_duckdb(spark, corpus, duck):
     """Boilerplate segmentation (8-word windows, ragged tail) agrees on
     adversarial texts; NULL text yields no rows on both engines."""
