@@ -1543,6 +1543,17 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scores (Wenzek et al. 2020 §3.3 with the
+    corpus's own unigram distribution standing in for KenLM): per-doc mean
+    ln p(w) over a top-256 vocabulary with an ln(1/N) OOV floor. One
+    vocab-scale count shuffle + bounded top-K broadcast + doc-local mean —
+    full row-level oracle (textstats.unigram_lm_scores_sql)."""
+    from grenier_spark.operators.textstats import unigram_lm_scores
+
+    return unigram_lm_scores(_t(spark, sf_dir, "documents"), vocab_k=256)
+
+
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination sweep: docs sharing any 4-word shingle
     with the held-out eval slice (doc_id % 25 == 0 — the planted near-dup
@@ -1673,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_spectrum": q_token_freq_spectrum,
         "source_token_overlap": q_source_token_overlap,
         "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_lm_scores": q_doc_lm_scores,
         "benchmark_contamination": q_benchmark_contamination,
         "fuzzy_contamination": q_fuzzy_contamination,
         "embedding_label_confusion": q_embedding_label_confusion,
@@ -1754,6 +1766,14 @@ def _repetition_oracle() -> str:
 
     return repetition_stats_sql(
         "SELECT doc_id::BIGINT AS doc_id, text FROM documents")
+
+
+def _lm_scores_oracle() -> str:
+    from grenier_spark.operators.textstats import unigram_lm_scores_sql
+
+    return unigram_lm_scores_sql(
+        "SELECT doc_id::BIGINT AS doc_id, text FROM documents",
+        vocab_k=256)
 
 
 def _contamination_oracle() -> str:
@@ -2209,6 +2229,7 @@ FROM documents""",
                 "k", 12, group_cols=["source"]) + ")"),
         "source_token_overlap": _source_overlap_oracle(),
         "doc_repetition_stats": _repetition_oracle(),
+        "doc_lm_scores": _lm_scores_oracle(),
         "benchmark_contamination": _contamination_oracle(),
         "fuzzy_contamination": fuzzy_contamination_sql(
             "SELECT doc_id::BIGINT AS doc_id, text FROM documents "

@@ -230,6 +230,89 @@ def token_freq_spectrum(df, tokens_col: str = "tokens",
                  F.sum("c").cast("long").alias("n_occurrences")))
 
 
+def unigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
+                      vocab_k: int = 50_000):
+    """CCNet-family LM quality filter (Wenzek et al. 2020 §3.3), with the
+    KenLM 5-gram model replaced by the corpus's OWN unigram distribution —
+    the deterministic, dependency-free proxy: per doc,
+    ``mean_logp = mean over words of ln(p(w))`` where ``p(w) = c_w / N``
+    over the whole corpus; words outside the top-``vocab_k`` vocabulary
+    take the floor ``ln(1 / N)`` (add-one-style OOV mass). Low
+    ``mean_logp`` = rare/garbled vocabulary; high = common-word text.
+    Filtering on quantiles of this score is the standard perplexity-bucket
+    corpus split.
+
+    Shape at 100 TB: ONE vocab-scale count shuffle (map-side combined —
+    identical to :func:`token_freq_spectrum`, the inherent word-count
+    exchange), then a bounded TakeOrdered top-K (per-partition top-K, K
+    rows through the driver — numpy computes the log-probs so no JVM
+    ``ln`` enters the oracle contract), broadcast back as a K-row join to
+    the exploded words, and a doc-local mean whose partial aggregation
+    absorbs the token fan-out map-side (the shuffle carries ~n_docs rows,
+    not n_tokens). Ranking ties at the K boundary break on md5 hex of the
+    word — ASCII, so Spark (UTF-16) and DuckDB (UTF-8 binary) order them
+    identically even when the words themselves are astral-plane unicode.
+
+    Returns (id, n_words, mean_logp round-6); zero-word docs are dropped
+    (no explode rows) on both engines, NULL text likewise.
+    """
+    import numpy as np
+
+    if vocab_k < 1:
+        # k=0 would silently degrade every word to the OOV floor
+        raise ValueError("vocab_k must be >= 1")
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    tok = df.select(id_col, F.explode(words).alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    top = (counts.orderBy(F.desc("c"), F.md5("w").asc())
+           .limit(vocab_k).toPandas())
+    n_total = int(tok.count())
+    spark = df.sparkSession
+    if n_total == 0:
+        # zero-word corpus: ln(1/N) is undefined and the oracle emits no
+        # rows either — return the empty frame with the contract schema
+        id_t = df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{id_col} {id_t}, n_words long, mean_logp double")
+    # numpy ln == DuckDB ln (same libm): the literals Spark joins against
+    # are bit-identical to what the oracle recomputes in SQL
+    top["lp"] = np.log(top["c"].to_numpy(dtype=np.float64) / float(n_total))
+    oov_lp = float(np.log(1.0 / float(n_total)))
+    vocab = F.broadcast(spark.createDataFrame(top[["w", "lp"]],
+                                              "w string, lp double"))
+    return (tok.join(vocab, "w", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.round(F.avg(F.coalesce(F.col("lp"), F.lit(oov_lp))), 6)
+                 .alias("mean_logp")))
+
+
+def unigram_lm_scores_sql(table_sql: str, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          vocab_k: int = 50_000) -> str:
+    """DuckDB twin of :func:`unigram_lm_scores`: same filtered word split,
+    same (count DESC, md5 hex ASC) top-K vocabulary, same ``ln(c/N)`` /
+    ``ln(1/N)`` doubles (DuckDB's libm == numpy's), same round-6 mean."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id,
+         unnest(list_filter(string_split({text_col}, ' '), x -> x <> ''))
+           AS w
+  FROM ({table_sql})),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM tok),
+vocab AS (
+  SELECT w, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1
+  ORDER BY c DESC, md5(w) ASC LIMIT {vocab_k}),
+logp AS (
+  SELECT w, ln(c::DOUBLE / (SELECT n FROM tot)::DOUBLE) AS lp FROM vocab)
+SELECT t.id AS {id_col}, COUNT(*)::BIGINT AS n_words,
+       round(AVG(COALESCE(l.lp,
+                          ln(1.0 / (SELECT n FROM tot)::DOUBLE))), 6)
+         AS mean_logp
+FROM tok t LEFT JOIN logp l USING (w)
+GROUP BY 1"""
+
+
 def token_freq_spectrum_sql(token_rows_sql: str,
                             group_col: "str | None" = None) -> str:
     """DuckDB twin of :func:`token_freq_spectrum`. ``token_rows_sql``

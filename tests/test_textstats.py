@@ -1,0 +1,67 @@
+"""Unit semantics for textstats.unigram_lm_scores (the CCNet-style
+unigram-LM quality filter). Cross-engine parity is locked by the
+doc_lm_scores oracle gate; these tests pin the MODEL itself: exact
+log-prob arithmetic, the OOV floor, vocabulary truncation, degenerate
+corpora, and the filter-ordering property the score exists for."""
+
+import math
+
+import pytest
+
+from grenier_spark.operators.textstats import unigram_lm_scores
+
+
+def _scores(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = unigram_lm_scores(df, **kw).toPandas()
+    return {int(r.doc_id): (int(r.n_words), float(r.mean_logp))
+            for r in out.itertuples()}
+
+
+def test_known_answer_exact(spark):
+    # corpus tokens: a a b | a c  ->  N=5, c_a=3, c_b=c_c=1
+    got = _scores(spark, [(0, "a a b"), (1, "a c")])
+    la, l1 = math.log(3 / 5), math.log(1 / 5)
+    assert got[0] == (3, round((2 * la + l1) / 3, 6))
+    assert got[1] == (2, round((la + l1) / 2, 6))
+
+
+def test_oov_floor_applies_outside_top_k(spark):
+    # vocab_k=1 keeps only 'a' (count 3); b and c fall to ln(1/N)
+    got = _scores(spark, [(0, "a a b"), (1, "a c")], vocab_k=1)
+    la, floor = math.log(3 / 5), math.log(1 / 5)
+    assert got[0] == (3, round((2 * la + floor) / 3, 6))
+    assert got[1] == (2, round((la + floor) / 2, 6))
+    # here the floor equals the true singleton prob, so scores coincide
+    # with the untruncated model — assert the k=1 path really truncated
+    # by making the floor DIFFER: duplicate c so c_c=2 > the floor's 1
+    got2 = _scores(spark, [(0, "a a b"), (1, "a c c")], vocab_k=1)
+    la2, floor2 = math.log(3 / 6), math.log(1 / 6)
+    assert got2[1] == (3, round((la2 + 2 * floor2) / 3, 6))
+
+
+def test_common_vocab_scores_above_rare(spark):
+    rows = ([(i, "the quick brown fox jumps") for i in range(8)]
+            + [(100, "the quick brown fox jumps"),
+               (101, "zxqj vvkw pplo qqrt mmnb")])  # all-singleton doc
+    got = _scores(spark, rows)
+    assert got[100][1] > got[101][1]
+
+
+def test_degenerate_corpora(spark):
+    # zero-word and NULL docs are dropped; all-degenerate corpus -> empty
+    got = _scores(spark, [(0, "a b"), (1, ""), (2, "   "), (3, None)])
+    assert set(got) == {0}
+    empty = unigram_lm_scores(
+        spark.createDataFrame([(1, ""), (2, None)],
+                              "doc_id long, text string"))
+    pdf = empty.toPandas()
+    assert len(pdf) == 0
+    assert list(pdf.columns) == ["doc_id", "n_words", "mean_logp"]
+
+
+def test_vocab_k_must_bound_broadcast(spark):
+    with pytest.raises(ValueError):
+        unigram_lm_scores(
+            spark.createDataFrame([(0, "a")], "doc_id long, text string"),
+            vocab_k=0)
