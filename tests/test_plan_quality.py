@@ -269,3 +269,20 @@ def test_label_confusion_never_shuffles_vectors(spark):
     for ln in plan.splitlines():
         if "Exchange" in ln and "Reused" not in ln:
             assert "embedding" not in ln, ln
+
+
+def test_lm_scores_vocab_join_broadcasts(spark):
+    """doc_lm_scores: the K-row vocabulary must BroadcastHashJoin against
+    the exploded words (a SortMergeJoin would shuffle token-scale rows
+    against a bounded vocab at web scale), and the doc-level mean must
+    carry partial aggregation (HashAggregate below the Exchange) so the
+    final shuffle is doc-scale, not token-scale."""
+    plan = plan_of(entry_mod.q_doc_lm_scores(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    lines = plan.splitlines()
+    ex = [i for i, ln in enumerate(lines)
+          if "Exchange" in ln and "Reused" not in ln and "Broadcast" not in ln]
+    assert ex, plan
+    # partial_avg/partial_count must appear BELOW the topmost row Exchange
+    assert any("partial" in ln for ln in lines[min(ex):]), plan
