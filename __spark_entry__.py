@@ -1543,6 +1543,31 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2022 ExactSubstr at word
+    granularity, dedup.duplicated_span_stats): per-doc maximal spans of
+    6-word windows occurring >= 2x anywhere in the corpus. Planted
+    structure: 5 exact copies (whole-doc spans) + a frankendoc copying two
+    DISJOINT regions of the lowest >= 80-word doc around a unique
+    separator (must yield 2 spans, not 1). FULL row-level oracle
+    (dedup.duplicated_span_stats_sql)."""
+    from grenier_spark.operators.dedup import duplicated_span_stats
+
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    base = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    words.alias("w"))
+            .where(F.size("w") >= 80).orderBy("doc_id").limit(1))
+    frank = base.select(
+        F.lit(20_000_000).cast("long").alias("doc_id"),
+        F.concat_ws(" ",
+                    F.concat_ws(" ", F.slice("w", 1, 25)),
+                    F.lit("qqspanbreak1 qqspanbreak2 qqspanbreak3"),
+                    F.concat_ws(" ", F.slice("w", 40, 26))).alias("text"))
+    return duplicated_span_stats(docs.unionByName(frank), k=6)
+
+
 def q_doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scores (Wenzek et al. 2020 §3.3 with the
     corpus's own unigram distribution standing in for KenLM): per-doc mean
@@ -1685,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_overlap": q_source_token_overlap,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_lm_scores": q_doc_lm_scores,
+        "dup_span_stats": q_dup_span_stats,
         "benchmark_contamination": q_benchmark_contamination,
         "fuzzy_contamination": q_fuzzy_contamination,
         "embedding_label_confusion": q_embedding_label_confusion,
@@ -1766,6 +1792,28 @@ def _repetition_oracle() -> str:
 
     return repetition_stats_sql(
         "SELECT doc_id::BIGINT AS doc_id, text FROM documents")
+
+
+def _dup_span_oracle() -> str:
+    from grenier_spark.operators.dedup import duplicated_span_stats_sql
+
+    corpus = """
+SELECT doc_id::BIGINT AS doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 10000000 AS doc_id, text FROM (
+  SELECT doc_id::BIGINT AS doc_id, text FROM documents
+  ORDER BY doc_id LIMIT 5)
+UNION ALL
+SELECT 20000000::BIGINT AS doc_id,
+       array_to_string(list_slice(w, 1, 25), ' ')
+       || ' qqspanbreak1 qqspanbreak2 qqspanbreak3 '
+       || array_to_string(list_slice(w, 40, 65), ' ') AS text
+FROM (SELECT w FROM (
+        SELECT doc_id::BIGINT AS doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents)
+      WHERE len(w) >= 80 ORDER BY doc_id LIMIT 1)"""
+    return duplicated_span_stats_sql(corpus, k=6)
 
 
 def _lm_scores_oracle() -> str:
@@ -2230,6 +2278,7 @@ FROM documents""",
         "source_token_overlap": _source_overlap_oracle(),
         "doc_repetition_stats": _repetition_oracle(),
         "doc_lm_scores": _lm_scores_oracle(),
+        "dup_span_stats": _dup_span_oracle(),
         "benchmark_contamination": _contamination_oracle(),
         "fuzzy_contamination": fuzzy_contamination_sql(
             "SELECT doc_id::BIGINT AS doc_id, text FROM documents "

@@ -795,3 +795,130 @@ def incremental_ingest_dedup(existing: DataFrame, new: DataFrame,
                   "_chash", "left")
             .withColumn("is_new", F.col("_hit").isNull())
             .drop("_ckey", "_chash", "_maybe", "_hit"))
+
+
+# -- exact substring-span dedup (Lee et al. 2022) ----------------------------
+
+def positional_shingle_rows(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """(id, n_words, n_windows, pos, sh): md5 hex of EVERY k-word window at
+    1-based word position ``pos`` — the positional variant of
+    :func:`decontam.word_shingle_hashes` (no ``array_distinct``: positions
+    and within-doc repeats are the point). Docs with fewer than ``k``
+    words (or NULL text) emit no rows. Pure JVM array expressions in the
+    scan stage."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = (df.select(id_col, words.alias("_w"))
+            .where(F.size("_w") >= k))
+    n_sh = F.size("_w") - k + 1
+    sh = F.transform(F.sequence(F.lit(1), n_sh),
+                     lambda i: F.md5(F.concat_ws(" ", F.slice("_w", i, k))))
+    return (base.select(id_col,
+                        F.size("_w").cast("long").alias("n_words"),
+                        n_sh.cast("long").alias("n_windows"),
+                        F.posexplode(sh).alias("_p", "sh"))
+            .select(id_col, "n_words", "n_windows",
+                    (F.col("_p") + 1).cast("long").alias("pos"), "sh"))
+
+
+def duplicated_span_stats(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8,
+                          min_count: int = 2) -> DataFrame:
+    """Exact substring-span dedup report (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr family at
+    word granularity): per doc, the maximal word spans covered by k-word
+    windows that occur >= ``min_count`` times ANYWHERE in the corpus
+    (across docs or within one doc — both are duplication).
+
+    Returns one row per doc that has at least one duplicated window:
+    (id, n_words, n_windows, n_dup_windows, n_spans, dup_words,
+    dup_word_frac) where ``dup_words`` is the total word count of the
+    merged spans (windows at positions p < p' merge iff p' <= p + k —
+    overlapping or exactly adjacent duplicated text is one span) and
+    ``dup_word_frac = dup_words / n_words`` (round 6). Feed a removal pass
+    by joining span boundaries back, or filter docs on ``dup_word_frac``.
+
+    Scale shape at 100 TB: the reference method builds a single-machine
+    suffix array; the distributed shape is (1) positional window hashes as
+    scan-stage JVM expressions, (2) the window-count groupBy — a
+    shingle-scale exchange that map-side combine reduces to one row per
+    distinct window hash per partition; this is the inherent cost of EXACT
+    substring dedup, the same class as the corpus word-count — (3) an
+    inner join of occurrence rows against the ``>= min_count`` hash set
+    (usually a tiny fraction of distinct windows: duplicated text is the
+    exception, which is why the join side is counts-filtered FIRST), and
+    (4) doc-local window/island aggregation (one Exchange on id, both
+    window specs share it). No driver-side state at any size.
+    """
+    occ = positional_shingle_rows(df, text_col, id_col, k)
+    dup = (occ.groupBy("sh").agg(F.count(F.lit(1)).alias("_c"))
+           .where(F.col("_c") >= min_count)
+           .select("sh"))
+    rows = occ.join(dup, "sh")  # inner: only duplicated windows survive
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.lag("pos").over(w_doc).isNull()
+                 | (F.col("pos") - F.lag("pos").over(w_doc) > k),
+                 F.lit(1)).otherwise(F.lit(0))
+    islands = (rows.withColumn("_brk", brk)
+               .withColumn("_island",
+                           F.sum("_brk").over(
+                               w_doc.rowsBetween(Window.unboundedPreceding,
+                                                 Window.currentRow))))
+    spans = (islands.groupBy(id_col, "n_words", "n_windows", "_island")
+             .agg(F.count(F.lit(1)).alias("_win_in_island"),
+                  F.min("pos").alias("_s"),
+                  (F.max("pos") + F.lit(k - 1)).alias("_e")))
+    return (spans.groupBy(id_col, "n_words", "n_windows")
+            .agg(F.sum("_win_in_island").cast("long")
+                 .alias("n_dup_windows"),
+                 F.count(F.lit(1)).cast("long").alias("n_spans"),
+                 F.sum(F.col("_e") - F.col("_s") + 1).cast("long")
+                 .alias("dup_words"))
+            .withColumn("dup_word_frac",
+                        F.round(F.col("dup_words") / F.col("n_words"), 6)))
+
+
+def duplicated_span_stats_sql(table_sql: str, text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 8,
+                              min_count: int = 2) -> str:
+    """DuckDB twin of :func:`duplicated_span_stats`: same filtered word
+    split, same md5-of-joined-window hashes (identical strings => identical
+    hex), same >= min_count window set, same lag/sum island merge with the
+    p' <= p + k rule, same BIGINT counts and round-6 fraction."""
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS id,
+         list_filter(string_split({text_col}, ' '), x -> x <> '') AS words
+  FROM ({table_sql})),
+occ AS (
+  SELECT id, len(words)::BIGINT AS n_words,
+         (len(words) - {k} + 1)::BIGINT AS n_windows,
+         pos::BIGINT AS pos,
+         md5(array_to_string(list_slice(words, pos, pos + {k} - 1), ' '))
+           AS sh
+  FROM (SELECT id, words,
+               unnest(range(1, len(words) - {k} + 2)) AS pos
+        FROM w WHERE len(words) >= {k})),
+dup AS (
+  SELECT sh FROM (SELECT sh, COUNT(*)::BIGINT AS c FROM occ GROUP BY 1)
+  WHERE c >= {min_count}),
+rows_ AS (SELECT occ.* FROM occ JOIN dup USING (sh)),
+isl AS (
+  SELECT id, n_words, n_windows, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {k} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM (SELECT *, lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+        FROM rows_)),
+sp AS (
+  SELECT id, n_words, n_windows, island,
+         COUNT(*)::BIGINT AS win_in_island,
+         MIN(pos) AS s, MAX(pos) + {k} - 1 AS e
+  FROM isl GROUP BY 1, 2, 3, 4)
+SELECT id AS {id_col}, n_words, n_windows,
+       SUM(win_in_island)::BIGINT AS n_dup_windows,
+       COUNT(*)::BIGINT AS n_spans,
+       SUM(e - s + 1)::BIGINT AS dup_words,
+       round(SUM(e - s + 1) / n_words, 6) AS dup_word_frac
+FROM sp GROUP BY 1, 2, 3"""

@@ -570,3 +570,115 @@ def test_fuzzy_contamination_cross_table(spark, docs_with_plants):
                                hash_buckets=False).toPandas()
     assert {(d, d + 9_000_000) for d in base.doc_id} <= \
         set(zip(out2.doc_id, out2.eval_id))
+
+
+# -- exact substring-span dedup (Lee et al. 2022) ----------------------------
+
+def _brute_span_stats(texts, k, min_count=2):
+    """Pure-python reference for duplicated_span_stats."""
+    from collections import Counter
+
+    docs, cnt = {}, Counter()
+    for i, t in texts.items():
+        if t is None:
+            continue
+        ws = [w for w in t.split(" ") if w != ""]
+        if len(ws) < k:
+            continue
+        wins = [" ".join(ws[p:p + k]) for p in range(len(ws) - k + 1)]
+        docs[i] = (len(ws), wins)
+        cnt.update(wins)
+    out = {}
+    for i, (n_words, wins) in docs.items():
+        dup_pos = [p + 1 for p, s in enumerate(wins) if cnt[s] >= min_count]
+        if not dup_pos:
+            continue
+        spans, start, prev = [], dup_pos[0], dup_pos[0]
+        for p in dup_pos[1:]:
+            if p - prev > k:
+                spans.append((start, prev + k - 1))
+                start = p
+            prev = p
+        spans.append((start, prev + k - 1))
+        dup_words = sum(e - s + 1 for s, e in spans)
+        out[i] = (n_words, len(wins), len(dup_pos), len(spans), dup_words,
+                  round(dup_words / n_words, 6))
+    return out
+
+
+def _span_frame_to_dict(pdf):
+    return {int(r.doc_id): (int(r.n_words), int(r.n_windows),
+                            int(r.n_dup_windows), int(r.n_spans),
+                            int(r.dup_words), float(r.dup_word_frac))
+            for r in pdf.itertuples()}
+
+
+def test_duplicated_spans_match_brute_force_and_duckdb(spark):
+    """Random low-vocab corpus (forced window collisions, within- and
+    cross-doc): Spark == pure-python reference == DuckDB twin, row for
+    row, including island merging of overlapping/adjacent windows."""
+    import duckdb
+    import random
+
+    rng = random.Random(77)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = {i: " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(2, 30)))
+             for i in range(30)}
+    texts[30] = None
+    texts[31] = ""
+    exp = _brute_span_stats(texts, k=3)
+    assert len(exp) >= 10  # the corpus must actually collide
+
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    got = _span_frame_to_dict(
+        dedup.duplicated_span_stats(df, k=3).toPandas())
+    assert got == exp
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(sorted(texts.items()),
+                                      columns=["doc_id", "text"]))
+    duck = _span_frame_to_dict(con.execute(
+        dedup.duplicated_span_stats_sql("SELECT doc_id, text FROM docs",
+                                        k=3)).df())
+    assert duck == exp
+
+
+def test_duplicated_spans_hand_cases(spark):
+    """Known-answer shapes: a full copy (one whole-doc span), a frankendoc
+    whose prefix/suffix copy disjoint regions (two spans, correctly NOT
+    merged across the unique separator), and within-doc repetition."""
+    a = " ".join(f"w{i}" for i in range(1, 21))          # w1..w20, unique
+    texts = {
+        0: a,
+        1: a,                                            # full copy of 0
+        2: " ".join(f"w{i}" for i in range(1, 6))        # w1..w5 (prefix)
+           + " qq1 qq2 "                                 # unique separator
+           + " ".join(f"w{i}" for i in range(12, 19)),   # w12..w18 (middle)
+        3: "r1 r2 r3 r1 r2 r3 r1 r2 r3",                 # within-doc repeat
+    }
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    got = _span_frame_to_dict(
+        dedup.duplicated_span_stats(df, k=3).toPandas())
+    assert got == _brute_span_stats(texts, k=3)
+    # docs 0/1: every window duplicated -> ONE span covering all 20 words
+    assert got[0] == (20, 18, 18, 1, 20, 1.0)
+    assert got[0] == got[1]
+    # doc 2: two disjoint copied regions -> exactly 2 spans
+    assert got[2][3] == 2
+    # doc 3: self-repetition alone marks it duplicated, one merged span
+    assert got[3][3] == 1 and got[3][4] == 9
+
+
+def test_duplicated_spans_min_count_and_short_docs(spark):
+    texts = {0: "a b c d", 1: "a b c d", 2: "a b c d", 3: "x y"}
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    # min_count=4 > the 3 copies -> nothing is duplicated
+    assert dedup.duplicated_span_stats(df, k=3, min_count=4).count() == 0
+    # min_count=3 -> all three copies report; the 2-word doc never appears
+    got = _span_frame_to_dict(
+        dedup.duplicated_span_stats(df, k=3, min_count=3).toPandas())
+    assert set(got) == {0, 1, 2}
