@@ -306,3 +306,21 @@ def test_segment_rows_match_duckdb(spark, corpus, duck):
     exp = duck.execute(sql).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got.id.nunique() == len(ADVERSARIAL)  # every non-NULL doc segments
+
+
+def test_duplicated_spans_match_duckdb_adversarial(spark, corpus, duck):
+    """The substring-span chain (positional window md5, >= 2 count set,
+    island merge) agrees on adversarial texts — the 50x 'repeat' doc is
+    one wall-to-wall span on both engines; empty/NULL/short docs vanish."""
+    from grenier_spark.operators.dedup import (duplicated_span_stats,
+                                               duplicated_span_stats_sql)
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = (duplicated_span_stats(df, k=2).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = duck.execute(
+        "SELECT * FROM (" + duplicated_span_stats_sql(
+            "SELECT doc_id, text FROM docs", k=2) + ") ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    rep = got[got.doc_id == 14]
+    assert len(rep) == 1 and rep.dup_word_frac.iloc[0] == 1.0

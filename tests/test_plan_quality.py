@@ -286,3 +286,21 @@ def test_lm_scores_vocab_join_broadcasts(spark):
     assert ex, plan
     # partial_avg/partial_count must appear BELOW the topmost row Exchange
     assert any("partial" in ln for ln in lines[min(ex):]), plan
+
+
+def test_dup_span_stats_plan_shape(spark):
+    """dup_span_stats: the window-count aggregate must combine map-side
+    (partial_count below the shingle exchange), there must be no cartesian
+    or broadcast-nested-loop join, and the two island window functions
+    must share ONE doc-keyed Exchange (id partitioning reused, not
+    re-shuffled per window spec)."""
+    plan = plan_of(entry_mod.q_dup_span_stats(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+    n_win = plan.count("Window")
+    doc_ex = [ln for ln in plan.splitlines()
+              if "Exchange hashpartitioning(doc_id" in ln
+              and "Reused" not in ln]
+    assert n_win >= 2, plan
+    assert len(doc_ex) <= 1, plan
