@@ -1543,16 +1543,11 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
-def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring-span dedup (Lee et al. 2022 ExactSubstr at word
-    granularity, dedup.duplicated_span_stats): per-doc maximal spans of
-    6-word windows occurring >= 2x anywhere in the corpus. Planted
-    structure: 5 exact copies (whole-doc spans) + a frankendoc copying two
-    DISJOINT regions of the lowest >= 80-word doc around a unique
-    separator (must yield 2 spans, not 1). FULL row-level oracle
-    (dedup.duplicated_span_stats_sql)."""
-    from grenier_spark.operators.dedup import duplicated_span_stats
-
+def _span_gate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + 5 planted exact copies (whole-doc spans) + a frankendoc
+    copying two DISJOINT regions of the lowest >= 80-word doc around a
+    unique separator (must yield 2 spans, not 1). Twin SQL:
+    :func:`_span_gate_corpus_sql`."""
     docs = _docs_with_planted_dups(spark, sf_dir)
     words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     base = (_t(spark, sf_dir, "documents")
@@ -1565,7 +1560,50 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws(" ", F.slice("w", 1, 25)),
                     F.lit("qqspanbreak1 qqspanbreak2 qqspanbreak3"),
                     F.concat_ws(" ", F.slice("w", 40, 26))).alias("text"))
-    return duplicated_span_stats(docs.unionByName(frank), k=6)
+    return docs.unionByName(frank)
+
+
+_SPAN_GATE_CORPUS_SQL = """
+SELECT doc_id::BIGINT AS doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 10000000 AS doc_id, text FROM (
+  SELECT doc_id::BIGINT AS doc_id, text FROM documents
+  ORDER BY doc_id LIMIT 5)
+UNION ALL
+SELECT 20000000::BIGINT AS doc_id,
+       array_to_string(list_slice(w, 1, 25), ' ')
+       || ' qqspanbreak1 qqspanbreak2 qqspanbreak3 '
+       || array_to_string(list_slice(w, 40, 65), ' ') AS text
+FROM (SELECT w FROM (
+        SELECT doc_id::BIGINT AS doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents)
+      WHERE len(w) >= 80 ORDER BY doc_id LIMIT 1)"""
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2022 ExactSubstr at word
+    granularity, dedup.duplicated_span_stats): per-doc maximal spans of
+    6-word windows occurring >= 2x anywhere in the corpus, over the
+    planted span corpus (:func:`_span_gate_corpus`). FULL row-level oracle
+    (dedup.duplicated_span_stats_sql)."""
+    from grenier_spark.operators.dedup import duplicated_span_stats
+
+    return duplicated_span_stats(_span_gate_corpus(spark, sf_dir), k=6)
+
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact substring dedup (Lee et al. 2022 §3.2,
+    dedup.remove_dup_spans): canonical-first span deletion over the same
+    planted corpus as dup_span_stats — the 5 full copies must gut to ''
+    and the frankendoc must lose exactly its two copied regions. Cleaned
+    text is byte-gated via md5. FULL row-level oracle
+    (dedup.remove_dup_spans_sql)."""
+    from grenier_spark.operators.dedup import remove_dup_spans
+
+    out = remove_dup_spans(_span_gate_corpus(spark, sf_dir), k=6)
+    return out.select("doc_id", "n_words", "n_removed_words",
+                      F.md5("cleaned").alias("cleaned_md5"))
 
 
 def q_doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1711,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_lm_scores": q_doc_lm_scores,
         "dup_span_stats": q_dup_span_stats,
+        "dup_span_removal": q_dup_span_removal,
         "benchmark_contamination": q_benchmark_contamination,
         "fuzzy_contamination": q_fuzzy_contamination,
         "embedding_label_confusion": q_embedding_label_confusion,
@@ -1797,23 +1836,15 @@ def _repetition_oracle() -> str:
 def _dup_span_oracle() -> str:
     from grenier_spark.operators.dedup import duplicated_span_stats_sql
 
-    corpus = """
-SELECT doc_id::BIGINT AS doc_id, text FROM documents
-UNION ALL
-SELECT doc_id + 10000000 AS doc_id, text FROM (
-  SELECT doc_id::BIGINT AS doc_id, text FROM documents
-  ORDER BY doc_id LIMIT 5)
-UNION ALL
-SELECT 20000000::BIGINT AS doc_id,
-       array_to_string(list_slice(w, 1, 25), ' ')
-       || ' qqspanbreak1 qqspanbreak2 qqspanbreak3 '
-       || array_to_string(list_slice(w, 40, 65), ' ') AS text
-FROM (SELECT w FROM (
-        SELECT doc_id::BIGINT AS doc_id,
-               list_filter(string_split(text, ' '), x -> x <> '') AS w
-        FROM documents)
-      WHERE len(w) >= 80 ORDER BY doc_id LIMIT 1)"""
-    return duplicated_span_stats_sql(corpus, k=6)
+    return duplicated_span_stats_sql(_SPAN_GATE_CORPUS_SQL, k=6)
+
+
+def _dup_span_removal_oracle() -> str:
+    from grenier_spark.operators.dedup import remove_dup_spans_sql
+
+    return ("SELECT doc_id, n_words, n_removed_words, "
+            "md5(cleaned) AS cleaned_md5 FROM ("
+            + remove_dup_spans_sql(_SPAN_GATE_CORPUS_SQL, k=6) + ")")
 
 
 def _lm_scores_oracle() -> str:
@@ -2279,6 +2310,7 @@ FROM documents""",
         "doc_repetition_stats": _repetition_oracle(),
         "doc_lm_scores": _lm_scores_oracle(),
         "dup_span_stats": _dup_span_oracle(),
+        "dup_span_removal": _dup_span_removal_oracle(),
         "benchmark_contamination": _contamination_oracle(),
         "fuzzy_contamination": fuzzy_contamination_sql(
             "SELECT doc_id::BIGINT AS doc_id, text FROM documents "

@@ -821,6 +821,28 @@ def positional_shingle_rows(df: DataFrame, text_col: str = "text",
                     (F.col("_p") + 1).cast("long").alias("pos"), "sh"))
 
 
+def _merged_window_spans(rows: DataFrame, id_col: str, k: int,
+                         carry: "list[str]") -> DataFrame:
+    """Merge duplicated k-word window positions into maximal spans: windows
+    at p < p' coalesce iff p' <= p + k (overlap or exact adjacency). Input
+    rows are (id, pos, *carry); output one row per span —
+    (id, *carry, _win_in_island, _s, _e). Doc-local: one Exchange on id,
+    shared by the lag and running-sum window specs."""
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.lag("pos").over(w_doc).isNull()
+                 | (F.col("pos") - F.lag("pos").over(w_doc) > k),
+                 F.lit(1)).otherwise(F.lit(0))
+    islands = (rows.withColumn("_brk", brk)
+               .withColumn("_island",
+                           F.sum("_brk").over(
+                               w_doc.rowsBetween(Window.unboundedPreceding,
+                                                 Window.currentRow))))
+    return (islands.groupBy(id_col, *carry, "_island")
+            .agg(F.count(F.lit(1)).alias("_win_in_island"),
+                 F.min("pos").alias("_s"),
+                 (F.max("pos") + F.lit(k - 1)).alias("_e")))
+
+
 def duplicated_span_stats(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 8,
                           min_count: int = 2) -> DataFrame:
@@ -855,19 +877,8 @@ def duplicated_span_stats(df: DataFrame, text_col: str = "text",
            .where(F.col("_c") >= min_count)
            .select("sh"))
     rows = occ.join(dup, "sh")  # inner: only duplicated windows survive
-    w_doc = Window.partitionBy(id_col).orderBy("pos")
-    brk = F.when(F.lag("pos").over(w_doc).isNull()
-                 | (F.col("pos") - F.lag("pos").over(w_doc) > k),
-                 F.lit(1)).otherwise(F.lit(0))
-    islands = (rows.withColumn("_brk", brk)
-               .withColumn("_island",
-                           F.sum("_brk").over(
-                               w_doc.rowsBetween(Window.unboundedPreceding,
-                                                 Window.currentRow))))
-    spans = (islands.groupBy(id_col, "n_words", "n_windows", "_island")
-             .agg(F.count(F.lit(1)).alias("_win_in_island"),
-                  F.min("pos").alias("_s"),
-                  (F.max("pos") + F.lit(k - 1)).alias("_e")))
+    spans = _merged_window_spans(rows, id_col, k,
+                                 carry=["n_words", "n_windows"])
     return (spans.groupBy(id_col, "n_words", "n_windows")
             .agg(F.sum("_win_in_island").cast("long")
                  .alias("n_dup_windows"),
@@ -922,3 +933,117 @@ SELECT id AS {id_col}, n_words, n_windows,
        SUM(e - s + 1)::BIGINT AS dup_words,
        round(SUM(e - s + 1) / n_words, 6) AS dup_word_frac
 FROM sp GROUP BY 1, 2, 3"""
+
+
+def remove_dup_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 8,
+                     min_count: int = 2) -> DataFrame:
+    """The removal half of exact substring-span dedup (Lee et al. 2022
+    §3.2: "remove all but one occurrence"): for every k-word window
+    duplicated >= ``min_count`` times corpus-wide, the occurrence with the
+    LOWEST (id, pos) is canonical and survives; every other occurrence is
+    redundant. Redundant windows merge into maximal spans (the
+    p' <= p + k rule of :func:`duplicated_span_stats`), and the span's
+    words are deleted from the doc.
+
+    Returns ONLY the modified docs: (id, n_words, n_removed_words,
+    cleaned) where ``cleaned`` is the surviving words re-joined with
+    single spaces (the same whitespace-normalizing reassembly contract as
+    ``boilerplate.remove_boilerplate``). Docs with no redundant span are
+    absent — the caller left-joins and coalesces to the original text, so
+    untouched docs keep their exact bytes. A doc that is one wall-to-wall
+    redundant span comes back with ``cleaned = ''``.
+
+    Word-granular caveat (documented, matches the reference's own
+    imperfect-boundary stance): a redundant span may share words with a
+    canonical occurrence of a DIFFERENT window in the same doc; the span
+    is removed whole. Canonical-occurrence ranking orders by (id, pos) —
+    ids should be numeric or ASCII (a non-BMP string id would rank
+    differently under Spark's UTF-16 vs DuckDB's UTF-8 collation).
+
+    Scale shape: the window-rank pass is ONE Exchange on the window hash
+    (two window specs — rank and per-hash count — share it); only
+    redundant rows (the duplication tail) reach the doc-local island
+    merge; reassembly joins span arrays back to the doc frame at doc
+    scale. The corpus text never shuffles — the only text-bearing join is
+    broadcast-free but doc-keyed, and Catalyst prunes it to (id, words).
+    """
+    occ = positional_shingle_rows(df, text_col, id_col, k)
+    w_sh = Window.partitionBy("sh").orderBy(id_col, "pos")
+    w_sh_all = Window.partitionBy("sh")
+    redundant = (occ
+                 .withColumn("_rn", F.row_number().over(w_sh))
+                 .withColumn("_c", F.count(F.lit(1)).over(w_sh_all))
+                 .where((F.col("_c") >= min_count) & (F.col("_rn") >= 2))
+                 .select(id_col, "n_words", "pos"))
+    spans = _merged_window_spans(redundant, id_col, k, carry=["n_words"])
+    per_doc = (spans.groupBy(id_col, "n_words")
+               .agg(F.collect_list(F.struct("_s", "_e")).alias("_spans"),
+                    F.sum(F.col("_e") - F.col("_s") + 1).cast("long")
+                    .alias("n_removed_words")))
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    docs = df.select(id_col, words.alias("_w"))
+    covered = F.array_distinct(F.flatten(F.transform(
+        "_spans", lambda sp: F.sequence(sp["_s"], sp["_e"]))))
+    joined = per_doc.join(docs, id_col)  # doc-scale inner join
+    return (joined
+            .withColumn("_cov", covered)
+            .select(id_col,
+                    F.col("n_words").cast("long").alias("n_words"),
+                    "n_removed_words",
+                    F.concat_ws(" ", F.filter(
+                        "_w",
+                        lambda w, i: ~F.array_contains(
+                            "_cov", (i + 1).cast("long"))))
+                    .alias("cleaned")))
+
+
+def remove_dup_spans_sql(table_sql: str, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 8,
+                         min_count: int = 2) -> str:
+    """DuckDB twin of :func:`remove_dup_spans`: same window hashes, same
+    (id, pos) canonical rank, same island merge, same covered-position
+    list and single-space reassembly."""
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS id,
+         list_filter(string_split({text_col}, ' '), x -> x <> '') AS words
+  FROM ({table_sql})),
+occ AS (
+  SELECT id, n_words, pos,
+         md5(array_to_string(list_slice(words, pos, pos + {k} - 1), ' '))
+           AS sh
+  FROM (SELECT id, words, len(words)::BIGINT AS n_words,
+               unnest(range(1, len(words) - {k} + 2))::BIGINT AS pos
+        FROM w WHERE len(words) >= {k})),
+red AS (
+  SELECT id, n_words, pos FROM (
+    SELECT *, row_number() OVER (PARTITION BY sh ORDER BY id, pos) AS rn,
+           COUNT(*) OVER (PARTITION BY sh) AS c
+    FROM occ)
+  WHERE c >= {min_count} AND rn >= 2),
+isl AS (
+  SELECT id, n_words, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {k} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM (SELECT *, lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+        FROM red)),
+sp AS (
+  SELECT id, n_words, island, MIN(pos) AS s, MAX(pos) + {k} - 1 AS e
+  FROM isl GROUP BY 1, 2, 3),
+per_doc AS (
+  SELECT id, n_words,
+         flatten(list(range(s, e + 1))) AS cov,
+         SUM(e - s + 1)::BIGINT AS n_removed_words
+  FROM sp GROUP BY 1, 2)
+SELECT p.id AS {id_col}, p.n_words, p.n_removed_words,
+       -- array_to_string([]) is NULL on DuckDB but concat_ws([]) is ''
+       -- on Spark: a wall-to-wall span must clean to '' on both
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(1, len(w.words) + 1),
+                       i -> NOT list_contains(p.cov, i)),
+           i -> w.words[i]), ' '), '') AS cleaned
+FROM per_doc p JOIN w ON p.id = w.id"""

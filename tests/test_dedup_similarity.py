@@ -682,3 +682,96 @@ def test_duplicated_spans_min_count_and_short_docs(spark):
     got = _span_frame_to_dict(
         dedup.duplicated_span_stats(df, k=3, min_count=3).toPandas())
     assert set(got) == {0, 1, 2}
+
+
+def _brute_remove_spans(texts, k, min_count=2):
+    """Pure-python reference for remove_dup_spans (canonical-first)."""
+    from collections import defaultdict
+
+    docs, where = {}, defaultdict(list)
+    for i in sorted(texts):
+        t = texts[i]
+        if t is None:
+            continue
+        ws = [w for w in t.split(" ") if w != ""]
+        if len(ws) < k:
+            continue
+        docs[i] = ws
+        for p in range(len(ws) - k + 1):
+            where[" ".join(ws[p:p + k])].append((i, p + 1))
+    out = {}
+    for i, ws in docs.items():
+        red = sorted(p for p in range(1, len(ws) - k + 2)
+                     if len(occ := where[" ".join(ws[p - 1:p - 1 + k])])
+                     >= min_count and min(occ) < (i, p))
+        if not red:
+            continue
+        spans, start, prev = [], red[0], red[0]
+        for p in red[1:]:
+            if p - prev > k:
+                spans.append((start, prev + k - 1))
+                start = p
+            prev = p
+        spans.append((start, prev + k - 1))
+        cov = {q for s, e in spans for q in range(s, e + 1)}
+        cleaned = " ".join(w for j, w in enumerate(ws, 1) if j not in cov)
+        out[i] = (len(ws), sum(e - s + 1 for s, e in spans), cleaned)
+    return out
+
+
+def test_remove_dup_spans_matches_brute_force_and_duckdb(spark):
+    """Canonical-first removal on a random low-vocab corpus: Spark ==
+    pure-python reference == DuckDB twin (ids kept, removed word counts,
+    reassembled text byte-for-byte)."""
+    import duckdb
+    import random
+
+    rng = random.Random(123)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = {i: " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(2, 25)))
+             for i in range(25)}
+    texts[25] = None
+    exp = _brute_remove_spans(texts, k=3)
+    assert len(exp) >= 8
+
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    pdf = dedup.remove_dup_spans(df, k=3).toPandas()
+    got = {int(r.doc_id): (int(r.n_words), int(r.n_removed_words),
+                           r.cleaned) for r in pdf.itertuples()}
+    assert got == exp
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(sorted(texts.items()),
+                                      columns=["doc_id", "text"]))
+    dpdf = con.execute(dedup.remove_dup_spans_sql(
+        "SELECT doc_id, text FROM docs", k=3)).df()
+    duck = {int(r.doc_id): (int(r.n_words), int(r.n_removed_words),
+                            r.cleaned) for r in dpdf.itertuples()}
+    assert duck == exp
+
+
+def test_remove_dup_spans_hand_cases(spark):
+    """Canonical occurrence survives; copies are gutted; partial copies
+    lose exactly the copied span; self-repetition keeps its first run."""
+    a = " ".join(f"w{i}" for i in range(1, 13))          # w1..w12
+    texts = {
+        0: a,                                            # canonical
+        1: a,                                            # full copy
+        2: "u1 u2 " + " ".join(f"w{i}" for i in range(1, 6)) + " u3 u4",
+        3: "r1 r2 r3 r1 r2 r3",                          # self-repeat, k=3
+    }
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    pdf = dedup.remove_dup_spans(df, k=3).toPandas()
+    got = {int(r.doc_id): (int(r.n_removed_words), r.cleaned)
+           for r in pdf.itertuples()}
+    assert got == {i: (r, c) for i, (_, r, c) in
+                   _brute_remove_spans(texts, k=3).items()}
+    assert 0 not in got                  # canonical doc untouched
+    assert got[1] == (12, "")            # full copy gutted to empty
+    assert got[2] == (5, "u1 u2 u3 u4")  # exactly the copied w1..w5 span
+    # doc 3: windows 1..4; window 4 ('r1 r2 r3') duplicates window 1 ->
+    # span [4, 6] removed, the FIRST run survives
+    assert got[3] == (3, "r1 r2 r3")
