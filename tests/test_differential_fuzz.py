@@ -324,3 +324,22 @@ def test_duplicated_spans_match_duckdb_adversarial(spark, corpus, duck):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     rep = got[got.doc_id == 14]
     assert len(rep) == 1 and rep.dup_word_frac.iloc[0] == 1.0
+
+
+def test_unigram_lm_scores_match_duckdb_adversarial(spark, corpus, duck):
+    """The unigram-LM chain (top-K vocab by (count DESC, md5 ASC), numpy
+    ln p vs DuckDB ln p, OOV floor, round-6 doc mean) agrees on
+    adversarial texts — including a vocab_k small enough that the md5
+    tie-break decides which singleton words enter the vocabulary."""
+    from grenier_spark.operators.textstats import (unigram_lm_scores,
+                                                   unigram_lm_scores_sql)
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = (unigram_lm_scores(df, vocab_k=7).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = duck.execute(
+        "SELECT * FROM (" + unigram_lm_scores_sql(
+            "SELECT doc_id, text FROM docs", vocab_k=7)
+        + ") ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got.doc_id.nunique() >= 14  # empty/NULL/space-only drop out
