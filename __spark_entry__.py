@@ -1617,6 +1617,44 @@ def q_doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_scores(_t(spark, sf_dir, "documents"), vocab_k=256)
 
 
+def q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet §3.3 head/middle/tail perplexity buckets driven by the
+    library's OWN KLL sketch: LM-score every doc (the doc_lm_scores
+    chain), sketch the score distribution (global KLL build), cut at the
+    sketch's 1/3 and 2/3 quantiles, bucket the corpus. Engine-independent
+    gate surface (the heavy_hitter_tokens pattern): per bucket the EXACT
+    round-6 score cuts — DuckDB recomputes the whole LM chain and
+    quantile_cont over the same round-6 scores — plus a Spark-computed
+    ``size_ok`` boolean asserting each bucket holds 1/3 of the corpus
+    within the KLL rank bound + tie margin (DuckDB emits literal TRUE; a
+    sketch regression past the bound flips it and fails hash_match)."""
+    from grenier_spark.operators.textstats import unigram_lm_scores
+
+    qs = [1 / 3, 2 / 3]
+    scores = unigram_lm_scores(_t(spark, sf_dir, "documents"), vocab_k=256)
+    cuts = (build_sketches(scores,
+                           [SketchSpec.of("s", "kll", "mean_logp", k=200)])
+            .select(kll_quantiles_col("sketch", qs).alias("c")))
+    exact = scores.agg(F.percentile(
+        "mean_logp", F.array(*[F.lit(q) for q in qs])).alias("e"))
+    per_bucket = (scores.crossJoin(F.broadcast(cuts))
+                  .select(F.when(F.col("mean_logp") < F.element_at("c", 1),
+                                 "tail")
+                          .when(F.col("mean_logp") < F.element_at("c", 2),
+                                "middle")
+                          .otherwise("head").alias("bucket"))
+                  .groupBy("bucket").agg(F.count(F.lit(1)).alias("_nb")))
+    total = per_bucket.agg(F.sum("_nb").alias("_n"))
+    sizes = per_bucket.crossJoin(F.broadcast(total))
+    return (sizes.crossJoin(F.broadcast(exact))
+            .select("bucket",
+                    F.round(F.element_at("e", 1), 6).alias("cut_lo"),
+                    F.round(F.element_at("e", 2), 6).alias("cut_hi"),
+                    (F.abs(F.col("_nb") / F.col("_n") - 1.0 / 3.0)
+                     <= 0.05).alias("size_ok"))
+            .orderBy("bucket"))
+
+
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination sweep: docs sharing any 4-word shingle
     with the held-out eval slice (doc_id % 25 == 0 — the planted near-dup
@@ -1748,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_overlap": q_source_token_overlap,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_lm_scores": q_doc_lm_scores,
+        "lm_ppl_buckets": q_lm_ppl_buckets,
         "dup_span_stats": q_dup_span_stats,
         "dup_span_removal": q_dup_span_removal,
         "benchmark_contamination": q_benchmark_contamination,
@@ -1853,6 +1892,24 @@ def _lm_scores_oracle() -> str:
     return unigram_lm_scores_sql(
         "SELECT doc_id::BIGINT AS doc_id, text FROM documents",
         vocab_k=256)
+
+
+def _lm_ppl_buckets_oracle() -> str:
+    from grenier_spark.operators.textstats import unigram_lm_scores_sql
+
+    q1, q2 = 1 / 3, 2 / 3
+    return f"""
+WITH scores AS ({unigram_lm_scores_sql(
+        "SELECT doc_id::BIGINT AS doc_id, text FROM documents",
+        vocab_k=256)}),
+cuts AS (
+  SELECT quantile_cont(mean_logp, {q1!r}) AS c1,
+         quantile_cont(mean_logp, {q2!r}) AS c2
+  FROM scores)
+SELECT b.bucket, round(c1, 6) AS cut_lo, round(c2, 6) AS cut_hi,
+       TRUE AS size_ok
+FROM (VALUES ('head'), ('middle'), ('tail')) b(bucket)
+CROSS JOIN cuts"""
 
 
 def _contamination_oracle() -> str:
@@ -2309,6 +2366,7 @@ FROM documents""",
         "source_token_overlap": _source_overlap_oracle(),
         "doc_repetition_stats": _repetition_oracle(),
         "doc_lm_scores": _lm_scores_oracle(),
+        "lm_ppl_buckets": _lm_ppl_buckets_oracle(),
         "dup_span_stats": _dup_span_oracle(),
         "dup_span_removal": _dup_span_removal_oracle(),
         "benchmark_contamination": _contamination_oracle(),
