@@ -187,3 +187,62 @@ def test_fuzzy_vs_exact_decontamination_precision(spark):
     fuzzy = fuzzy_contamination(train, eval_set, tau=0.7).toPandas()
     assert set(zip(fuzzy.doc_id, fuzzy.eval_id)) == {(2, 100)}
     assert (fuzzy.jaccard >= 0.7).all()
+
+
+def test_substring_removal_and_lm_filter_compose(spark):
+    """The round-3 quality stack composes: substring-span removal
+    (canonical-first) -> LM scoring over the CLEANED corpus -> drop the
+    rare-vocab tail. Invariants: the shared banner survives in exactly one
+    doc, untouched docs keep their exact bytes, and every garbled doc
+    lands in the dropped tail."""
+    from grenier_spark.operators.dedup import (duplicated_span_stats,
+                                               remove_dup_spans)
+    from grenier_spark.operators.textstats import unigram_lm_scores
+
+    rng = np.random.default_rng(5)
+    words = ["the", "model", "trains", "tokens", "data", "sample", "batch",
+             "shard", "merge", "sketch"]
+    banner = "subscribe to our newsletter for updates every single day"
+
+    def body(i, n=15):
+        # alternate common words with per-doc unique markers so every
+        # 4-word window holds >= 2 unique tokens: bodies can never
+        # duplicate ACROSS docs, only the planted banner can
+        return " ".join(f"{rng.choice(words)} u{i}x{j}" for j in range(n))
+
+    rows = []
+    for i in range(40):                  # normal docs
+        rows.append((i, body(i)))
+    for i in range(40, 50):              # shared banner + unique body
+        rows.append((i, banner + " " + body(i)))
+    for i in range(50, 55):              # garbled: every word unique
+        rows.append((i, " ".join(f"zx{i}q{j}" for j in range(30))))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    # stage A: span removal; k=4 < banner length so the banner is spanned
+    removed = remove_dup_spans(corpus, k=4)
+    cleaned = (corpus.join(removed.select("doc_id", "cleaned"),
+                           "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce("cleaned", "text").alias("text")))
+    n_banner = (cleaned
+                .where(F.col("text").contains(banner)).count())
+    assert n_banner == 1  # canonical doc 40 keeps it, 41-49 lose it
+    surv = cleaned.join(corpus.withColumnRenamed("text", "orig"), "doc_id")
+    untouched = surv.where(~F.col("doc_id").between(40, 49))
+    assert untouched.where("text <> orig").count() == 0  # exact bytes
+    # re-running the detector on the cleaned corpus finds no duplicated
+    # banner window anymore (each window occurs once corpus-wide)
+    re_stats = duplicated_span_stats(cleaned, k=4).toPandas()
+    assert not re_stats.doc_id.between(41, 49).any()
+
+    # stage B: LM score the cleaned corpus, drop the tail third
+    scores = unigram_lm_scores(cleaned, vocab_k=64)
+    cut = scores.agg(F.percentile("mean_logp", F.lit(1 / 3))).first()[0]
+    kept = scores.where(F.col("mean_logp") >= cut)
+    dropped = set(r.doc_id for r in
+                  scores.where(F.col("mean_logp") < cut)
+                  .select("doc_id").collect())
+    assert set(range(50, 55)) <= dropped  # all garbled docs gone
+    assert kept.count() + len(dropped) == 55
