@@ -343,3 +343,43 @@ def test_unigram_lm_scores_match_duckdb_adversarial(spark, corpus, duck):
         + ") ORDER BY doc_id").df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got.doc_id.nunique() >= 14  # empty/NULL/space-only drop out
+
+
+def test_winnow_fingerprints_match_duckdb_adversarial(spark, corpus, duck):
+    """The winnowing chain (k-CHAR grams -> md5-low64 -> window minima ->
+    distinct+sort) agrees on adversarial texts — in particular CHARACTER
+    indexing: Spark's UTF8String substr/length and DuckDB's substr/length
+    must both count CODE POINTS (not UTF-16 units or bytes) or emoji/CJK
+    docs shear the gram frames apart. Whole fingerprint ARRAYS compared,
+    not just extremes."""
+    from grenier_spark.functions.sql_oracles import md5_low64_signed_expr
+    from grenier_spark.operators.textstats import winnow_fingerprints
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = (df.select("doc_id", F.posexplode(
+               winnow_fingerprints("text", k=4, window=3))
+               .alias("i", "fp"))
+           .toPandas().sort_values(["doc_id", "i"])
+           .reset_index(drop=True))
+    exp = duck.execute(f"""
+WITH g AS (SELECT doc_id,
+             CASE WHEN length(text) >= 4
+                  THEN list_transform(range(1, length(text) - 2),
+                       i -> {md5_low64_signed_expr('substr(text, i, 4)')})
+                  ELSE []::BIGINT[] END AS grams
+           FROM docs),
+w AS (SELECT doc_id,
+             CASE WHEN len(grams) >= 3
+                  THEN list_transform(range(1, len(grams) - 1),
+                       j -> list_min(grams[j:j+2]))
+                  ELSE []::BIGINT[] END AS wins
+      FROM g),
+f AS (SELECT doc_id, unnest(list_sort(list_distinct(wins))) AS fp,
+             generate_subscripts(list_sort(list_distinct(wins)), 1) - 1
+               AS i
+      FROM w)
+SELECT doc_id, i::BIGINT AS i, fp FROM f ORDER BY doc_id, i""").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the unicode docs must actually produce fingerprints
+    uni = set(got.doc_id) & {8, 9, 10, 11}
+    assert len(uni) == 4
