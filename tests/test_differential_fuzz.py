@@ -383,3 +383,30 @@ SELECT doc_id, i::BIGINT AS i, fp FROM f ORDER BY doc_id, i""").df()
     # the unicode docs must actually produce fingerprints
     uni = set(got.doc_id) & {8, 9, 10, 11}
     assert len(uni) == 4
+
+
+def test_contamination_report_match_duckdb_adversarial(spark, corpus, duck):
+    """Exact n-gram decontamination agrees on adversarial texts: eval =
+    every 3rd doc, train = the rest PLUS one doc quoting an eval 4-gram
+    verbatim (so at least one real cross-doc hit exists beyond
+    self-shingle noise)."""
+    from grenier_spark.operators.decontam import (contamination_report,
+                                                  contamination_report_sql)
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    ev = df.where(F.col("doc_id") % 3 == 0)
+    quote = spark.createDataFrame(
+        [(999, "prefix UPPER lower MiXeD case suffix")],
+        "doc_id long, text string")  # quotes eval doc 15's 4-gram
+    tr = df.where(F.col("doc_id") % 3 != 0).unionByName(quote)
+    got = (contamination_report(tr, ev, n=4).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    tr_sql = ("SELECT doc_id, text FROM docs WHERE doc_id % 3 <> 0 "
+              "UNION ALL SELECT 999, "
+              "'prefix UPPER lower MiXeD case suffix'")
+    exp = duck.execute(
+        "SELECT * FROM (" + contamination_report_sql(
+            tr_sql, "SELECT doc_id, text FROM docs WHERE doc_id % 3 = 0",
+            n=4) + ") ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert 999 in set(got.doc_id)  # the planted quote is flagged
