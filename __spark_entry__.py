@@ -1631,27 +1631,48 @@ def q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grenier_spark.operators.textstats import unigram_lm_scores
 
     qs = [1 / 3, 2 / 3]
-    scores = unigram_lm_scores(_t(spark, sf_dir, "documents"), vocab_k=256)
+    # persist: the doc-scale scores frame (KB-MB) feeds FOUR diverging
+    # consumers (KLL build, exact percentiles, bucket counts, tie mass);
+    # unpersisted, each would replay the whole token-scale LM chain —
+    # the diamond-re-execution class fuzzy_contamination also persists
+    # against (commit d5ec438)
+    scores = unigram_lm_scores(_t(spark, sf_dir, "documents"),
+                               vocab_k=256).persist()
     cuts = (build_sketches(scores,
                            [SketchSpec.of("s", "kll", "mean_logp", k=200)])
             .select(kll_quantiles_col("sketch", qs).alias("c")))
     exact = scores.agg(F.percentile(
         "mean_logp", F.array(*[F.lit(q) for q in qs])).alias("e"))
-    per_bucket = (scores.crossJoin(F.broadcast(cuts))
-                  .select(F.when(F.col("mean_logp") < F.element_at("c", 1),
-                                 "tail")
-                          .when(F.col("mean_logp") < F.element_at("c", 2),
-                                "middle")
-                          .otherwise("head").alias("bucket"))
-                  .groupBy("bucket").agg(F.count(F.lit(1)).alias("_nb")))
-    total = per_bucket.agg(F.sum("_nb").alias("_n"))
-    sizes = per_bucket.crossJoin(F.broadcast(total))
+    # tie mass at the cuts widens the size bound: docs sharing the exact
+    # cut score move between buckets as one block, which is sketch-error
+    # plus granularity, not a regression
+    stats = (scores.crossJoin(F.broadcast(cuts))
+             .select(F.when(F.col("mean_logp") < F.element_at("c", 1),
+                            "tail")
+                     .when(F.col("mean_logp") < F.element_at("c", 2),
+                           "middle")
+                     .otherwise("head").alias("bucket"),
+                     ((F.col("mean_logp") == F.element_at("c", 1))
+                      | (F.col("mean_logp") == F.element_at("c", 2)))
+                     .alias("_tie")))
+    per_bucket = stats.groupBy("bucket").agg(F.count(F.lit(1)).alias("_nb"))
+    total = stats.agg(F.count(F.lit(1)).alias("_n"),
+                      F.sum(F.when(F.col("_tie"), 1).otherwise(0))
+                      .alias("_nt"))
+    # all three buckets unconditionally (a bucket emptied by tied scores
+    # must not drop the row — the oracle emits 3 VALUES rows)
+    names = spark.createDataFrame([("head",), ("middle",), ("tail",)],
+                                  "bucket string")
+    sizes = (names.join(per_bucket, "bucket", "left")
+             .withColumn("_nb", F.coalesce("_nb", F.lit(0)))
+             .crossJoin(F.broadcast(total)))
     return (sizes.crossJoin(F.broadcast(exact))
             .select("bucket",
                     F.round(F.element_at("e", 1), 6).alias("cut_lo"),
                     F.round(F.element_at("e", 2), 6).alias("cut_hi"),
                     (F.abs(F.col("_nb") / F.col("_n") - 1.0 / 3.0)
-                     <= 0.05).alias("size_ok"))
+                     <= 0.05 + F.col("_nt") / F.col("_n"))
+                    .alias("size_ok"))
             .orderBy("bucket"))
 
 

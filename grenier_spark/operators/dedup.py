@@ -983,8 +983,11 @@ def remove_dup_spans(df: DataFrame, text_col: str = "text",
                     .alias("n_removed_words")))
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     docs = df.select(id_col, words.alias("_w"))
-    covered = F.array_distinct(F.flatten(F.transform(
-        "_spans", lambda sp: F.sequence(sp["_s"], sp["_e"]))))
+    # merged islands are disjoint by construction (next span starts at
+    # >= prev end + 2), so the flattened position lists never overlap —
+    # no distinct pass needed
+    covered = F.flatten(F.transform(
+        "_spans", lambda sp: F.sequence(sp["_s"], sp["_e"])))
     joined = per_doc.join(docs, id_col)  # doc-scale inner join
     return (joined
             .withColumn("_cov", covered)

@@ -242,14 +242,17 @@ def unigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
     Filtering on quantiles of this score is the standard perplexity-bucket
     corpus split.
 
-    Shape at 100 TB: ONE vocab-scale count shuffle (map-side combined —
-    identical to :func:`token_freq_spectrum`, the inherent word-count
-    exchange), then a bounded TakeOrdered top-K (per-partition top-K, K
-    rows through the driver — numpy computes the log-probs so no JVM
-    ``ln`` enters the oracle contract), broadcast back as a K-row join to
-    the exploded words, and a doc-local mean whose partial aggregation
+    Shape at 100 TB: build time pays ONE corpus scan feeding ONE
+    vocab-scale count shuffle (map-side combined — identical to
+    :func:`token_freq_spectrum`, the inherent word-count exchange; the
+    counts frame is persisted so the top-K job and the N-total aggregate
+    share that scan), then a bounded TakeOrdered top-K (per-partition
+    top-K, K rows through the driver — numpy computes the log-probs so no
+    JVM ``ln`` enters the oracle contract), broadcast back as a K-row join
+    to the exploded words, and a doc-local mean whose partial aggregation
     absorbs the token fan-out map-side (the shuffle carries ~n_docs rows,
-    not n_tokens). Ranking ties at the K boundary break on md5 hex of the
+    not n_tokens). The returned scoring plan re-reads the corpus once
+    more — inherent, since the output is per-doc. Ranking ties at the K boundary break on md5 hex of the
     word — ASCII, so Spark (UTF-16) and DuckDB (UTF-8 binary) order them
     identically even when the words themselves are astral-plane unicode.
 
@@ -263,10 +266,19 @@ def unigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
         raise ValueError("vocab_k must be >= 1")
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     tok = df.select(id_col, F.explode(words).alias("w"))
-    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    top = (counts.orderBy(F.desc("c"), F.md5("w").asc())
-           .limit(vocab_k).toPandas())
-    n_total = int(tok.count())
+    # persist the vocab-scale counts so the top-K job and the N-total
+    # aggregate share ONE corpus scan (vocab rows are MB-scale; a second
+    # token-explode scan of the corpus is not) — released immediately
+    # after both driver results land
+    counts = (tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+              .persist())
+    try:
+        top = (counts.orderBy(F.desc("c"), F.md5("w").asc())
+               .limit(vocab_k).toPandas())
+        row = counts.agg(F.sum("c")).first()[0]
+        n_total = int(row) if row is not None else 0
+    finally:
+        counts.unpersist()
     spark = df.sparkSession
     if n_total == 0:
         # zero-word corpus: ln(1/N) is undefined and the oracle emits no
