@@ -1592,6 +1592,21 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_stats(_span_gate_corpus(spark, sf_dir), k=6)
 
 
+def q_dup_span_stats_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup_span_stats through the COUNT-MIN PREFILTER path
+    (dedup.duplicated_span_stats_prefiltered): the sketch suite routing
+    only candidate windows into the exact count shuffle. Output is
+    provably identical to the plain operator (CMS never undercounts, so
+    candidates are a superset and the exact verify is unchanged) — the
+    oracle is duplicated_span_stats_sql VERBATIM, so this gate proves the
+    accelerated plan against the same cross-engine truth."""
+    from grenier_spark.operators.dedup import \
+        duplicated_span_stats_prefiltered
+
+    return duplicated_span_stats_prefiltered(
+        _span_gate_corpus(spark, sf_dir), k=6, width=1 << 16)
+
+
 def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal half of exact substring dedup (Lee et al. 2022 §3.2,
     dedup.remove_dup_spans): canonical-first span deletion over the same
@@ -1809,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_scores": q_doc_lm_scores,
         "lm_ppl_buckets": q_lm_ppl_buckets,
         "dup_span_stats": q_dup_span_stats,
+        "dup_span_stats_cms": q_dup_span_stats_cms,
         "dup_span_removal": q_dup_span_removal,
         "benchmark_contamination": q_benchmark_contamination,
         "fuzzy_contamination": q_fuzzy_contamination,
@@ -2389,6 +2405,9 @@ FROM documents""",
         "doc_lm_scores": _lm_scores_oracle(),
         "lm_ppl_buckets": _lm_ppl_buckets_oracle(),
         "dup_span_stats": _dup_span_oracle(),
+        # the prefiltered path must produce the IDENTICAL answer: same
+        # oracle SQL verbatim (see q_dup_span_stats_cms docstring)
+        "dup_span_stats_cms": _dup_span_oracle(),
         "dup_span_removal": _dup_span_removal_oracle(),
         "benchmark_contamination": _contamination_oracle(),
         "fuzzy_contamination": fuzzy_contamination_sql(

@@ -873,6 +873,17 @@ def duplicated_span_stats(df: DataFrame, text_col: str = "text",
     window specs share it). No driver-side state at any size.
     """
     occ = positional_shingle_rows(df, text_col, id_col, k)
+    return _span_stats_from_occ(occ, id_col, k, min_count)
+
+
+def _span_stats_from_occ(occ: DataFrame, id_col: str, k: int,
+                         min_count: int) -> DataFrame:
+    """The exact tail of :func:`duplicated_span_stats` from (id, n_words,
+    n_windows, pos, sh) occurrence rows: global window-count filter ->
+    island merge -> per-doc aggregate. ``occ`` may be the full occurrence
+    frame OR any superset-preserving subset (every occurrence of every
+    >= min_count window must be present — the CMS prefilter guarantees
+    this), and the output is identical either way."""
     dup = (occ.groupBy("sh").agg(F.count(F.lit(1)).alias("_c"))
            .where(F.col("_c") >= min_count)
            .select("sh"))
@@ -1050,3 +1061,136 @@ SELECT p.id AS {id_col}, p.n_words, p.n_removed_words,
                        i -> NOT list_contains(p.cov, i)),
            i -> w.words[i]), ' '), '') AS cleaned
 FROM per_doc p JOIN w ON p.id = w.id"""
+
+
+# -- CMS-prefiltered substring-span dedup ------------------------------------
+
+_CMS_PROBE_CACHE: "dict[bytes, object]" = {}
+
+
+def _cms_from_cache(blob: bytes):
+    """Per-worker memo of the deserialized CountMin (same discipline as
+    :func:`_bloom_from_cache`: Python workers are reused across Arrow
+    batches, so from_bytes + the counts copy is paid once per worker)."""
+    import hashlib
+
+    from ..core.countmin import CountMin
+
+    key = hashlib.md5(blob).digest()
+    cm = _CMS_PROBE_CACHE.get(key)
+    if cm is None:
+        if len(_CMS_PROBE_CACHE) >= 4:
+            _CMS_PROBE_CACHE.clear()
+        cm = _CMS_PROBE_CACHE.setdefault(key, CountMin.from_bytes(blob))
+    return cm
+
+
+def cms_probe_positions_udf(bc, min_count: int):
+    """array<long> window keys -> array<int> 1-based positions whose CMS
+    estimate is >= ``min_count`` (a SUPERSET of the truly duplicated
+    positions: CMS never undercounts). Whole-batch vectorized: one
+    flatten + one CMS query + reduceat-free split by offsets. Created
+    lazily per call (module-level pandas_udfs break import)."""
+    @pandas_udf("array<int>")
+    def _probe(arrs: pd.Series) -> pd.Series:
+        cm = _cms_from_cache(bc.value)
+        lens = np.array([0 if a is None else len(a) for a in arrs],
+                        dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        out = [None] * len(arrs)
+        if len(nz):
+            flat = np.concatenate(
+                [np.asarray(arrs.iloc[i], dtype=np.int64) for i in nz])
+            est = cm.query(flat.view(U64))
+            hit = est >= min_count
+            bounds = np.cumsum(lens[nz])
+            start = 0
+            for j, i in enumerate(nz):
+                stop = int(bounds[j])
+                pos = np.flatnonzero(hit[start:stop]) + 1
+                out[i] = pos.astype(np.int32)
+                start = stop
+        empty = np.array([], dtype=np.int32)
+        return pd.Series([empty if o is None else o for o in out])
+    return _probe
+
+
+def _window_key_col(text_col: str, k: int):
+    """array<long>: per-doc low-64 md5 keys of each k-word window, in
+    position order — the JVM expression twin of the k64 slice of
+    :func:`positional_shingle_rows`'s hex ``sh`` (chars 1-16 of the SAME
+    digest, so prefilter key and verify hash can never disagree about
+    which window they describe). Windows always contain a space (k >= 2),
+    so this key stream cannot alias the single-word md5-low64 chain."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n_sh = F.size(words) - k + 1
+    return F.when(
+        n_sh >= 1,
+        F.transform(F.sequence(F.lit(1), n_sh),
+                    lambda i: F.conv(F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(words, i, k))),
+                        1, 16), 16, -10).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def duplicated_span_stats_prefiltered(df: DataFrame, text_col: str = "text",
+                                      id_col: str = "doc_id", k: int = 8,
+                                      min_count: int = 2, depth: int = 4,
+                                      width: int = 1 << 20,
+                                      seed: int = 21) -> DataFrame:
+    """:func:`duplicated_span_stats` with a count-min prefilter — the
+    sketch suite accelerating the pipeline operator. Output is IDENTICAL
+    (tested row-for-row); what changes is the 100 TB plan: the plain
+    version shuffles EVERY window occurrence into the count groupBy
+    (token-scale exchange), while this one
+
+    1. builds a CMS over the per-doc window-key arrays through the
+       standard sketch pipeline (scan-stage partials, KB merge — no
+       token-scale shuffle, the build discipline of sketch_build),
+    2. broadcasts the merged matrix (depth x width int64; 32 MB at the
+       4 x 2^20 default) and probes each doc's windows in the scan stage
+       (vectorized Arrow batch, one wang64 + min over rows per window),
+    3. explodes and shuffles ONLY the candidate positions whose estimate
+       is >= min_count — at web scale the duplication tail, typically a
+       few percent of windows — and computes the hex verify hash for
+       those rows alone,
+    4. runs the exact count -> island -> span tail unchanged.
+
+    Exactness: CMS never undercounts, so every occurrence of a truly
+    duplicated window is a candidate (its estimate >= true count >=
+    min_count) — the exact groupBy over candidates therefore sees ALL
+    occurrences of every reported window, and false-positive candidates
+    (collision-inflated singletons) die at the same >= min_count filter.
+    An undersized ``width`` only grows the candidate set, never changes
+    the answer (tested with width=16). The oracle gate reuses the plain
+    duplicated_span_stats_sql verbatim.
+    """
+    from .sketch_build import SketchSpec, build_sketches
+
+    keys = df.select(_window_key_col(text_col, k).alias("wk"))
+    row = (build_sketches(keys,
+                          [SketchSpec.of("w", "cms", "wk",
+                                         depth=depth, width=width,
+                                         seed=seed)])
+           .select("sketch").first())
+    if row is None:  # no docs at all
+        return _span_stats_from_occ(
+            positional_shingle_rows(df, text_col, id_col, k),
+            id_col, k, min_count)
+    bc = df.sparkSession.sparkContext.broadcast(bytes(row.sketch))
+    probe = cms_probe_positions_udf(bc, min_count)
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = (df.select(id_col, words.alias("_w"),
+                      _window_key_col(text_col, k).alias("_wk"))
+            .where(F.size("_w") >= k))
+    cand = (base.select(id_col,
+                        F.size("_w").cast("long").alias("n_words"),
+                        (F.size("_w") - k + 1).cast("long")
+                        .alias("n_windows"),
+                        "_w",
+                        F.explode(probe(F.col("_wk"))).alias("pos32"))
+            .select(id_col, "n_words", "n_windows",
+                    F.col("pos32").cast("long").alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(
+                        "_w", F.col("pos32"), k))).alias("sh")))
+    return _span_stats_from_occ(cand, id_col, k, min_count)

@@ -775,3 +775,43 @@ def test_remove_dup_spans_hand_cases(spark):
     # doc 3: windows 1..4; window 4 ('r1 r2 r3') duplicates window 1 ->
     # span [4, 6] removed, the FIRST run survives
     assert got[3] == (3, "r1 r2 r3")
+
+
+def test_prefiltered_span_stats_identical_to_plain(spark):
+    """The CMS-prefiltered variant returns EXACTLY the plain operator's
+    rows on a collision-heavy random corpus — and stays exact under a
+    deliberately undersized width=16 sketch (massive overcounting only
+    inflates the candidate set; the exact verify kills every false
+    positive), the same exactness-under-pressure contract as the Bloom
+    ingest dedup."""
+    import random
+
+    rng = random.Random(321)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = {i: " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(2, 30)))
+             for i in range(40)}
+    texts[40] = None
+    texts[41] = ""
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    plain = (dedup.duplicated_span_stats(df, k=3).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert len(plain) >= 15  # the corpus must actually collide
+    for width in (1 << 16, 16):
+        pre = (dedup.duplicated_span_stats_prefiltered(
+                   df, k=3, width=width).toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(pre, plain[pre.columns],
+                                      check_dtype=False)
+
+
+def test_prefiltered_span_stats_empty_and_clean_corpora(spark):
+    # all-unique corpus: no dup rows from either path
+    clean = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i}") for i in range(10)],
+        "doc_id long, text string")
+    assert dedup.duplicated_span_stats_prefiltered(clean, k=3).count() == 0
+    # empty input falls back cleanly
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.duplicated_span_stats_prefiltered(empty, k=3).count() == 0

@@ -304,3 +304,21 @@ def test_dup_span_stats_plan_shape(spark):
               and "Reused" not in ln]
     assert n_win >= 2, plan
     assert len(doc_ex) <= 1, plan
+
+
+def test_prefiltered_span_stats_probe_is_scan_stage(spark):
+    """dup_span_stats_cms: the CMS probe (ArrowEvalPython) must run BELOW
+    the first Exchange — only probe-selected candidate rows may shuffle;
+    the full window stream shuffling would defeat the prefilter."""
+    plan = plan_of(entry_mod.q_dup_span_stats_cms(spark, SF))
+    lines = plan.splitlines()
+    py = [i for i, ln in enumerate(lines)
+          if "ArrowEvalPython" in ln or "PythonMapInArrow" in ln]
+    assert py, plan
+    probe_idx = max(py)  # deepest python stage = the probe over documents
+    ex = [i for i, ln in enumerate(lines)
+          if "Exchange" in ln and "Reused" not in ln
+          and "Broadcast" not in ln]
+    # tree prints root-first: a LOWER line number is CLOSER to the root,
+    # so every row Exchange must print ABOVE (before) the probe stage
+    assert ex and max(ex) < probe_idx, plan
