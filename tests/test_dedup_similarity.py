@@ -815,3 +815,40 @@ def test_prefiltered_span_stats_empty_and_clean_corpora(spark):
     # empty input falls back cleanly
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert dedup.duplicated_span_stats_prefiltered(empty, k=3).count() == 0
+
+
+def test_prefilter_candidate_volume_tracks_duplication(spark):
+    """The quantitative point of the CMS prefilter: on a 5000-doc corpus
+    where ~2% of docs are full copies, the candidate set is a few percent
+    of all window occurrences (bounded by true duplication + CMS collision
+    noise), so the exact-count shuffle carries ~50x fewer rows. Also
+    re-checks exactness at this size against the planted truth."""
+    n_docs, n_dup = 5000, 100
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(20)))
+            for i in range(n_docs - n_dup)]
+    # 100 copies of doc 0 (one dup cluster)
+    base = rows[0][1]
+    rows += [(n_docs + i, base) for i in range(n_dup)]
+    df = spark.createDataFrame(sorted(rows), "doc_id long, text string")
+
+    # measure the candidate volume with the operator's own pieces
+    from grenier_spark.core.countmin import CountMin
+    from grenier_spark.operators.dedup import (_window_key_col,
+                                               duplicated_span_stats_prefiltered)
+
+    k, width = 4, 1 << 20
+    keys = (df.select(F.explode(_window_key_col("text", k)).alias("wk"))
+            .toPandas().wk.to_numpy("int64"))
+    cm = CountMin(4, width, seed=21)
+    cm.update_batch(keys.view(np.uint64))
+    n_candidates = int((cm.query(keys.view(np.uint64)) >= 2).sum())
+    n_windows = len(keys)
+    true_dup_occ = (n_dup + 1) * 17  # 101 copies x 17 windows each
+    assert n_candidates >= true_dup_occ  # superset, never undercounts
+    assert n_candidates <= true_dup_occ + 0.01 * n_windows  # FP noise only
+    assert n_candidates / n_windows < 0.05  # the 20x+ shuffle reduction
+
+    got = (duplicated_span_stats_prefiltered(df, k=k, width=width)
+           .toPandas())
+    assert len(got) == n_dup + 1  # exactly the planted cluster reports
+    assert (got.dup_word_frac == 1.0).all()
