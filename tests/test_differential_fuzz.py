@@ -410,3 +410,45 @@ def test_contamination_report_match_duckdb_adversarial(spark, corpus, duck):
             n=4) + ") ORDER BY doc_id").df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert 999 in set(got.doc_id)  # the planted quote is flagged
+
+
+def test_boilerplate_removal_match_duckdb_adversarial(spark, corpus, duck):
+    """Boilerplate removal reassembles BYTE-IDENTICAL cleaned text across
+    engines on adversarial texts plus a banner planted into 4 docs
+    (min_df=3): ragged-tail segments, empty-string segments from
+    separator-only docs, unicode, and the all-boilerplate -> '' doc."""
+    from grenier_spark.operators import boilerplate as B
+
+    banner = "get the newsletter now"
+    extra = [(100 + j, banner + f" body b{j} c{j} d{j} e{j}")
+             for j in range(3)]
+    extra.append((104, banner))  # 100% boilerplate -> clean_text = ''
+    pdf = pd.concat([pd.DataFrame([(i, t) for i, t in extra],
+                                  columns=["doc_id", "text"]),
+                     duck.execute("SELECT * FROM docs").df()])
+    duck.register("bdocs", pdf)
+    df = (spark.createDataFrame(pdf, "doc_id long, text string")
+          .withColumn("source", F.lit("g")))
+    boiler = B.boilerplate_segments(df, width=4, min_df=3).persist()
+    got = (B.remove_boilerplate(df, boiler, width=4)
+           .select(F.col("id").alias("doc_id"), "n_segs", "n_boiler",
+                   "clean_text")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    sql = f"""
+WITH {B.segment_rows_sql("SELECT doc_id, 'g' AS source, text FROM bdocs",
+                         'text', 'doc_id', 'source', 4)},
+bo AS (SELECT grp, seg FROM segs GROUP BY grp, seg
+       HAVING COUNT(DISTINCT id) >= 3),
+m AS (SELECT s.id, s.seg_idx, s.seg, b.seg AS bseg
+      FROM segs s LEFT JOIN bo b
+        ON s.grp IS NOT DISTINCT FROM b.grp AND s.seg = b.seg)
+SELECT id AS doc_id, COUNT(*)::BIGINT AS n_segs,
+       COUNT(bseg)::BIGINT AS n_boiler,
+       coalesce(string_agg(CASE WHEN bseg IS NULL THEN seg END,
+                           ' ' ORDER BY seg_idx), '') AS clean_text
+FROM m GROUP BY id ORDER BY doc_id"""
+    exp = duck.execute(sql).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    row104 = got[got.doc_id == 104].iloc[0]
+    assert row104.clean_text == "" and row104.n_boiler == row104.n_segs
+    assert (got[got.doc_id.between(100, 103)].n_boiler >= 1).all()
