@@ -627,6 +627,23 @@ def connected_components(pairs: DataFrame, nodes: "DataFrame | None" = None,
 _BLOOM_PROBE_CACHE: "dict[bytes, object]" = {}
 
 
+def _worker_memo(cache: "dict[bytes, object]", blob: bytes, loader):
+    """Per-worker-process memo of a DESERIALIZED broadcast sketch blob:
+    Python workers are reused across Arrow batches and tasks, so the
+    unpack cost is paid once per worker, not per batch. Keyed on an md5
+    digest of the blob; bounded to a handful of concurrently-live
+    objects (shared discipline of the Bloom and CMS probe paths)."""
+    import hashlib
+
+    key = hashlib.md5(blob).digest()
+    obj = cache.get(key)
+    if obj is None:
+        if len(cache) >= 4:
+            cache.clear()
+        obj = cache.setdefault(key, loader(blob))
+    return obj
+
+
 def bloom_probe_udf(bc):
     """Arrow-batched probe of a broadcast Bloom blob (``bc`` = a
     ``SparkContext.broadcast`` of the wire bytes): whole-batch vectorized
@@ -655,22 +672,11 @@ def bloom_probe_udf(bc):
 
 
 def _bloom_from_cache(blob: bytes):
-    """Per-worker-process memo of the DESERIALIZED Bloom filter (unpacked
-    bit array = 8x the wire blob): Python workers are reused across Arrow
-    batches and tasks, so the unpack cost is paid once per worker, not per
-    batch. Keyed on an md5 digest of the blob; bounded to a handful of
-    concurrently-live filters."""
-    import hashlib
-
+    """:func:`_worker_memo` of the DESERIALIZED Bloom filter (unpacked
+    bit array = 8x the wire blob)."""
     from ..core.bloom import Bloom
 
-    key = hashlib.md5(blob).digest()
-    bf = _BLOOM_PROBE_CACHE.get(key)
-    if bf is None:
-        if len(_BLOOM_PROBE_CACHE) >= 4:
-            _BLOOM_PROBE_CACHE.clear()
-        bf = _BLOOM_PROBE_CACHE.setdefault(key, Bloom.from_bytes(blob))
-    return bf
+    return _worker_memo(_BLOOM_PROBE_CACHE, blob, Bloom.from_bytes)
 
 def _md5_low64_signed(text_col: str):
     """LOW half (hex chars 17-32) of md5(text) as a signed long (JVM-side)
@@ -948,7 +954,10 @@ FROM sp GROUP BY 1, 2, 3"""
 
 def remove_dup_spans(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", k: int = 8,
-                     min_count: int = 2) -> DataFrame:
+                     min_count: int = 2,
+                     prefilter_width: "int | None" = None,
+                     prefilter_depth: int = 4,
+                     prefilter_seed: int = 21) -> DataFrame:
     """The removal half of exact substring-span dedup (Lee et al. 2022
     §3.2: "remove all but one occurrence"): for every k-word window
     duplicated >= ``min_count`` times corpus-wide, the occurrence with the
@@ -978,8 +987,23 @@ def remove_dup_spans(df: DataFrame, text_col: str = "text",
     merge; reassembly joins span arrays back to the doc frame at doc
     scale. The corpus text never shuffles — the only text-bearing join is
     broadcast-free but doc-keyed, and Catalyst prunes it to (id, words).
+
+    ``prefilter_width`` (the 100-TB path) routes the rank Exchange through
+    the count-min prefilter of :func:`duplicated_span_stats_prefiltered`:
+    only windows whose CMS estimate is >= ``min_count`` shuffle. Output
+    is IDENTICAL — all occurrences of any >= min_count window are
+    candidates together, so the per-hash rank and count over candidates
+    equal the plain path's, and collision-inflated singletons fail the
+    same ``_c >= min_count`` filter (tested identical down to width=16).
     """
-    occ = positional_shingle_rows(df, text_col, id_col, k)
+    if prefilter_width is not None:
+        occ = _prefiltered_occ(df, text_col, id_col, k, min_count,
+                               prefilter_depth, prefilter_width,
+                               prefilter_seed)
+    else:
+        occ = None
+    if occ is None:
+        occ = positional_shingle_rows(df, text_col, id_col, k)
     w_sh = Window.partitionBy("sh").orderBy(id_col, "pos")
     w_sh_all = Window.partitionBy("sh")
     redundant = (occ
@@ -1069,20 +1093,10 @@ _CMS_PROBE_CACHE: "dict[bytes, object]" = {}
 
 
 def _cms_from_cache(blob: bytes):
-    """Per-worker memo of the deserialized CountMin (same discipline as
-    :func:`_bloom_from_cache`: Python workers are reused across Arrow
-    batches, so from_bytes + the counts copy is paid once per worker)."""
-    import hashlib
-
+    """:func:`_worker_memo` of the deserialized CountMin."""
     from ..core.countmin import CountMin
 
-    key = hashlib.md5(blob).digest()
-    cm = _CMS_PROBE_CACHE.get(key)
-    if cm is None:
-        if len(_CMS_PROBE_CACHE) >= 4:
-            _CMS_PROBE_CACHE.clear()
-        cm = _CMS_PROBE_CACHE.setdefault(key, CountMin.from_bytes(blob))
-    return cm
+    return _worker_memo(_CMS_PROBE_CACHE, blob, CountMin.from_bytes)
 
 
 def cms_probe_positions_udf(bc, min_count: int):
@@ -1165,6 +1179,28 @@ def duplicated_span_stats_prefiltered(df: DataFrame, text_col: str = "text",
     the answer (tested with width=16). The oracle gate reuses the plain
     duplicated_span_stats_sql verbatim.
     """
+    cand = _prefiltered_occ(df, text_col, id_col, k, min_count,
+                            depth, width, seed)
+    if cand is None:  # no docs at all
+        cand = positional_shingle_rows(df, text_col, id_col, k)
+    return _span_stats_from_occ(cand, id_col, k, min_count)
+
+
+def _prefiltered_occ(df: DataFrame, text_col: str, id_col: str, k: int,
+                     min_count: int, depth: int, width: int,
+                     seed: int) -> "DataFrame | None":
+    """The CMS-candidate occurrence frame shared by the prefiltered stats
+    and removal paths: (id, n_words, n_windows, pos, sh) for exactly the
+    window positions whose CMS estimate is >= ``min_count``. Returns None
+    on a zero-doc input (no sketch partials to broadcast).
+
+    The frame is PERSISTED before return: both consumers reference it
+    twice (the window-count groupBy AND the occurrence join / rank
+    window), and unpersisted each reference would replay the corpus scan,
+    the Arrow probe and the per-window md5 — the diamond-re-execution
+    class the LM queries also persist against. It is candidate-scale
+    (the duplication tail, a few percent of windows), so caching it is
+    MB-scale where re-probing would be corpus-scale."""
     from .sketch_build import SketchSpec, build_sketches
 
     keys = df.select(_window_key_col(text_col, k).alias("wk"))
@@ -1173,17 +1209,15 @@ def duplicated_span_stats_prefiltered(df: DataFrame, text_col: str = "text",
                                          depth=depth, width=width,
                                          seed=seed)])
            .select("sketch").first())
-    if row is None:  # no docs at all
-        return _span_stats_from_occ(
-            positional_shingle_rows(df, text_col, id_col, k),
-            id_col, k, min_count)
+    if row is None:
+        return None
     bc = df.sparkSession.sparkContext.broadcast(bytes(row.sketch))
     probe = cms_probe_positions_udf(bc, min_count)
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     base = (df.select(id_col, words.alias("_w"),
                       _window_key_col(text_col, k).alias("_wk"))
             .where(F.size("_w") >= k))
-    cand = (base.select(id_col,
+    return (base.select(id_col,
                         F.size("_w").cast("long").alias("n_words"),
                         (F.size("_w") - k + 1).cast("long")
                         .alias("n_windows"),
@@ -1192,5 +1226,5 @@ def duplicated_span_stats_prefiltered(df: DataFrame, text_col: str = "text",
             .select(id_col, "n_words", "n_windows",
                     F.col("pos32").cast("long").alias("pos"),
                     F.md5(F.concat_ws(" ", F.slice(
-                        "_w", F.col("pos32"), k))).alias("sh")))
-    return _span_stats_from_occ(cand, id_col, k, min_count)
+                        "_w", F.col("pos32"), k))).alias("sh"))
+            .persist())

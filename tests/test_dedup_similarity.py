@@ -798,11 +798,18 @@ def test_prefiltered_span_stats_identical_to_plain(spark):
     plain = (dedup.duplicated_span_stats(df, k=3).toPandas()
              .sort_values("doc_id").reset_index(drop=True))
     assert len(plain) >= 15  # the corpus must actually collide
+    rem_plain = (dedup.remove_dup_spans(df, k=3).toPandas()
+                 .sort_values("doc_id").reset_index(drop=True))
     for width in (1 << 16, 16):
         pre = (dedup.duplicated_span_stats_prefiltered(
                    df, k=3, width=width).toPandas()
                .sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(pre, plain[pre.columns],
+                                      check_dtype=False)
+        rem_pre = (dedup.remove_dup_spans(df, k=3, prefilter_width=width)
+                   .toPandas()
+                   .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(rem_pre, rem_plain[rem_pre.columns],
                                       check_dtype=False)
 
 
