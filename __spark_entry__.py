@@ -1621,6 +1621,19 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.md5("cleaned").alias("cleaned_md5"))
 
 
+def q_dup_span_removal_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup_span_removal through the count-min prefilter
+    (remove_dup_spans(prefilter_width=...)): the rank Exchange carries
+    only CMS candidates, output provably identical — gated against the
+    SAME removal oracle SQL verbatim."""
+    from grenier_spark.operators.dedup import remove_dup_spans
+
+    out = remove_dup_spans(_span_gate_corpus(spark, sf_dir), k=6,
+                           prefilter_width=1 << 16)
+    return out.select("doc_id", "n_words", "n_removed_words",
+                      F.md5("cleaned").alias("cleaned_md5"))
+
+
 def q_doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scores (Wenzek et al. 2020 §3.3 with the
     corpus's own unigram distribution standing in for KenLM): per-doc mean
@@ -1826,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "dup_span_stats_cms": q_dup_span_stats_cms,
         "dup_span_removal": q_dup_span_removal,
+        "dup_span_removal_cms": q_dup_span_removal_cms,
         "benchmark_contamination": q_benchmark_contamination,
         "fuzzy_contamination": q_fuzzy_contamination,
         "embedding_label_confusion": q_embedding_label_confusion,
@@ -2409,6 +2423,7 @@ FROM documents""",
         # oracle SQL verbatim (see q_dup_span_stats_cms docstring)
         "dup_span_stats_cms": _dup_span_oracle(),
         "dup_span_removal": _dup_span_removal_oracle(),
+        "dup_span_removal_cms": _dup_span_removal_oracle(),
         "benchmark_contamination": _contamination_oracle(),
         "fuzzy_contamination": fuzzy_contamination_sql(
             "SELECT doc_id::BIGINT AS doc_id, text FROM documents "
