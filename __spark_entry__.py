@@ -1717,6 +1717,24 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(tr, ev, n=4)
 
 
+def q_benchmark_contamination_bloom(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """benchmark_contamination through the BLOOM-GATED scale path
+    (decontam.contamination_report_prefiltered): eval shingles broadcast
+    as a filter instead of exact rows, probe hits exactly verified.
+    Output provably identical — gated against the SAME oracle SQL; run
+    with a deliberately tiny/high-fpr filter so the gate also proves
+    false positives die at the verify join."""
+    from grenier_spark.operators.decontam import \
+        contamination_report_prefiltered
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 25 == 0)
+    tr = docs.where(F.col("doc_id") % 25 != 0)
+    return contamination_report_prefiltered(tr, ev, n=4,
+                                            expected_shingles=8, fpr=0.4)
+
+
 def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination: training docs near-duplicating a planted
     "benchmark" (8 train docs with the last word dropped, shifted ids) via
@@ -1841,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "dup_span_removal_cms": q_dup_span_removal_cms,
         "benchmark_contamination": q_benchmark_contamination,
+        "benchmark_contamination_bloom": q_benchmark_contamination_bloom,
         "fuzzy_contamination": q_fuzzy_contamination,
         "embedding_label_confusion": q_embedding_label_confusion,
         "weighted_doc_sample": q_weighted_doc_sample,
@@ -2425,6 +2444,9 @@ FROM documents""",
         "dup_span_removal": _dup_span_removal_oracle(),
         "dup_span_removal_cms": _dup_span_removal_oracle(),
         "benchmark_contamination": _contamination_oracle(),
+        # the Bloom-gated path must produce the IDENTICAL answer: same
+        # oracle SQL verbatim (see q_benchmark_contamination_bloom)
+        "benchmark_contamination_bloom": _contamination_oracle(),
         "fuzzy_contamination": fuzzy_contamination_sql(
             "SELECT doc_id::BIGINT AS doc_id, text FROM documents "
             "WHERE length(text) > 100 ORDER BY doc_id LIMIT 40",

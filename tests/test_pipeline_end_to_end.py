@@ -246,3 +246,34 @@ def test_substring_removal_and_lm_filter_compose(spark):
                   .select("doc_id").collect())
     assert set(range(50, 55)) <= dropped  # all garbled docs gone
     assert kept.count() + len(dropped) == 55
+
+
+def test_bloom_gated_decontamination_is_exact(spark):
+    """contamination_report_prefiltered == contamination_report row for
+    row, including under a deliberately undersized high-fpr filter
+    (expected_shingles=2, fpr=0.5): Bloom false positives only inflate
+    the candidate set, and the exact verify join kills every one."""
+    from grenier_spark.operators.decontam import (
+        contamination_report, contamination_report_prefiltered)
+
+    rng = np.random.default_rng(9)
+    words = ["the", "model", "trains", "tokens", "data", "sample",
+             "batch", "shard"]
+    ev_rows = [(1000 + j, " ".join(f"ev{j}w{i}" for i in range(12)))
+               for j in range(5)]
+    tr_rows = [(i, " ".join(rng.choice(words, size=20)) + f" u{i}")
+               for i in range(60)]
+    # plant: doc 7 quotes eval doc 1002's middle 6 words (3 shared 4-grams)
+    quoted = " ".join(f"ev2w{i}" for i in range(3, 9))
+    tr_rows[7] = (7, tr_rows[7][1] + " " + quoted)
+    train = spark.createDataFrame(tr_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+
+    plain = (contamination_report(train, ev, n=4).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert 7 in set(plain.doc_id) and len(plain) >= 1
+    for kwargs in ({}, {"expected_shingles": 2, "fpr": 0.5}):
+        pre = (contamination_report_prefiltered(train, ev, n=4, **kwargs)
+               .toPandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(pre, plain[pre.columns],
+                                      check_dtype=False)
