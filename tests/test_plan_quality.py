@@ -322,3 +322,20 @@ def test_prefiltered_span_stats_probe_is_scan_stage(spark):
     # tree prints root-first: a LOWER line number is CLOSER to the root,
     # so every row Exchange must print ABOVE (before) the probe stage
     assert ex and max(ex) < probe_idx, plan
+
+
+def test_bloom_decontam_probe_is_scan_stage(spark):
+    """benchmark_contamination_bloom: the Bloom probe (ArrowEvalPython)
+    must consume the train scan DIRECTLY — no Exchange between the probe
+    and the parquet scan below it (scan-stage routing; candidate-scale
+    exchanges ABOVE the probe are the point of the filter)."""
+    plan = plan_of(entry_mod.q_benchmark_contamination_bloom(spark, SF))
+    lines = plan.splitlines()
+    py = [i for i, ln in enumerate(lines) if "ArrowEvalPython" in ln]
+    assert py, plan
+    probe = max(py)  # deepest python stage = the probe branch
+    scan = min(i for i, ln in enumerate(lines)
+               if i > probe and "Scan parquet" in ln)
+    between = lines[probe:scan]
+    assert not any("Exchange" in ln for ln in between), "\n".join(between)
+    assert "CartesianProduct" not in plan, plan
