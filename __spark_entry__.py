@@ -1645,6 +1645,18 @@ def q_doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_scores(_t(spark, sf_dir, "documents"), vocab_k=256)
 
 
+def q_doc_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff LM quality scores (Brants et al. 2007 §4,
+    textstats.bigram_lm_scores) — one step toward CCNet's n-gram KenLM:
+    top-256 unigram + top-512 bigram tables, exact full-count
+    denominators, ln(0.4) backoff. FULL row-level oracle
+    (textstats.bigram_lm_scores_sql)."""
+    from grenier_spark.operators.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"),
+                            vocab_k=256, bigram_k=512)
+
+
 def q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet §3.3 head/middle/tail perplexity buckets driven by the
     library's OWN KLL sketch: LM-score every doc (the doc_lm_scores
@@ -1853,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_overlap": q_source_token_overlap,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_lm_scores": q_doc_lm_scores,
+        "doc_bigram_lm_scores": q_doc_bigram_lm_scores,
         "lm_ppl_buckets": q_lm_ppl_buckets,
         "dup_span_stats": q_dup_span_stats,
         "dup_span_stats_cms": q_dup_span_stats_cms,
@@ -1962,6 +1975,14 @@ def _lm_scores_oracle() -> str:
     return unigram_lm_scores_sql(
         "SELECT doc_id::BIGINT AS doc_id, text FROM documents",
         vocab_k=256)
+
+
+def _bigram_lm_oracle() -> str:
+    from grenier_spark.operators.textstats import bigram_lm_scores_sql
+
+    return bigram_lm_scores_sql(
+        "SELECT doc_id::BIGINT AS doc_id, text FROM documents",
+        vocab_k=256, bigram_k=512)
 
 
 def _lm_ppl_buckets_oracle() -> str:
@@ -2436,6 +2457,7 @@ FROM documents""",
         "source_token_overlap": _source_overlap_oracle(),
         "doc_repetition_stats": _repetition_oracle(),
         "doc_lm_scores": _lm_scores_oracle(),
+        "doc_bigram_lm_scores": _bigram_lm_oracle(),
         "lm_ppl_buckets": _lm_ppl_buckets_oracle(),
         "dup_span_stats": _dup_span_oracle(),
         # the prefiltered path must produce the IDENTICAL answer: same

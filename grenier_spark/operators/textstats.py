@@ -342,3 +342,141 @@ FROM (SELECT {g}t, COUNT(*)::BIGINT AS c
       FROM ({token_rows_sql})
       GROUP BY {g}t)
 GROUP BY {g}freq_bin"""
+
+
+def bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
+                     vocab_k: int = 50_000, bigram_k: int = 50_000,
+                     alpha: float = 0.4):
+    """Bigram LM with stupid backoff (Brants et al. 2007 §4) — one step
+    from :func:`unigram_lm_scores` toward the n-gram KenLM of CCNet: per
+    doc, ``mean_logp`` over positions where position 1 scores
+    ``ln p_uni(w_1)`` and position i >= 2 scores ``ln(c(w_{i-1} w_i) /
+    c(w_{i-1}))`` when the bigram is in the top-``bigram_k`` table, else
+    backs off to ``ln(alpha) + ln p_uni(w_i)``. Unigram probabilities use
+    the top-``vocab_k`` table with the ``ln(1/N)`` OOV floor; bigram
+    denominators are the FULL corpus counts of the bigram's first word
+    (not top-K-truncated), so conditional probabilities are exact for
+    every tabled bigram.
+
+    Same cross-engine contract as the unigram scorer: both count shuffles
+    are vocab-scale map-side-combined exchanges, both tables are bounded
+    TakeOrdered top-Ks with md5-hex tie-breaks, every ``ln`` is computed
+    in numpy on the driver (== DuckDB's libm) and broadcast as literal
+    doubles, scoring is a two-broadcast-join + doc-local mean (round 6).
+    Returns (id, n_words, mean_logp); zero-word/NULL docs drop.
+    """
+    import numpy as np
+
+    if vocab_k < 1 or bigram_k < 1:
+        raise ValueError("vocab_k and bigram_k must be >= 1")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = df.select(id_col, words.alias("_w")).where(F.size("_w") >= 1)
+    n = F.size("_w")
+    # position rows: (id, prev, cur); prev NULL at position 1
+    pairs = F.zip_with(
+        F.concat(F.array(F.lit(None).cast("string")),
+                 F.slice("_w", 1, n - 1)),
+        F.col("_w"),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")))
+    tok = (base.select(id_col, F.explode(pairs).alias("_pc"))
+           .select(id_col, F.col("_pc.prev").alias("prev"),
+                   F.col("_pc.cur").alias("cur")))
+    counts = (tok.groupBy(F.col("cur").alias("w"))
+              .agg(F.count(F.lit(1)).alias("c")).persist())
+    bcounts = (tok.where(F.col("prev").isNotNull())
+               .select(F.concat_ws(" ", "prev", "cur").alias("g"))
+               .groupBy("g").agg(F.count(F.lit(1)).alias("c2")).persist())
+    spark = df.sparkSession
+    try:
+        top = (counts.orderBy(F.desc("c"), F.md5("w").asc())
+               .limit(vocab_k).toPandas())
+        row = counts.agg(F.sum("c")).first()[0]
+        n_total = int(row) if row is not None else 0
+        if n_total == 0:
+            id_t = df.schema[id_col].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"{id_col} {id_t}, n_words long, mean_logp double")
+        btop = (bcounts.orderBy(F.desc("c2"), F.md5("g").asc())
+                .limit(bigram_k).toPandas())
+        # exact denominators: FULL unigram counts of the tabled bigrams'
+        # first words (semi-join keeps the driver pull K-bounded)
+        if len(btop):
+            btop["w1"] = btop.g.str.split(" ", n=1).str[0]
+            firsts = spark.createDataFrame(
+                btop[["w1"]].drop_duplicates().rename(columns={"w1": "w"}),
+                "w string")
+            c1 = (counts.join(F.broadcast(firsts), "w", "semi")
+                  .toPandas().set_index("w").c)
+            btop["lp2"] = np.log(
+                btop.c2.to_numpy(dtype=np.float64)
+                / c1.reindex(btop.w1).to_numpy(dtype=np.float64))
+    finally:
+        counts.unpersist()
+        bcounts.unpersist()
+    top["lp"] = np.log(top["c"].to_numpy(dtype=np.float64) / float(n_total))
+    oov_lp = float(np.log(1.0 / float(n_total)))
+    ln_alpha = float(np.log(alpha))
+    uni = F.broadcast(spark.createDataFrame(top[["w", "lp"]],
+                                            "w string, lp double"))
+    bi = F.broadcast(spark.createDataFrame(
+        btop[["g", "lp2"]] if len(btop) else btop.assign(g=None, lp2=None)
+        [["g", "lp2"]], "g string, lp2 double"))
+    scored = (tok
+              .withColumn("g", F.when(F.col("prev").isNotNull(),
+                                      F.concat_ws(" ", "prev", "cur")))
+              .join(bi, "g", "left")
+              .join(uni, F.col("cur") == F.col("w"), "left"))
+    uni_lp = F.coalesce(F.col("lp"), F.lit(oov_lp))
+    logp = (F.when(F.col("prev").isNull(), uni_lp)
+            .when(F.col("lp2").isNotNull(), F.col("lp2"))
+            .otherwise(F.lit(ln_alpha) + uni_lp))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.round(F.avg(logp), 6).alias("mean_logp")))
+
+
+def bigram_lm_scores_sql(table_sql: str, text_col: str = "text",
+                         id_col: str = "doc_id", vocab_k: int = 50_000,
+                         bigram_k: int = 50_000,
+                         alpha: float = 0.4) -> str:
+    """DuckDB twin of :func:`bigram_lm_scores`: same position pairs, same
+    two (count DESC, md5 ASC) top-K tables, same full-count denominators,
+    same ln / backoff-constant doubles, same round-6 mean."""
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS id,
+         list_filter(string_split({text_col}, ' '), x -> x <> '') AS words
+  FROM ({table_sql}) WHERE len(list_filter(
+      string_split({text_col}, ' '), x -> x <> '')) >= 1),
+tok AS (
+  SELECT id, CASE WHEN pos > 1 THEN words[pos - 1] END AS prev,
+         words[pos] AS cur
+  FROM (SELECT id, words, unnest(range(1, len(words) + 1)) AS pos FROM w)),
+cnt AS (SELECT cur AS w, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1),
+tot AS (SELECT SUM(c)::BIGINT AS n FROM cnt),
+uni AS (
+  SELECT w, ln(c::DOUBLE / (SELECT n FROM tot)::DOUBLE) AS lp
+  FROM (SELECT w, c FROM cnt ORDER BY c DESC, md5(w) ASC
+        LIMIT {vocab_k})),
+big AS (
+  SELECT g, c2 FROM (
+    SELECT prev || ' ' || cur AS g, COUNT(*)::BIGINT AS c2
+    FROM tok WHERE prev IS NOT NULL GROUP BY 1)
+  ORDER BY c2 DESC, md5(g) ASC LIMIT {bigram_k}),
+bilp AS (
+  SELECT g, ln(c2::DOUBLE / c.c::DOUBLE) AS lp2
+  FROM big JOIN cnt c ON string_split(g, ' ')[1] = c.w)
+SELECT t.id AS {id_col}, COUNT(*)::BIGINT AS n_words,
+       round(AVG(CASE
+         WHEN t.prev IS NULL THEN COALESCE(u.lp,
+             ln(1.0 / (SELECT n FROM tot)::DOUBLE))
+         WHEN b.lp2 IS NOT NULL THEN b.lp2
+         ELSE ln({alpha!r}::DOUBLE) + COALESCE(u.lp,
+             ln(1.0 / (SELECT n FROM tot)::DOUBLE))
+       END), 6) AS mean_logp
+FROM tok t
+LEFT JOIN bilp b ON t.prev IS NOT NULL AND t.prev || ' ' || t.cur = b.g
+LEFT JOIN uni u ON t.cur = u.w
+GROUP BY 1"""

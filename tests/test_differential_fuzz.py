@@ -452,3 +452,22 @@ FROM m GROUP BY id ORDER BY doc_id"""
     row104 = got[got.doc_id == 104].iloc[0]
     assert row104.clean_text == "" and row104.n_boiler == row104.n_segs
     assert (got[got.doc_id.between(100, 103)].n_boiler >= 1).all()
+
+
+def test_bigram_lm_scores_match_duckdb_adversarial(spark, corpus, duck):
+    """The bigram stupid-backoff chain (two md5-tie-broken top-K tables,
+    full-count denominators, ln(alpha) backoff, OOV floor) agrees on
+    adversarial texts with BOTH tables truncated small enough that the
+    tie-breaks and the backoff path both fire."""
+    from grenier_spark.operators.textstats import (bigram_lm_scores,
+                                                   bigram_lm_scores_sql)
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = (bigram_lm_scores(df, vocab_k=7, bigram_k=5).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = duck.execute(
+        "SELECT * FROM (" + bigram_lm_scores_sql(
+            "SELECT doc_id, text FROM docs", vocab_k=7, bigram_k=5)
+        + ") ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got.doc_id.nunique() >= 14

@@ -65,3 +65,49 @@ def test_vocab_k_must_bound_broadcast(spark):
         unigram_lm_scores(
             spark.createDataFrame([(0, "a")], "doc_id long, text string"),
             vocab_k=0)
+
+
+def _bi(spark, rows, **kw):
+    from grenier_spark.operators.textstats import bigram_lm_scores
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bigram_lm_scores(df, **kw).toPandas()
+    return {int(r.doc_id): (int(r.n_words), float(r.mean_logp))
+            for r in out.itertuples()}
+
+
+def test_bigram_known_answer_exact(spark):
+    # corpus: 'a b a b' | 'a c' -> c(a)=3 c(b)=2 c(c)=1 N=6;
+    # bigrams: (a b)x2 (b a)x1 (a c)x1
+    got = _bi(spark, [(0, "a b a b"), (1, "a c")])
+    la = math.log(3 / 6)
+    d0 = (la + math.log(2 / 3) + math.log(1 / 2) + math.log(2 / 3)) / 4
+    d1 = (la + math.log(1 / 3)) / 2
+    assert got == {0: (4, round(d0, 6)), 1: (2, round(d1, 6))}
+
+
+def test_bigram_backoff_and_truncation(spark):
+    # bigram_k=1 keeps only (a b); every other position backs off to
+    # ln(0.4) + unigram (or the OOV floor when vocab_k truncates too)
+    got = _bi(spark, [(0, "a b a b"), (1, "a c")], bigram_k=1)
+    la, lb, lc = math.log(3 / 6), math.log(2 / 6), math.log(1 / 6)
+    back = math.log(0.4)
+    d0 = (la + math.log(2 / 3) + (back + la) + math.log(2 / 3)) / 4
+    d1 = (la + (back + lc)) / 2
+    assert got == {0: (4, round(d0, 6)), 1: (2, round(d1, 6))}
+    # vocab_k=1 additionally floors b and c to ln(1/N)
+    got2 = _bi(spark, [(0, "a b a b"), (1, "a c")],
+               bigram_k=1, vocab_k=1)
+    d1f = (la + (back + math.log(1 / 6))) / 2  # c floored (== singleton)
+    assert got2[1] == (2, round(d1f, 6))
+
+
+def test_bigram_degenerate_and_validation(spark):
+    got = _bi(spark, [(0, "solo"), (1, ""), (2, None)])
+    assert got == {0: (1, round(math.log(1.0), 6))}  # p_uni(solo)=1
+    empty = _bi(spark, [(1, ""), (2, None)])
+    assert empty == {}
+    with pytest.raises(ValueError):
+        _bi(spark, [(0, "a")], alpha=0.0)
+    with pytest.raises(ValueError):
+        _bi(spark, [(0, "a")], bigram_k=0)
