@@ -471,3 +471,35 @@ def test_bigram_lm_scores_match_duckdb_adversarial(spark, corpus, duck):
         + ") ORDER BY doc_id").df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got.doc_id.nunique() >= 14
+
+
+def test_bigram_lm_hypothesis_random_corpora(spark):
+    """Hypothesis-randomized corpora (tiny vocab -> heavy count ties at
+    BOTH top-K boundaries) keep the bigram chain engine-identical: the
+    md5 tie-breaks, backoff routing and denominator lookups must agree
+    for every tie pattern, not just the fixed-seed corpora."""
+    from hypothesis import given, settings, strategies as st
+
+    from grenier_spark.operators.textstats import (bigram_lm_scores,
+                                                   bigram_lm_scores_sql)
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(doc, min_size=3, max_size=12))
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = (bigram_lm_scores(df, vocab_k=2, bigram_k=3).toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("hdocs", pd.DataFrame(rows,
+                                           columns=["doc_id", "text"]))
+        exp = con.execute(
+            "SELECT * FROM (" + bigram_lm_scores_sql(
+                "SELECT doc_id, text FROM hdocs", vocab_k=2, bigram_k=3)
+            + ") ORDER BY doc_id").df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    check()

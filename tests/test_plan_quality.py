@@ -339,3 +339,13 @@ def test_bloom_decontam_probe_is_scan_stage(spark):
     between = lines[probe:scan]
     assert not any("Exchange" in ln for ln in between), "\n".join(between)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bigram_lm_joins_broadcast(spark):
+    """doc_bigram_lm_scores: both LM tables (unigram top-K, bigram top-K)
+    must reach the position stream as BroadcastHashJoins — a SortMergeJoin
+    would shuffle token-scale position rows against bounded tables."""
+    plan = plan_of(entry_mod.q_doc_bigram_lm_scores(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert any("partial" in ln for ln in plan.splitlines()), plan
