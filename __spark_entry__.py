@@ -1716,16 +1716,25 @@ def q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bucket"))
 
 
+def _contamination_split(spark: SparkSession,
+                         sf_dir: str) -> "tuple[DataFrame, DataFrame]":
+    """(train, eval) slices for the two contamination gates: eval =
+    doc_id % 25 == 0 (the planted near-dup structure guarantees real
+    hits). The % 25 literal is hard-coded a third time in
+    _contamination_oracle — change all three together."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.where(F.col("doc_id") % 25 != 0),
+            docs.where(F.col("doc_id") % 25 == 0))
+
+
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination sweep: docs sharing any 4-word shingle
-    with the held-out eval slice (doc_id % 25 == 0 — the planted near-dup
-    structure guarantees real hits). Broadcast eval shingles; corpus never
-    shuffled. FULL oracle (decontam.contamination_report_sql)."""
+    with the held-out eval slice (_contamination_split). Broadcast eval
+    shingles; corpus never shuffled. FULL oracle
+    (decontam.contamination_report_sql)."""
     from grenier_spark.operators.decontam import contamination_report
 
-    docs = _t(spark, sf_dir, "documents")
-    ev = docs.where(F.col("doc_id") % 25 == 0)
-    tr = docs.where(F.col("doc_id") % 25 != 0)
+    tr, ev = _contamination_split(spark, sf_dir)
     return contamination_report(tr, ev, n=4)
 
 
@@ -1740,9 +1749,7 @@ def q_benchmark_contamination_bloom(spark: SparkSession,
     from grenier_spark.operators.decontam import \
         contamination_report_prefiltered
 
-    docs = _t(spark, sf_dir, "documents")
-    ev = docs.where(F.col("doc_id") % 25 == 0)
-    tr = docs.where(F.col("doc_id") % 25 != 0)
+    tr, ev = _contamination_split(spark, sf_dir)
     return contamination_report_prefiltered(tr, ev, n=4,
                                             expected_shingles=8, fpr=0.4)
 

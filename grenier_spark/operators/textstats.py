@@ -385,9 +385,11 @@ def bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
                    F.col("_pc.cur").alias("cur")))
     counts = (tok.groupBy(F.col("cur").alias("w"))
               .agg(F.count(F.lit(1)).alias("c")).persist())
+    # bigram counts feed ONLY the top-K pull — no persist (unlike counts,
+    # which three consumers share: top-K, N-total, c1 denominators)
     bcounts = (tok.where(F.col("prev").isNotNull())
                .select(F.concat_ws(" ", "prev", "cur").alias("g"))
-               .groupBy("g").agg(F.count(F.lit(1)).alias("c2")).persist())
+               .groupBy("g").agg(F.count(F.lit(1)).alias("c2")))
     spark = df.sparkSession
     try:
         top = (counts.orderBy(F.desc("c"), F.md5("w").asc())
@@ -414,7 +416,6 @@ def bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
                 / c1.reindex(btop.w1).to_numpy(dtype=np.float64))
     finally:
         counts.unpersist()
-        bcounts.unpersist()
     top["lp"] = np.log(top["c"].to_numpy(dtype=np.float64) / float(n_total))
     oov_lp = float(np.log(1.0 / float(n_total)))
     ln_alpha = float(np.log(alpha))
