@@ -1634,6 +1634,20 @@ def q_dup_span_removal_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.md5("cleaned").alias("cleaned_md5"))
 
 
+def q_doc_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context windows (packing.sliding_windows, the BERT/long-doc
+    splitting rule): max_len=32, stride=24 over word counts — fixture docs
+    reach ~99 words, so multi-window docs with clamped final windows are
+    exercised. FULL row-level oracle (packing.sliding_windows_sql)."""
+    from grenier_spark.operators.packing import sliding_windows
+    from grenier_spark.operators.textstats import word_count
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    word_count("text").alias("n_tok")))
+    return sliding_windows(docs, max_len=32, stride=24)
+
+
 def q_doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scores (Wenzek et al. 2020 §3.3 with the
     corpus's own unigram distribution standing in for KenLM): per-doc mean
@@ -1872,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_overlap": q_source_token_overlap,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_lm_scores": q_doc_lm_scores,
+        "doc_context_windows": q_doc_context_windows,
         "doc_bigram_lm_scores": q_doc_bigram_lm_scores,
         "lm_ppl_buckets": q_lm_ppl_buckets,
         "dup_span_stats": q_dup_span_stats,
@@ -1982,6 +1997,16 @@ def _lm_scores_oracle() -> str:
     return unigram_lm_scores_sql(
         "SELECT doc_id::BIGINT AS doc_id, text FROM documents",
         vocab_k=256)
+
+
+def _context_windows_oracle() -> str:
+    from grenier_spark.operators.packing import sliding_windows_sql
+
+    return sliding_windows_sql(
+        "SELECT doc_id::BIGINT AS doc_id, "
+        "len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT "
+        "AS n_tok FROM documents",
+        max_len=32, stride=24, cols="doc_id, n_tok")
 
 
 def _bigram_lm_oracle() -> str:
@@ -2465,6 +2490,7 @@ FROM documents""",
         "doc_repetition_stats": _repetition_oracle(),
         "doc_lm_scores": _lm_scores_oracle(),
         "doc_bigram_lm_scores": _bigram_lm_oracle(),
+        "doc_context_windows": _context_windows_oracle(),
         "lm_ppl_buckets": _lm_ppl_buckets_oracle(),
         "dup_span_stats": _dup_span_oracle(),
         # the prefiltered path must produce the IDENTICAL answer: same

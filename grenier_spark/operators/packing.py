@@ -130,3 +130,70 @@ def pack_greedy_contiguous(df: DataFrame, budget: int,
             ntok_col: n, "batch_id": batch, "fill_after": fill_after})
 
     return df.groupBy(group_col).applyInPandas(pack, schema)
+
+
+def sliding_windows(df: DataFrame, max_len: int, stride: int,
+                    ntok_col: str = "n_tok") -> DataFrame:
+    """Per-doc sliding context windows — the BERT/long-doc splitting move
+    (Devlin et al. 2019 §A; every LLM SFT pipeline's long-sample rule):
+    window ``j`` covers token positions ``[j*stride, j*stride + max_len)``
+    with the LAST window clamped to end exactly at ``n_tok``, so every
+    token is covered, consecutive windows overlap by ``max_len - stride``,
+    and no window hangs past the doc.
+
+    * ``n_tok <= max_len``     -> one window ``[0, n_tok)``
+    * else ``n_windows = ceil((n_tok - max_len) / stride) + 1`` and
+      ``win_start(j) = min(j * stride, n_tok - max_len)``
+
+    Returns the input rows exploded to (.., win_idx, win_start, win_len);
+    docs with ``n_tok <= 0`` emit no windows. Pure JVM integer arithmetic
+    in the scan stage (transform + posexplode, zero shuffle, zero Python)
+    with an exact DuckDB twin (:func:`sliding_windows_sql`). ``stride >
+    max_len`` would leave token gaps — fail loudly instead.
+    """
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    if max_len < stride:
+        raise ValueError("max_len must be >= stride (gaps otherwise)")
+    n = F.col(ntok_col).cast("long")
+    n_win = (F.when(n <= 0, F.lit(0)).when(n <= max_len, F.lit(1))
+             .otherwise(F.floor((n - max_len + stride - 1) / stride) + 1)
+             .cast("long"))
+    # greatest(..., 0): the single-window branch has n - max_len <= 0
+    start = lambda j: F.greatest(  # noqa: E731
+        F.least(j * stride, n - max_len), F.lit(0))
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda j: F.struct(
+            start(j).cast("long").alias("s"),
+            F.least(F.lit(max_len), n - start(j)).cast("long").alias("l")))
+    wins = F.when(n_win >= 1, wins).otherwise(
+        F.array().cast("array<struct<s:bigint,l:bigint>>"))
+    return (df.select("*", F.posexplode(wins).alias("win_idx", "_win"))
+            .select("*",
+                    F.col("_win.s").alias("win_start"),
+                    F.col("_win.l").alias("win_len"))
+            .drop("_win")
+            .withColumn("win_idx", F.col("win_idx").cast("long")))
+
+
+def sliding_windows_sql(table_sql: str, max_len: int, stride: int,
+                        ntok_col: str = "n_tok",
+                        cols: str = "*") -> str:
+    """DuckDB twin of :func:`sliding_windows`: same window count, clamped
+    starts and lengths in pure integer arithmetic."""
+    return f"""
+SELECT {cols},
+       j::BIGINT AS win_idx,
+       greatest(least(j * {stride}, {ntok_col} - {max_len}), 0)::BIGINT
+         AS win_start,
+       least({max_len}, {ntok_col}
+             - greatest(least(j * {stride}, {ntok_col} - {max_len}), 0))
+         ::BIGINT AS win_len
+FROM (
+  SELECT t.*, unnest(range(
+    CASE WHEN {ntok_col} <= 0 THEN 0
+         WHEN {ntok_col} <= {max_len} THEN 1
+         ELSE ({ntok_col} - {max_len} + {stride} - 1) // {stride} + 1
+    END)) AS j
+  FROM ({table_sql}) t)"""

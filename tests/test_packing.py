@@ -119,3 +119,79 @@ def test_greedy_large_group_is_linear(spark):
     n = by_doc.n_tok.to_numpy()
     starts = np.flatnonzero(np.diff(b, prepend=-1))[1:]  # skip batch 0
     assert (fill[starts - 1] + n[starts] > BUDGET).all()
+
+
+# -- sliding context windows --------------------------------------------------
+
+def _brute_windows(n, max_len, stride):
+    if n <= 0:
+        return []
+    if n <= max_len:
+        return [(0, 0, n)]
+    n_win = -((n - max_len) // -stride) + 1  # ceil division
+    out = []
+    for j in range(n_win):
+        s = min(j * stride, n - max_len)
+        out.append((j, s, min(max_len, n - s)))
+    return out
+
+
+def test_sliding_windows_match_brute_force_and_duckdb(spark):
+    """Every (n_tok, max_len, stride) shape agrees with the pure-python
+    reference AND the DuckDB twin: full coverage (every token in >= 1
+    window), exact overlap max_len - stride between interior neighbours,
+    clamped final window, short/empty/negative docs."""
+    import duckdb
+
+    from grenier_spark.operators.packing import (sliding_windows,
+                                                 sliding_windows_sql)
+
+    rows = [(i, n) for i, n in enumerate(
+        [0, -3, 1, 4, 5, 6, 9, 10, 11, 12, 13, 17, 100, 101, 103])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    for max_len, stride in [(5, 5), (5, 3), (8, 1), (10, 10), (6, 2)]:
+        got = (sliding_windows(df, max_len, stride).toPandas()
+               .sort_values(["doc_id", "win_idx"]).reset_index(drop=True))
+        exp = {i: _brute_windows(n, max_len, stride) for i, n in rows}
+        got_d = {i: [tuple(map(int, r)) for r in
+                     g[["win_idx", "win_start", "win_len"]].to_numpy()]
+                 for i, g in got.groupby("doc_id")}
+        assert got_d == {i: w for i, w in exp.items() if w}, (max_len,
+                                                              stride)
+        import pandas as pd
+
+        con = duckdb.connect()
+        con.register("docs", pd.DataFrame(rows,
+                                          columns=["doc_id", "n_tok"]))
+        duck = (con.execute(
+            "SELECT * FROM (" + sliding_windows_sql(
+                "SELECT doc_id, n_tok FROM docs", max_len, stride,
+                cols="doc_id, n_tok")
+            + ") ORDER BY doc_id, win_idx").df())
+        assert (duck[["doc_id", "win_idx", "win_start", "win_len"]]
+                .to_numpy().tolist()
+                == got[["doc_id", "win_idx", "win_start", "win_len"]]
+                .to_numpy().tolist()), (max_len, stride)
+        # coverage + overlap invariants on the reference itself
+        for i, n in rows:
+            w = exp[i]
+            if n <= 0:
+                assert w == []
+                continue
+            covered = set()
+            for _, s, ln in w:
+                assert 0 <= s and s + ln <= n and 1 <= ln <= max_len
+                covered.update(range(s, s + ln))
+            assert covered == set(range(n))
+
+
+def test_sliding_windows_validation(spark):
+    import pytest as _pytest
+
+    from grenier_spark.operators.packing import sliding_windows
+
+    df = spark.createDataFrame([(0, 5)], "doc_id long, n_tok long")
+    with _pytest.raises(ValueError):
+        sliding_windows(df, 4, 5)  # stride > max_len -> gaps
+    with _pytest.raises(ValueError):
+        sliding_windows(df, 4, 0)
