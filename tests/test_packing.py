@@ -195,3 +195,31 @@ def test_sliding_windows_validation(spark):
         sliding_windows(df, 4, 5)  # stride > max_len -> gaps
     with _pytest.raises(ValueError):
         sliding_windows(df, 4, 0)
+
+
+def test_sliding_windows_sql_hypothesis():
+    """Hypothesis-randomized (n_tok, max_len, stride) against the pure
+    reference — DuckDB-only (no Spark), so the parameter space gets broad
+    coverage; the Spark side is pinned to the same SQL by the fixed-shape
+    test above."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from grenier_spark.operators.packing import sliding_windows_sql
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(-2, 400), st.integers(1, 50), st.integers(1, 50))
+    def check(n, max_len, stride):
+        if stride > max_len:
+            max_len, stride = stride, max_len  # keep the valid regime
+        con = duckdb.connect()
+        con.register("d", pd.DataFrame({"doc_id": [0], "n_tok": [n]}))
+        got = [tuple(map(int, r)) for r in con.execute(
+            "SELECT win_idx, win_start, win_len FROM ("
+            + sliding_windows_sql("SELECT doc_id, n_tok FROM d",
+                                  max_len, stride, cols="doc_id")
+            + ") ORDER BY win_idx").fetchall()]
+        assert got == _brute_windows(n, max_len, stride)
+
+    check()
