@@ -156,8 +156,13 @@ def sliding_windows(df: DataFrame, max_len: int, stride: int,
     if max_len < stride:
         raise ValueError("max_len must be >= stride (gaps otherwise)")
     n = F.col(ntok_col).cast("long")
+    # true 64-bit integer division (SQL DIV), matching DuckDB's // exactly
+    # at any magnitude — Column `/` would be IEEE double division
+    ceil_div = F.expr(
+        f"(CAST({ntok_col} AS BIGINT) - {max_len} + {stride - 1}) "
+        f"DIV {stride}")
     n_win = (F.when(n <= 0, F.lit(0)).when(n <= max_len, F.lit(1))
-             .otherwise(F.floor((n - max_len + stride - 1) / stride) + 1)
+             .otherwise(ceil_div + 1)
              .cast("long"))
     # greatest(..., 0): the single-window branch has n - max_len <= 0
     start = lambda j: F.greatest(  # noqa: E731

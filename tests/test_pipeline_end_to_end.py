@@ -269,9 +269,16 @@ def test_bloom_gated_decontamination_is_exact(spark):
     train = spark.createDataFrame(tr_rows, "doc_id long, text string")
     ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
 
+    # duplicate-id input: the report must SUM totals across a doc's rows
+    # exactly like the plain operator (one quoting row + one clean row
+    # under the same id halves hit_frac, it must not inflate it)
+    train = train.unionByName(spark.createDataFrame(
+        [(7, "a clean second row for doc seven with harmless words only")],
+        "doc_id long, text string"))
     plain = (contamination_report(train, ev, n=4).toPandas()
              .sort_values("doc_id").reset_index(drop=True))
     assert 7 in set(plain.doc_id) and len(plain) >= 1
+    assert (plain.loc[plain.doc_id == 7, "hit_frac"] < 0.5).all()
     for kwargs in ({}, {"expected_shingles": 2, "fpr": 0.5}):
         pre = (contamination_report_prefiltered(train, ev, n=4, **kwargs)
                .toPandas().sort_values("doc_id").reset_index(drop=True))
