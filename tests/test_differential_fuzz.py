@@ -395,15 +395,20 @@ def test_contamination_report_match_duckdb_adversarial(spark, corpus, duck):
 
     df = spark.createDataFrame(corpus, "doc_id long, text string")
     ev = df.where(F.col("doc_id") % 3 == 0)
+    # 999 appears TWICE (duplicate-id input): totals must sum across its
+    # rows on BOTH engines (per-row distinct, no cross-row collapse)
     quote = spark.createDataFrame(
-        [(999, "prefix UPPER lower MiXeD case suffix")],
-        "doc_id long, text string")  # quotes eval doc 15's 4-gram
+        [(999, "prefix UPPER lower MiXeD case suffix"),
+         (999, "second row UPPER lower MiXeD case again here")],
+        "doc_id long, text string")  # both quote eval doc 15's 4-gram
     tr = df.where(F.col("doc_id") % 3 != 0).unionByName(quote)
     got = (contamination_report(tr, ev, n=4).toPandas()
            .sort_values("doc_id").reset_index(drop=True))
     tr_sql = ("SELECT doc_id, text FROM docs WHERE doc_id % 3 <> 0 "
               "UNION ALL SELECT 999, "
-              "'prefix UPPER lower MiXeD case suffix'")
+              "'prefix UPPER lower MiXeD case suffix' "
+              "UNION ALL SELECT 999, "
+              "'second row UPPER lower MiXeD case again here'")
     exp = duck.execute(
         "SELECT * FROM (" + contamination_report_sql(
             tr_sql, "SELECT doc_id, text FROM docs WHERE doc_id % 3 = 0",
