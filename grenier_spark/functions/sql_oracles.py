@@ -282,7 +282,10 @@ def simhash_fps_sql(docs_sql: str, id_col: str = "id",
     (:func:`md5_low64_expr` == Spark ``md5_low64_col``), wang64 mix,
     count-weighted bit votes (Charikar 2002). Docs whose word list is
     empty after filtering (empty/NULL text, separators only) get fp = 0
-    on both engines. Fuzzed directly in test_differential_fuzz.py."""
+    on both engines. Ids must be UNIQUE (they are the doc identity): on a
+    duplicate-id input this SQL merges both rows' word counts into one
+    fingerprint while Spark emits one row per input row. Fuzzed directly
+    in test_differential_fuzz.py."""
     powers = ", ".join(f"({b}, {1 << b}::UHUGEINT)" for b in range(64))
     hashed = chain_selects(
         f"SELECT id, cnt, {md5_low64_expr('w')} AS k FROM ("
@@ -332,7 +335,9 @@ def _minhash_chain_sql(docs_sql: str, id_col: str, text_col: str,
     wang64 rows feeding the ``MIN(h)`` signature aggregate. Twin of
     ``dedup.minhash_signatures(word_hash='md5')``; used by both the
     self-join near-dup oracle and the cross-table fuzzy-contamination
-    oracle so the two can never drift."""
+    oracle so the two can never drift. Ids must be UNIQUE (doc identity):
+    the per-id MIN would merge duplicate-id rows' shingle sets that Spark
+    signs separately."""
     from grenier_spark.core.bits import splitmix64_scalar
 
     salts = ", ".join(
