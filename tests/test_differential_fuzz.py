@@ -508,3 +508,89 @@ def test_bigram_lm_hypothesis_random_corpora(spark):
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
     check()
+
+
+def test_pack_fixed_chunks_match_duckdb_adversarial(spark):
+    """Chunk arithmetic agrees on boundary token counts: zeros (incl. at
+    stream position 0), exact-budget fits, budget+-1, an oversize doc and
+    a 2^40 giant — the greatest() pin and // vs floor semantics must
+    coincide on every shape."""
+    from grenier_spark.operators.packing import pack_fixed_chunks
+
+    B = 100
+    ns = [0, 1, 99, 100, 101, 0, 250, 100, 1, 0, 1 << 40, 5]
+    rows = [("g", i, n) for i, n in enumerate(ns)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    got = (pack_fixed_chunks(df, B).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("pdocs", pd.DataFrame(rows,
+                                       columns=["source", "doc_id",
+                                                "n_tok"]))
+    exp = con.execute(f"""
+WITH c AS (
+  SELECT source, doc_id, n_tok,
+         (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+          - n_tok)::BIGINT AS tok_start
+  FROM pdocs)
+SELECT source, doc_id, n_tok, tok_start,
+       (tok_start // {B})::BIGINT AS batch_id,
+       greatest(tok_start // {B},
+                (tok_start + n_tok - 1) // {B})::BIGINT AS end_batch_id,
+       greatest(tok_start // {B}, (tok_start + n_tok - 1) // {B})
+         > (tok_start // {B}) AS straddles
+FROM c ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+    assert got.end_batch_id.max() > (1 << 40) // B - 2  # the giant counted
+
+
+def test_sessionize_match_duckdb_adversarial(spark):
+    """Session splits agree at the boundaries: gap EXACTLY 6 h (same
+    session — strict >), 6 h + 1 us (new session), tied timestamps
+    (event_id tie-break), single-event users, and epoch-adjacent stamps."""
+    from datetime import datetime, timedelta
+
+    from grenier_spark.operators.sessions import session_stats
+
+    t0 = datetime(2024, 3, 10, 0, 0, 0)
+    six_h = timedelta(hours=6)
+    us = timedelta(microseconds=1)
+    rows = [
+        ("u1", t0, 1), ("u1", t0 + six_h, 2),          # exact 6h: same
+        ("u1", t0 + six_h + six_h + us, 3),            # 6h + 1us: new
+        ("u2", t0, 1), ("u2", t0, 2), ("u2", t0, 3),   # all tied: one sess
+        ("u3", datetime(1970, 1, 1, 0, 0, 0), 1),      # epoch
+        ("u3", datetime(1970, 1, 1, 6, 0, 0), 2),      # exactly 6h later
+        ("u4", t0, 7),                                 # singleton
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, "
+                                     "event_id long")
+    got = (session_stats(df).toPandas()
+           .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("ev", pd.DataFrame(rows,
+                                    columns=["user_id", "ts", "event_id"]))
+    exp = con.execute("""
+WITH s AS (
+  SELECT user_id,
+         SUM(CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - prev > 21600000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (SELECT user_id, ts, event_id,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+        FROM ev)
+), per_sess AS (
+  SELECT user_id, session_id, COUNT(*)::BIGINT AS sess_events
+  FROM s GROUP BY 1, 2)
+SELECT user_id, MAX(session_id)::BIGINT AS n_sessions,
+       SUM(sess_events)::BIGINT AS n_events,
+       MAX(sess_events)::BIGINT AS max_session_events
+FROM per_sess GROUP BY user_id ORDER BY user_id""").df()
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+    g = got.set_index("user_id")
+    assert int(g.loc["u1", "n_sessions"]) == 2   # strict > at exactly 6h
+    assert int(g.loc["u2", "n_sessions"]) == 1   # ties share one session
+    assert int(g.loc["u3", "n_sessions"]) == 1
