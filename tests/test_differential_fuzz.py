@@ -594,3 +594,49 @@ FROM per_sess GROUP BY user_id ORDER BY user_id""").df()
     assert int(g.loc["u1", "n_sessions"]) == 2   # strict > at exactly 6h
     assert int(g.loc["u2", "n_sessions"]) == 1   # ties share one session
     assert int(g.loc["u3", "n_sessions"]) == 1
+
+
+def test_pack_greedy_match_duckdb_adversarial(spark):
+    """The greedy whole-doc packer and its recursive-CTE twin agree on
+    the shapes the gate corpus lacks: oversize docs (> budget, own
+    batch), exact fits, size-1 runs, zero-token docs, and an oversize
+    FIRST doc."""
+    from grenier_spark.operators.packing import pack_greedy_contiguous
+
+    B = 100
+    shapes = {
+        "a": [250, 1, 99, 100, 1, 0, 100, 101, 50, 50, 1],  # oversize 1st
+        "b": [1, 1, 1, 97, 250, 250, 3],
+        "c": [100, 100, 100],                                # exact fits
+    }
+    rows = [(g, i, n) for g, ns in shapes.items()
+            for i, n in enumerate(ns)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    got = (pack_greedy_contiguous(df, B).toPandas()
+           .sort_values(["source", "doc_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("gdocs", pd.DataFrame(rows,
+                                       columns=["source", "doc_id",
+                                                "n_tok"]))
+    exp = con.execute(f"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id, n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM gdocs
+), g AS (
+  SELECT source, doc_id, n_tok, rn, 0::BIGINT AS batch_id,
+         n_tok AS fill_after
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT nx.source, nx.doc_id, nx.n_tok, nx.rn,
+         CASE WHEN g.fill_after + nx.n_tok <= {B} THEN g.batch_id
+              ELSE g.batch_id + 1 END,
+         CASE WHEN g.fill_after + nx.n_tok <= {B}
+              THEN g.fill_after + nx.n_tok ELSE nx.n_tok END
+  FROM g JOIN d nx ON nx.source = g.source AND nx.rn = g.rn + 1
+)
+SELECT source, doc_id, n_tok, batch_id, fill_after FROM g
+ORDER BY source, doc_id""").df()
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+    a = got[got.source == "a"].sort_values("doc_id")
+    assert a.batch_id.iloc[0] == 0 and a.batch_id.iloc[1] == 1  # oversize alone
