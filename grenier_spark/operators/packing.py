@@ -138,8 +138,9 @@ def sliding_windows(df: DataFrame, max_len: int, stride: int,
     (Devlin et al. 2019 §A; every LLM SFT pipeline's long-sample rule):
     window ``j`` covers token positions ``[j*stride, j*stride + max_len)``
     with the LAST window clamped to end exactly at ``n_tok``, so every
-    token is covered, consecutive windows overlap by ``max_len - stride``,
-    and no window hangs past the doc.
+    token is covered, INTERIOR neighbours overlap by exactly
+    ``max_len - stride`` (the clamped final window may overlap its
+    predecessor by more), and no window hangs past the doc.
 
     * ``n_tok <= max_len``     -> one window ``[0, n_tok)``
     * else ``n_windows = ceil((n_tok - max_len) / stride) + 1`` and
@@ -159,7 +160,7 @@ def sliding_windows(df: DataFrame, max_len: int, stride: int,
     # true 64-bit integer division (SQL DIV), matching DuckDB's // exactly
     # at any magnitude — Column `/` would be IEEE double division
     ceil_div = F.expr(
-        f"(CAST({ntok_col} AS BIGINT) - {max_len} + {stride - 1}) "
+        f"(CAST(`{ntok_col}` AS BIGINT) - {max_len} + {stride - 1}) "
         f"DIV {stride}")
     n_win = (F.when(n <= 0, F.lit(0)).when(n <= max_len, F.lit(1))
              .otherwise(ceil_div + 1)
