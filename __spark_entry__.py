@@ -1055,6 +1055,51 @@ def q_incremental_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.toPandas())
 
 
+def q_streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup in the gate (streaming/dedup.py
+    dedup_stream): documents arrive in two micro-batches (doc_id parity,
+    one file per trigger, processAllAvailable between writes so batch
+    order is strict) with 5 copies of batch-1 docs planted into batch 2.
+    The engine state store must drop EXACTLY the cross-batch copies, so
+    the survivors are the original corpus verbatim — every (doc_id,
+    content_hash) value-gated. Determinism: contents are unique WITHIN
+    each batch (the fixtures are dup-free and plants copy only batch-1
+    content), so no engine-chosen same-batch survivor exists."""
+    import tempfile
+    import time as _time
+
+    from grenier_spark.streaming.dedup import dedup_stream
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ck"
+        docs.where("doc_id % 2 = 0").coalesce(1) \
+            .write.parquet(f"{src}/b1")
+        _time.sleep(0.05)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(f"{src}/*"))
+        q = (dedup_stream(stream, "text").writeStream
+             .outputMode("append").format("memory")
+             .queryName("g_stream_dedup")
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            plants = (docs.where("doc_id % 2 = 0").orderBy("doc_id")
+                      .limit(5)
+                      .select((F.col("doc_id") + 10_000_000)
+                              .alias("doc_id"), "text"))
+            (docs.where("doc_id % 2 = 1").unionByName(plants)
+             .coalesce(1).write.parquet(f"{src}/b2"))
+            q.processAllAvailable()
+            got = spark.sql("SELECT doc_id, content_hash "
+                            "FROM g_stream_dedup").toPandas()
+        finally:
+            q.stop()
+    # materialize before the checkpoint/source temp dir disappears
+    return spark.createDataFrame(got, "doc_id long, content_hash string")
+
+
 def q_hll_history_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-tree time travel in the gate (plans/checkpoint.py
     CheckpointedSketchJob.history): documents land in two input snapshots
@@ -1869,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order_docs": q_shuffle_order_docs,
         "stride_interleave_docs": q_stride_interleave_docs,
         "ingest_dedup_docs": q_ingest_dedup_docs,
+        "streaming_dedup_docs": q_streaming_dedup_docs,
         "shard_manifest_stats": q_shard_manifest_stats,
         "embedding_neardup": q_embedding_neardup,
         "user_sessions": q_user_sessions,
@@ -2673,6 +2719,11 @@ SELECT source, doc_id, n_tok, batch_id, fill_after FROM g""",
         "shuffle_order_docs": _shuffle_order_docs_oracle(),
         "stride_interleave_docs": _stride_interleave_docs_oracle(),
         "ingest_dedup_docs": _INGEST_DEDUP_ORACLE,
+        # streaming dedup drops exactly the cross-batch planted copies, so
+        # the survivors are the original corpus verbatim
+        "streaming_dedup_docs": """
+SELECT doc_id::BIGINT AS doc_id, md5(text) AS content_hash
+FROM documents""",
         "shard_manifest_stats": _shard_manifest_stats_oracle(),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
