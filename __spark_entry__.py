@@ -1100,6 +1100,53 @@ def q_streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(got, "doc_id long, content_hash string")
 
 
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming heavy hitters in the gate
+    (streaming/stateful.py lossy_state_stream, applyInPandasWithState):
+    tokenized documents arrive in two micro-batches (doc_id parity); the
+    per-source lossy counter lives in the state store across triggers. In
+    the capped regime (error_tolerance 1e-6 -> bucket width >> stream, no
+    prune, delta = 0) the final report is EXACT — (source, token, f, n)
+    with f/n >= support, fully recomputable in SQL (the streaming twin of
+    sticky_sample_tokens' capped-stream contract). Final-trigger rows are
+    selected by n == max(n) per source (update-mode memory sink keeps
+    every trigger's emission; n strictly grows per trigger)."""
+    import tempfile
+    import time as _time
+
+    from grenier_spark.streaming.stateful import lossy_state_stream
+
+    docs = _tokenized_docs(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"), "tokens")
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ck"
+        docs.where("doc_id % 2 = 0").coalesce(1) \
+            .write.parquet(f"{src}/b1")
+        _time.sleep(0.05)
+        stream = (spark.readStream
+                  .schema("source string, doc_id long, "
+                          "tokens array<bigint>")
+                  .option("maxFilesPerTrigger", "1").parquet(f"{src}/*"))
+        out = lossy_state_stream(stream, "source", support=0.004,
+                                 error_tolerance=1e-6)
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName("g_stream_hh")
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            docs.where("doc_id % 2 = 1").coalesce(1) \
+                .write.parquet(f"{src}/b2")
+            q.processAllAvailable()
+            got = spark.sql(
+                "SELECT source, token, f, n FROM g_stream_hh").toPandas()
+        finally:
+            q.stop()
+    fin = got[got.n == got.groupby("source").n.transform("max")]
+    return spark.createDataFrame(
+        fin.reset_index(drop=True),
+        "source string, token long, f long, n long")
+
+
 def q_hll_history_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-tree time travel in the gate (plans/checkpoint.py
     CheckpointedSketchJob.history): documents land in two input snapshots
@@ -1915,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stride_interleave_docs": q_stride_interleave_docs,
         "ingest_dedup_docs": q_ingest_dedup_docs,
         "streaming_dedup_docs": q_streaming_dedup_docs,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "shard_manifest_stats": q_shard_manifest_stats,
         "embedding_neardup": q_embedding_neardup,
         "user_sessions": q_user_sessions,
@@ -2724,6 +2772,20 @@ SELECT source, doc_id, n_tok, batch_id, fill_after FROM g""",
         "streaming_dedup_docs": """
 SELECT doc_id::BIGINT AS doc_id, md5(text) AS content_hash
 FROM documents""",
+        # capped-regime lossy report == exact counts above the threshold;
+        # the f/n >= support compare uses the same doubles on both engines
+        "streaming_heavy_hitters": f"""
+WITH tok AS (
+  SELECT source, {md5_low64_signed_expr('w')} AS token
+  FROM (SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS w
+        FROM documents)),
+c AS (SELECT source, token, COUNT(*)::BIGINT AS f FROM tok GROUP BY 1, 2),
+t AS (SELECT source, COUNT(*)::BIGINT AS n FROM tok GROUP BY 1)
+SELECT source, token, f, n
+FROM c JOIN t USING (source)
+WHERE f / n::DOUBLE >= 0.004::DOUBLE""",
         "shard_manifest_stats": _shard_manifest_stats_oracle(),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
