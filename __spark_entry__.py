@@ -1060,11 +1060,13 @@ def q_streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_stream): documents arrive in two micro-batches (doc_id parity,
     one file per trigger, processAllAvailable between writes so batch
     order is strict) with 5 copies of batch-1 docs planted into batch 2.
-    The engine state store must drop EXACTLY the cross-batch copies, so
-    the survivors are the original corpus verbatim — every (doc_id,
-    content_hash) value-gated. Determinism: contents are unique WITHIN
-    each batch (the fixtures are dup-free and plants copy only batch-1
-    content), so no engine-chosen same-batch survivor exists."""
+    Gate surface: exactly ONE emitted row per distinct corpus content —
+    (content_hash, n_emitted=1), survivor-IDENTITY-free, so the gate is
+    deterministic at ANY sf (sf0.1 carries natural duplicate texts whose
+    same-batch survivor is engine-chosen; which row survives is not part
+    of the dedup contract, that exactly one does is). The planted copies
+    prove the cross-batch state-store path; they add no new content, so
+    the distinct-content set is exactly the corpus's."""
     import tempfile
     import time as _time
 
@@ -1092,12 +1094,14 @@ def q_streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (docs.where("doc_id % 2 = 1").unionByName(plants)
              .coalesce(1).write.parquet(f"{src}/b2"))
             q.processAllAvailable()
-            got = spark.sql("SELECT doc_id, content_hash "
-                            "FROM g_stream_dedup").toPandas()
+            got = spark.sql(
+                "SELECT content_hash, COUNT(*) AS n_emitted "
+                "FROM g_stream_dedup GROUP BY 1").toPandas()
         finally:
             q.stop()
     # materialize before the checkpoint/source temp dir disappears
-    return spark.createDataFrame(got, "doc_id long, content_hash string")
+    return spark.createDataFrame(got,
+                                 "content_hash string, n_emitted long")
 
 
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1141,7 +1145,14 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "SELECT source, token, f, n FROM g_stream_hh").toPandas()
         finally:
             q.stop()
-    fin = got[got.n == got.groupby("source").n.transform("max")]
+    # keep ONLY rows whose n equals the exact per-source token total:
+    # selecting max(n) per source would keep stale trigger-1 rows for a
+    # source whose FINAL report is legitimately empty (all tokens diluted
+    # below support) — n == total is the final trigger by construction
+    totals = {r.source: r._n for r in
+              docs.select("source", F.size("tokens").alias("_k"))
+              .groupBy("source").agg(F.sum("_k").alias("_n")).collect()}
+    fin = got[got.apply(lambda r: r.n == totals.get(r.source), axis=1)]
     return spark.createDataFrame(
         fin.reset_index(drop=True),
         "source string, token long, f long, n long")
@@ -1154,16 +1165,33 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel rows whose only job is to push the watermark past every real
     window and flush the finalization timeouts. Every (event_type, day)
     window is emitted exactly once from the state store with its sketch
-    estimate and exact row count. Gate surface: n_rows is value-exact
-    (DuckDB recomputes COUNT(*) per calendar day — the events_pivot
-    day-formatting parity), est_ok asserts the HLL estimate within 3x the
-    published bound vs the exact distinct count (DuckDB emits TRUE)."""
+    estimate and exact row count. Gate surface keyed on win_epoch = unix
+    seconds of the window start. The session timezone is PINNED to UTC
+    for the whole gate (set/restore): the fixture parquet stores NAIVE
+    timestamps, so a non-UTC session tz would shift the instants — and
+    therefore the day-window boundaries — relative to DuckDB's naive
+    epoch() reading; under UTC both engines bucket the identical naive
+    values at the identical UTC-midnight epochs. n_rows is value-exact
+    (DuckDB recomputes COUNT(*) per epoch-day bucket), est_ok asserts
+    the HLL estimate within 3x the published bound + a small-cardinality
+    floor vs the exact distinct count (DuckDB emits TRUE)."""
     import datetime as _dt
     import tempfile
     import time as _time
 
     from grenier_spark.streaming.stateful import windowed_hll_stream
 
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return _windowed_hll_gate_body(spark, sf_dir, _dt, tempfile,
+                                       _time, windowed_hll_stream)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def _windowed_hll_gate_body(spark, sf_dir, _dt, tempfile, _time,
+                            windowed_hll_stream):
     schema = "event_id long, ts timestamp, event_type string, user_id long"
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "user_id")
@@ -1191,17 +1219,20 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
             sent(2).coalesce(1).write.parquet(f"{src}/b3")
             q.processAllAvailable()  # flush timeouts behind the watermark
+            # unix_timestamp JVM-side: an instant, not a tz-naive pandas
+            # datetime (toPandas would render win_start in the session tz)
             got = spark.sql(
-                "SELECT * FROM g_stream_win "
+                "SELECT event_type, unix_timestamp(win_start) AS "
+                "win_epoch, est_distinct, n_rows FROM g_stream_win "
                 "WHERE event_type <> 'zzsentinel'").toPandas()
         finally:
             q.stop()
-    exact = (ev.groupBy("event_type",
-                        F.date_format("ts", "yyyy-MM-dd").alias("day"))
+    day_epoch = (F.floor(F.unix_timestamp("ts") / 86400) * 86400) \
+        .cast("long")
+    exact = (ev.groupBy("event_type", day_epoch.alias("win_epoch"))
              .agg(F.countDistinct("user_id").alias("_exact"))
              .toPandas())
-    got["day"] = got.win_start.dt.strftime("%Y-%m-%d")
-    m = got.merge(exact, on=["event_type", "day"], how="left")
+    m = got.merge(exact, on=["event_type", "win_epoch"], how="left")
     # 3x the published bound PLUS a +3 absolute floor: per-window
     # cardinalities here are ~50 (linear-counting regime, where the
     # multiplicative asymptotic bound under-measures), and the windowed
@@ -1212,9 +1243,9 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound = 3.0 * 1.04 / (2 ** 12) ** 0.5
     m["est_ok"] = ((m.est_distinct - m._exact).abs()
                    <= bound * m._exact + 3.0)
-    out_pdf = m[["event_type", "day", "n_rows", "est_ok"]]
+    out_pdf = m[["event_type", "win_epoch", "n_rows", "est_ok"]]
     return spark.createDataFrame(
-        out_pdf, "event_type string, day string, n_rows long, "
+        out_pdf, "event_type string, win_epoch long, n_rows long, "
                  "est_ok boolean")
 
 
@@ -2841,27 +2872,32 @@ SELECT source, doc_id, n_tok, batch_id, fill_after FROM g""",
         "ingest_dedup_docs": _INGEST_DEDUP_ORACLE,
         # streaming dedup drops exactly the cross-batch planted copies, so
         # the survivors are the original corpus verbatim
+        # exactly one survivor per DISTINCT content (sf-robust: natural
+        # duplicate texts at larger sfs collapse on both sides)
         "streaming_dedup_docs": """
-SELECT doc_id::BIGINT AS doc_id, md5(text) AS content_hash
-FROM documents""",
+SELECT md5(text) AS content_hash, 1::BIGINT AS n_emitted
+FROM (SELECT DISTINCT text FROM documents)""",
         # capped-regime lossy report == exact counts above the threshold;
-        # the f/n >= support compare uses the same doubles on both engines
+        # the f/n >= support compare uses the same doubles on both
+        # engines. NO empty-token filter: md5_tokens_col keeps empty
+        # tokens from repeated separators (same contract as the
+        # heavy_hitter_tokens oracle)
         "streaming_heavy_hitters": f"""
 WITH tok AS (
   SELECT source, {md5_low64_signed_expr('w')} AS token
-  FROM (SELECT source,
-               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
-                 AS w
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
         FROM documents)),
 c AS (SELECT source, token, COUNT(*)::BIGINT AS f FROM tok GROUP BY 1, 2),
 t AS (SELECT source, COUNT(*)::BIGINT AS n FROM tok GROUP BY 1)
 SELECT source, token, f, n
 FROM c JOIN t USING (source)
 WHERE f / n::DOUBLE >= 0.004::DOUBLE""",
-        # finalized (event_type, day) windows: exact row counts, est
-        # bound boolean computed Spark-side from the real sketch
+        # finalized windows keyed by UTC-epoch day start (tz-independent
+        # instants on both engines): exact row counts, est bound boolean
+        # computed Spark-side from the real sketch
         "streaming_windowed_hll": """
-SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+SELECT event_type,
+       ((epoch(ts)::BIGINT // 86400) * 86400)::BIGINT AS win_epoch,
        COUNT(*)::BIGINT AS n_rows, TRUE AS est_ok
 FROM events GROUP BY 1, 2""",
         "shard_manifest_stats": _shard_manifest_stats_oracle(),
