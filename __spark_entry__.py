@@ -1175,23 +1175,21 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB recomputes COUNT(*) per epoch-day bucket), est_ok asserts
     the HLL estimate within 3x the published bound + a small-cardinality
     floor vs the exact distinct count (DuckDB emits TRUE)."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return _windowed_hll_gate_body(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def _windowed_hll_gate_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as _dt
     import tempfile
     import time as _time
 
     from grenier_spark.streaming.stateful import windowed_hll_stream
 
-    prev_tz = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        return _windowed_hll_gate_body(spark, sf_dir, _dt, tempfile,
-                                       _time, windowed_hll_stream)
-    finally:
-        spark.conf.set("spark.sql.session.timeZone", prev_tz)
-
-
-def _windowed_hll_gate_body(spark, sf_dir, _dt, tempfile, _time,
-                            windowed_hll_stream):
     schema = "event_id long, ts timestamp, event_type string, user_id long"
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "user_id")
