@@ -1149,8 +1149,12 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selecting max(n) per source would keep stale trigger-1 rows for a
     # source whose FINAL report is legitimately empty (all tokens diluted
     # below support) — n == total is the final trigger by construction
+    # size(NULL) is -1 with ANSI off (see boilerplate.segment_col) — a
+    # NULL-text doc must count 0 tokens like the stream side's None-skip
+    tok_n = F.when(F.col("tokens").isNotNull(),
+                   F.size("tokens")).otherwise(F.lit(0))
     totals = {r.source: r._n for r in
-              docs.select("source", F.size("tokens").alias("_k"))
+              docs.select("source", tok_n.alias("_k"))
               .groupBy("source").agg(F.sum("_k").alias("_n")).collect()}
     fin = got[got.apply(lambda r: r.n == totals.get(r.source), axis=1)]
     return spark.createDataFrame(
