@@ -50,6 +50,7 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  md5_low64_expr,
                                                  md5_low64_signed_expr,
                                                  minhash_neardup_sql,
+                                                 semdedup_sql,
                                                  simhash_pairs_sql)
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
 from grenier_spark.operators.textstats import BPE_ISH_PATTERN as _BPE_PATTERN
@@ -779,6 +780,33 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("embedding")))
     full = dbl.unionByName(planted)
     return (cosine_neardup_pairs(full, tau=0.9).orderBy("id_a", "id_b"))
+
+
+def q_semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semdedup): embeddings + the same 10 planted
+    perturbed copies as embedding_neardup, clustered into 8 sampled-
+    centroid cells; within-cell round-6 cosine >= 0.9 edges close into
+    components and the lowest id of each survives (kept). The oracle
+    replays the whole chain — quantizer, same-cell pairs, recursive
+    min-label closure — value for value in DuckDB SQL."""
+    from grenier_spark.operators.similarity import semdedup
+
+    em = _t(spark, sf_dir, "embeddings")
+    dbl = em.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    planted = (dbl.orderBy("vec_id").limit(10)
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       F.transform(
+                           "embedding",
+                           lambda x, i: F.when(i == 0, x + 0.25).otherwise(x))
+                       .alias("embedding")))
+    full = dbl.unionByName(planted)
+    res = semdedup(full, tau=0.9, n_centroids=8)
+    return (res.select(F.col("vec_id").cast("long").alias("vec_id"),
+                       F.col("cell").cast("long").alias("cell"),
+                       F.col("component_id").cast("long")
+                       .alias("component_id"), "kept")
+            .orderBy("vec_id"))
 
 
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2070,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_hll": q_streaming_windowed_hll,
         "shard_manifest_stats": q_shard_manifest_stats,
         "embedding_neardup": q_embedding_neardup,
+        "semdedup_docs": q_semdedup_docs,
         "user_sessions": q_user_sessions,
         "customers_without_orders": q_customers_without_orders,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
@@ -2916,6 +2945,13 @@ pr AS (SELECT a.id AS id_a, b.id AS id_b,
        FROM u a JOIN u b ON a.id < b.id)
 SELECT id_a, id_b, round(cos, 6) AS cos_sim
 FROM pr WHERE round(cos, 6) >= 0.9""",
+        "semdedup_docs": semdedup_sql(
+            "WITH e AS (SELECT vec_id::BIGINT AS id, "
+            "embedding::DOUBLE[] AS v FROM embeddings) "
+            "SELECT id, v FROM e UNION ALL "
+            "SELECT id + 1000000 AS id, [v[1] + 0.25] || v[2:] AS v "
+            "FROM (SELECT * FROM e ORDER BY id LIMIT 10)",
+            tau=0.9, n_centroids=8),
         "user_sessions": """
 WITH s AS (
   SELECT user_id,

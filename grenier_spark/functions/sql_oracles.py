@@ -602,6 +602,59 @@ SELECT qid AS query_id, rank::BIGINT AS rank, id AS vec_id,
 FROM ranked WHERE rank <= {k}"""
 
 
+def semdedup_sql(vectors_sql: str, tau: float = 0.9,
+                 n_centroids: int = 16) -> str:
+    """DuckDB twin of ``similarity.semdedup`` (sampled-centroid default):
+    same lowest-id centroids and round-6 argmax cell assignment as
+    :func:`ann_ivf_sql` (zero norms coerced to 1 -> cosine exactly 0.0),
+    same-cell pairs with round-6 cosine >= ``tau`` (zero-norm rows
+    excluded, twin of the Spark side's NULL cosine), transitive closure
+    by a recursive min-label CTE, kept = (id == component id).
+
+    ``vectors_sql`` -> (id, v DOUBLE[]).
+    Returns (vec_id, cell BIGINT, component_id, kept BOOL).
+    """
+    def norm1(x):
+        return (f"(CASE WHEN list_inner_product({x}, {x}) = 0 THEN 1 "
+                f"ELSE sqrt(list_inner_product({x}, {x})) END)")
+
+    return f"""
+WITH RECURSIVE
+v AS (SELECT id, v FROM ({vectors_sql})),
+c AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+      FROM (SELECT * FROM v ORDER BY id LIMIT {n_centroids})),
+vcos AS (
+  SELECT v.id, c.cid,
+         round(list_inner_product(v.v, c.cv) /
+               ({norm1('v.v')} * {norm1('c.cv')}), 6) AS cos6
+  FROM v CROSS JOIN c
+),
+vc AS (SELECT id, cid AS cell FROM (
+         SELECT id, cid, row_number() OVER (PARTITION BY id
+                  ORDER BY cos6 DESC, cid ASC) AS rn FROM vcos)
+       WHERE rn = 1),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM vc a JOIN vc b ON a.cell = b.cell AND a.id < b.id
+  JOIN v va ON va.id = a.id JOIN v vb ON vb.id = b.id
+  WHERE list_inner_product(va.v, va.v) > 0
+    AND list_inner_product(vb.v, vb.v) > 0
+    AND round(list_inner_product(va.v, vb.v) /
+              (sqrt(list_inner_product(va.v, va.v)) *
+               sqrt(list_inner_product(vb.v, vb.v))), 6) >= {tau}::DOUBLE
+),
+edges AS (SELECT id_a AS a, id_b AS bb FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT id, id AS lab FROM v
+          UNION
+          SELECT e.bb AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id)
+SELECT r.id AS vec_id, vc.cell::BIGINT AS cell,
+       MIN(r.lab) AS component_id,
+       (r.id = MIN(r.lab)) AS kept
+FROM reach r JOIN vc ON vc.id = r.id
+GROUP BY r.id, vc.cell"""
+
+
 def md5_low64_expr(col: str) -> str:
     """UHUGEINT from the first 16 hex chars of md5 — DuckDB twin of Spark
     ``conv(substring(md5(col), 1, 16), 16, -10)`` (same bits, unsigned)."""

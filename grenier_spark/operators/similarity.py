@@ -427,3 +427,88 @@ def label_centroid_confusion(vectors: DataFrame, id_col: str = "vec_id",
             .groupBy("label", "pred_label")
             .agg(F.count(F.lit(1)).alias("n"))
             .select("label", "pred_label", F.col("n").cast("long").alias("n")))
+
+
+def semdedup(vectors: DataFrame, tau: float = 0.9, n_centroids: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: "np.ndarray | None" = None,
+             max_iter: int = 20) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
+    by coarse clustering + WITHIN-cluster cosine near-dup grouping — the
+    embedding-space analog of MinHash LSH banding. Every vector is
+    assigned to the cell of its nearest coarse centroid (exactly
+    :func:`ivf_topk`'s quantizer: round-6 cosine argmax, ties to the
+    lowest cell id); near-dup edges are exact round-6 cosines >= ``tau``
+    computed ONLY between same-cell pairs; edges close transitively into
+    clusters via :func:`..dedup.connected_components`, and the lowest id
+    of each cluster is the kept representative.
+
+    Cross-cell near-dups are invisible by design — that is SemDeDup's
+    approximation (the paper prunes within k-means clusters only) and
+    what makes it scale: the pairwise stage is a cell-id equi-self-join,
+    cost sum over cells of |cell|^2 instead of N^2. At 100 TB the
+    centroids come from :func:`ivf_refine_centroids` with
+    ``n_centroids ~ N / target_cell_size``, keeping every cell's
+    quadratic stage bounded; the default SAMPLED centroids (lowest-id
+    vectors) are what the DuckDB oracle (``sql_oracles.semdedup_sql``)
+    can reproduce value-for-value.
+
+    Zero-norm vectors: cell assignment treats their cosine as exactly 0.0
+    (norm coerced to 1, :func:`ivf_topk`'s guard); the near-dup cosine is
+    NULL for them (:func:`_cos`), so they never edge — each survives as
+    its own singleton. Both mirrored in the SQL twin.
+
+    Returns (``id_col``, cell INT, component_id, kept BOOL), one row per
+    input vector. OWNERSHIP: the result is persisted (the component loop
+    materialized it); ``.unpersist()`` it when done.
+    """
+    from .dedup import connected_components
+
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        cents = (vectors.orderBy(id_col).limit(n_centroids)
+                 .select(F.transform(vec_col, lambda x: x.cast("double"))
+                         .alias("cv")).toPandas())
+        C = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in cents["cv"]])
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    cnorm = np.where(cnorm == 0, 1.0, cnorm)
+
+    @pandas_udf("int")
+    def _cell_of(vs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        vnorm = np.sqrt((mat * mat).sum(axis=1))
+        vnorm = np.where(vnorm == 0, 1.0, vnorm)
+        cos6 = np.round((mat @ C.T) / (vnorm[:, None] * cnorm[None, :]), 6)
+        return pd.Series(np.argmax(cos6, axis=1).astype(np.int32))
+
+    # persisted: feeds both sides of the self-join, the node list and the
+    # final output join — without the cache the assignment UDF re-runs 4x
+    v_cells = (vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        _cell_of(F.col(vec_col)).alias("cell"))).persist()
+    a = v_cells.select("cell", F.col("id").alias("id_a"),
+                       F.col("v").alias("va"))
+    b = v_cells.select("cell", F.col("id").alias("id_b"),
+                       F.col("v").alias("vb"))
+    pairs = (a.join(b, "cell")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.round(_cos("va", "vb"), 6).alias("cos_sim"))
+             .where(F.col("cos_sim") >= tau))
+    cc = connected_components(pairs.select("id_a", "id_b"),
+                              nodes=v_cells.select("id"),
+                              max_iter=max_iter)
+    out = (v_cells.select("id", "cell")
+           .join(cc, "id")
+           .select(F.col("id").alias(id_col),
+                   F.col("cell").cast("int").alias("cell"),
+                   "component_id",
+                   (F.col("id") == F.col("component_id")).alias("kept"))
+           .persist())
+    out.count()  # materialize before releasing the inputs it was built on
+    v_cells.unpersist()
+    cc.unpersist()
+    return out

@@ -859,3 +859,67 @@ def test_prefilter_candidate_volume_tracks_duplication(spark):
            .toPandas())
     assert len(got) == n_dup + 1  # exactly the planted cluster reports
     assert (got.dup_word_frac == 1.0).all()
+
+
+def test_semdedup_clusters_within_cells(spark):
+    """SemDeDup: within-cell near-dup groups collapse to their lowest id;
+    cross-cell near-dups are invisible BY DESIGN (the paper's
+    within-cluster approximation); zero vectors survive as singletons."""
+    base = np.array([[1.0, 0.0, 0.0, 0.0],
+                     [0.0, 1.0, 0.0, 0.0]])
+    rows = []
+    # ids 0/1 are the sampled centroids (lowest ids, n_centroids=2)
+    rows.append((0, base[0].tolist()))
+    rows.append((1, base[1].tolist()))
+    # 10/11: tight near-dups of centroid 0's direction -> one component
+    rows.append((10, (base[0] + np.array([0.0, 0.01, 0.0, 0.0])).tolist()))
+    rows.append((11, (base[0] + np.array([0.0, 0.012, 0.0, 0.0])).tolist()))
+    # 20: alone near centroid 1 -> singleton
+    rows.append((20, (base[1] + np.array([0.01, 0.0, 0.0, 0.0])).tolist()))
+    # 30: zero vector -> never edges, singleton
+    rows.append((30, [0.0, 0.0, 0.0, 0.0]))
+    vdf = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [r[1] for r in rows]}))
+    got = similarity.semdedup(vdf, tau=0.99, n_centroids=2)
+    pdf = got.toPandas().set_index("vec_id").sort_index()
+    got.unpersist()
+    # 0, 10, 11 share cell 0 and cosine ~1 -> component 0, keep 0
+    assert pdf.loc[0, "component_id"] == 0 and bool(pdf.loc[0, "kept"])
+    assert pdf.loc[10, "component_id"] == 0 and not bool(pdf.loc[10, "kept"])
+    assert pdf.loc[11, "component_id"] == 0 and not bool(pdf.loc[11, "kept"])
+    # 1 and 20 share cell 1 and cosine ~1 -> component 1, keep 1
+    assert pdf.loc[1, "component_id"] == 1 and bool(pdf.loc[1, "kept"])
+    assert pdf.loc[20, "component_id"] == 1 and not bool(pdf.loc[20, "kept"])
+    # the zero vector is its own component
+    assert pdf.loc[30, "component_id"] == 30 and bool(pdf.loc[30, "kept"])
+    # exactly one kept representative per component
+    per_comp = pdf.groupby("component_id")["kept"].sum()
+    assert (per_comp == 1).all()
+
+    # partitioning invariance: same output from a different layout
+    again = similarity.semdedup(vdf.repartition(5), tau=0.99, n_centroids=2)
+    pdf2 = again.toPandas().set_index("vec_id").sort_index()
+    again.unpersist()
+    assert pdf[["cell", "component_id", "kept"]].equals(
+        pdf2[["cell", "component_id", "kept"]])
+
+
+def test_semdedup_cross_cell_pairs_do_not_edge(spark):
+    """Two near-identical vectors forced into DIFFERENT cells stay in
+    different components — documents the SemDeDup approximation."""
+    # centroids (ids 0,1) at 45 degrees around the x=y diagonal; the two
+    # near-dup vectors straddle the diagonal so each snaps to its own cell
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (10, [1.0, 0.99]),   # cell 0 side
+        (11, [0.99, 1.0]),   # cell 1 side; cos(10, 11) ~ 0.9998
+    ]
+    vdf = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [r[1] for r in rows]}))
+    got = similarity.semdedup(vdf, tau=0.99, n_centroids=2)
+    pdf = got.toPandas().set_index("vec_id").sort_index()
+    got.unpersist()
+    assert pdf.loc[10, "cell"] != pdf.loc[11, "cell"]
+    assert pdf.loc[10, "component_id"] != pdf.loc[11, "component_id"]
