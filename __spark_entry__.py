@@ -809,6 +809,25 @@ def q_semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/selection.py, Xie et al. NeurIPS
+    2023): documents scored by hashed-unigram importance toward a target
+    domain (sources src0/src1), top-50 selected. The oracle replays the
+    whole chain — md5-low64 % 256 buckets, add-one smoothed ln ratios
+    (numpy libm == DuckDB libm), round-6 per-doc sums, (logw desc, id)
+    top-k — value for value."""
+    from grenier_spark.operators.selection import (dsir_logweights,
+                                                   dsir_select_topk)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    scores = dsir_logweights(docs.select("doc_id", "text"),
+                             target.select("doc_id", "text"),
+                             n_buckets=256, smoothing=1.0)
+    return dsir_select_topk(scores, k=50).orderBy("doc_id")
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (6h inactivity gap) via window functions; per-user
     session stats (operators/sessions.py)."""
@@ -2099,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest_stats": q_shard_manifest_stats,
         "embedding_neardup": q_embedding_neardup,
         "semdedup_docs": q_semdedup_docs,
+        "dsir_selection": q_dsir_selection,
         "user_sessions": q_user_sessions,
         "customers_without_orders": q_customers_without_orders,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
@@ -2282,6 +2302,16 @@ def _freq_spectrum_oracle() -> str:
         "SELECT source, substr(md5(w), 1, 16) AS t FROM ("
         "SELECT source, unnest(string_split(text, ' ')) AS w "
         "FROM documents)", group_col="source")
+
+
+def _dsir_selection_oracle() -> str:
+    from grenier_spark.operators.selection import dsir_sql
+
+    return dsir_sql(
+        "SELECT doc_id::BIGINT AS doc_id, text FROM documents",
+        "SELECT doc_id::BIGINT AS doc_id, text FROM documents "
+        "WHERE source IN ('src0', 'src1')",
+        n_buckets=256, smoothing=1.0, k=50)
 
 
 def _pii_redaction_oracle() -> str:
@@ -2952,6 +2982,7 @@ FROM pr WHERE round(cos, 6) >= 0.9""",
             "SELECT id + 1000000 AS id, [v[1] + 0.25] || v[2:] AS v "
             "FROM (SELECT * FROM e ORDER BY id LIMIT 10)",
             tau=0.9, n_centroids=8),
+        "dsir_selection": _dsir_selection_oracle(),
         "user_sessions": """
 WITH s AS (
   SELECT user_id,
