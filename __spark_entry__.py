@@ -38,6 +38,7 @@ from grenier_spark.functions import (hll_card_col, hll_merge_col,
                                      jump_bucket_col, kll_quantiles_col,
                                      tdigest_quantiles_col, wang64_col)
 from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
+                                                 ann_pq_sql,
                                                  ann_rademacher_sql,
                                                  bloom_membership_sql,
                                                  cms_cells_sql,
@@ -970,6 +971,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (em.orderBy("vec_id").limit(3)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return (ivf_topk(em, queries, k=10, n_centroids=16, n_probe=4)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", "cos_sim")
+            .orderBy("query_id", "rank"))
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 for 3 queries (similarity.pq_topk,
+    Jegou et al. TPAMI 2011) in the production IVFADC shape — the
+    memory-bound 100-TB ANN path (m=8 codes replace 64 floats per
+    vector): ADC shortlist of 100 over normalized-chunk codes, exact
+    round-6 cosine re-rank. Whole chain (sampled codebooks, round-6
+    subspace argmin encoding, per-query distance tables, ADC lookup-sum
+    shortlist, re-rank) carries a value-exact oracle."""
+    from grenier_spark.operators.similarity import pq_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    queries = (em.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return (pq_topk(em, queries, k=10, m=8, ksub=16, shortlist=100,
+                    dim=64)
             .select("query_id", F.col("rank").cast("long").alias("rank"),
                     "vec_id", "cos_sim")
             .orderBy("query_id", "rank"))
@@ -2126,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "media_features": q_media_features,
         "token_hll_udaf": q_token_hll_udaf,
@@ -2705,6 +2727,12 @@ GROUP BY ROLLUP (n_name, c_mktsegment)""",
             "SELECT vec_id::BIGINT AS qid, embedding::DOUBLE[] AS v "
             "FROM embeddings ORDER BY vec_id LIMIT 3",
             k=10, n_centroids=16, n_probe=4),
+        "ann_pq_topk": ann_pq_sql(
+            "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
+            "FROM embeddings",
+            "SELECT vec_id::BIGINT AS qid, embedding::DOUBLE[] AS v "
+            "FROM embeddings ORDER BY vec_id LIMIT 3",
+            dim=64, k=10, m=8, ksub=16, shortlist=100),
         "ann_ivf_kmeans_topk": (
             # guarantee surface: Spark computes recall@10 of the k-means-
             # refined IVF against brute force for real; the oracle pins the

@@ -655,6 +655,103 @@ FROM reach r JOIN vc ON vc.id = r.id
 GROUP BY r.id, vc.cell"""
 
 
+def ann_pq_sql(vectors_sql: str, queries_sql: str, dim: int, k: int = 10,
+               m: int = 4, ksub: int = 16, shortlist: int = 0) -> str:
+    """DuckDB twin of ``similarity.pq_topk`` value-for-value: sampled
+    codebooks = sub-chunks of the ``ksub`` lowest-id vectors after L2
+    normalization (zero norm coerced to 1, the suite's standard guard);
+    encoding by round-6 squared-L2 argmin per subspace
+    (|x|^2 + |c|^2 - 2 x.c via list_inner_product — the identical
+    decomposition the numpy side computes, so the round-6 grid absorbs
+    summation-order float noise; ties -> lowest code); ADC = round-6 sum
+    of the m per-subspace query table entries; rank by (adc asc, id asc).
+    ``shortlist=r > 0`` mirrors the re-rank mode: ADC top-r candidates
+    exactly re-ranked by round-6 cosine desc (ties by id; zero-norm rows
+    excluded — the Spark side's NULL cosine). Quantization contract and
+    the measure-zero banker's-rounding caveat as in
+    :func:`ann_rademacher_sql`.
+
+    ``vectors_sql`` -> (id, v DOUBLE[]); ``queries_sql`` -> (qid, v).
+    Returns (query_id, rank, vec_id, adc_dist) — or (..., cos_sim) in
+    shortlist mode.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    def norm1(x):
+        return (f"(CASE WHEN list_inner_product({x}, {x}) = 0 THEN 1 "
+                f"ELSE sqrt(list_inner_product({x}, {x})) END)")
+
+    def nrm(col: str) -> str:
+        return (f"list_transform({col}, x -> x / {norm1(col)})")
+
+    def slc(col: str) -> str:
+        return f"list_slice({col}, sub.j * {dsub} + 1, (sub.j + 1) * {dsub})"
+
+    def d6(xs: str, cs: str) -> str:
+        return (f"round(list_inner_product({xs}, {xs}) "
+                f"+ list_inner_product({cs}, {cs}) "
+                f"- 2 * list_inner_product({xs}, {cs}), 6)")
+
+    if shortlist > 0:
+        tail = f""",
+cands AS (SELECT qid, id FROM ranked WHERE rank <= {shortlist}),
+scored AS (
+  SELECT cd.qid, cd.id,
+         round(list_inner_product(vv.v, qq.v) /
+               (sqrt(list_inner_product(vv.v, vv.v)) *
+                sqrt(list_inner_product(qq.v, qq.v))), 6) AS cos6
+  FROM cands cd JOIN v vv ON vv.id = cd.id JOIN q qq ON qq.qid = cd.qid
+  WHERE list_inner_product(vv.v, vv.v) > 0
+    AND list_inner_product(qq.v, qq.v) > 0),
+reranked AS (
+  SELECT qid, id, cos6,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos6 DESC, id ASC) AS rank
+  FROM scored)
+SELECT qid AS query_id, rank::BIGINT AS rank, id AS vec_id,
+       cos6 AS cos_sim
+FROM reranked WHERE rank <= {k}"""
+    else:
+        tail = f"""
+SELECT qid AS query_id, rank::BIGINT AS rank, id AS vec_id,
+       adc AS adc_dist
+FROM ranked WHERE rank <= {k}"""
+
+    return f"""
+WITH v AS (SELECT id, v FROM ({vectors_sql})),
+q AS (SELECT qid, v FROM ({queries_sql})),
+sub AS (SELECT unnest(range({m}))::INT AS j),
+cbase AS (SELECT row_number() OVER (ORDER BY id) - 1 AS code,
+                 {nrm('v')} AS cv
+          FROM (SELECT * FROM v ORDER BY id LIMIT {ksub})),
+cb AS (SELECT sub.j, cbase.code, {slc('cbase.cv')} AS cs
+       FROM cbase CROSS JOIN sub),
+vn AS (SELECT id, {nrm('v')} AS nv FROM v),
+vsub AS (SELECT vn.id, sub.j, {slc('vn.nv')} AS xs
+         FROM vn CROSS JOIN sub),
+vd AS (SELECT vsub.id, vsub.j, cb.code, {d6('vsub.xs', 'cb.cs')} AS d6
+       FROM vsub JOIN cb ON vsub.j = cb.j),
+venc AS (SELECT id, j, code FROM (
+           SELECT id, j, code, row_number() OVER (PARTITION BY id, j
+                    ORDER BY d6 ASC, code ASC) AS rn FROM vd)
+         WHERE rn = 1),
+qn AS (SELECT qid, {nrm('v')} AS nv FROM q),
+qsub AS (SELECT qn.qid, sub.j, {slc('qn.nv')} AS xs
+         FROM qn CROSS JOIN sub),
+qd AS (SELECT qsub.qid, qsub.j, cb.code, {d6('qsub.xs', 'cb.cs')} AS d6
+       FROM qsub JOIN cb ON qsub.j = cb.j),
+adc AS (SELECT qd.qid, venc.id, round(SUM(qd.d6), 6) AS adc
+        FROM venc JOIN qd ON venc.j = qd.j AND venc.code = qd.code
+        GROUP BY qd.qid, venc.id),
+ranked AS (
+  SELECT qid, id, adc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc ASC, id ASC) AS rank
+  FROM adc){tail}"""
+
+
 def md5_low64_expr(col: str) -> str:
     """UHUGEINT from the first 16 hex chars of md5 — DuckDB twin of Spark
     ``conv(substring(md5(col), 1, 16), 16, -10)`` (same bits, unsigned)."""

@@ -368,6 +368,156 @@ def lsh_topk_rademacher(vectors: DataFrame, queries: DataFrame, k: int = 10,
     return _rerank_topk(cands, k, qid_col, id_col, round6=True)
 
 
+def _l2_normalize(mat: np.ndarray) -> np.ndarray:
+    """Rows scaled to unit L2 norm (zero-norm rows unchanged — norm
+    coerced to 1, the suite's standard guard), so squared L2 becomes
+    2 - 2*cos and ADC ranks approximate the cosine ranking every other
+    ANN path in this module uses."""
+    n = np.sqrt((mat * mat).sum(axis=1))
+    return mat / np.where(n == 0, 1.0, n)[:, None]
+
+
+def pq_codebooks(vectors: DataFrame, m: int = 4, ksub: int = 16,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: "int | None" = None) -> np.ndarray:
+    """Product-quantization codebooks, shape ``(m, ksub, dim/m)``: the
+    vector space is split into ``m`` contiguous subspaces and each gets
+    ``ksub`` centroids. The default is SAMPLED codebooks — subspace j's
+    centroids are the sub-chunks of the ``ksub`` lowest-id vectors,
+    L2-NORMALIZED first (deterministic and exactly reproducible in the
+    DuckDB oracle, ``sql_oracles.ann_pq_sql`` — the same sampled-quantizer
+    discipline as :func:`ivf_topk`). Per-subspace Lloyd refinement is a
+    drop-in replacement for the returned array (see
+    :func:`ivf_refine_centroids` for the one-pass-per-iteration partials
+    pattern)."""
+    dim = _dim_of(vectors, vec_col, dim)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    samp = (vectors.orderBy(id_col).limit(ksub)
+            .select(F.transform(vec_col, lambda x: x.cast("double"))
+                    .alias("cv")).toPandas())
+    S = _l2_normalize(np.asarray([np.asarray(v, dtype=np.float64)
+                                  for v in samp["cv"]]))
+    if len(S) < ksub:
+        raise ValueError(f"need >= {ksub} vectors to sample codebooks, "
+                         f"got {len(S)}")
+    return np.stack([S[:, j * dsub:(j + 1) * dsub] for j in range(m)])
+
+
+def _pq_subspace_d6(sub: np.ndarray, Cj: np.ndarray) -> np.ndarray:
+    """Round-6 squared L2 distances of ``sub`` (n x dsub) to every
+    centroid of one codebook ``Cj`` (ksub x dsub), via the
+    |x|^2 + |c|^2 - 2 x.c decomposition — the identical formula the SQL
+    twin computes with list_inner_product, so engines agree to float
+    noise and the round-6 grid absorbs it (same quantization contract as
+    :func:`lsh_topk_rademacher`, incl. the measure-zero banker's-rounding
+    caveat documented there)."""
+    xn = (sub * sub).sum(axis=1)
+    cn = (Cj * Cj).sum(axis=1)
+    return np.round(xn[:, None] + cn[None, :] - 2.0 * (sub @ Cj.T), 6)
+
+
+def pq_encode(vectors: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """PQ encoding: (``id_col``, codes array<int> of length m) — each
+    L2-normalized subspace chunk mapped to its nearest codebook centroid
+    by round-6 squared-L2 argmin (ties to the lowest code, np.argmin
+    first-min == the oracle's ORDER BY d6 ASC, code ASC). Normalization
+    makes squared L2 monotone in cosine, the ranking the rest of the
+    suite uses; zero-norm vectors pass through unscaled.
+
+    This is the 100-TB memory lever: m codes (m bytes at ksub<=256)
+    replace 4*dim bytes per vector — 64x compression at dim=64/m=4 —
+    so the search structure fits in RAM at corpus sizes where raw
+    embeddings cannot."""
+    mm, ksub, dsub = codebooks.shape
+    C = codebooks
+
+    @pandas_udf("array<int>")
+    def _codes(vs: pd.Series) -> pd.Series:
+        mat = _l2_normalize(np.asarray([np.asarray(v, dtype=np.float64)
+                                        for v in vs]))
+        out = np.zeros((len(vs), mm), dtype=np.int32)
+        for j in range(mm):
+            d6 = _pq_subspace_d6(mat[:, j * dsub:(j + 1) * dsub], C[j])
+            out[:, j] = np.argmin(d6, axis=1).astype(np.int32)
+        return pd.Series(list(out))
+
+    return vectors.select(F.col(id_col), _codes(F.col(vec_col))
+                          .alias("codes"))
+
+
+def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+            m: int = 4, ksub: int = 16, id_col: str = "vec_id",
+            vec_col: str = "embedding", qid_col: str = "query_id",
+            codebooks: "np.ndarray | None" = None,
+            shortlist: int = 0, dim: "int | None" = None) -> DataFrame:
+    """Product-quantization ANN top-k by asymmetric distance computation
+    (ADC, Jegou et al. TPAMI 2011): vectors are PQ-encoded once (over
+    L2-normalized chunks, so squared L2 == 2 - 2*cos and ADC approximates
+    the cosine ranking); each query precomputes an m x ksub table of
+    round-6 subspace distances to every centroid; a vector's approximate
+    distance is the sum of m table lookups selected by its codes — no
+    vector payload is read in the scan.
+
+    ``shortlist=0`` returns the raw ADC ranking (``qid_col``, rank,
+    ``id_col``, adc_dist). ``shortlist=r > 0`` is the production IVFADC
+    shape: the ADC top-r per query is exactly re-ranked by round-6 cosine
+    (ties by id; zero-norm vectors drop — NULL cosine), returning
+    (``qid_col``, rank, ``id_col``, cos_sim); recall is then set by r,
+    not by quantization error (>=0.9 asserted in tests on worst-case
+    isotropic vectors at m=8, ksub=16, r=100).
+
+    Plan shape: the encoded (id, codes) frame — m smallints per vector —
+    cross-joins the BROADCAST queries (each carrying its distance table),
+    the lookup-sum folds JVM-side (zip_with + element_at + aggregate,
+    whole-stage codegen, no Python in the scan), and only narrow
+    (qid, id, adc) rows reach the per-query top-k window; the re-rank
+    joins vector payloads back for shortlist rows only. At 100 TB the
+    codes frame is the only corpus-scale input, ~m bytes/vector — the
+    memory lever that lets the search structure live in RAM when raw
+    embeddings cannot. Rank rule (round-6 asc, id asc) is deterministic
+    cross-engine; full value oracle ``sql_oracles.ann_pq_sql`` covers
+    BOTH modes. IVF cell routing (:func:`ivf_topk`) composes in front
+    for IVF-PQ."""
+    C = (pq_codebooks(vectors, m, ksub, id_col, vec_col, dim)
+         if codebooks is None else np.asarray(codebooks, dtype=np.float64))
+    mm, _ksub, dsub = C.shape
+
+    @pandas_udf("array<array<double>>")
+    def _dist_tables(vs: pd.Series) -> pd.Series:
+        mat = _l2_normalize(np.asarray([np.asarray(v, dtype=np.float64)
+                                        for v in vs]))
+        tabs = np.stack([
+            _pq_subspace_d6(mat[:, j * dsub:(j + 1) * dsub], C[j])
+            for j in range(mm)], axis=1)  # (n, m, ksub)
+        return pd.Series([t.tolist() for t in tabs])
+
+    enc = pq_encode(vectors, C, id_col, vec_col)
+    q = queries.select(F.col(qid_col),
+                       _dist_tables(F.col(vec_col)).alias("_qtab"))
+    adc = F.round(F.aggregate(
+        F.zip_with("codes", "_qtab",
+                   lambda c, t: F.element_at(t, c + F.lit(1))),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w = Window.partitionBy(qid_col).orderBy(F.asc("adc_dist"),
+                                            F.asc(id_col))
+    ranked = (enc.crossJoin(F.broadcast(q))
+              .select(qid_col, id_col, adc.alias("adc_dist"))
+              .withColumn("rank", F.row_number().over(w)))
+    if shortlist <= 0:
+        return ranked.where(F.col("rank") <= k)
+    cands = (ranked.where(F.col("rank") <= shortlist)
+             .select(qid_col, id_col)
+             .join(vectors.select(F.col(id_col),
+                                  F.col(vec_col).alias("_v")), id_col)
+             .join(F.broadcast(queries.select(
+                 F.col(qid_col), F.col(vec_col).alias("_qv"))), qid_col))
+    return _rerank_topk(cands, k, qid_col, id_col, round6=True)
+
+
 def label_centroid_confusion(vectors: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              label_col: str = "label") -> DataFrame:
