@@ -48,6 +48,8 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  hll_card_sql,
                                                  hll_registers_sql,
                                                  jump_buckets_sql,
+                                                 kmv_by_source_sql,
+                                                 kmv_pairs_sql,
                                                  md5_low64_expr,
                                                  md5_low64_signed_expr,
                                                  minhash_neardup_sql,
@@ -1685,6 +1687,56 @@ def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_values").alias("n_tokens"))
 
 
+def q_token_kmv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV / bottom-k distinct-token sketch (core/kmv.py,
+    Beyer et al. SIGMOD 2007) through the full two-level build: kept-set
+    size, the k-th smallest wang64 hash (signed view) and the round-6
+    (k-1)/U_(k) estimate — every value recomputed exactly by the DuckDB
+    twin (sql_oracles.kmv_by_source_sql)."""
+    from grenier_spark.functions import kmv_est_col, kmv_stats_col
+
+    docs = _tokenized_docs(spark, sf_dir)
+    res = build_sketches(docs, [SketchSpec.of("kmv", "kmv", "tokens",
+                                              k=256)],
+                         group_cols=["source"])
+    return (res.withColumn("_s", kmv_stats_col("sketch"))
+            .select("source",
+                    F.col("_s.n_kept").alias("n_kept"),
+                    F.col("_s.kth_hash").alias("kth_hash"),
+                    F.round(kmv_est_col("sketch"), 6)
+                    .alias("est_distinct"))
+            .orderBy("source"))
+
+
+def q_source_token_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise theta-sketch set operations over the SAME per-source KMV
+    states as q_token_kmv_by_source: for every source pair, the matched
+    count in the bottom-k of the union, the Jaccard estimate and the
+    intersection estimate (KMV.jaccard — what HLL set algebra cannot do
+    without inclusion-exclusion error stacking). Sketch rows are KB-sized,
+    so the pair join is a driver-trivial broadcast self-join; value-exact
+    oracle sql_oracles.kmv_pairs_sql."""
+    from grenier_spark.functions import kmv_jaccard_col
+
+    docs = _tokenized_docs(spark, sf_dir)
+    res = (build_sketches(docs, [SketchSpec.of("kmv", "kmv", "tokens",
+                                               k=256)],
+                          group_cols=["source"])
+           .select("source", "sketch"))
+    a = res.select(F.col("source").alias("source_a"),
+                   F.col("sketch").alias("_sa"))
+    b = res.select(F.col("source").alias("source_b"),
+                   F.col("sketch").alias("_sb"))
+    return (a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+            .withColumn("_j", kmv_jaccard_col("_sa", "_sb"))
+            .select("source_a", "source_b",
+                    F.col("_j.n_matched").alias("n_matched"),
+                    F.round("_j.jaccard_est", 6).alias("jaccard_est"),
+                    F.round("_j.intersection_est", 6)
+                    .alias("intersection_est"))
+            .orderBy("source_a", "source_b"))
+
+
 def q_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source frequency-of-frequencies spectrum over the md5 token
     ids (textstats.token_freq_spectrum) — the vocab-sizing / Zipf view.
@@ -2153,6 +2205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_hll_udaf": q_token_hll_udaf,
         "pii_redaction": q_pii_redaction,
         "token_freq_spectrum": q_token_freq_spectrum,
+        "token_kmv_by_source": q_token_kmv_by_source,
+        "source_token_kmv_jaccard": q_source_token_kmv_jaccard,
         "source_token_overlap": q_source_token_overlap,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_lm_scores": q_doc_lm_scores,
@@ -2529,6 +2583,16 @@ FROM events GROUP BY event_type""",
             + hll_card_sql(
                 "SELECT event_type, user_id::UHUGEINT AS k FROM events",
                 "k", 12, group_cols=["event_type"]) + ")"),
+        "token_kmv_by_source": kmv_by_source_sql(
+            "SELECT source, " + md5_low64_expr("token") + " AS tk FROM ("
+            "SELECT source, unnest(string_split(text, ' ')) AS token "
+            "FROM documents)",
+            "tk", 256, group_cols=["source"]),
+        "source_token_kmv_jaccard": kmv_pairs_sql(
+            "SELECT source, " + md5_low64_expr("token") + " AS tk FROM ("
+            "SELECT source, unnest(string_split(text, ' ')) AS token "
+            "FROM documents)",
+            "tk", 256, group_col="source"),
         "token_hll_by_source": (
             "SELECT c.source, round(c.est, 6) AS est_tokens, d.n_docs, "
             "d.n_tokens FROM (" + hll_card_sql(

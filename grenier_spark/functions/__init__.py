@@ -10,6 +10,9 @@ from .estimates import (  # noqa: F401
     hll_card_orig_col,
     hll_merge_col,
     kll_quantiles_col,
+    kmv_est_col,
+    kmv_jaccard_col,
+    kmv_stats_col,
     tdigest_quantiles_col,
 )
 from .aggregates import (  # noqa: F401
@@ -18,6 +21,7 @@ from .aggregates import (  # noqa: F401
     ddsum_agg_col,
     hll_agg_col,
     kll_agg_col,
+    kmv_agg_col,
     register_sql_aggregates,
     sketch_agg_col,
     tdigest_agg_col,

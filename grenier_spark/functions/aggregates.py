@@ -42,7 +42,7 @@ from pyspark.sql.functions import pandas_udf
 from ..core import hll
 from ..operators.sketch_build import SketchSpec, _new_state, _update
 
-_ARRAY_KINDS = ("hll", "cms", "bloom")   # token-array columns, hashed keys
+_ARRAY_KINDS = ("hll", "cms", "bloom", "kmv")  # token arrays, hashed keys
 _VALUE_KINDS = ("kll", "tdigest", "ddsum")  # scalar double columns
 
 
@@ -124,6 +124,10 @@ def bloom_agg_col(col: "Column | str", m: int = 4096, k: int = 5,
     return sketch_agg_col("bloom", col, m=m, k=k, seed=seed)
 
 
+def kmv_agg_col(col: "Column | str", k: int = 256) -> Column:
+    return sketch_agg_col("kmv", col, k=k)
+
+
 def kll_agg_col(col: "Column | str", k: int = 200, seed: int = 42) -> Column:
     return sketch_agg_col("kll", col, k=k, seed=seed)
 
@@ -138,10 +142,11 @@ def ddsum_agg_col(col: "Column | str") -> Column:
 
 def register_sql_aggregates(spark, hll_p: int = 12, cms_depth: int = 5,
                             cms_width: int = 256, bloom_m: int = 4096,
-                            bloom_k: int = 5, kll_k: int = 200,
+                            bloom_k: int = 5, kmv_k: int = 256,
+                            kll_k: int = 200,
                             tdigest_delta: int = 200) -> None:
     """Register the aggregates for ``spark.sql`` string queries
-    (``hll_agg``, ``cms_agg``, ``bloom_agg``, ``kll_agg``,
+    (``hll_agg``, ``cms_agg``, ``bloom_agg``, ``kmv_agg``, ``kll_agg``,
     ``tdigest_agg``, ``ddsum_agg``). SQL cannot pass constructor params,
     so sizes are fixed at registration time — re-register to change them.
     Composes with the scalar estimators from
@@ -152,6 +157,7 @@ def register_sql_aggregates(spark, hll_p: int = 12, cms_depth: int = 5,
         "cms_agg": ("cms", {"depth": cms_depth, "width": cms_width,
                             "seed": 0}),
         "bloom_agg": ("bloom", {"m": bloom_m, "k": bloom_k, "seed": 0}),
+        "kmv_agg": ("kmv", {"k": kmv_k}),
         "kll_agg": ("kll", {"k": kll_k, "seed": 42}),
         "tdigest_agg": ("tdigest", {"delta": tdigest_delta}),
         "ddsum_agg": ("ddsum", {}),

@@ -135,3 +135,58 @@ def ddsum_col(col: "Column | str") -> Column:
         return blobs.map(lambda b: DDSum.from_bytes(bytes(b)).value())
 
     return _v(_col(col))
+
+
+def kmv_est_col(col: "Column | str") -> Column:
+    """Distinct-count estimate of a serialized KMV state (exact below k,
+    unbiased (k-1)/U_(k) above — core/kmv.py)."""
+    @pandas_udf("double")
+    def _e(blobs: pd.Series) -> pd.Series:
+        from ..core.kmv import KMV
+
+        return blobs.map(lambda b: KMV.from_bytes(bytes(b)).estimate())
+
+    return _e(_col(col))
+
+
+def kmv_stats_col(col: "Column | str") -> Column:
+    """(n_kept, kth_hash) of a serialized KMV state as a struct — the
+    engine-independent surface the SQL oracle recomputes exactly:
+    kth_hash is the largest kept hash (signed int64 view of the uint64,
+    the suite's cross-engine convention), or NULL while under-full."""
+    @pandas_udf("struct<n_kept: long, kth_hash: long>")
+    def _s(blobs: pd.Series) -> pd.DataFrame:
+        from ..core.kmv import KMV
+
+        rows = []
+        for b in blobs:
+            s = KMV.from_bytes(bytes(b))
+            full = len(s.values) == s.k
+            rows.append({"n_kept": len(s.values),
+                         "kth_hash": int(np.int64(np.uint64(s.values[-1])))
+                         if full else None})
+        return pd.DataFrame(rows, columns=["n_kept", "kth_hash"])
+
+    return _s(_col(col))
+
+
+def kmv_jaccard_col(a: "Column | str", b: "Column | str") -> Column:
+    """Theta-sketch set operation over two serialized KMV states:
+    (jaccard_est, intersection_est, n_matched) — core/kmv.py
+    ``KMV.jaccard``."""
+    @pandas_udf("struct<jaccard_est: double, intersection_est: double, "
+                "n_matched: long>")
+    def _j(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        from ..core.kmv import KMV
+
+        rows = []
+        for x, y in zip(xs, ys):
+            j, i, m = KMV.from_bytes(bytes(x)).jaccard(
+                KMV.from_bytes(bytes(y)))
+            rows.append({"jaccard_est": j, "intersection_est": i,
+                         "n_matched": m})
+        return pd.DataFrame(rows, columns=["jaccard_est",
+                                           "intersection_est",
+                                           "n_matched"])
+
+    return _j(_col(a), _col(b))

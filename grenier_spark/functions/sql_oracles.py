@@ -752,6 +752,90 @@ ranked AS (
   FROM adc){tail}"""
 
 
+_SIGNED64 = ("(CASE WHEN {h} >= 9223372036854775808::UHUGEINT "
+             "THEN ({h} - 18446744073709551616::UHUGEINT)::HUGEINT "
+             "ELSE {h}::HUGEINT END)::BIGINT")
+_TWO64_D = "18446744073709551616.0"
+
+
+def _kmv_kept_cte(keys_sql: str, key_col: str, k: int,
+                  group_cols: "list[str]") -> str:
+    """Per-group bottom-``k`` DISTINCT wang64 hashes with their rank —
+    the exact kept set of ``core.kmv.KMV`` (k smallest distinct)."""
+    g = ", ".join(group_cols) if group_cols else "1 AS _g"
+    gl = ", ".join(group_cols) if group_cols else "_g"
+    hashed = chain_selects(keys_sql, wang64_stages(key_col, "h"))
+    return f"""
+  SELECT {gl}, h, rn FROM (
+    SELECT {gl}, h, row_number() OVER (
+             PARTITION BY {gl} ORDER BY h ASC) AS rn
+    FROM (SELECT DISTINCT {g}, h FROM ({hashed})))
+  WHERE rn <= {k}"""
+
+
+def _kmv_est_expr(n_kept: str, maxh: str, k: int) -> str:
+    """The KMV estimator: exact below k, else (k-1)/U_(k) with
+    u = (kth::DOUBLE + 1.0)/2^64 — +1.0 applied AFTER the conversion,
+    the identical float64 chain as ``core.kmv.KMV.estimate``."""
+    return (f"(CASE WHEN {n_kept} < {k} THEN {n_kept}::DOUBLE "
+            f"ELSE {k - 1}::DOUBLE / (({maxh}::DOUBLE + 1.0) "
+            f"/ {_TWO64_D}) END)")
+
+
+def kmv_by_source_sql(keys_sql: str, key_col: str, k: int,
+                      group_cols: "list[str]") -> str:
+    """DuckDB twin of a grouped KMV build + ``kmv_stats_col`` /
+    ``kmv_est_col``: per group, the count of kept bottom-k distinct
+    wang64 hashes, the k-th hash (signed int64 view; NULL while
+    under-full) and the round-6 estimate — every value recomputed
+    exactly (``keys_sql`` yields group_cols + UHUGEINT ``key_col``
+    pre-hash, same contract as :func:`hll_card_sql`)."""
+    gl = ", ".join(group_cols)
+    kth = _SIGNED64.format(h="MAX(h)")
+    return f"""
+WITH kept AS ({_kmv_kept_cte(keys_sql, key_col, k, group_cols)})
+SELECT {gl}, COUNT(*)::BIGINT AS n_kept,
+       CASE WHEN COUNT(*) = {k} THEN {kth} END AS kth_hash,
+       round({_kmv_est_expr('COUNT(*)', 'MAX(h)', k)}, 6) AS est_distinct
+FROM kept GROUP BY {gl}"""
+
+
+def kmv_pairs_sql(keys_sql: str, key_col: str, k: int,
+                  group_col: str) -> str:
+    """DuckDB twin of the pairwise theta-sketch set operation
+    (``core.kmv.KMV.jaccard`` / ``kmv_jaccard_col``): for every group
+    pair (a < b), the bottom-k of the UNION of the two kept sets, the
+    matched count (present in both), jaccard = matched/|L|, and
+    intersection = jaccard * union-estimate — float chain identical to
+    the kernel (ratio first, then the product)."""
+    return f"""
+WITH kept AS ({_kmv_kept_cte(keys_sql, key_col, k, [group_col])}),
+gs AS (SELECT DISTINCT {group_col} AS g FROM kept),
+prs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+uni AS (
+  SELECT ga, gb, h, rn FROM (
+    SELECT ga, gb, h, row_number() OVER (
+             PARTITION BY ga, gb ORDER BY h ASC) AS rn
+    FROM (SELECT DISTINCT p.ga, p.gb, kk.h
+          FROM prs p JOIN kept kk
+            ON kk.{group_col} = p.ga OR kk.{group_col} = p.gb))
+  WHERE rn <= {k}),
+m AS (
+  SELECT u.ga, u.gb, COUNT(*)::BIGINT AS n_union, MAX(u.h) AS maxh,
+         SUM(CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS n_matched
+  FROM uni u
+  LEFT JOIN kept ka ON ka.{group_col} = u.ga AND ka.h = u.h
+  LEFT JOIN kept kb ON kb.{group_col} = u.gb AND kb.h = u.h
+  GROUP BY u.ga, u.gb)
+SELECT ga AS source_a, gb AS source_b, n_matched,
+       round(n_matched::DOUBLE / n_union::DOUBLE, 6) AS jaccard_est,
+       round((n_matched::DOUBLE / n_union::DOUBLE)
+             * {_kmv_est_expr('n_union', 'maxh', k)}, 6)
+         AS intersection_est
+FROM m"""
+
+
 def md5_low64_expr(col: str) -> str:
     """UHUGEINT from the first 16 hex chars of md5 — DuckDB twin of Spark
     ``conv(substring(md5(col), 1, 16), 16, -10)`` (same bits, unsigned)."""

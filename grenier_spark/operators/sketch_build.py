@@ -45,6 +45,7 @@ from ..core.bloom import Bloom
 from ..core.countmin import CountMin
 from ..core.doubledouble import DDSum
 from ..core.kll import KLL
+from ..core.kmv import KMV
 from ..core.tdigest import TDigest
 
 
@@ -52,13 +53,13 @@ from ..core.tdigest import TDigest
 class SketchSpec:
     """One sketch to build.
 
-    kind: 'hll' | 'cms' | 'bloom' | 'kll' | 'tdigest' | 'ddsum'
-    column: source column — array<int*> token sequences (hll/cms/bloom hash
+    kind: 'hll' | 'cms' | 'bloom' | 'kmv' | 'kll' | 'tdigest' | 'ddsum'
+    column: source column — array<int*> token sequences (hll/cms/bloom/kmv hash
             each token; kll/tdigest sketch the token values) or a numeric
             scalar column.
     params: kind-specific, via ``SketchSpec.of(name, kind, column, p=14)``:
             hll {'p'}, cms {'depth','width','seed'}, bloom {'m','k','seed'},
-            kll {'k','seed'}, tdigest {'delta'}.
+            kmv {'k'}, kll {'k','seed'}, tdigest {'delta'}.
     """
 
     name: str
@@ -85,6 +86,8 @@ def _new_state(spec: SketchSpec):
         return CountMin(p.get("depth", 5), p.get("width", 8192), p.get("seed", 7))
     if spec.kind == "bloom":
         return Bloom(p.get("m", 1 << 20), p.get("k", 7), p.get("seed", 7))
+    if spec.kind == "kmv":
+        return KMV(p.get("k", 256))
     if spec.kind == "kll":
         return KLL(p.get("k", 200), seed=p.get("seed", 42))
     if spec.kind == "tdigest":
@@ -131,7 +134,7 @@ def _grouped_counts(batch: pa.RecordBatch, col: str, codes: np.ndarray,
     of memory traffic per token), this touches each token ~3x less — and
     memory traffic is what bounds this box (BENCH/BASELINE.md). Returns
     None when inapplicable (nulls, negative/huge ids, float keys); callers
-    fall back to the exact generic path. Byte-exact for hll/cms/bloom: the
+    fall back to the exact generic path. Byte-exact for hll/cms/bloom/kmv: the
     same distinct keys and multiplicities reach the state updates.
     """
     arr = batch.column(col)
@@ -198,7 +201,7 @@ def _update_from_counts(state, spec: SketchSpec, keys: np.ndarray,
 def _update(state, spec: SketchSpec, values: np.ndarray) -> None:
     if not len(values):
         return
-    if spec.kind in ("hll", "cms", "bloom"):
+    if spec.kind in ("hll", "cms", "bloom", "kmv"):
         dic = _dictionarize(values)
         if dic is not None:
             keys, counts = dic
@@ -240,8 +243,8 @@ def _merge_blobs(kind: str, blobs: "list[bytes]") -> bytes:
     if kind == "hll":
         return hll.to_bytes(
             hll.merge_many([hll.from_bytes_any(b) for b in blobs]))
-    cls = {"cms": CountMin, "bloom": Bloom, "kll": KLL, "tdigest": TDigest,
-           "ddsum": DDSum}[kind]
+    cls = {"cms": CountMin, "bloom": Bloom, "kmv": KMV, "kll": KLL,
+           "tdigest": TDigest, "ddsum": DDSum}[kind]
     acc = cls.from_bytes(blobs[0])
     for b in blobs[1:]:
         acc.merge(cls.from_bytes(b))
@@ -347,7 +350,7 @@ class _Accumulator:
         # columns consumed ONLY by count-sketches can ride the composite-
         # bincount fast path (quantile/sum sketches need the raw stream)
         self.countable = {
-            c: all(s.kind in ("hll", "cms", "bloom")
+            c: all(s.kind in ("hll", "cms", "bloom", "kmv")
                    for s in specs if s.column == c)
             for c in value_cols}
         self.states: dict = {}   # (gkey, spec_name) -> state
@@ -511,7 +514,7 @@ def build_sketches_deterministic(df: DataFrame, specs: "list[SketchSpec]",
     use it when per-group data fits a task (or for golden-file tests); the
     production path stays :func:`build_sketches`, whose order-sensitive
     results are deterministic per partitioning and estimate-bound-gated.
-    Order-insensitive kinds (hll/cms/bloom) produce the same bytes on both
+    Order-insensitive kinds (hll/cms/bloom/kmv) produce the same bytes on both
     paths.
     """
     group_cols = list(group_cols or [])

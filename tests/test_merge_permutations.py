@@ -1,6 +1,7 @@
 """Merge-associativity permutation tests (SURVEY.md §5.2.3, FIXTURES.md §2.4).
 
-HLL (max), count-min (+) and Bloom (OR) must produce BIT-IDENTICAL final
+HLL (max), count-min (+), Bloom (OR) and KMV (union-truncate) must
+produce BIT-IDENTICAL final
 states for any partitioning of a fixed multiset, any merge order and any
 merge-tree shape. KLL / t-digest are order-sensitive at the bit level; their
 quantile ANSWERS must stay within the published rank-error bound.
@@ -62,6 +63,24 @@ def test_countmin_bit_identical_under_permutation(n_parts, seed):
     merged = random_tree_merge(states, rng, lambda a, b: a.merge(b))
     assert np.array_equal(merged.counts, sequential.counts)
     assert merged.total == sequential.total
+
+
+@settings(max_examples=6, deadline=None)
+@given(n_parts=st.sampled_from([2, 8, 16]), seed=st.integers(0, 10_000))
+def test_kmv_bit_identical_under_permutation(n_parts, seed):
+    from grenier_spark.core.kmv import KMV
+
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(ITEMS))
+    sequential = KMV(128)
+    sequential.update_batch(ITEMS)
+    states = []
+    for p in np.array_split(ITEMS[perm], n_parts):
+        s = KMV(128)
+        s.update_batch(p)
+        states.append(s)
+    merged = random_tree_merge(states, rng, lambda a, b: a.merge(b))
+    assert merged.to_bytes() == sequential.to_bytes()
 
 
 @settings(max_examples=6, deadline=None)

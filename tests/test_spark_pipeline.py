@@ -39,6 +39,7 @@ SPECS = [
     SketchSpec.of("tok_hll", "hll", "tokens", p=12),
     SketchSpec.of("tok_cms", "cms", "tokens", depth=4, width=2048, seed=7),
     SketchSpec.of("tok_bloom", "bloom", "tokens", m=1 << 18, k=5, seed=7),
+    SketchSpec.of("tok_kmv", "kmv", "tokens", k=128),
     SketchSpec.of("tok_kll", "kll", "tokens", k=200),
     SketchSpec.of("ntok_td", "tdigest", "n_tok", delta=200),
 ]
@@ -75,6 +76,16 @@ def test_bloom_byte_parity_per_group(grouped_result, local_rows):
         bf.update_batch(local_tokens(local_rows, src))
         got = Bloom.from_bytes(bytes(grouped_result[(src, "tok_bloom")].sketch))
         assert np.array_equal(got.bits, bf.bits)
+
+
+def test_kmv_byte_parity_per_group(grouped_result, local_rows):
+    from grenier_spark.core.kmv import KMV
+
+    for src in ["web", "books", "code", "wiki"]:
+        km = KMV(128)
+        km.update_batch(local_tokens(local_rows, src))
+        got = bytes(grouped_result[(src, "tok_kmv")].sketch)
+        assert got == km.to_bytes(), src
 
 
 def test_metrics_counts(grouped_result, local_rows):
@@ -349,25 +360,29 @@ def test_grouped_counts_equals_generic_path_fuzz():
 # -- grouped-aggregate (UDAF) surface ---------------------------------------
 
 def test_grouped_agg_udaf_byte_parity(spark, docs_df):
-    """hll/cms/bloom through the GROUPED_AGG pandas UDAF must emit bytes
-    IDENTICAL to build_sketches over the same rows (same _update kernel,
-    order-insensitive merges), at any input partitioning."""
+    """hll/cms/bloom/kmv through the GROUPED_AGG pandas UDAF must emit
+    bytes IDENTICAL to build_sketches over the same rows (same _update
+    kernel, order-insensitive merges), at any input partitioning."""
     from grenier_spark.functions.aggregates import (bloom_agg_col,
-                                                    cms_agg_col, hll_agg_col)
+                                                    cms_agg_col,
+                                                    hll_agg_col,
+                                                    kmv_agg_col)
 
-    ref = build_sketches(docs_df, SPECS[:3], group_cols=["source"]).toPandas()
+    ref = build_sketches(docs_df, SPECS[:4], group_cols=["source"]).toPandas()
     ref = {(r.source, r.sketch_name): bytes(r.sketch)
            for r in ref.itertuples()}
     got = (docs_df.repartition(11).groupBy("source")
            .agg(hll_agg_col("tokens", p=12).alias("h"),
                 cms_agg_col("tokens", depth=4, width=2048, seed=7).alias("c"),
-                bloom_agg_col("tokens", m=1 << 18, k=5, seed=7).alias("b"))
+                bloom_agg_col("tokens", m=1 << 18, k=5, seed=7).alias("b"),
+                kmv_agg_col("tokens", k=128).alias("kv"))
            .toPandas())
     assert len(got) == 4
     for r in got.itertuples():
         assert bytes(r.h) == ref[(r.source, "tok_hll")], r.source
         assert bytes(r.c) == ref[(r.source, "tok_cms")], r.source
         assert bytes(r.b) == ref[(r.source, "tok_bloom")], r.source
+        assert bytes(r.kv) == ref[(r.source, "tok_kmv")], r.source
 
 
 def test_sql_aggregate_surface_composes(spark, docs_df, local_rows):
