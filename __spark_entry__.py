@@ -1687,6 +1687,38 @@ def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_values").alias("n_tokens"))
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary learning (operators/bpe.py, Sennrich et al. ACL
+    2016): 12 merges learned from the documents word histogram (one
+    Spark histogram pass, bounded merge loop). The oracle replays the
+    ENTIRE chain — histogram, per-round weighted pair counts, (count
+    desc, left, right) argmax, leftmost non-overlapping merge as a
+    recursive fixpoint replace — value for value."""
+    from grenier_spark.operators.bpe import bpe_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _seg = bpe_learn(docs, n_merges=12)
+    return spark.createDataFrame(
+        [(m["step"], m["left"], m["right"], m["pair_count"])
+         for m in merges],
+        "step long, left_sym string, right_sym string, pair_count long"
+    ).orderBy("step")
+
+
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE segmentation applied corpus-wide
+    (operators/bpe.py bpe_token_counts): per-doc word and BPE-token
+    counts via a broadcast join of the bounded (word, n_syms) table —
+    the corpus text never shuffles. Oracle replays learning AND
+    application."""
+    from grenier_spark.operators.bpe import bpe_learn, bpe_token_counts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    _merges, seg = bpe_learn(docs, n_merges=12)
+    return bpe_token_counts(docs, seg).orderBy("doc_id")
+
+
 def q_token_kmv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KMV / bottom-k distinct-token sketch (core/kmv.py,
     Beyer et al. SIGMOD 2007) through the full two-level build: kept-set
@@ -2205,6 +2237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_hll_udaf": q_token_hll_udaf,
         "pii_redaction": q_pii_redaction,
         "token_freq_spectrum": q_token_freq_spectrum,
+        "bpe_merges": q_bpe_merges,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "token_kmv_by_source": q_token_kmv_by_source,
         "source_token_kmv_jaccard": q_source_token_kmv_jaccard,
         "source_token_overlap": q_source_token_overlap,
@@ -2378,6 +2412,13 @@ def _freq_spectrum_oracle() -> str:
         "SELECT source, substr(md5(w), 1, 16) AS t FROM ("
         "SELECT source, unnest(string_split(text, ' ')) AS w "
         "FROM documents)", group_col="source")
+
+
+def _bpe_sql_oracle(out: str) -> str:
+    from grenier_spark.operators.bpe import bpe_sql
+
+    return bpe_sql("SELECT doc_id::BIGINT AS doc_id, text FROM documents",
+                   n_merges=12, out=out)
 
 
 def _dsir_selection_oracle() -> str:
@@ -2583,6 +2624,8 @@ FROM events GROUP BY event_type""",
             + hll_card_sql(
                 "SELECT event_type, user_id::UHUGEINT AS k FROM events",
                 "k", 12, group_cols=["event_type"]) + ")"),
+        "bpe_merges": _bpe_sql_oracle("merges"),
+        "doc_bpe_tokens": _bpe_sql_oracle("doc_tokens"),
         "token_kmv_by_source": kmv_by_source_sql(
             "SELECT source, " + md5_low64_expr("token") + " AS tk FROM ("
             "SELECT source, unnest(string_split(text, ' ')) AS token "
