@@ -349,3 +349,56 @@ def test_bigram_lm_joins_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert any("partial" in ln for ln in plan.splitlines()), plan
+
+
+def test_dsir_lambda_join_broadcasts_and_topk_is_take_ordered(spark):
+    """dsir_selection: the B-row lambda table must BroadcastHashJoin
+    against exploded words (SortMergeJoin would shuffle token-scale rows),
+    the doc aggregate must combine map-side, and selection must be a
+    TakeOrdered, never a global Sort of the corpus."""
+    plan = plan_of(entry_mod.q_dsir_selection(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    lines = plan.splitlines()
+    ex = [i for i, ln in enumerate(lines)
+          if "Exchange" in ln and "Reused" not in ln
+          and "Broadcast" not in ln]
+    assert any("partial" in ln for ln in lines[min(ex):]), plan
+
+
+def test_bpe_apply_broadcasts_segmentation(spark):
+    """doc_bpe_tokens: the bounded (word, n_syms) table broadcasts against
+    the exploded corpus words; the per-doc sum combines map-side."""
+    from grenier_spark.operators.bpe import bpe_token_counts
+
+    docs = (entry_mod._t(spark, SF, "documents")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    seg = {"the": ("the", "</w>"), "a": ("a", "</w>")}
+    plan = plan_of(bpe_token_counts(docs, seg))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    lines = plan.splitlines()
+    ex = [i for i, ln in enumerate(lines)
+          if "Exchange" in ln and "Reused" not in ln
+          and "Broadcast" not in ln]
+    assert any("partial" in ln for ln in lines[min(ex):]), plan
+
+
+def test_pq_adc_joins_are_broadcast_not_cartesian(spark):
+    """ann_pq_topk: queries (with distance tables) broadcast into the
+    codes scan and the shortlist re-rank joins broadcast — no
+    CartesianProduct, no SortMergeJoin anywhere."""
+    plan = plan_of(entry_mod.q_ann_pq_topk(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_kmv_pair_join_is_sketch_scale(spark):
+    """source_token_kmv_jaccard: the pair join runs over merged sketch
+    rows (KB-scale) as a broadcast join — never a CartesianProduct, and
+    no extra token-scale exchange beyond the build's sketch-row merges."""
+    plan = plan_of(entry_mod.q_source_token_kmv_jaccard(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "Broadcast" in plan, plan
