@@ -43,6 +43,9 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  bloom_membership_sql,
                                                  cms_cells_sql,
                                                  cms_point_sql,
+                                                 csk_cells_sql,
+                                                 csk_f2_sql,
+                                                 csk_inner_sql,
                                                  fuzzy_contamination_sql,
                                                  hll_card_hll_sql,
                                                  hll_card_sql,
@@ -1687,6 +1690,86 @@ def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_values").alias("n_tokens"))
 
 
+def q_csk_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-zero count-sketch cells over events.user_id (d=5, w=512,
+    seed=7) — exact signed +-merge makes the full matrix SQL-checkable
+    (core/countsketch.py; sign-cancelled cells drop on both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    res = build_sketches(ev, [SketchSpec.of("c", "csk", "user_id",
+                                            depth=5, width=512, seed=7)])
+
+    def cells(it):
+        from grenier_spark.core.countsketch import CountSketch
+        for pdf in it:
+            for blob in pdf["sketch"]:
+                cs = CountSketch.from_bytes(bytes(blob))
+                rows, cols = np.nonzero(cs.counts)
+                yield pd.DataFrame({"row": rows.astype(np.int64),
+                                    "col": cols.astype(np.int64),
+                                    "cnt": cs.counts[rows, cols]})
+
+    return res.mapInPandas(cells, "row bigint, col bigint, cnt bigint")
+
+
+def q_csk_f2_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment estimation per event type (countsketch.f2 —
+    the self-join-size statistic count-min cannot provide): the median-
+    of-rows estimate AND the exact sum of squared frequencies, both
+    exact BIGINTs the oracle recomputes (sql_oracles.csk_f2_sql)."""
+    from grenier_spark.functions import csk_f2_col
+
+    ev = _t(spark, sf_dir, "events")
+    sk = build_sketches(ev, [SketchSpec.of("c", "csk", "user_id",
+                                           depth=5, width=512, seed=7)],
+                        group_cols=["event_type"])
+    est = sk.select("event_type", csk_f2_col("sketch").alias("f2_est"))
+    exact = (ev.groupBy("event_type", "user_id")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .groupBy("event_type")
+             .agg(F.sum(F.col("c") * F.col("c")).cast("long")
+                  .alias("f2_exact")))
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
+def q_csk_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation between event-type streams via count-sketch
+    inner products (AMS): for every type pair, the median row dot
+    product of the two KB-sized counter matrices estimates
+    sum_k f_a(k)*f_b(k) — the classic cardinality-estimation input for
+    a join planner, computed WITHOUT joining the streams. The exact join
+    size rides along; oracle sql_oracles.csk_inner_sql recomputes both
+    as exact BIGINTs."""
+    from grenier_spark.functions import csk_inner_col
+
+    ev = _t(spark, sf_dir, "events")
+    sk = (build_sketches(ev, [SketchSpec.of("c", "csk", "user_id",
+                                            depth=5, width=512, seed=7)],
+                         group_cols=["event_type"])
+          .select("event_type", "sketch"))
+    a = sk.select(F.col("event_type").alias("type_a"),
+                  F.col("sketch").alias("_a"))
+    b = sk.select(F.col("event_type").alias("type_b"),
+                  F.col("sketch").alias("_b"))
+    est = (a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+           .select("type_a", "type_b",
+                   csk_inner_col("_a", "_b").alias("inner_est")))
+    cnts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c"))
+    ca = cnts.select(F.col("event_type").alias("type_a"), "user_id",
+                     F.col("c").alias("ca"))
+    cb = cnts.select(F.col("event_type").alias("type_b"), "user_id",
+                     F.col("c").alias("cb"))
+    exact = (ca.join(cb, ["user_id"])
+             .where(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.sum(F.col("ca") * F.col("cb")).cast("long")
+                  .alias("inner_exact")))
+    return (est.join(exact, ["type_a", "type_b"], "left")
+            .withColumn("inner_exact",
+                        F.coalesce("inner_exact", F.lit(0)).cast("long"))
+            .orderBy("type_a", "type_b"))
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary learning (operators/bpe.py, Sennrich et al. ACL
     2016): 12 merges learned from the documents word histogram (one
@@ -2237,6 +2320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_hll_udaf": q_token_hll_udaf,
         "pii_redaction": q_pii_redaction,
         "token_freq_spectrum": q_token_freq_spectrum,
+        "csk_cells": q_csk_cells,
+        "csk_f2_by_type": q_csk_f2_by_type,
+        "csk_join_size": q_csk_join_size,
         "bpe_merges": q_bpe_merges,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "token_kmv_by_source": q_token_kmv_by_source,
@@ -2624,6 +2710,14 @@ FROM events GROUP BY event_type""",
             + hll_card_sql(
                 "SELECT event_type, user_id::UHUGEINT AS k FROM events",
                 "k", 12, group_cols=["event_type"]) + ")"),
+        "csk_cells": csk_cells_sql(
+            "SELECT user_id FROM events", "user_id", 5, 512, 7),
+        "csk_f2_by_type": csk_f2_sql(
+            "SELECT event_type, user_id FROM events", "user_id",
+            5, 512, 7, group_col="event_type"),
+        "csk_join_size": csk_inner_sql(
+            "SELECT event_type, user_id FROM events", "user_id",
+            5, 512, 7, group_col="event_type"),
         "bpe_merges": _bpe_sql_oracle("merges"),
         "doc_bpe_tokens": _bpe_sql_oracle("doc_tokens"),
         "token_kmv_by_source": kmv_by_source_sql(

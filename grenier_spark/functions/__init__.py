@@ -5,6 +5,8 @@ from .estimates import (  # noqa: F401
     bloom_cardinality_col,
     bloom_contains_col,
     cms_query_col,
+    csk_f2_col,
+    csk_inner_col,
     ddsum_col,
     hll_card_col,
     hll_card_orig_col,
@@ -18,6 +20,7 @@ from .estimates import (  # noqa: F401
 from .aggregates import (  # noqa: F401
     bloom_agg_col,
     cms_agg_col,
+    csk_agg_col,
     ddsum_agg_col,
     hll_agg_col,
     kll_agg_col,

@@ -42,7 +42,7 @@ from pyspark.sql.functions import pandas_udf
 from ..core import hll
 from ..operators.sketch_build import SketchSpec, _new_state, _update
 
-_ARRAY_KINDS = ("hll", "cms", "bloom", "kmv")  # token arrays, hashed keys
+_ARRAY_KINDS = ("hll", "cms", "csk", "bloom", "kmv")  # token arrays
 _VALUE_KINDS = ("kll", "tdigest", "ddsum")  # scalar double columns
 
 
@@ -124,6 +124,11 @@ def bloom_agg_col(col: "Column | str", m: int = 4096, k: int = 5,
     return sketch_agg_col("bloom", col, m=m, k=k, seed=seed)
 
 
+def csk_agg_col(col: "Column | str", depth: int = 5, width: int = 256,
+                seed: int = 0) -> Column:
+    return sketch_agg_col("csk", col, depth=depth, width=width, seed=seed)
+
+
 def kmv_agg_col(col: "Column | str", k: int = 256) -> Column:
     return sketch_agg_col("kmv", col, k=k)
 
@@ -158,6 +163,8 @@ def register_sql_aggregates(spark, hll_p: int = 12, cms_depth: int = 5,
                             "seed": 0}),
         "bloom_agg": ("bloom", {"m": bloom_m, "k": bloom_k, "seed": 0}),
         "kmv_agg": ("kmv", {"k": kmv_k}),
+        "csk_agg": ("csk", {"depth": cms_depth, "width": cms_width,
+                            "seed": 0}),
         "kll_agg": ("kll", {"k": kll_k, "seed": 42}),
         "tdigest_agg": ("tdigest", {"delta": tdigest_delta}),
         "ddsum_agg": ("ddsum", {}),

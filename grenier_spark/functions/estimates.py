@@ -190,3 +190,31 @@ def kmv_jaccard_col(a: "Column | str", b: "Column | str") -> Column:
                                            "n_matched"])
 
     return _j(_col(a), _col(b))
+
+
+def csk_f2_col(col: "Column | str") -> Column:
+    """AMS second-moment estimate of a serialized CountSketch: median
+    over rows of sum_j cell^2 — exact int64 (core/countsketch.py)."""
+    @pandas_udf("long")
+    def _f(blobs: pd.Series) -> pd.Series:
+        from ..core.countsketch import CountSketch
+
+        return blobs.map(lambda b: CountSketch.from_bytes(bytes(b)).f2())
+
+    return _f(_col(col))
+
+
+def csk_inner_col(a: "Column | str", b: "Column | str") -> Column:
+    """Join-size / inner-product estimate between two serialized
+    CountSketch states with identical (depth, width, seed): median over
+    rows of the row dot product — exact int64."""
+    @pandas_udf("long")
+    def _i(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        from ..core.countsketch import CountSketch
+
+        return pd.Series([
+            CountSketch.from_bytes(bytes(x)).inner(
+                CountSketch.from_bytes(bytes(y)))
+            for x, y in zip(xs, ys)])
+
+    return _i(_col(a), _col(b))

@@ -752,6 +752,118 @@ ranked AS (
   FROM adc){tail}"""
 
 
+def csk_positions_sql(keys_sql: str, key_col: str, depth: int, width: int,
+                      seed: int, group_cols: "list[str] | None" = None
+                      ) -> str:
+    """(group..., row, col, sign) per key occurrence per hash row,
+    matching core/countsketch.py: col = wang64(key XOR
+    splitmix64(seed + row + 1)) % width, sign from the next hash bit
+    (+1 when (h // width) is even)."""
+    g = (", ".join(f"k.{c}" for c in group_cols) + ", ") if group_cols \
+        else ""
+    salts = chain_selects(
+        f"SELECT (i + {seed + 1})::UHUGEINT AS si, i AS row "
+        f"FROM generate_series(0, {depth - 1}) AS t(i)",
+        splitmix64_stages("si", "salt"))
+    hashed = chain_selects(
+        f"SELECT {g}s.row, xor(k.{key_col}::UHUGEINT, s.salt) AS kx "
+        f"FROM ({keys_sql}) k CROSS JOIN ({salts}) s",
+        wang64_stages("kx", "h"))
+    go = (", ".join(group_cols) + ", ") if group_cols else ""
+    return (f"SELECT {go}row::BIGINT AS row, "
+            f"(h % {width}::UHUGEINT)::BIGINT AS col, "
+            f"(CASE WHEN (h // {width}::UHUGEINT) % 2::UHUGEINT "
+            f"= 0::UHUGEINT THEN 1 ELSE -1 END)::BIGINT AS sign "
+            f"FROM ({hashed})")
+
+
+def csk_cells_sql(keys_sql: str, key_col: str, depth: int, width: int,
+                  seed: int) -> str:
+    """Non-zero count-sketch cells (row, col, cnt = SUM(sign)) for a key
+    stream — sign-cancelled cells drop (the Spark dump reads np.nonzero
+    of the counter matrix)."""
+    pos = csk_positions_sql(keys_sql, key_col, depth, width, seed)
+    return f"""
+SELECT row, col, SUM(sign)::BIGINT AS cnt
+FROM ({pos})
+GROUP BY 1, 2
+HAVING SUM(sign) <> 0
+ORDER BY row, col"""
+
+
+def _median_of_d_expr(d: int) -> int:
+    """row_number rank of the median element over exactly d values,
+    matching CountSketch._median_rows: sorted[(d-1)//2] (1-based rank)."""
+    return (d - 1) // 2 + 1
+
+
+def csk_f2_sql(keys_sql: str, key_col: str, depth: int, width: int,
+               seed: int, group_col: str) -> str:
+    """Per group: the AMS F2 estimate (median over rows of sum cell^2)
+    AND the exact F2 (sum over keys of freq^2) — both exact BIGINTs, the
+    same integers the Spark side computes."""
+    pos = csk_positions_sql(keys_sql, key_col, depth, width, seed,
+                            group_cols=[group_col])
+    rk = _median_of_d_expr(depth)
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT {group_col}, row, col, SUM(sign)::HUGEINT AS c
+  FROM ({pos}) GROUP BY 1, 2, 3),
+rows_ AS (SELECT {group_col}, row, SUM(c * c) AS s
+          FROM cells GROUP BY 1, 2),
+med AS (SELECT {group_col}, s FROM (
+          SELECT {group_col}, s, row_number() OVER (
+                   PARTITION BY {group_col} ORDER BY s ASC) AS rn
+          FROM rows_) WHERE rn = {rk}),
+ex AS (SELECT {group_col}, SUM(cnt * cnt)::BIGINT AS f2_exact FROM (
+         SELECT {group_col}, {key_col}, COUNT(*)::HUGEINT AS cnt
+         FROM ({keys_sql}) GROUP BY 1, 2) GROUP BY 1)
+SELECT med.{group_col}, med.s::BIGINT AS f2_est, ex.f2_exact
+FROM med JOIN ex USING ({group_col})"""
+
+
+def csk_inner_sql(keys_sql: str, key_col: str, depth: int, width: int,
+                  seed: int, group_col: str) -> str:
+    """Per group pair (a < b): the count-sketch join-size estimate
+    (median over rows of the row dot product between the two groups'
+    counter matrices — rows with no shared non-zero cells contribute 0)
+    AND the exact join size sum_k f_a(k) * f_b(k). All exact BIGINTs."""
+    pos = csk_positions_sql(keys_sql, key_col, depth, width, seed,
+                            group_cols=[group_col])
+    rk = _median_of_d_expr(depth)
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT {group_col} AS g, row, col, SUM(sign)::HUGEINT AS c
+  FROM ({pos}) GROUP BY 1, 2, 3),
+gs AS (SELECT DISTINCT g FROM cells),
+prs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+prod AS (
+  SELECT a.g AS ga, b.g AS gb, a.row, SUM(a.c * b.c) AS s
+  FROM cells a JOIN cells b
+    ON a.row = b.row AND a.col = b.col AND a.g < b.g
+  GROUP BY 1, 2, 3),
+-- every (pair, row) — missing row products are 0 (the Spark kernel
+-- folds the full counter rows)
+allrows AS (
+  SELECT prs.ga, prs.gb, t.i AS row, COALESCE(prod.s, 0::HUGEINT) AS s
+  FROM prs CROSS JOIN generate_series(0, {depth - 1}) AS t(i)
+  LEFT JOIN prod ON prod.ga = prs.ga AND prod.gb = prs.gb
+                AND prod.row = t.i),
+med AS (SELECT ga, gb, s FROM (
+          SELECT ga, gb, s, row_number() OVER (
+                   PARTITION BY ga, gb ORDER BY s ASC) AS rn
+          FROM allrows) WHERE rn = {rk}),
+freqs AS (SELECT {group_col} AS g, {key_col} AS k,
+                 COUNT(*)::HUGEINT AS cnt
+          FROM ({keys_sql}) GROUP BY 1, 2),
+ex AS (SELECT a.g AS ga, b.g AS gb, SUM(a.cnt * b.cnt)::BIGINT AS j
+       FROM freqs a JOIN freqs b ON a.k = b.k AND a.g < b.g
+       GROUP BY 1, 2)
+SELECT med.ga AS type_a, med.gb AS type_b, med.s::BIGINT AS inner_est,
+       COALESCE(ex.j, 0)::BIGINT AS inner_exact
+FROM med LEFT JOIN ex ON ex.ga = med.ga AND ex.gb = med.gb"""
+
+
 _SIGNED64 = ("(CASE WHEN {h} >= 9223372036854775808::UHUGEINT "
              "THEN ({h} - 18446744073709551616::UHUGEINT)::HUGEINT "
              "ELSE {h}::HUGEINT END)::BIGINT")

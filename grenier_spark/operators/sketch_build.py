@@ -43,6 +43,7 @@ from ..core import hll
 from ..core.bits import U64, wang64
 from ..core.bloom import Bloom
 from ..core.countmin import CountMin
+from ..core.countsketch import CountSketch
 from ..core.doubledouble import DDSum
 from ..core.kll import KLL
 from ..core.kmv import KMV
@@ -53,13 +54,14 @@ from ..core.tdigest import TDigest
 class SketchSpec:
     """One sketch to build.
 
-    kind: 'hll' | 'cms' | 'bloom' | 'kmv' | 'kll' | 'tdigest' | 'ddsum'
+    kind: 'hll' | 'cms' | 'csk' | 'bloom' | 'kmv' | 'kll' | 'tdigest' | 'ddsum'
     column: source column — array<int*> token sequences (hll/cms/bloom/kmv hash
             each token; kll/tdigest sketch the token values) or a numeric
             scalar column.
     params: kind-specific, via ``SketchSpec.of(name, kind, column, p=14)``:
             hll {'p'}, cms {'depth','width','seed'}, bloom {'m','k','seed'},
-            kmv {'k'}, kll {'k','seed'}, tdigest {'delta'}.
+            csk {'depth','width','seed'}, kmv {'k'}, kll {'k','seed'},
+            tdigest {'delta'}.
     """
 
     name: str
@@ -84,6 +86,9 @@ def _new_state(spec: SketchSpec):
         return hll.make_p(p.get("p", 14))
     if spec.kind == "cms":
         return CountMin(p.get("depth", 5), p.get("width", 8192), p.get("seed", 7))
+    if spec.kind == "csk":
+        return CountSketch(p.get("depth", 5), p.get("width", 8192),
+                           p.get("seed", 7))
     if spec.kind == "bloom":
         return Bloom(p.get("m", 1 << 20), p.get("k", 7), p.get("seed", 7))
     if spec.kind == "kmv":
@@ -192,7 +197,7 @@ def _update_from_counts(state, spec: SketchSpec, keys: np.ndarray,
         return
     if spec.kind == "hll":
         hll.add_batch(state, wang64(keys))
-    elif spec.kind == "cms":
+    elif spec.kind in ("cms", "csk"):
         state.update_batch(keys, weights=counts)
     else:
         state.update_batch(keys)
@@ -201,13 +206,13 @@ def _update_from_counts(state, spec: SketchSpec, keys: np.ndarray,
 def _update(state, spec: SketchSpec, values: np.ndarray) -> None:
     if not len(values):
         return
-    if spec.kind in ("hll", "cms", "bloom", "kmv"):
+    if spec.kind in ("hll", "cms", "csk", "bloom", "kmv"):
         dic = _dictionarize(values)
         if dic is not None:
             keys, counts = dic
             if spec.kind == "hll":
                 hll.add_batch(state, wang64(keys))
-            elif spec.kind == "cms":
+            elif spec.kind in ("cms", "csk"):
                 state.update_batch(keys, weights=counts)
             else:
                 state.update_batch(keys)
@@ -243,8 +248,8 @@ def _merge_blobs(kind: str, blobs: "list[bytes]") -> bytes:
     if kind == "hll":
         return hll.to_bytes(
             hll.merge_many([hll.from_bytes_any(b) for b in blobs]))
-    cls = {"cms": CountMin, "bloom": Bloom, "kmv": KMV, "kll": KLL,
-           "tdigest": TDigest, "ddsum": DDSum}[kind]
+    cls = {"cms": CountMin, "csk": CountSketch, "bloom": Bloom,
+           "kmv": KMV, "kll": KLL, "tdigest": TDigest, "ddsum": DDSum}[kind]
     acc = cls.from_bytes(blobs[0])
     for b in blobs[1:]:
         acc.merge(cls.from_bytes(b))
@@ -350,7 +355,7 @@ class _Accumulator:
         # columns consumed ONLY by count-sketches can ride the composite-
         # bincount fast path (quantile/sum sketches need the raw stream)
         self.countable = {
-            c: all(s.kind in ("hll", "cms", "bloom", "kmv")
+            c: all(s.kind in ("hll", "cms", "csk", "bloom", "kmv")
                    for s in specs if s.column == c)
             for c in value_cols}
         self.states: dict = {}   # (gkey, spec_name) -> state

@@ -67,6 +67,24 @@ def test_countmin_bit_identical_under_permutation(n_parts, seed):
 
 @settings(max_examples=6, deadline=None)
 @given(n_parts=st.sampled_from([2, 8, 16]), seed=st.integers(0, 10_000))
+def test_countsketch_bit_identical_under_permutation(n_parts, seed):
+    from grenier_spark.core.countsketch import CountSketch
+
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(ITEMS))
+    sequential = CountSketch(5, 256, seed=3)
+    sequential.update_batch(ITEMS)
+    states = []
+    for p in np.array_split(ITEMS[perm], n_parts):
+        c = CountSketch(5, 256, seed=3)
+        c.update_batch(p)
+        states.append(c)
+    merged = random_tree_merge(states, rng, lambda a, b: a.merge(b))
+    assert merged.to_bytes() == sequential.to_bytes()
+
+
+@settings(max_examples=6, deadline=None)
+@given(n_parts=st.sampled_from([2, 8, 16]), seed=st.integers(0, 10_000))
 def test_kmv_bit_identical_under_permutation(n_parts, seed):
     from grenier_spark.core.kmv import KMV
 

@@ -40,6 +40,7 @@ SPECS = [
     SketchSpec.of("tok_cms", "cms", "tokens", depth=4, width=2048, seed=7),
     SketchSpec.of("tok_bloom", "bloom", "tokens", m=1 << 18, k=5, seed=7),
     SketchSpec.of("tok_kmv", "kmv", "tokens", k=128),
+    SketchSpec.of("tok_csk", "csk", "tokens", depth=5, width=512, seed=7),
     SketchSpec.of("tok_kll", "kll", "tokens", k=200),
     SketchSpec.of("ntok_td", "tdigest", "n_tok", delta=200),
 ]
@@ -76,6 +77,18 @@ def test_bloom_byte_parity_per_group(grouped_result, local_rows):
         bf.update_batch(local_tokens(local_rows, src))
         got = Bloom.from_bytes(bytes(grouped_result[(src, "tok_bloom")].sketch))
         assert np.array_equal(got.bits, bf.bits)
+
+
+def test_csk_byte_parity_per_group(grouped_result, local_rows):
+    from grenier_spark.core.countsketch import CountSketch
+
+    for src in ["web", "books", "code", "wiki"]:
+        cs = CountSketch(5, 512, seed=7)
+        cs.update_batch(local_tokens(local_rows, src))
+        got = CountSketch.from_bytes(
+            bytes(grouped_result[(src, "tok_csk")].sketch))
+        assert np.array_equal(got.counts, cs.counts), src
+        assert got.total == cs.total
 
 
 def test_kmv_byte_parity_per_group(grouped_result, local_rows):
