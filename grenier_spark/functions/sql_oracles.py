@@ -864,8 +864,11 @@ SELECT med.ga AS type_a, med.gb AS type_b, med.s::BIGINT AS inner_est,
 FROM med LEFT JOIN ex ON ex.ga = med.ga AND ex.gb = med.gb"""
 
 
+# subtract in SIGNED HUGEINT: UHUGEINT subtraction underflows for any
+# hash >= 2^63 (caught by the adversarial KMV fuzz — gate corpora are
+# under-full, so the kth-hash branch never executed there)
 _SIGNED64 = ("(CASE WHEN {h} >= 9223372036854775808::UHUGEINT "
-             "THEN ({h} - 18446744073709551616::UHUGEINT)::HUGEINT "
+             "THEN {h}::HUGEINT - 18446744073709551616::HUGEINT "
              "ELSE {h}::HUGEINT END)::BIGINT")
 _TWO64_D = "18446744073709551616.0"
 

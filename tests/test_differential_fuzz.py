@@ -640,3 +640,84 @@ ORDER BY source, doc_id""").df()
     pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
     a = got[got.source == "a"].sort_values("doc_id")
     assert a.batch_id.iloc[0] == 0 and a.batch_id.iloc[1] == 1  # oversize alone
+
+
+def test_dsir_chain_match_duckdb_adversarial(spark, corpus, duck):
+    """DSIR importance weights: md5-low64 % B buckets, add-smoothing ln
+    ratios, round-6 doc sums and the top-k rule agree on adversarial
+    text (empty/NULL docs drop on both engines)."""
+    from grenier_spark.operators.selection import (dsir_logweights,
+                                                   dsir_select_topk,
+                                                   dsir_sql)
+
+    sdf = spark.createDataFrame(corpus)
+    target = sdf.where(F.col("doc_id") % 2 == 1)
+    got = (dsir_select_topk(
+               dsir_logweights(sdf, target, n_buckets=64, smoothing=0.5),
+               k=5)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    sql = dsir_sql("SELECT doc_id, text FROM docs",
+                   "SELECT doc_id, text FROM docs WHERE doc_id % 2 = 1",
+                   n_buckets=64, smoothing=0.5, k=5)
+    exp = duck.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  rtol=0, atol=0)
+
+
+def test_bpe_chain_match_duckdb_adversarial(spark, corpus, duck):
+    """BPE learning + application: codepoint char split (NFD combining
+    marks, astral emoji), weighted overlapping pair counts, UTF-8
+    tie-break order and the fixpoint merge replay agree end-to-end."""
+    from grenier_spark.operators.bpe import (bpe_learn, bpe_sql,
+                                             bpe_token_counts)
+
+    sdf = spark.createDataFrame(corpus)
+    merges, seg = bpe_learn(sdf, n_merges=8)
+    got_m = [(m["step"], m["left"], m["right"], m["pair_count"])
+             for m in merges]
+    exp_m = [tuple(r) for r in duck.execute(
+        bpe_sql("SELECT doc_id, text FROM docs", n_merges=8)).fetchall()]
+    assert got_m == exp_m
+    got_t = (bpe_token_counts(sdf, seg).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    exp_t = (duck.execute(bpe_sql("SELECT doc_id, text FROM docs",
+                                  n_merges=8, out="doc_tokens")).df()
+             .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_t[sorted(got_t.columns)],
+                                  exp_t[sorted(exp_t.columns)],
+                                  check_dtype=False)
+
+
+def test_kmv_chain_match_duckdb_adversarial(spark, corpus, duck):
+    """KMV over md5 word tokens of adversarial text: kept set, k-th hash
+    and estimate agree (the wang64-over-md5 chain on unicode tokens)."""
+    from grenier_spark.functions import kmv_est_col, kmv_stats_col
+    from grenier_spark.functions.hashing import md5_tokens_col
+    from grenier_spark.functions.sql_oracles import (kmv_by_source_sql,
+                                                     md5_low64_expr)
+    from grenier_spark.operators.sketch_build import (SketchSpec,
+                                                      build_sketches)
+
+    sdf = (spark.createDataFrame(corpus)
+           .withColumn("grp", (F.col("doc_id") % 3).cast("int"))
+           .withColumn("tokens", md5_tokens_col("text")))
+    res = build_sketches(sdf, [SketchSpec.of("k", "kmv", "tokens", k=16)],
+                         group_cols=["grp"])
+    got = (res.withColumn("_s", kmv_stats_col("sketch"))
+           .select("grp", F.col("_s.n_kept").alias("n_kept"),
+                   F.col("_s.kth_hash").alias("kth_hash"),
+                   F.round(kmv_est_col("sketch"), 6).alias("est_distinct"))
+           .toPandas().sort_values("grp").reset_index(drop=True))
+    sql = kmv_by_source_sql(
+        "SELECT grp, " + md5_low64_expr("w") + " AS tk FROM ("
+        "SELECT doc_id % 3 AS grp, unnest(string_split(text, ' ')) AS w "
+        "FROM docs WHERE text IS NOT NULL)",
+        "tk", 16, group_cols=["grp"])
+    exp = (duck.execute(sql).df().rename(columns={})
+           .sort_values("grp").reset_index(drop=True))
+    got["grp"] = got.grp.astype("int64")
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)],
+                                  check_dtype=False)
