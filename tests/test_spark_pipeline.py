@@ -320,7 +320,9 @@ def test_grouped_counts_equals_generic_path_fuzz():
     rng = np.random.default_rng(7)
     specs = [SketchSpec.of("h", "hll", "v", p=10),
              SketchSpec.of("c", "cms", "v", depth=3, width=256, seed=7),
-             SketchSpec.of("b", "bloom", "v", m=1 << 14, k=4, seed=7)]
+             SketchSpec.of("b", "bloom", "v", m=1 << 14, k=4, seed=7),
+             SketchSpec.of("s", "csk", "v", depth=3, width=256, seed=7),
+             SketchSpec.of("m", "kmv", "v", k=32)]
 
     def states_equal(a, b, kind):
         if kind == "hll":
