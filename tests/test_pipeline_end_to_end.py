@@ -284,3 +284,58 @@ def test_bloom_gated_decontamination_is_exact(spark):
                .toPandas().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(pre, plain[pre.columns],
                                       check_dtype=False)
+
+
+def test_selection_and_tokenizer_compose(spark):
+    """The round-3 curation stack composes: DSIR selects docs matching a
+    curated target distribution, then BPE learns its vocabulary from the
+    SELECTED corpus only. Invariants: no noise doc survives selection,
+    the learned merges compress the selected corpus (fewer BPE tokens
+    than characters), and the whole chain is partitioning-invariant."""
+    from grenier_spark.operators.bpe import bpe_learn, bpe_token_counts
+    from grenier_spark.operators.selection import (dsir_logweights,
+                                                   dsir_select_topk)
+
+    rng = np.random.default_rng(17)
+    words = ["the", "model", "trains", "tokens", "data", "sample",
+             "batch", "shard", "merge", "sketch"]
+    # Noise must be COMMON in raw yet ABSENT from target: DSIR's smoothed
+    # ratio ln(p_t/q_r) punishes exactly that shape. (Per-doc-unique
+    # gibberish would instead be so rare in raw that the smoothing floor
+    # makes the ratio positive — a property of the estimator, not a bug.)
+    noise = [f"qzx{j}" for j in range(10)]
+    rows = []
+    for i in range(40):                  # in-domain docs
+        rows.append((i, " ".join(rng.choice(words, size=30))))
+    for i in range(40, 60):             # noise: shared gibberish vocab
+        rows.append((i, " ".join(rng.choice(noise, size=30))))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]))
+    target = corpus.where("doc_id < 5")  # curated sample of the domain
+
+    scores = dsir_logweights(corpus, target, n_buckets=128)
+    sel = dsir_select_topk(scores, k=30)
+    kept_ids = set(r.doc_id for r in
+                   sel.where("selected").select("doc_id").collect())
+    assert len(kept_ids) == 30
+    assert all(i < 40 for i in kept_ids), kept_ids  # zero noise docs
+
+    kept_docs = corpus.join(
+        sel.where("selected").select("doc_id"), "doc_id")
+    merges, seg = bpe_learn(kept_docs, n_merges=15)
+    assert len(merges) == 15
+    # vocabulary comes from the selected domain only: no gibberish marker
+    assert not any("q" in m["left"] + m["right"] for m in merges)
+
+    toks = bpe_token_counts(kept_docs, seg)
+    stats = (toks.join(kept_docs, "doc_id")
+             .select("n_words", "n_bpe_tokens",
+                     F.length(F.regexp_replace("text", " ", ""))
+                     .alias("n_chars")).toPandas())
+    # compression: strictly fewer tokens than chars+end-markers, and at
+    # least one token per word
+    assert (stats.n_bpe_tokens < stats.n_chars + stats.n_words).all()
+    assert (stats.n_bpe_tokens >= stats.n_words).all()
+
+    again, _ = bpe_learn(kept_docs.repartition(7), n_merges=15)
+    assert again == merges
