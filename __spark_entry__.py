@@ -908,6 +908,83 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source", "token"))
 
 
+def q_mg_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries mergeable heavy-hitters summary per source (Misra &
+    Gries 1982; merge rule of Agarwal et al., PODS 2012 §3.1), GUARANTEE-
+    GATED: counter values depend on the merge tree (like KLL), so the
+    gate emits the engine-independent surface — the exact guaranteed-
+    present set (every token with exact_cnt·(k+1) > n, pure BIGINT
+    arithmetic on both engines, no float threshold) — plus booleans
+    computed Spark-side from the REAL distributed summary:
+
+    * ``reported`` — completeness: a token with c·(k+1) > n cannot be
+      evicted (eviction would need c <= decr <= n/(k+1));
+    * ``n_lower_gt_exact`` / ``n_upper_lt_exact`` (per source, = 0) —
+      soundness of the deterministic [stored, stored+decr] window around
+      every stored key;
+    * ``decr_bound_ok`` — the PODS-2012 merged-summary error bound
+      decr·(k+1) <= n under the two-level merge tree.
+
+    Same frequent-items problem as countish/lossy.ml:14-54, solved with
+    the deterministic mergeable-summary counterpart (no per-partition
+    epsilon bookkeeping; counter algebra is what shuffles).
+    """
+    from grenier_spark.core.misragries import MisraGries
+
+    k = 99  # guarantee threshold n/(k+1) = 1% of the group's tokens
+    docs = _tokenized_docs(spark, sf_dir)
+    res = build_sketches(docs, [SketchSpec.of("mg", "mg", "tokens", k=k)],
+                         group_cols=["source"])
+
+    def decode(it):
+        for pdf in it:
+            for src, blob in zip(pdf["source"], pdf["sketch"]):
+                mg = MisraGries.from_bytes(bytes(blob))
+                items = mg.items()
+                yield pd.DataFrame({
+                    "source": np.repeat(src, len(items)),
+                    "token": np.array([t[0] for t in items], dtype=np.int64),
+                    "lo": np.array([t[1] for t in items], dtype=np.int64),
+                    "hi": np.array([t[2] for t in items], dtype=np.int64),
+                    "mg_n": np.repeat(np.int64(mg.n), len(items)),
+                    "decr": np.repeat(np.int64(mg.decr), len(items))})
+
+    summ = res.mapInPandas(
+        decode, "source string, token long, lo long, hi long, "
+                "mg_n long, decr long")
+    tok = docs.select("source", F.explode("tokens").alias("token"))
+    exact = (tok.groupBy("source", "token")
+             .agg(F.count(F.lit(1)).alias("exact_cnt")))
+    totals = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ex = exact.join(totals, "source")
+    sj = summ.join(ex.select("source", "token", "exact_cnt"),
+                   ["source", "token"], "left")
+    viol = (sj.groupBy("source")
+            .agg(F.sum(F.when(F.col("lo")
+                              > F.coalesce("exact_cnt", F.lit(0)), 1)
+                       .otherwise(0)).cast("long").alias("n_lower_gt_exact"),
+                 F.sum(F.when(F.col("hi")
+                              < F.coalesce("exact_cnt", F.lit(0)), 1)
+                       .otherwise(0)).cast("long").alias("n_upper_lt_exact"),
+                 (F.max("decr") * (k + 1) <= F.max("mg_n"))
+                 .alias("decr_bound_ok")))
+    high = ex.where(F.col("exact_cnt") * (k + 1) > F.col("n"))
+    return (high
+            .join(summ.select("source", "token",
+                              F.lit(True).alias("reported")),
+                  ["source", "token"], "left")
+            .join(viol, "source", "left")
+            .select("source", "token", "exact_cnt", "n",
+                    F.coalesce("reported", F.lit(False)).alias("reported"),
+                    F.coalesce("n_lower_gt_exact", F.lit(0)).cast("long")
+                    .alias("n_lower_gt_exact"),
+                    F.coalesce("n_upper_lt_exact", F.lit(0)).cast("long")
+                    .alias("n_upper_lt_exact"),
+                    F.coalesce("decr_bound_ok", F.lit(True))
+                    .alias("decr_bound_ok"))
+            .orderBy("source", "token"))
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection, demonstrated on planted near-dups
     (doc + copy with last word dropped) so recall is checkable on any
@@ -2310,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "customers_without_orders": q_customers_without_orders,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "mg_heavy_tokens": q_mg_heavy_tokens,
         "minhash_neardup": q_minhash_neardup,
         "simhash_dups": q_simhash_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2587,6 +2665,23 @@ SELECT source, token, exact_cnt, n, TRUE AS reported,
        0::BIGINT AS n_est_lt_exact
 FROM c JOIN t USING (source)
 WHERE exact_cnt >= 0.01::DOUBLE * n""",
+        # Misra-Gries guarantee gate: exact guaranteed-present set in pure
+        # BIGINT arithmetic (exact_cnt*(k+1) > n — no float threshold to
+        # disagree on); guarantee booleans are computed from the real
+        # summary Spark-side, literal TRUE/0 here
+        "mg_heavy_tokens": f"""
+WITH tok AS (
+  SELECT source, {md5_low64_signed_expr('w')} AS token
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+c AS (SELECT source, token, COUNT(*)::BIGINT AS exact_cnt
+      FROM tok GROUP BY 1, 2),
+t AS (SELECT source, COUNT(*)::BIGINT AS n FROM tok GROUP BY 1)
+SELECT source, token, exact_cnt, n, TRUE AS reported,
+       0::BIGINT AS n_lower_gt_exact, 0::BIGINT AS n_upper_lt_exact,
+       TRUE AS decr_bound_ok
+FROM c JOIN t USING (source)
+WHERE exact_cnt * 100 > n""",
         # capped-stream sticky sampling stays below the doubling threshold
         # (r = 1 -> exact counts), so the reference-verbatim report is
         # exactly SQL-expressible; 0.02::DOUBLE - 0.002::DOUBLE reproduces

@@ -42,7 +42,7 @@ from pyspark.sql.functions import pandas_udf
 from ..core import hll
 from ..operators.sketch_build import SketchSpec, _new_state, _update
 
-_ARRAY_KINDS = ("hll", "cms", "csk", "bloom", "kmv")  # token arrays
+_ARRAY_KINDS = ("hll", "cms", "csk", "bloom", "kmv", "mg")  # token arrays
 _VALUE_KINDS = ("kll", "tdigest", "ddsum")  # scalar double columns
 
 
@@ -133,6 +133,10 @@ def kmv_agg_col(col: "Column | str", k: int = 256) -> Column:
     return sketch_agg_col("kmv", col, k=k)
 
 
+def mg_agg_col(col: "Column | str", k: int = 256) -> Column:
+    return sketch_agg_col("mg", col, k=k)
+
+
 def kll_agg_col(col: "Column | str", k: int = 200, seed: int = 42) -> Column:
     return sketch_agg_col("kll", col, k=k, seed=seed)
 
@@ -148,11 +152,11 @@ def ddsum_agg_col(col: "Column | str") -> Column:
 def register_sql_aggregates(spark, hll_p: int = 12, cms_depth: int = 5,
                             cms_width: int = 256, bloom_m: int = 4096,
                             bloom_k: int = 5, kmv_k: int = 256,
-                            kll_k: int = 200,
+                            mg_k: int = 256, kll_k: int = 200,
                             tdigest_delta: int = 200) -> None:
     """Register the aggregates for ``spark.sql`` string queries
-    (``hll_agg``, ``cms_agg``, ``bloom_agg``, ``kmv_agg``, ``kll_agg``,
-    ``tdigest_agg``, ``ddsum_agg``). SQL cannot pass constructor params,
+    (``hll_agg``, ``cms_agg``, ``bloom_agg``, ``kmv_agg``, ``mg_agg``,
+    ``kll_agg``, ``tdigest_agg``, ``ddsum_agg``). SQL cannot pass constructor params,
     so sizes are fixed at registration time — re-register to change them.
     Composes with the scalar estimators from
     :func:`register.register_sql_functions`.
@@ -163,6 +167,7 @@ def register_sql_aggregates(spark, hll_p: int = 12, cms_depth: int = 5,
                             "seed": 0}),
         "bloom_agg": ("bloom", {"m": bloom_m, "k": bloom_k, "seed": 0}),
         "kmv_agg": ("kmv", {"k": kmv_k}),
+        "mg_agg": ("mg", {"k": mg_k}),
         "csk_agg": ("csk", {"depth": cms_depth, "width": cms_width,
                             "seed": 0}),
         "kll_agg": ("kll", {"k": kll_k, "seed": 42}),

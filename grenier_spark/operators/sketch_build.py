@@ -47,6 +47,7 @@ from ..core.countsketch import CountSketch
 from ..core.doubledouble import DDSum
 from ..core.kll import KLL
 from ..core.kmv import KMV
+from ..core.misragries import MisraGries
 from ..core.tdigest import TDigest
 
 
@@ -54,14 +55,15 @@ from ..core.tdigest import TDigest
 class SketchSpec:
     """One sketch to build.
 
-    kind: 'hll' | 'cms' | 'csk' | 'bloom' | 'kmv' | 'kll' | 'tdigest' | 'ddsum'
-    column: source column — array<int*> token sequences (hll/cms/bloom/kmv hash
-            each token; kll/tdigest sketch the token values) or a numeric
-            scalar column.
+    kind: 'hll' | 'cms' | 'csk' | 'bloom' | 'kmv' | 'mg' | 'kll' | 'tdigest'
+          | 'ddsum'
+    column: source column — array<int*> token sequences (hll/cms/bloom/kmv
+            hash each token; mg counts the raw integer keys; kll/tdigest
+            sketch the token values) or a numeric scalar column.
     params: kind-specific, via ``SketchSpec.of(name, kind, column, p=14)``:
             hll {'p'}, cms {'depth','width','seed'}, bloom {'m','k','seed'},
-            csk {'depth','width','seed'}, kmv {'k'}, kll {'k','seed'},
-            tdigest {'delta'}.
+            csk {'depth','width','seed'}, kmv {'k'}, mg {'k'},
+            kll {'k','seed'}, tdigest {'delta'}.
     """
 
     name: str
@@ -93,6 +95,8 @@ def _new_state(spec: SketchSpec):
         return Bloom(p.get("m", 1 << 20), p.get("k", 7), p.get("seed", 7))
     if spec.kind == "kmv":
         return KMV(p.get("k", 256))
+    if spec.kind == "mg":
+        return MisraGries(p.get("k", 256))
     if spec.kind == "kll":
         return KLL(p.get("k", 200), seed=p.get("seed", 42))
     if spec.kind == "tdigest":
@@ -199,12 +203,24 @@ def _update_from_counts(state, spec: SketchSpec, keys: np.ndarray,
         hll.add_batch(state, wang64(keys))
     elif spec.kind in ("cms", "csk"):
         state.update_batch(keys, weights=counts)
+    elif spec.kind == "mg":
+        # dense small non-negative ints: the u64 view equals the original
+        # int64 values, so counting the view verbatim is exact
+        state.update_batch(keys.view(np.int64), weights=counts)
     else:
         state.update_batch(keys)
 
 
 def _update(state, spec: SketchSpec, values: np.ndarray) -> None:
     if not len(values):
+        return
+    if spec.kind == "mg":
+        if values.dtype.kind == "f":
+            raise ValueError("mg sketch over a float column: counting "
+                             "kinds need integer keys")
+        # one exact-histogram absorb per batch — equivalent state
+        # transition to the _grouped_counts fast path (same histogram)
+        state.update_batch(values.astype(np.int64, copy=False))
         return
     if spec.kind in ("hll", "cms", "csk", "bloom", "kmv"):
         dic = _dictionarize(values)
@@ -249,7 +265,8 @@ def _merge_blobs(kind: str, blobs: "list[bytes]") -> bytes:
         return hll.to_bytes(
             hll.merge_many([hll.from_bytes_any(b) for b in blobs]))
     cls = {"cms": CountMin, "csk": CountSketch, "bloom": Bloom,
-           "kmv": KMV, "kll": KLL, "tdigest": TDigest, "ddsum": DDSum}[kind]
+           "kmv": KMV, "mg": MisraGries, "kll": KLL, "tdigest": TDigest,
+           "ddsum": DDSum}[kind]
     acc = cls.from_bytes(blobs[0])
     for b in blobs[1:]:
         acc.merge(cls.from_bytes(b))
@@ -355,7 +372,7 @@ class _Accumulator:
         # columns consumed ONLY by count-sketches can ride the composite-
         # bincount fast path (quantile/sum sketches need the raw stream)
         self.countable = {
-            c: all(s.kind in ("hll", "cms", "csk", "bloom", "kmv")
+            c: all(s.kind in ("hll", "cms", "csk", "bloom", "kmv", "mg")
                    for s in specs if s.column == c)
             for c in value_cols}
         self.states: dict = {}   # (gkey, spec_name) -> state

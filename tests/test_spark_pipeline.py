@@ -101,6 +101,49 @@ def test_kmv_byte_parity_per_group(grouped_result, local_rows):
         assert got == km.to_bytes(), src
 
 
+def test_mg_guarantees_per_group(spark, docs_df, local_rows):
+    """Misra-Gries through the distributed build: counter values are
+    merge-tree-dependent (like KLL), so the gate is the PODS-2012
+    deterministic guarantees vs exact counts — per group, at two
+    different input partitionings."""
+    from grenier_spark.core.misragries import MisraGries
+
+    spec = [SketchSpec.of("tok_mg", "mg", "tokens", k=32)]
+    for parts in (5, 17):
+        res = build_sketches(docs_df.repartition(parts), spec,
+                             group_cols=["source"]).toPandas()
+        got = {r.source: MisraGries.from_bytes(bytes(r.sketch))
+               for r in res.itertuples()}
+        for src in ["web", "books", "code", "wiki"]:
+            toks = local_tokens(local_rows, src).view(np.int64)
+            keys, counts = np.unique(toks, return_counts=True)
+            exact = dict(zip(keys.tolist(), counts.tolist()))
+            mg = got[src]
+            assert mg.n == len(toks)
+            assert 0 < len(mg.keys) <= 32
+            for key, lo, hi in mg.items():
+                assert lo <= exact.get(key, 0) <= hi, (src, key)
+            # completeness: guaranteed-present set is fully reported
+            stored = set(mg.keys.tolist())
+            for key, c in exact.items():
+                if c * (mg.k + 1) > mg.n:
+                    assert key in stored, (src, key, c)
+            assert mg.decr * (mg.k + 1) <= mg.n
+
+
+def test_mg_deterministic_per_partitioning(spark, docs_df):
+    """Same partitioning in, same bytes out (two runs), through the full
+    two-level merge."""
+    spec = [SketchSpec.of("m", "mg", "tokens", k=16)]
+
+    def run():
+        pdf = build_sketches(docs_df.repartition(4, "doc_id"), spec,
+                             group_cols=["source"]).toPandas()
+        return {r.source: bytes(r.sketch) for r in pdf.itertuples()}
+
+    assert run() == run()
+
+
 def test_metrics_counts(grouped_result, local_rows):
     for src in ["web", "books", "code", "wiki"]:
         row = grouped_result[(src, "tok_hll")]
@@ -322,7 +365,8 @@ def test_grouped_counts_equals_generic_path_fuzz():
              SketchSpec.of("c", "cms", "v", depth=3, width=256, seed=7),
              SketchSpec.of("b", "bloom", "v", m=1 << 14, k=4, seed=7),
              SketchSpec.of("s", "csk", "v", depth=3, width=256, seed=7),
-             SketchSpec.of("m", "kmv", "v", k=32)]
+             SketchSpec.of("m", "kmv", "v", k=32),
+             SketchSpec.of("g", "mg", "v", k=16)]
 
     def states_equal(a, b, kind):
         if kind == "hll":
