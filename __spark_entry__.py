@@ -12,16 +12,18 @@ near-dup chain, SimHash, Bloom/CMS probes and the double-double exact sum
 matches hold under arbitrary Spark configs (partitioning / batch sizes /
 AQE), not just the test session's.
 
-Every queries() entry carries a full DuckDB oracle (43/43). The four
+Every queries() entry carries a full DuckDB oracle (94/94). Entries
 whose raw state is not SQL-expressible are gated through engine-
 independent surfaces instead: nchars_quantiles_kll /
 value_quantiles_tdigest emit exact quantiles + rank-error-bound booleans
-(compaction schedules stay Spark-side), heavy_hitter_tokens emits the
-exact high-frequency set + Manku-Motwani guarantee booleans (partition
-state stays Spark-side), and sticky_sample_tokens caps its calibration
-stream below the sampler's doubling threshold so the reference-verbatim
-report is exactly reproducible in SQL. Estimate-level error-bound
-assertions additionally live in tests/ (SURVEY.md §5.2.7).
+(compaction schedules stay Spark-side), heavy_hitter_tokens /
+mg_heavy_tokens / sticky_sample_guarantees / fd_label_covariance emit
+exact sets or counts + published-guarantee booleans computed from the
+real distributed state (partition/merge schedules stay Spark-side), and
+sticky_sample_tokens caps its calibration stream below the sampler's
+doubling threshold so the reference-verbatim report is exactly
+reproducible in SQL. Estimate-level error-bound assertions additionally
+live in tests/ (SURVEY.md §5.2.7).
 """
 
 from __future__ import annotations
@@ -983,6 +985,55 @@ def q_mg_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("decr_bound_ok", F.lit(True))
                     .alias("decr_bound_ok"))
             .orderBy("source", "token"))
+
+
+def q_fd_label_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Directions covariance/streaming-PCA sketch per embedding
+    label (Liberty, KDD 2013; mergeable form of Ghashami-Liberty-Phillips-
+    Woodruff, SICOMP 2016) through the FULL distributed build — the matrix
+    counterpart of the counting sketches (same mergeable-summary
+    discipline as countish/lossy.ml:14-54: KB state, associative merge,
+    vector-scale data never shuffles).
+
+    GUARANTEE-GATED: B's row values depend on the merge tree (like
+    KLL/MG), so the gate emits the engine-independent surface — the exact
+    per-label vector count (both engines) plus the GLPW16 deterministic
+    guarantees as booleans computed Spark-side from the REAL distributed
+    sketch against its lossless twin (a second FD with ell = dim, which in
+    that regime never evicts a direction and therefore carries the exact
+    gram — both sketches ride ONE pass over the vectors):
+
+    * psd_ok      — B.T@B <= A.T@A in the PSD order
+    * spectral_ok — ||A.T@A - B.T@B||_2 <= accumulated shrinkage delta
+    * mass_ok     — ell * delta <= fnorm2 - ||B||_F^2
+    * fnorm2_ok   — twin consistency (same n, same input Frobenius mass,
+                    twin delta ~ 0)
+
+    The DuckDB oracle re-derives n_vecs exactly and emits the booleans as
+    literal TRUE — any regression past a published bound flips a boolean
+    and fails hash_match.
+    """
+    from grenier_spark.functions import fd_guarantees_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # dim is fixed at 64 by the testdata contract (TESTDATA.md); the spec
+    # carries it so no driver job probes the data
+    res = build_sketches(
+        emb, [SketchSpec.of("fd8", "fd", "embedding", ell=8, dim=64),
+              SketchSpec.of("fdx", "fd", "embedding", ell=64, dim=64)],
+        group_cols=["label"])
+    small = (res.where(F.col("sketch_name") == "fd8")
+             .select("label", F.col("sketch").alias("sk_small"),
+                     F.col("n_rows").alias("n_vecs")))
+    exact = (res.where(F.col("sketch_name") == "fdx")
+             .select("label", F.col("sketch").alias("sk_exact")))
+    g = fd_guarantees_col("sk_small", "sk_exact").alias("g")
+    return (small.join(exact, "label")
+            .select(F.col("label").cast("long").alias("label"),
+                    F.col("n_vecs").cast("long").alias("n_vecs"), g)
+            .select("label", "n_vecs", "g.fd_n", "g.psd_ok",
+                    "g.spectral_ok", "g.mass_ok", "g.fnorm2_ok")
+            .orderBy("label"))
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2388,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "mg_heavy_tokens": q_mg_heavy_tokens,
+        "fd_label_covariance": q_fd_label_covariance,
         "minhash_neardup": q_minhash_neardup,
         "simhash_dups": q_simhash_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2682,6 +2734,13 @@ SELECT source, token, exact_cnt, n, TRUE AS reported,
        TRUE AS decr_bound_ok
 FROM c JOIN t USING (source)
 WHERE exact_cnt * 100 > n""",
+        # FD guarantee gate: exact count both engines, GLPW16 bound
+        # booleans computed for real Spark-side, literal TRUE here
+        "fd_label_covariance": """
+SELECT label::BIGINT AS label, COUNT(*)::BIGINT AS n_vecs,
+       COUNT(*)::BIGINT AS fd_n, TRUE AS psd_ok, TRUE AS spectral_ok,
+       TRUE AS mass_ok, TRUE AS fnorm2_ok
+FROM embeddings GROUP BY 1""",
         # capped-stream sticky sampling stays below the doubling threshold
         # (r = 1 -> exact counts), so the reference-verbatim report is
         # exactly SQL-expressible; 0.02::DOUBLE - 0.002::DOUBLE reproduces

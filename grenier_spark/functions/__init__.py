@@ -8,6 +8,7 @@ from .estimates import (  # noqa: F401
     csk_f2_col,
     csk_inner_col,
     ddsum_col,
+    fd_guarantees_col,
     hll_card_col,
     hll_card_orig_col,
     hll_merge_col,
@@ -22,6 +23,7 @@ from .aggregates import (  # noqa: F401
     cms_agg_col,
     csk_agg_col,
     ddsum_agg_col,
+    fd_agg_col,
     hll_agg_col,
     kll_agg_col,
     kmv_agg_col,

@@ -44,6 +44,7 @@ from ..operators.sketch_build import SketchSpec, _new_state, _update
 
 _ARRAY_KINDS = ("hll", "cms", "csk", "bloom", "kmv", "mg")  # token arrays
 _VALUE_KINDS = ("kll", "tdigest", "ddsum")  # scalar double columns
+_MATRIX_KINDS = ("fd",)  # array<float*> vector rows (flattened, fixed dim)
 
 
 def _group_values(xs: pd.Series, array_input: bool) -> np.ndarray:
@@ -52,7 +53,7 @@ def _group_values(xs: pd.Series, array_input: bool) -> np.ndarray:
     Both scalar and array<int*> columns are accepted for every kind
     (build_sketches flattens token arrays into the quantile kernels too):
     null rows drop, arrays concatenate. Hashed kinds widen to int64 (same
-    as the Arrow build path's upcast); value kinds feed float64.
+    as the Arrow build path's upcast); value and matrix kinds feed float64.
     """
     dtype = np.int64 if array_input else np.float64
     vals = [v for v in xs if v is not None]
@@ -79,7 +80,7 @@ def _make_agg_udf(kind: str, params: dict):
     kernel sequence must reach the DataFrame and SQL paths together).
     Created lazily per call (module-level pandas_udf creation breaks under
     spark-submit import ordering — see BENCH/BASELINE.md)."""
-    if kind not in _ARRAY_KINDS + _VALUE_KINDS:
+    if kind not in _ARRAY_KINDS + _VALUE_KINDS + _MATRIX_KINDS:
         raise ValueError(f"unknown sketch kind {kind!r}")
     spec = SketchSpec.of("s", kind, "v", **params)
     array_input = kind in _ARRAY_KINDS
@@ -143,6 +144,13 @@ def kll_agg_col(col: "Column | str", k: int = 200, seed: int = 42) -> Column:
 
 def tdigest_agg_col(col: "Column | str", delta: int = 200) -> Column:
     return sketch_agg_col("tdigest", col, delta=delta)
+
+
+def fd_agg_col(col: "Column | str", ell: int = 16, *, dim: int) -> Column:
+    """Frequent Directions over an array<float*> vector column (one input
+    vector per row, fixed ``dim``); see core/freqdirs.py. Rows flatten and
+    the kernel reshapes by ``dim``, so ragged vectors fail loudly."""
+    return sketch_agg_col("fd", col, ell=ell, dim=dim)
 
 
 def ddsum_agg_col(col: "Column | str") -> Column:

@@ -218,3 +218,47 @@ def csk_inner_col(a: "Column | str", b: "Column | str") -> Column:
             for x, y in zip(xs, ys)])
 
     return _i(_col(a), _col(b))
+
+
+def fd_guarantees_col(small: "Column | str",
+                      exact: "Column | str") -> Column:
+    """Verification surface for a Frequent Directions state (Liberty KDD'13
+    / GLPW SICOMP'16, core/freqdirs.py): given the production sketch
+    (``small``, ell << dim) and its lossless twin (``exact``, ell >= dim —
+    in that regime FD never evicts a direction, so its gram IS A.T@A up to
+    fp re-expression; tests/test_freqdirs.py::test_low_rank_input_exact_
+    recovery), evaluate the deterministic guarantees:
+
+    * psd_ok      — A.T@A - B.T@B is PSD (never overestimates energy)
+    * spectral_ok — ||A.T@A - B.T@B||_2 <= delta
+    * mass_ok     — ell * delta <= fnorm2 - ||B||_F^2
+    * fnorm2_ok   — both sketches saw the same input mass and row count,
+                    and the twin really is lossless (delta ~ 0)
+
+    Sketch rows only (one per group) — never the vector-scale data.
+    """
+    @pandas_udf("struct<fd_n: long, psd_ok: boolean, spectral_ok: boolean, "
+                "mass_ok: boolean, fnorm2_ok: boolean>")
+    def _g(ss: pd.Series, es: pd.Series) -> pd.DataFrame:
+        from ..core.freqdirs import FrequentDirections
+
+        rows = []
+        for sb, eb in zip(ss, es):
+            s = FrequentDirections.from_bytes(bytes(sb))
+            e = FrequentDirections.from_bytes(bytes(eb))
+            evals = np.linalg.eigvalsh(e.gram() - s.gram())
+            tol = 1e-8 * max(s.fnorm2, 1.0)
+            rows.append((
+                s.n,
+                bool(evals.min() >= -tol),
+                bool(evals.max() <= s.delta + tol),
+                bool(s.ell * s.delta
+                     <= s.fnorm2 - s.stored_fnorm2() + tol),
+                bool(s.n == e.n
+                     and abs(s.fnorm2 - e.fnorm2)
+                     <= 1e-9 * max(e.fnorm2, 1.0)
+                     and e.delta <= 1e-12 * max(e.fnorm2, 1.0))))
+        return pd.DataFrame(rows, columns=["fd_n", "psd_ok", "spectral_ok",
+                                           "mass_ok", "fnorm2_ok"])
+
+    return _g(_col(small), _col(exact))

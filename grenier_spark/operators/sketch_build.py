@@ -46,6 +46,7 @@ from ..core.countmin import CountMin
 from ..core.countsketch import CountSketch
 from ..core.doubledouble import DDSum
 from ..core.kll import KLL
+from ..core.freqdirs import FrequentDirections
 from ..core.kmv import KMV
 from ..core.misragries import MisraGries
 from ..core.tdigest import TDigest
@@ -56,14 +57,16 @@ class SketchSpec:
     """One sketch to build.
 
     kind: 'hll' | 'cms' | 'csk' | 'bloom' | 'kmv' | 'mg' | 'kll' | 'tdigest'
-          | 'ddsum'
+          | 'ddsum' | 'fd'
     column: source column — array<int*> token sequences (hll/cms/bloom/kmv
             hash each token; mg counts the raw integer keys; kll/tdigest
-            sketch the token values) or a numeric scalar column.
+            sketch the token values), a numeric scalar column, or for 'fd'
+            an array<float*> vector column (each row one input vector;
+            fixed dim, non-null, NaN-free by contract).
     params: kind-specific, via ``SketchSpec.of(name, kind, column, p=14)``:
             hll {'p'}, cms {'depth','width','seed'}, bloom {'m','k','seed'},
             csk {'depth','width','seed'}, kmv {'k'}, mg {'k'},
-            kll {'k','seed'}, tdigest {'delta'}.
+            kll {'k','seed'}, tdigest {'delta'}, fd {'ell','dim'}.
     """
 
     name: str
@@ -103,6 +106,8 @@ def _new_state(spec: SketchSpec):
         return TDigest(p.get("delta", 200))
     if spec.kind == "ddsum":
         return DDSum()
+    if spec.kind == "fd":
+        return FrequentDirections(p.get("ell", 16), p["dim"])
     raise ValueError(f"unknown sketch kind {spec.kind!r}")
 
 
@@ -214,6 +219,20 @@ def _update_from_counts(state, spec: SketchSpec, keys: np.ndarray,
 def _update(state, spec: SketchSpec, values: np.ndarray) -> None:
     if not len(values):
         return
+    if spec.kind == "fd":
+        # the vector column arrives element-flattened; the fixed dim from
+        # the spec recovers the (rows, dim) shape. A non-multiple length
+        # means ragged vectors or dropped null/NaN elements — corrupt
+        # input for a matrix sketch, so fail loudly instead of shearing
+        # every subsequent row by one element.
+        dim = state.dim
+        if len(values) % dim:
+            raise ValueError(
+                f"fd sketch: {len(values)} elements is not a multiple of "
+                f"dim={dim} (ragged, null or NaN vector elements?)")
+        state.update_batch(values.astype(np.float64,
+                                         copy=False).reshape(-1, dim))
+        return
     if spec.kind == "mg":
         if values.dtype.kind == "f":
             raise ValueError("mg sketch over a float column: counting "
@@ -266,7 +285,7 @@ def _merge_blobs(kind: str, blobs: "list[bytes]") -> bytes:
             hll.merge_many([hll.from_bytes_any(b) for b in blobs]))
     cls = {"cms": CountMin, "csk": CountSketch, "bloom": Bloom,
            "kmv": KMV, "mg": MisraGries, "kll": KLL, "tdigest": TDigest,
-           "ddsum": DDSum}[kind]
+           "ddsum": DDSum, "fd": FrequentDirections}[kind]
     acc = cls.from_bytes(blobs[0])
     for b in blobs[1:]:
         acc.merge(cls.from_bytes(b))

@@ -233,6 +233,75 @@ def test_deterministic_stream_build_byte_stable(spark, docs_df):
         assert sk.n > 0
 
 
+def _vec_df(spark, n=240, dim=12, seed=21):
+    """Synthetic grouped vector frame: 3 labels, low-rank-plus-noise."""
+    rng = np.random.default_rng(seed)
+    X = (rng.normal(size=(n, 3)) @ rng.normal(size=(3, dim))
+         + 0.1 * rng.normal(size=(n, dim)))
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "vid": np.arange(n, dtype=np.int64),
+        "label": (np.arange(n) % 3).astype(np.int64),
+        "vec": [row.astype(np.float64) for row in X]})
+    return spark.createDataFrame(pdf), X
+
+
+def test_fd_guarantees_per_group(spark):
+    """Frequent Directions through the distributed build: B values are
+    merge-tree-dependent (like KLL/MG), so the check is the GLPW16
+    deterministic guarantees vs the exact per-group gram — at two
+    different input partitionings."""
+    from grenier_spark.core.freqdirs import FrequentDirections
+
+    df, X = _vec_df(spark)
+    dim, ell = X.shape[1], 4
+    spec = [SketchSpec.of("fd", "fd", "vec", ell=ell, dim=dim)]
+    for parts in (5, 17):
+        res = build_sketches(df.repartition(parts), spec,
+                             group_cols=["label"]).toPandas()
+        assert len(res) == 3
+        for r in res.itertuples():
+            fd = FrequentDirections.from_bytes(bytes(r.sketch))
+            G = X[np.arange(len(X)) % 3 == r.label]
+            A = G.T @ G
+            evals = np.linalg.eigvalsh(A - fd.gram())
+            tol = 1e-8 * fd.fnorm2
+            assert evals.min() >= -tol
+            assert evals.max() <= fd.delta + tol
+            assert fd.ell * fd.delta <= fd.fnorm2 - fd.stored_fnorm2() + tol
+            assert fd.n == len(G) == r.n_rows
+            assert r.n_values == len(G) * dim  # flattened element count
+            assert abs(fd.fnorm2 - (G * G).sum()) <= tol
+
+
+def test_fd_deterministic_build_byte_stable(spark):
+    """build_sketches_deterministic with fd: identical bytes across
+    upstream partitionings when rows are fed in vid order."""
+    from grenier_spark.operators.sketch_build import \
+        build_sketches_deterministic
+
+    df, _ = _vec_df(spark, n=90, dim=6)
+    specs = [SketchSpec.of("f", "fd", "vec", ell=3, dim=6)]
+
+    def run(d):
+        pdf = build_sketches_deterministic(
+            d, specs, group_cols=["label"], order_cols=["vid"]).toPandas()
+        return {r.label: bytes(r.sketch) for r in pdf.itertuples()}
+
+    a = run(df.repartition(7))
+    b = run(df.coalesce(1))
+    assert a == b and len(a) == 3
+
+
+def test_fd_ragged_vectors_fail_loudly(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"vec": [np.ones(4), np.ones(3)]})
+    df = spark.createDataFrame(pdf)
+    spec = [SketchSpec.of("f", "fd", "vec", ell=2, dim=4)]
+    with pytest.raises(Exception, match="multiple of dim|PythonException"):
+        build_sketches(df, spec).collect()
+
+
 def test_jump_bucket_col_parity(spark):
     from grenier_spark.functions import jump_bucket_col, wang64_col
     import pandas as pd
@@ -483,6 +552,28 @@ def test_udaf_kll_quantiles_within_rank_bound(spark, docs_df, local_rows):
             est = sk.quantiles([q])[0]
             rank = np.searchsorted(vals, est, side="right") / len(vals)
             assert abs(rank - q) < 0.05, (src, q, rank)
+
+
+def test_udaf_fd_guarantees(spark):
+    """fd through the GROUPED_AGG UDAF: the GLPW16 guarantees hold vs the
+    exact per-group gram at a nontrivial input partitioning."""
+    from grenier_spark.core.freqdirs import FrequentDirections
+    from grenier_spark.functions.aggregates import fd_agg_col
+
+    df, X = _vec_df(spark, n=150, dim=10, seed=5)
+    got = {r.label: bytes(r.s) for r in
+           (df.repartition(6).groupBy("label")
+            .agg(fd_agg_col("vec", ell=3, dim=10).alias("s"))).collect()}
+    assert len(got) == 3
+    for lbl, blob in got.items():
+        fd = FrequentDirections.from_bytes(blob)
+        G = X[np.arange(len(X)) % 3 == lbl]
+        evals = np.linalg.eigvalsh(G.T @ G - fd.gram())
+        tol = 1e-8 * fd.fnorm2
+        assert evals.min() >= -tol
+        assert evals.max() <= fd.delta + tol
+        assert fd.n == len(G)
+        assert abs(fd.fnorm2 - (G * G).sum()) <= tol
 
 
 def test_token_freq_spectrum_matches_counter(spark, docs_df, local_rows):
