@@ -12,7 +12,7 @@ near-dup chain, SimHash, Bloom/CMS probes and the double-double exact sum
 matches hold under arbitrary Spark configs (partitioning / batch sizes /
 AQE), not just the test session's.
 
-Every queries() entry carries a full DuckDB oracle (94/94). Entries
+Every queries() entry carries a full DuckDB oracle (95/95). Entries
 whose raw state is not SQL-expressible are gated through engine-
 independent surfaces instead: nchars_quantiles_kll /
 value_quantiles_tdigest emit exact quantiles + rank-error-bound booleans
@@ -1034,6 +1034,23 @@ def q_fd_label_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("label", "n_vecs", "g.fd_n", "g.psd_ok",
                     "g.spectral_ok", "g.mass_ok", "g.fnorm2_ok")
             .orderBy("label"))
+
+
+def q_fd_projection_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD low-rank projection (streaming PCA) of the embeddings, per
+    label, GUARANTEE-GATED via the published GLPW16 projection bounds
+    (operators/projection.py module docstring): exact per-label counts +
+    r_dims on both engines; energy bookkeeping, per-row residual
+    non-negativity, the interlacing bound resid <= tail_r + r*delta and
+    the oblivious bound resid <= tail_r * ell/(ell-r) computed Spark-side
+    from the real distributed sketch + projection (exact tail_r from the
+    lossless ell=dim twin). DuckDB re-derives counts and emits the
+    booleans as literal TRUE."""
+    from grenier_spark.operators.projection import fd_projection_quality
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return fd_projection_quality(emb, r=8, ell=16, dim=64,
+                                 group_col="label")
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2440,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "mg_heavy_tokens": q_mg_heavy_tokens,
         "fd_label_covariance": q_fd_label_covariance,
+        "fd_projection_quality": q_fd_projection_quality,
         "minhash_neardup": q_minhash_neardup,
         "simhash_dups": q_simhash_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2740,6 +2758,11 @@ WHERE exact_cnt * 100 > n""",
 SELECT label::BIGINT AS label, COUNT(*)::BIGINT AS n_vecs,
        COUNT(*)::BIGINT AS fd_n, TRUE AS psd_ok, TRUE AS spectral_ok,
        TRUE AS mass_ok, TRUE AS fnorm2_ok
+FROM embeddings GROUP BY 1""",
+        "fd_projection_quality": """
+SELECT label::BIGINT AS label, COUNT(*)::BIGINT AS n_vecs,
+       8::BIGINT AS r_dims, TRUE AS energy_ok, TRUE AS resid_nonneg_ok,
+       TRUE AS interlace_ok, TRUE AS oblivious_ok
 FROM embeddings GROUP BY 1""",
         # capped-stream sticky sampling stays below the doubling threshold
         # (r = 1 -> exact counts), so the reference-verbatim report is

@@ -402,3 +402,17 @@ def test_kmv_pair_join_is_sketch_scale(spark):
     plan = plan_of(entry_mod.q_source_token_kmv_jaccard(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "Broadcast" in plan, plan
+
+
+def test_fd_projection_never_shuffles_vectors(spark):
+    """fd_projection_quality: the FD build rides the sketch pipeline (KB
+    partials), directions broadcast inside the projection UDF's closure,
+    the quality aggregation exchanges only narrow scalar rows, and the
+    per-label bound frame broadcast-joins — no Exchange may carry the
+    embedding payload and nothing sort-merges."""
+    plan = plan_of(entry_mod.q_fd_projection_quality(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "Reused" not in ln:
+            assert "embedding" not in ln, ln
