@@ -295,6 +295,21 @@ def q_exact_dup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_members(_docs_with_planted_dups(spark, sf_dir))
 
 
+def q_token_seq_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the PRE-TOKENIZED payload (dedup.token_seq_dup_
+    members): duplicate rows = identical token ARRAYS — the per-row
+    invariant of the (doc_id, tokens, n_tok, source) training table. The
+    5 planted copies collide token-for-token with their sources; the key
+    (md5 of the comma-joined decimal token ids) and the keep rule are
+    replayed verbatim in DuckDB."""
+    from grenier_spark.functions.hashing import md5_tokens_col
+    from grenier_spark.operators.dedup import token_seq_dup_members
+
+    docs = (_docs_with_planted_dups(spark, sf_dir)
+            .withColumn("tokens", md5_tokens_col("text")))
+    return token_seq_dup_members(docs, "tokens", "doc_id")
+
+
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters (dedup.connected_components): the 5
     lowest-id docs get CHAINED near-copies — a 75%-prefix (id+10^7) and a
@@ -2426,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_join": q_tpch_q3_join,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dup_members": q_exact_dup_members,
+        "token_seq_dups": q_token_seq_dups,
         "doc_quality_scores": q_doc_quality_scores,
         "orders_by_month": q_orders_by_month,
         "order_gap_window": q_order_gap_window,
@@ -3034,6 +3050,29 @@ ranked AS (
   FROM docs_planted
 )
 SELECT content_hash, doc_id, (rn = 1) AS is_keep
+FROM ranked WHERE n_copies > 1""",
+        "token_seq_dups": f"""
+WITH docs_planted AS (
+  SELECT doc_id::BIGINT AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM (
+    SELECT doc_id::BIGINT AS doc_id, text FROM documents
+    ORDER BY doc_id LIMIT 5)
+),
+keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(list_transform(string_split(text, ' '),
+             w -> ({md5_low64_signed_expr('w')})::VARCHAR), ',')) AS seq_hash,
+         len(string_split(text, ' '))::BIGINT AS n_tok
+  FROM docs_planted
+),
+ranked AS (
+  SELECT seq_hash, doc_id, n_tok,
+         row_number() OVER (PARTITION BY seq_hash ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY seq_hash) AS n_copies
+  FROM keyed
+)
+SELECT seq_hash, doc_id, n_tok, (rn = 1) AS is_keep
 FROM ranked WHERE n_copies > 1""",
         "doc_quality_scores": """
 WITH per_doc AS (

@@ -100,6 +100,61 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text",
             .where("_rn = 1").drop("_rn"))
 
 
+def _token_seq_key(tokens_col: str, id_col: str):
+    """Cross-engine content key for a pre-tokenized sequence: md5 of the
+    comma-joined decimal rendering of the token ids. Token-array EQUALITY is
+    the per-row invariant of the tokenized training table (doc_id, tokens,
+    n_tok, source), so this is the canonical dedup key for that payload —
+    two rows collide iff their token sequences are identical element for
+    element. DuckDB twin: ``md5(array_to_string(tokens, ','))`` (BIGINTs
+    render as the same signed decimals on both engines). NULL token arrays
+    get a per-id surrogate (singleton groups, always kept — same contract
+    as :func:`_ranked_by_content_hash`)."""
+    ser = F.concat_ws(",", F.transform(F.col(tokens_col),
+                                       lambda t: t.cast("string")))
+    return F.when(F.col(tokens_col).isNull(),
+                  F.concat(F.lit("null:"), F.col(id_col).cast("string"))
+                  ).otherwise(F.md5(ser)).alias("seq_hash")
+
+
+def token_seq_dup_members(df: DataFrame, tokens_col: str = "tokens",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate TOKEN SEQUENCES, row per member: (seq_hash, id,
+    n_tok, is_keep) for every row whose token array appears more than once;
+    ``is_keep`` marks the lowest id (the survivor a dedup pass retains).
+
+    Scale shape: the token arrays are reduced to a 32-hex key + length in
+    the scan stage and are NEVER shuffled — the one Exchange moves
+    (seq_hash, id, n_tok) rows only, so a 10^12-sequence table shuffles
+    ~50 B/row regardless of sequence length. Row-per-member output (no
+    per-group array), so a degenerate million-copy cluster is a million
+    ordinary rows, same contract as :func:`exact_dup_members`."""
+    keyed = df.select(_token_seq_key(tokens_col, id_col), F.col(id_col),
+                      F.coalesce(F.size(tokens_col), F.lit(0))
+                      .cast("long").alias("n_tok"))
+    wp = Window.partitionBy("seq_hash")
+    ranked = (keyed
+              .withColumn("rn", F.row_number().over(wp.orderBy(id_col)))
+              .withColumn("n_copies", F.count(F.lit(1)).over(wp)))
+    return (ranked.where("n_copies > 1")
+            .select("seq_hash", id_col, "n_tok",
+                    (F.col("rn") == 1).alias("is_keep")))
+
+
+def token_seq_dedup_keep_first(df: DataFrame, tokens_col: str = "tokens",
+                               id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated tokenized corpus: every column of ``df``, one row
+    per distinct token sequence, survivor = lowest ``id_col`` (same keep
+    rule as :func:`token_seq_dup_members`). Because the full rows (token
+    arrays included) are the OUTPUT, this variant inherently shuffles the
+    payload once through the row_number window — when only the drop/report
+    side is needed, use :func:`token_seq_dup_members` (key-only shuffle)
+    and anti-join, or semi-join its is_keep rows back."""
+    w = Window.partitionBy(_token_seq_key(tokens_col, id_col)).orderBy(id_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1").drop("_rn"))
+
+
 def _shingle_hashes(df: DataFrame, text_col: str, w: int) -> DataFrame:
     """(id cols..., shingle bigint) — hash of each w-word window.
 

@@ -35,6 +35,39 @@ def test_exact_dup_groups(spark, docs_with_plants):
         assert r.keep_id + 2_000_000 in r.all_ids
 
 
+def test_token_seq_dup_members(spark):
+    """Dedup keyed on the pre-tokenized payload: duplicates = identical
+    token ARRAYS. Covers the serialization contract (comma-joined decimals
+    are unambiguous: [1,23] != [12,3]; prefixes differ), the NULL-array
+    singleton rule, and duplicate EMPTY arrays."""
+    rows = [(1, [5, -7, 9]), (2, [5, -7, 9]),   # dup pair
+            (3, [5, -7]),                       # prefix: NOT a dup
+            (10, [1, 23]), (11, [12, 3]),       # join-ambiguity probe
+            (4, None), (5, None),               # NULLs: singletons, kept
+            (6, []), (7, [])]                   # empty arrays ARE equal
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<long>")
+    got = dedup.token_seq_dup_members(df).toPandas()
+    assert sorted(got.doc_id) == [1, 2, 6, 7]
+    by_id = got.set_index("doc_id")
+    assert bool(by_id.loc[1, "is_keep"]) and not bool(by_id.loc[2, "is_keep"])
+    assert bool(by_id.loc[6, "is_keep"]) and not bool(by_id.loc[7, "is_keep"])
+    assert by_id.loc[1, "n_tok"] == 3 and by_id.loc[6, "n_tok"] == 0
+    assert by_id.loc[1, "seq_hash"] == by_id.loc[2, "seq_hash"]
+    assert by_id.loc[1, "seq_hash"] != by_id.loc[6, "seq_hash"]
+
+
+def test_token_seq_dedup_keep_first(spark):
+    rows = [(1, [5, -7, 9], "a"), (2, [5, -7, 9], "b"), (3, [5, -7], "c"),
+            (4, None, "d"), (5, None, "e"), (6, [], "f"), (7, [], "g")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, tokens array<long>, extra string")
+    kept = dedup.token_seq_dedup_keep_first(df).toPandas()
+    assert sorted(kept.doc_id) == [1, 3, 4, 5, 6]
+    # full rows survive, survivor = lowest id of each group
+    assert set(kept.columns) == {"doc_id", "tokens", "extra"}
+    assert kept.set_index("doc_id").loc[1, "extra"] == "a"
+
+
 def test_minhash_lsh_finds_planted_neardups(spark, docs_with_plants):
     sigs = dedup.minhash_signatures(docs_with_plants, n_hashes=64, seed=42)
     pairs = dedup.lsh_candidate_pairs(sigs, min_est_jaccard=0.5)

@@ -61,6 +61,27 @@ def test_partials_are_sketch_scale(spark, docs_tiny):
     assert res.count() == 4  # one row per (group, spec) after final merge
 
 
+def test_token_seq_members_key_only_exchange(spark, docs_tiny):
+    """token_seq_dup_members must shuffle (seq_hash, id, n_tok) rows ONLY:
+    one Exchange, keyed on seq_hash, with the token arrays dropped by the
+    projection below it — at 10^12 sequences the shuffle is ~50 B/row
+    regardless of sequence length."""
+    from grenier_spark.operators.dedup import token_seq_dup_members
+
+    docs = spark.read.parquet(docs_tiny)
+    plan = plan_of(token_seq_dup_members(docs))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    lines = plan.splitlines()
+    ex = next(i for i, ln in enumerate(lines)
+              if "Exchange hashpartitioning" in ln)
+    assert "seq_hash" in lines[ex]
+    # every operator ABOVE the Exchange consumes shuffled rows: if none of
+    # them references the token column, the arrays never crossed the wire
+    # (the scan-stage Project below the Exchange is where tokens die)
+    above = "\n".join(lines[:ex])
+    assert "tokens#" not in above, above
+
+
 def test_sessionize_single_exchange(spark):
     """Sessionization must cost exactly ONE shuffle (hash on user_id) —
     lag + running-sum windows share the same partitioning, so Catalyst
