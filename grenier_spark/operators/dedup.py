@@ -31,26 +31,60 @@ from pyspark.sql.functions import pandas_udf
 from ..core.bits import U64, splitmix64_scalar, wang64
 
 
-def _ranked_by_content_hash(df: DataFrame, text_col: str,
-                            id_col: str) -> DataFrame:
-    """(content_hash, id, rn, n_copies): md5 content hash + per-hash rank
-    and copy count — the shared frame behind :func:`exact_dup_groups` and
-    :func:`exact_dup_members` (single definition so hash/ordering
-    semantics can never drift between the two outputs)."""
-    # NULL text hashes to NULL, and window partitioning groups NULLs as
-    # EQUAL — 1000 failed-fetch rows would collapse into one "duplicate"
-    # cluster and dedup_keep_first would silently discard 999 distinct
-    # docs. A per-id surrogate makes each NULL-text row its own singleton
-    # group (n_copies=1: never reported as a dup, always kept — the
-    # NULL-keep contract the ingest-dedup paths already follow).
-    h = F.coalesce(
+def _content_key(text_col: str, id_col: str):
+    """md5 content hash with a per-id surrogate for NULL text. NULL text
+    hashes to NULL, and both window partitioning and groupBy treat NULLs as
+    EQUAL — 1000 failed-fetch rows would collapse into one "duplicate"
+    cluster and a keep-first pass would silently discard 999 distinct docs.
+    The surrogate makes each NULL-text row its own singleton group
+    (n_copies=1: never reported as a dup, always kept — the NULL-keep
+    contract the ingest-dedup paths already follow)."""
+    return F.coalesce(
         F.md5(F.col(text_col)),
         F.concat(F.lit("null:"), F.col(id_col).cast("string"))
     ).alias("content_hash")
+
+
+def _ranked_by_content_hash(df: DataFrame, text_col: str,
+                            id_col: str) -> DataFrame:
+    """(content_hash, id, rn, n_copies): md5 content hash + per-hash rank
+    and copy count — the frame behind :func:`exact_dup_groups` (which needs
+    the rank to CAP its id arrays). A window partition is one task, so this
+    shape is for diagnostics at moderate skew; the member/keep-first paths
+    below use the agg+join form instead (AQE-splittable)."""
     wp = Window.partitionBy("content_hash")
-    return (df.select(h, F.col(id_col))
+    return (df.select(_content_key(text_col, id_col), F.col(id_col))
             .withColumn("rn", F.row_number().over(wp.orderBy(id_col)))
             .withColumn("n_copies", F.count(F.lit(1)).over(wp)))
+
+
+def _dup_members_by_key(keyed: DataFrame, key: str, id_col: str) -> DataFrame:
+    """Row-per-member duplicate report over a pre-keyed frame, WITHOUT a
+    window: groupBy(key) min/count (map-side combined — the shuffle carries
+    per-task partials, not rows) + an inner join back. A degenerate
+    million-copy cluster is a skewed JOIN key, which AQE splits across
+    tasks; the row_number window it replaces pins the whole cluster to ONE
+    task (window partitions cannot be split). ``is_keep`` = lowest id of
+    the group (ids are unique by the corpus contract)."""
+    g = (keyed.groupBy(key)
+         .agg(F.min(id_col).alias("_keep_id"),
+              F.count(F.lit(1)).alias("_n_copies"))
+         .where("_n_copies > 1"))
+    return (keyed.join(g, key)
+            .withColumn("is_keep", F.col(id_col) == F.col("_keep_id"))
+            .drop("_keep_id", "_n_copies"))
+
+
+def _keep_first_by_key(df: DataFrame, key_expr, id_col: str) -> DataFrame:
+    """Every column of ``df``, one row per distinct key, survivor = lowest
+    ``id_col`` — as min-aggregate + join rather than a row_number window,
+    so a degenerate dup cluster parallelizes (see _dup_members_by_key).
+    The winners side is one KB-scale row per distinct key."""
+    w = (df.select(key_expr.alias("_k"), F.col(id_col))
+         .groupBy("_k").agg(F.min(id_col).alias("_keep_id")))
+    return (df.withColumn("_k", key_expr).join(w, "_k")
+            .where(F.col(id_col) == F.col("_keep_id"))
+            .drop("_k", "_keep_id"))
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
@@ -79,25 +113,25 @@ def exact_dup_members(df: DataFrame, text_col: str = "text",
     """Row-per-member exact-dup output: (content_hash, doc id, is_keep).
     The unbounded-cluster-safe form of :func:`exact_dup_groups` — no
     per-group array anywhere, so a million-copy boilerplate cluster is a
-    million ordinary rows. ``is_keep`` marks the lowest id of each group
-    (the survivor a dedup pass retains)."""
-    ranked = _ranked_by_content_hash(df, text_col, id_col)
-    return (ranked.where("n_copies > 1")
-            .select("content_hash", id_col,
-                    (F.col("rn") == 1).alias("is_keep")))
+    million ordinary rows, and no per-group window task either: the keep
+    rule is a min-aggregate + AQE-splittable join (_dup_members_by_key).
+    ``is_keep`` marks the lowest id of each group (the survivor a dedup
+    pass retains)."""
+    keyed = df.select(_content_key(text_col, id_col), F.col(id_col))
+    return (_dup_members_by_key(keyed, "content_hash", id_col)
+            .select("content_hash", id_col, "is_keep"))
 
 
 def dedup_keep_first(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """The deduplicated corpus itself: every column of ``df``, one row per
     distinct content (md5 of ``text_col``), survivor = lowest ``id_col``
-    — the same keep rule as :func:`exact_dup_members`. ONE content-hash
-    shuffle total (a row_number window over the full frame), versus the
-    two shuffles of the diagnose-then-anti-join composition; use the
-    member/group variants when you need the dropped side."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
-    return (df.withColumn("_rn", F.row_number().over(w))
-            .where("_rn = 1").drop("_rn"))
+    — the same keep rule as :func:`exact_dup_members`, realized as
+    min-aggregate + join (_keep_first_by_key): the payload crosses one
+    join Exchange, the winners side is KB-scale partials, and a degenerate
+    dup cluster splits across tasks instead of pinning one window task.
+    NULL-text rows are all kept (per-id surrogate key)."""
+    return _keep_first_by_key(df, _content_key(text_col, id_col), id_col)
 
 
 def _token_seq_key(tokens_col: str, id_col: str):
@@ -124,21 +158,18 @@ def token_seq_dup_members(df: DataFrame, tokens_col: str = "tokens",
     ``is_keep`` marks the lowest id (the survivor a dedup pass retains).
 
     Scale shape: the token arrays are reduced to a 32-hex key + length in
-    the scan stage and are NEVER shuffled — the one Exchange moves
+    the scan stage and are NEVER shuffled — the Exchanges move
     (seq_hash, id, n_tok) rows only, so a 10^12-sequence table shuffles
     ~50 B/row regardless of sequence length. Row-per-member output (no
-    per-group array), so a degenerate million-copy cluster is a million
-    ordinary rows, same contract as :func:`exact_dup_members`."""
+    per-group array) and no per-group window task (min-aggregate +
+    AQE-splittable join), so a degenerate million-copy cluster is a
+    million ordinary rows split across tasks — same contract as
+    :func:`exact_dup_members`."""
     keyed = df.select(_token_seq_key(tokens_col, id_col), F.col(id_col),
                       F.coalesce(F.size(tokens_col), F.lit(0))
                       .cast("long").alias("n_tok"))
-    wp = Window.partitionBy("seq_hash")
-    ranked = (keyed
-              .withColumn("rn", F.row_number().over(wp.orderBy(id_col)))
-              .withColumn("n_copies", F.count(F.lit(1)).over(wp)))
-    return (ranked.where("n_copies > 1")
-            .select("seq_hash", id_col, "n_tok",
-                    (F.col("rn") == 1).alias("is_keep")))
+    return (_dup_members_by_key(keyed, "seq_hash", id_col)
+            .select("seq_hash", id_col, "n_tok", "is_keep"))
 
 
 def token_seq_dedup_keep_first(df: DataFrame, tokens_col: str = "tokens",
@@ -146,13 +177,11 @@ def token_seq_dedup_keep_first(df: DataFrame, tokens_col: str = "tokens",
     """The deduplicated tokenized corpus: every column of ``df``, one row
     per distinct token sequence, survivor = lowest ``id_col`` (same keep
     rule as :func:`token_seq_dup_members`). Because the full rows (token
-    arrays included) are the OUTPUT, this variant inherently shuffles the
-    payload once through the row_number window — when only the drop/report
-    side is needed, use :func:`token_seq_dup_members` (key-only shuffle)
-    and anti-join, or semi-join its is_keep rows back."""
-    w = Window.partitionBy(_token_seq_key(tokens_col, id_col)).orderBy(id_col)
-    return (df.withColumn("_rn", F.row_number().over(w))
-            .where("_rn = 1").drop("_rn"))
+    arrays included) are the OUTPUT, this variant inherently moves the
+    payload once through the join Exchange (_keep_first_by_key) — when
+    only the drop/report side is needed, use :func:`token_seq_dup_members`
+    (key-only shuffle) instead."""
+    return _keep_first_by_key(df, _token_seq_key(tokens_col, id_col), id_col)
 
 
 def _shingle_hashes(df: DataFrame, text_col: str, w: int) -> DataFrame:

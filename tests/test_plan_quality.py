@@ -61,25 +61,60 @@ def test_partials_are_sketch_scale(spark, docs_tiny):
     assert res.count() == 4  # one row per (group, spec) after final merge
 
 
+def _walk_jplan(node):
+    yield node
+    cs = node.children()
+    for i in range(cs.length()):
+        yield from _walk_jplan(cs.apply(i))
+
+
+def _exchange_output_names(df) -> "list[list[str]]":
+    """Output column names of every Exchange (shuffle or broadcast) node —
+    i.e. exactly what crosses the wire."""
+    jplan = df._jdf.queryExecution().executedPlan()
+    outs = []
+    for n in _walk_jplan(jplan):
+        if "Exchange" in n.nodeName():
+            o = n.output()
+            outs.append([o.apply(i).name() for i in range(o.length())])
+    return outs
+
+
 def test_token_seq_members_key_only_exchange(spark, docs_tiny):
-    """token_seq_dup_members must shuffle (seq_hash, id, n_tok) rows ONLY:
-    one Exchange, keyed on seq_hash, with the token arrays dropped by the
-    projection below it — at 10^12 sequences the shuffle is ~50 B/row
-    regardless of sequence length."""
+    """token_seq_dup_members must move (seq_hash, id, n_tok)-shaped rows
+    ONLY: no Exchange node (shuffle or broadcast) may output the token
+    arrays — at 10^12 sequences the wire cost is ~50 B/row regardless of
+    sequence length. Also: no Window operator, so a degenerate dup cluster
+    is an AQE-splittable join key, not a single window task. AQE is
+    disabled for the walk so the physical tree is concrete."""
     from grenier_spark.operators.dedup import token_seq_dup_members
 
-    docs = spark.read.parquet(docs_tiny)
-    plan = plan_of(token_seq_dup_members(docs))
-    assert plan.count("Exchange hashpartitioning") == 1, plan
-    lines = plan.splitlines()
-    ex = next(i for i, ln in enumerate(lines)
-              if "Exchange hashpartitioning" in ln)
-    assert "seq_hash" in lines[ex]
-    # every operator ABOVE the Exchange consumes shuffled rows: if none of
-    # them references the token column, the arrays never crossed the wire
-    # (the scan-stage Project below the Exchange is where tokens die)
-    above = "\n".join(lines[:ex])
-    assert "tokens#" not in above, above
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        docs = spark.read.parquet(docs_tiny)
+        df = token_seq_dup_members(docs)
+        assert "Window" not in plan_of(df)
+        outs = _exchange_output_names(df)
+        assert outs, "expected at least one Exchange"
+        for names in outs:
+            assert "tokens" not in names, outs
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_dedup_member_and_keep_first_paths_have_no_window(spark, docs_tiny):
+    """All dedup member/keep-first paths use the agg+join keep rule — a
+    row_number window would pin a degenerate dup cluster (empty pages,
+    boilerplate) to a single task, which no cluster size can fix."""
+    from grenier_spark.operators.dedup import (dedup_keep_first,
+                                               exact_dup_members,
+                                               token_seq_dedup_keep_first)
+
+    toks = spark.read.parquet(docs_tiny)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (exact_dup_members(docs), dedup_keep_first(docs),
+               token_seq_dedup_keep_first(toks)):
+        assert "Window" not in plan_of(df)
 
 
 def test_sessionize_single_exchange(spark):
