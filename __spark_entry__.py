@@ -1985,13 +1985,14 @@ def q_token_kmv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_source_token_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise theta-sketch set operations over the SAME per-source KMV
-    states as q_token_kmv_by_source: for every source pair, the matched
-    count in the bottom-k of the union, the Jaccard estimate and the
-    intersection estimate (KMV.jaccard — what HLL set algebra cannot do
-    without inclusion-exclusion error stacking). Sketch rows are KB-sized,
-    so the pair join is a driver-trivial broadcast self-join; value-exact
-    oracle sql_oracles.kmv_pairs_sql."""
-    from grenier_spark.functions import kmv_jaccard_col
+    states as q_token_kmv_by_source: for every source pair, the matched /
+    only-in-a / only-in-b counts in the bottom-k of the union, the Jaccard
+    and intersection estimates (KMV.jaccard) AND both set differences
+    (KMV.a_not_b) — the full theta algebra HLL cannot do without
+    inclusion-exclusion error stacking. Sketch rows are KB-sized, so the
+    pair join is a driver-trivial broadcast self-join; value-exact oracle
+    sql_oracles.kmv_pairs_sql."""
+    from grenier_spark.functions import kmv_a_not_b_col, kmv_jaccard_col
 
     docs = _tokenized_docs(spark, sf_dir)
     res = (build_sketches(docs, [SketchSpec.of("kmv", "kmv", "tokens",
@@ -2004,11 +2005,17 @@ def q_source_token_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("sketch").alias("_sb"))
     return (a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
             .withColumn("_j", kmv_jaccard_col("_sa", "_sb"))
+            .withColumn("_da", kmv_a_not_b_col("_sa", "_sb"))
+            .withColumn("_db", kmv_a_not_b_col("_sb", "_sa"))
             .select("source_a", "source_b",
                     F.col("_j.n_matched").alias("n_matched"),
+                    F.col("_da.n_only_a").alias("n_only_a"),
+                    F.col("_db.n_only_a").alias("n_only_b"),
                     F.round("_j.jaccard_est", 6).alias("jaccard_est"),
                     F.round("_j.intersection_est", 6)
-                    .alias("intersection_est"))
+                    .alias("intersection_est"),
+                    F.round("_da.difference_est", 6).alias("diff_a_est"),
+                    F.round("_db.difference_est", 6).alias("diff_b_est"))
             .orderBy("source_a", "source_b"))
 
 

@@ -101,6 +101,28 @@ class KMV:
             union_est = (kp - 1) / ((float(union[-1]) + 1.0) / _TWO64)
         return jacc, jacc * union_est, matched
 
+    def a_not_b(self, other: "KMV") -> tuple[float, float, int]:
+        """Theta-sketch set DIFFERENCE (the third classic theta op next to
+        union and intersection): over the same ``k' = min(k_a, k_b)``
+        smallest hashes L of the union as :meth:`jaccard`, the fraction
+        present in ``self`` but NOT in ``other`` estimates
+        |A \\ B| / |A ∪ B|; scaled by the union estimate over L it gives
+        the difference size. Exact while the union holds fewer than k'
+        distinct hashes. Returns (diff_frac, difference_est, n_only_a);
+        (0.0, 0.0, 0) when both sketches are empty."""
+        kp = min(self.k, other.k)
+        union = np.union1d(self.values, other.values)[:kp]
+        if not len(union):
+            return 0.0, 0.0, 0
+        only = int(np.sum(np.isin(union, self.values)
+                          & ~np.isin(union, other.values)))
+        frac = only / len(union)
+        if len(union) < kp:
+            union_est = float(len(union))
+        else:
+            union_est = (kp - 1) / ((float(union[-1]) + 1.0) / _TWO64)
+        return frac, frac * union_est, only
+
     def to_bytes(self) -> bytes:
         return (_HDR.pack(_MAGIC, self.k, len(self.values))
                 + self.values.astype("<u8").tobytes())

@@ -13,6 +13,7 @@ from .estimates import (  # noqa: F401
     hll_card_orig_col,
     hll_merge_col,
     kll_quantiles_col,
+    kmv_a_not_b_col,
     kmv_est_col,
     kmv_jaccard_col,
     kmv_stats_col,

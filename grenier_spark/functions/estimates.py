@@ -192,6 +192,27 @@ def kmv_jaccard_col(a: "Column | str", b: "Column | str") -> Column:
     return _j(_col(a), _col(b))
 
 
+def kmv_a_not_b_col(a: "Column | str", b: "Column | str") -> Column:
+    """Theta-sketch set DIFFERENCE over two serialized KMV states:
+    (diff_frac, difference_est, n_only_a) — core/kmv.py ``KMV.a_not_b``
+    (|A \\ B| estimated over the bottom-k' of the union)."""
+    @pandas_udf("struct<diff_frac: double, difference_est: double, "
+                "n_only_a: long>")
+    def _d(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        from ..core.kmv import KMV
+
+        rows = []
+        for x, y in zip(xs, ys):
+            f, d, m = KMV.from_bytes(bytes(x)).a_not_b(
+                KMV.from_bytes(bytes(y)))
+            rows.append({"diff_frac": f, "difference_est": d,
+                         "n_only_a": m})
+        return pd.DataFrame(rows, columns=["diff_frac", "difference_est",
+                                           "n_only_a"])
+
+    return _d(_col(a), _col(b))
+
+
 def csk_f2_col(col: "Column | str") -> Column:
     """AMS second-moment estimate of a serialized CountSketch: median
     over rows of sum_j cell^2 — exact int64 (core/countsketch.py)."""

@@ -920,9 +920,11 @@ def kmv_pairs_sql(keys_sql: str, key_col: str, k: int,
     """DuckDB twin of the pairwise theta-sketch set operation
     (``core.kmv.KMV.jaccard`` / ``kmv_jaccard_col``): for every group
     pair (a < b), the bottom-k of the UNION of the two kept sets, the
-    matched count (present in both), jaccard = matched/|L|, and
-    intersection = jaccard * union-estimate — float chain identical to
-    the kernel (ratio first, then the product)."""
+    matched count (present in both), jaccard = matched/|L|,
+    intersection = jaccard * union-estimate, and the theta DIFFERENCES
+    both ways (``KMV.a_not_b``: only-in-a / only-in-b counts over L and
+    their scaled estimates) — float chain identical to the kernel
+    (ratio first, then the product)."""
     return f"""
 WITH kept AS ({_kmv_kept_cte(keys_sql, key_col, k, [group_col])}),
 gs AS (SELECT DISTINCT {group_col} AS g FROM kept),
@@ -938,16 +940,24 @@ uni AS (
 m AS (
   SELECT u.ga, u.gb, COUNT(*)::BIGINT AS n_union, MAX(u.h) AS maxh,
          SUM(CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
-                  THEN 1 ELSE 0 END)::BIGINT AS n_matched
+                  THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+         SUM(CASE WHEN ka.h IS NOT NULL AND kb.h IS NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS n_only_a,
+         SUM(CASE WHEN kb.h IS NOT NULL AND ka.h IS NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS n_only_b
   FROM uni u
   LEFT JOIN kept ka ON ka.{group_col} = u.ga AND ka.h = u.h
   LEFT JOIN kept kb ON kb.{group_col} = u.gb AND kb.h = u.h
   GROUP BY u.ga, u.gb)
-SELECT ga AS source_a, gb AS source_b, n_matched,
+SELECT ga AS source_a, gb AS source_b, n_matched, n_only_a, n_only_b,
        round(n_matched::DOUBLE / n_union::DOUBLE, 6) AS jaccard_est,
        round((n_matched::DOUBLE / n_union::DOUBLE)
              * {_kmv_est_expr('n_union', 'maxh', k)}, 6)
-         AS intersection_est
+         AS intersection_est,
+       round((n_only_a::DOUBLE / n_union::DOUBLE)
+             * {_kmv_est_expr('n_union', 'maxh', k)}, 6) AS diff_a_est,
+       round((n_only_b::DOUBLE / n_union::DOUBLE)
+             * {_kmv_est_expr('n_union', 'maxh', k)}, 6) AS diff_b_est
 FROM m"""
 
 

@@ -112,6 +112,34 @@ def test_jaccard_and_intersection_estimates():
     assert KMV(4).jaccard(KMV(8)) == (0.0, 0.0, 0)
 
 
+def test_a_not_b_difference_estimates():
+    k = 512
+    a, b = KMV(k), KMV(k)
+    a.update_batch(np.arange(0, 30_000))        # |A\B| = 20k
+    b.update_batch(np.arange(20_000, 50_000))   # |B\A| = 20k, union 50k
+    fa, da, na = a.a_not_b(b)
+    fb, db, nb = b.a_not_b(a)
+    assert abs(fa - 0.4) < 0.08 and abs(fb - 0.4) < 0.08
+    assert abs(da - 20_000) / 20_000 < 0.3, da
+    assert abs(db - 20_000) / 20_000 < 0.3, db
+    # partition invariant over L: only_a + only_b + matched == |L| exactly
+    _, _, matched = a.jaccard(b)
+    assert na + nb + matched == min(len(np.union1d(a.values, b.values)), k)
+    # self-difference is exactly empty; empty sketches return zeros
+    assert a.a_not_b(a) == (0.0, 0.0, 0)
+    assert KMV(4).a_not_b(KMV(8)) == (0.0, 0.0, 0)
+
+
+def test_a_not_b_exact_in_small_regime():
+    """Below k' distinct union hashes the difference is EXACT."""
+    a, b = KMV(256), KMV(256)
+    a.update_batch(np.arange(0, 60))
+    b.update_batch(np.arange(40, 100))
+    fa, da, na = a.a_not_b(b)
+    assert na == 40 and fa == 40 / 100
+    assert da == pytest.approx(40.0)
+
+
 def test_jaccard_exact_in_small_regime():
     """Below k' distinct hashes in the union, jaccard() is EXACT —
     the kept sets are the full hash sets."""
