@@ -62,6 +62,7 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  simhash_pairs_sql)
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
 from grenier_spark.operators.textstats import BPE_ISH_PATTERN as _BPE_PATTERN
+from grenier_spark.operators.textstats import pmi_collocations_sql
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -2019,6 +2020,17 @@ def q_source_token_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source_a", "source_b"))
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 PMI collocations (textstats.pmi_collocations, Church & Hanks
+    1990) over documents: exact bigram/unigram counts, the top-k cut on the
+    bit-identical raw likelihood ratio, ln only on the 40 winner rows
+    (numpy libm == DuckDB libm), round-6."""
+    from grenier_spark.operators.textstats import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"),
+                            min_count=5, top_k=40)
+
+
 def q_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source frequency-of-frequencies spectrum over the md5 token
     ids (textstats.token_freq_spectrum) — the vocab-sizing / Zipf view.
@@ -2498,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "token_kmv_by_source": q_token_kmv_by_source,
         "source_token_kmv_jaccard": q_source_token_kmv_jaccard,
+        "pmi_collocations": q_pmi_collocations,
         "source_token_overlap": q_source_token_overlap,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_lm_scores": q_doc_lm_scores,
@@ -2930,6 +2943,8 @@ FROM events GROUP BY event_type""",
             "SELECT source, unnest(string_split(text, ' ')) AS token "
             "FROM documents)",
             "tk", 256, group_col="source"),
+        "pmi_collocations": pmi_collocations_sql(
+            "SELECT text FROM documents", min_count=5, top_k=40),
         "token_hll_by_source": (
             "SELECT c.source, round(c.est, 6) AS est_tokens, d.n_docs, "
             "d.n_tokens FROM (" + hll_card_sql(

@@ -481,3 +481,110 @@ FROM tok t
 LEFT JOIN bilp b ON t.prev IS NOT NULL AND t.prev || ' ' || t.cur = b.g
 LEFT JOIN uni u ON t.cur = u.w
 GROUP BY 1"""
+
+
+def pmi_collocations(df, text_col: str = "text", min_count: int = 2,
+                     top_k: int = 100):
+    """Collocation / phrase mining by pointwise mutual information
+    (Church & Hanks 1990): over adjacent word pairs,
+    ``pmi(x, y) = ln( p(x,y) / (p(x) p(y)) )`` with ``p(x,y) = c_xy/N_bi``
+    from the corpus bigram counts and unigram marginals ``c_x/N_uni`` —
+    the standard signal for multi-word expressions ("new york") when
+    building tokenizer pre-merges or phrase-aware dedup keys.
+
+    Shape at 100 TB: ONE corpus scan explodes unigrams + bigrams; the two
+    count groupBys are the inherent vocab-/bigram-scale exchanges
+    (map-side combined). Candidates are bigrams with ``c_xy >= min_count``
+    joined to their two unigram marginals (word-keyed shuffle joins), the
+    totals ride in as a broadcast 1-row crossJoin (fully lazy — no driver
+    round-trip, no persist), and the global top-``top_k`` is a
+    TakeOrdered, never a full sort. Ranking uses the RAW likelihood ratio
+    ``((((c_xy * N_uni) * N_uni) / N_bi) / c_x) / c_y`` — a fixed
+    left-associated float64 chain that is bit-identical in DuckDB, and
+    monotone in pmi, so no ``ln`` affects the cut; ties break on md5 hex.
+    Only the k winner rows pay the numpy ``ln`` (vectorized Arrow batch;
+    numpy-libm == DuckDB-libm, the suite's LM-scorer contract).
+
+    Returns (w1, w2, c_xy, c_w1, c_w2, pmi round-6), pmi descending.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if min_count < 1 or top_k < 1:
+        raise ValueError("min_count and top_k must be >= 1")
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    wdf = df.select(words.alias("_w"))
+    n = F.size("_w")
+    pairs = F.when(n >= 2, F.zip_with(
+        F.slice("_w", 1, n - 1), F.slice("_w", 2, n - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    uni = (wdf.select(F.explode("_w").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    bi = (wdf.select(F.explode(pairs).alias("_p"))
+          .select("_p.w1", "_p.w2")
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy")))
+    totals = (uni.agg(F.sum("c").alias("n_uni"))
+              .crossJoin(bi.agg(F.sum("c_xy").alias("n_bi"))))
+    cand = (bi.where(F.col("c_xy") >= min_count)
+            .join(uni.select(F.col("w").alias("w1"),
+                             F.col("c").alias("c_w1")), "w1")
+            .join(uni.select(F.col("w").alias("w2"),
+                             F.col("c").alias("c_w2")), "w2")
+            .crossJoin(F.broadcast(totals)))
+    ratio = (F.col("c_xy").cast("double")
+             * F.col("n_uni").cast("double")
+             * F.col("n_uni").cast("double")
+             / F.col("n_bi").cast("double")
+             / F.col("c_w1").cast("double")
+             / F.col("c_w2").cast("double"))
+    top = (cand.withColumn("_ratio", ratio)
+           .orderBy(F.desc("_ratio"), F.md5("w1").asc(), F.md5("w2").asc())
+           .limit(top_k))
+
+    # no type hints: this module's `from __future__ import annotations`
+    # would stringify them and break pandas_udf's eval-type inference
+    @pandas_udf("double")
+    def _ln(x):
+        return pd.Series(np.log(x.to_numpy(dtype=np.float64)))
+
+    return (top.select("w1", "w2", "c_xy", "c_w1", "c_w2",
+                       F.round(_ln("_ratio"), 6).alias("pmi"))
+            .orderBy(F.desc("pmi"), F.md5("w1").asc(), F.md5("w2").asc()))
+
+
+def pmi_collocations_sql(table_sql: str, text_col: str = "text",
+                         min_count: int = 2, top_k: int = 100) -> str:
+    """DuckDB twin of :func:`pmi_collocations`: same filtered word split,
+    same adjacent pairs, same left-associated ratio chain (identical
+    float64 bits, so the top-k cut agrees), same md5-hex tie-breaks, same
+    ``ln`` (DuckDB libm == numpy) rounded to 6."""
+    return f"""
+WITH w AS (
+  SELECT list_filter(string_split({text_col}, ' '), x -> x <> '') AS ws
+  FROM ({table_sql})),
+uni AS (
+  SELECT w, COUNT(*)::BIGINT AS c
+  FROM (SELECT unnest(ws) AS w FROM w) GROUP BY 1),
+bi AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS c_xy FROM (
+    SELECT ws[pos] AS w1, ws[pos + 1] AS w2
+    FROM (SELECT ws, unnest(range(1, len(ws))) AS pos
+          FROM w WHERE len(ws) >= 2))
+  GROUP BY 1, 2),
+tot AS (
+  SELECT (SELECT SUM(c) FROM uni)::BIGINT AS n_uni,
+         (SELECT SUM(c_xy) FROM bi)::BIGINT AS n_bi),
+cand AS (
+  SELECT b.w1, b.w2, b.c_xy, u1.c AS c_w1, u2.c AS c_w2,
+         ((((b.c_xy::DOUBLE * t.n_uni::DOUBLE) * t.n_uni::DOUBLE)
+           / t.n_bi::DOUBLE) / u1.c::DOUBLE) / u2.c::DOUBLE AS ratio
+  FROM bi b
+  JOIN uni u1 ON b.w1 = u1.w
+  JOIN uni u2 ON b.w2 = u2.w
+  CROSS JOIN tot t
+  WHERE b.c_xy >= {min_count})
+SELECT w1, w2, c_xy, c_w1, c_w2, round(ln(ratio), 6) AS pmi
+FROM (SELECT * FROM cand
+      ORDER BY ratio DESC, md5(w1) ASC, md5(w2) ASC LIMIT {top_k})"""

@@ -111,3 +111,40 @@ def test_bigram_degenerate_and_validation(spark):
         _bi(spark, [(0, "a")], alpha=0.0)
     with pytest.raises(ValueError):
         _bi(spark, [(0, "a")], bigram_k=0)
+
+
+def _pmi(spark, rows, **kw):
+    from grenier_spark.operators.textstats import pmi_collocations
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, **kw).toPandas()
+    return {(r.w1, r.w2): (int(r.c_xy), int(r.c_w1), int(r.c_w2),
+                           float(r.pmi))
+            for r in out.itertuples()}
+
+
+def test_pmi_known_answer_exact(spark):
+    # unigrams a:3 b:3 c:2 (N_uni=8); bigrams (a,b):3 (b,a):1 (b,c):1
+    # (N_bi=5); single-word doc contributes no bigrams
+    rows = [(0, "a b a b"), (1, "a b c"), (2, "c")]
+    got = _pmi(spark, rows, min_count=1, top_k=10)
+
+    def pmi(cxy, c1, c2):
+        return round(math.log(((((cxy * 8.0) * 8.0) / 5.0) / c1) / c2), 6)
+
+    assert got == {("a", "b"): (3, 3, 3, pmi(3, 3, 3)),
+                   ("b", "a"): (1, 3, 3, pmi(1, 3, 3)),
+                   ("b", "c"): (1, 3, 2, pmi(1, 3, 2))}
+    # min_count prunes the singletons; top_k caps at the highest ratio
+    assert set(_pmi(spark, rows, min_count=2)) == {("a", "b")}
+    top1 = _pmi(spark, rows, min_count=1, top_k=1)
+    assert set(top1) == {("a", "b")}  # highest likelihood ratio wins
+
+
+def test_pmi_degenerate_and_validation(spark):
+    # no doc with >= 2 words -> no bigrams -> empty
+    assert _pmi(spark, [(0, "solo"), (1, ""), (2, None)]) == {}
+    with pytest.raises(ValueError):
+        _pmi(spark, [(0, "a b")], min_count=0)
+    with pytest.raises(ValueError):
+        _pmi(spark, [(0, "a b")], top_k=0)
