@@ -721,3 +721,52 @@ def test_kmv_chain_match_duckdb_adversarial(spark, corpus, duck):
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   exp[sorted(exp.columns)],
                                   check_dtype=False)
+
+
+def test_pmi_collocations_match_duckdb_adversarial(spark, corpus, duck):
+    """The PMI chain (exact bigram/unigram counts, the left-associated
+    likelihood-ratio double chain that decides the top-k cut, md5 hex
+    tie-breaks, numpy-vs-DuckDB ln round-6) agrees on adversarial texts —
+    with top_k small enough that the tie-breaks decide the boundary and
+    min_count=1 so singleton bigrams (ratio ties galore) are in play."""
+    from grenier_spark.operators.textstats import (pmi_collocations,
+                                                   pmi_collocations_sql)
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = (pmi_collocations(df, min_count=1, top_k=9).toPandas()
+           .sort_values(["w1", "w2"]).reset_index(drop=True))
+    exp = (duck.execute(pmi_collocations_sql(
+        "SELECT text FROM docs", min_count=1, top_k=9)).df()
+        .sort_values(["w1", "w2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) == 9
+
+
+def test_pmi_hypothesis_random_corpora(spark):
+    """Hypothesis-randomized tiny-vocab corpora (heavy ratio ties at the
+    top-k boundary) keep the PMI chain engine-identical for every tie
+    pattern, not just the fixed corpora."""
+    from hypothesis import given, settings, strategies as st
+
+    from grenier_spark.operators.textstats import (pmi_collocations,
+                                                   pmi_collocations_sql)
+
+    word = st.sampled_from(["aa", "bb", "cc"])
+    doc = st.lists(word, min_size=0, max_size=10).map(" ".join)
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=10))
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = (pmi_collocations(df, min_count=1, top_k=4).toPandas()
+               .sort_values(["w1", "w2"]).reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("hdocs", pd.DataFrame(rows,
+                                           columns=["doc_id", "text"]))
+        exp = (con.execute(pmi_collocations_sql(
+            "SELECT text FROM hdocs", min_count=1, top_k=4)).df()
+            .sort_values(["w1", "w2"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    check()
