@@ -1670,6 +1670,27 @@ def q_exact_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_values").alias("n_events"))
 
 
+def q_value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable exact-moments summary (kind 'mom',
+    core/doubledouble.Moments): count + error-free dd sums of x..x^4 per
+    event_type through the two-level pipeline; mean/variance/skew/kurtosis
+    derive via a pinned left-associated chain the oracle replays on
+    fsum-exact power sums (per-element powers are the identical rounded
+    x*x*x*x chain on both engines)."""
+    from grenier_spark.functions import moments_col
+
+    ev = _t(spark, sf_dir, "events")
+    res = build_sketches(ev, [SketchSpec.of("m", "mom", "value")],
+                         group_cols=["event_type"])
+    return (res.withColumn("_m", moments_col("sketch"))
+            .select("event_type",
+                    F.col("_m.n").alias("n_events"),
+                    F.round("_m.mean", 6).alias("mean_value"),
+                    F.round("_m.variance", 6).alias("var_value"),
+                    F.round("_m.skew", 6).alias("skew_value"),
+                    F.round("_m.kurtosis", 6).alias("kurt_value")))
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting vs whitespace counting, per source —
     the LLM-token-budget proxy (operators/textstats.py)."""
@@ -2441,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pred": q_lang_pred,
         "knn_topk": q_knn_topk,
         "exact_value_sums": q_exact_value_sums,
+        "value_moments_by_type": q_value_moments_by_type,
         "exact_value_percentiles": q_exact_value_percentiles,
         "events_pivot": q_events_pivot,
         "bpe_token_stats": q_bpe_token_stats,
@@ -2848,6 +2870,33 @@ WHERE f_exact::DOUBLE >= 0.03::DOUBLE * n::DOUBLE""",
 SELECT event_type, round(fsum(value), 6) AS sum_value,
        COUNT(value)::BIGINT AS n_events
 FROM events GROUP BY event_type""",
+        "value_moments_by_type": """
+WITH s AS (
+  SELECT event_type, COUNT(value)::BIGINT AS n,
+         fsum(value) AS s1,
+         fsum(value * value) AS s2,
+         fsum(value * value * value) AS s3,
+         fsum(value * value * value * value) AS s4
+  FROM events GROUP BY event_type),
+d AS (
+  SELECT event_type, n, s1 / n AS mean,
+         greatest(s2 / n - (s1 / n) * (s1 / n), 0.0) AS var,
+         s2 / n AS m2r, s3 / n AS m3r, s4 / n AS m4r
+  FROM s),
+e AS (
+  SELECT event_type, n, mean, var,
+         m3r - 3.0 * mean * m2r + 2.0 * (mean * mean) * mean AS m3,
+         m4r - 4.0 * mean * m3r + 6.0 * (mean * mean) * m2r
+             - 3.0 * ((mean * mean) * (mean * mean)) AS m4
+  FROM d)
+SELECT event_type, n AS n_events,
+       round(mean, 6) AS mean_value,
+       round(var, 6) AS var_value,
+       CASE WHEN var = 0.0 THEN NULL
+            ELSE round(m3 / pow(var, 1.5), 6) END AS skew_value,
+       CASE WHEN var = 0.0 THEN NULL
+            ELSE round(m4 / (var * var) - 3.0, 6) END AS kurt_value
+FROM e""",
         "bpe_token_stats": f"""
 SELECT source, COUNT(*)::BIGINT AS n_docs,
        SUM(len(regexp_extract_all(text,

@@ -23,6 +23,8 @@ accumulator whose (hi, lo) state can ride in a DataFrame column.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 K_SPLIT = np.float64((1 << 27) + 1)  # Dekker splitter (doubledouble.ml:48)
@@ -209,3 +211,86 @@ class DDSum:
             raise ValueError("DDSum.from_bytes: expected 16 bytes")
         hi, lo = np.frombuffer(b, dtype="<f8")
         return cls(float(hi), float(lo))
+
+
+class Moments:
+    """Mergeable exact-moments summary: count plus error-free (hi, lo)
+    double-double sums of x, x^2, x^3 and x^4 — mean / variance / skewness
+    / kurtosis for any merge tree from one 76-byte state (the DDSum idea,
+    D1, lifted to the first four power sums).
+
+    Per-element powers are the ROUNDED float64 chain ``x2 = x*x;
+    x3 = x2*x; x4 = x3*x`` — exactly the left-associated chain DuckDB's
+    ``x*x*x*x`` parses to, so an oracle's ``fsum`` over the identical
+    per-element power values reproduces each sum to the ulp. Like DDSum,
+    merges are order-sensitive only at the ~2^-104 level.
+
+    Wire format: ``MOM1`` + ``<q`` count + 8 little-endian float64
+    (hi, lo per power), 76 bytes.
+    """
+
+    __slots__ = ("n", "s")
+    _MAGIC = b"MOM1"
+
+    def __init__(self, n: int = 0, s: "np.ndarray | None" = None):
+        self.n = int(n)
+        self.s = np.zeros((4, 2)) if s is None else np.asarray(
+            s, dtype=np.float64).reshape(4, 2)
+
+    def update_batch(self, values) -> None:
+        v = np.asarray(values, dtype=np.float64).ravel()
+        if not len(v):
+            return
+        self.n += len(v)
+        p = v
+        for i in range(4):
+            if i:
+                p = p * v
+            h, l = dd_sum_vec(p)
+            self.s[i] = dd_add(self.s[i, 0], self.s[i, 1], h, l)
+
+    def merge(self, other: "Moments") -> "Moments":
+        self.n += other.n
+        for i in range(4):
+            self.s[i] = dd_add(self.s[i, 0], self.s[i, 1],
+                               other.s[i, 0], other.s[i, 1])
+        return self
+
+    def sums(self) -> "tuple[float, float, float, float]":
+        """(sum_x, sum_x2, sum_x3, sum_x4), each collapsed to one double."""
+        return tuple(float(h + l) for h, l in self.s)
+
+    def stats(self) -> "tuple[int, float, float, float, float]":
+        """(n, mean, population variance, skewness, excess kurtosis) by the
+        fixed moment chain ``m_k = s_k/n - ...`` (left-associated, so an
+        oracle can replay it bit for bit). Variance is clamped at 0 against
+        cancellation; skew/kurt are NaN for var == 0 or n == 0."""
+        if self.n == 0:
+            return 0, float("nan"), float("nan"), float("nan"), float("nan")
+        n = float(self.n)
+        s1, s2, s3, s4 = self.sums()
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        var = max(var, 0.0)
+        if var == 0.0:
+            return self.n, mean, 0.0, float("nan"), float("nan")
+        m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * (mean * mean) * mean
+        m4 = (s4 / n - 4.0 * mean * (s3 / n)
+              + 6.0 * (mean * mean) * (s2 / n)
+              - 3.0 * ((mean * mean) * (mean * mean)))
+        skew = m3 / (var ** 1.5)
+        kurt = m4 / (var * var) - 3.0
+        return self.n, mean, var, skew, kurt
+
+    def to_bytes(self) -> bytes:
+        return (self._MAGIC + struct.pack("<q", self.n)
+                + self.s.astype("<f8").tobytes())
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "Moments":
+        if len(b) != 76 or b[:4] != cls._MAGIC:
+            raise ValueError("corrupt Moments blob")
+        n = struct.unpack_from("<q", b, 4)[0]
+        if n < 0:
+            raise ValueError("corrupt Moments blob: negative count")
+        return cls(n, np.frombuffer(b, dtype="<f8", offset=12).copy())

@@ -17,6 +17,7 @@ from .estimates import (  # noqa: F401
     kmv_est_col,
     kmv_jaccard_col,
     kmv_stats_col,
+    moments_col,
     tdigest_quantiles_col,
 )
 from .aggregates import (  # noqa: F401
@@ -28,6 +29,7 @@ from .aggregates import (  # noqa: F401
     hll_agg_col,
     kll_agg_col,
     kmv_agg_col,
+    mom_agg_col,
     register_sql_aggregates,
     sketch_agg_col,
     tdigest_agg_col,

@@ -43,7 +43,7 @@ from ..core import hll
 from ..operators.sketch_build import SketchSpec, _new_state, _update
 
 _ARRAY_KINDS = ("hll", "cms", "csk", "bloom", "kmv", "mg")  # token arrays
-_VALUE_KINDS = ("kll", "tdigest", "ddsum")  # scalar double columns
+_VALUE_KINDS = ("kll", "tdigest", "ddsum", "mom")  # scalar double columns
 _MATRIX_KINDS = ("fd",)  # array<float*> vector rows (flattened, fixed dim)
 
 
@@ -157,6 +157,10 @@ def ddsum_agg_col(col: "Column | str") -> Column:
     return sketch_agg_col("ddsum", col)
 
 
+def mom_agg_col(col: "Column | str") -> Column:
+    return sketch_agg_col("mom", col)
+
+
 def register_sql_aggregates(spark, hll_p: int = 12, cms_depth: int = 5,
                             cms_width: int = 256, bloom_m: int = 4096,
                             bloom_k: int = 5, kmv_k: int = 256,
@@ -181,6 +185,7 @@ def register_sql_aggregates(spark, hll_p: int = 12, cms_depth: int = 5,
         "kll_agg": ("kll", {"k": kll_k, "seed": 42}),
         "tdigest_agg": ("tdigest", {"delta": tdigest_delta}),
         "ddsum_agg": ("ddsum", {}),
+        "mom_agg": ("mom", {}),
     }
     for name, (kind, params) in regs.items():
         spark.udf.register(name, _make_agg_udf(kind, params))

@@ -137,6 +137,33 @@ def ddsum_col(col: "Column | str") -> Column:
     return _v(_col(col))
 
 
+def moments_col(col: "Column | str") -> Column:
+    """Descriptive statistics of a serialized Moments state:
+    (n, sum_x, sum_x2, sum_x3, sum_x4, mean, variance, skew, kurtosis) —
+    the dd power sums collapsed to doubles plus the fixed derived chain
+    (core/doubledouble.py ``Moments.stats``)."""
+
+    @pandas_udf("struct<n: long, sum_x: double, sum_x2: double, "
+                "sum_x3: double, sum_x4: double, mean: double, "
+                "variance: double, skew: double, kurtosis: double>")
+    def _m(blobs: pd.Series) -> pd.DataFrame:
+        from ..core.doubledouble import Moments
+
+        rows = []
+        for b in blobs:
+            m = Moments.from_bytes(bytes(b))
+            s1, s2, s3, s4 = m.sums()
+            n, mean, var, skew, kurt = m.stats()
+            rows.append({"n": n, "sum_x": s1, "sum_x2": s2, "sum_x3": s3,
+                         "sum_x4": s4, "mean": mean, "variance": var,
+                         "skew": skew, "kurtosis": kurt})
+        return pd.DataFrame(rows, columns=["n", "sum_x", "sum_x2", "sum_x3",
+                                           "sum_x4", "mean", "variance",
+                                           "skew", "kurtosis"])
+
+    return _m(_col(col))
+
+
 def kmv_est_col(col: "Column | str") -> Column:
     """Distinct-count estimate of a serialized KMV state (exact below k,
     unbiased (k-1)/U_(k) above — core/kmv.py)."""

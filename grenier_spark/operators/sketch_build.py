@@ -44,7 +44,7 @@ from ..core.bits import U64, wang64
 from ..core.bloom import Bloom
 from ..core.countmin import CountMin
 from ..core.countsketch import CountSketch
-from ..core.doubledouble import DDSum
+from ..core.doubledouble import DDSum, Moments
 from ..core.kll import KLL
 from ..core.freqdirs import FrequentDirections
 from ..core.kmv import KMV
@@ -57,7 +57,7 @@ class SketchSpec:
     """One sketch to build.
 
     kind: 'hll' | 'cms' | 'csk' | 'bloom' | 'kmv' | 'mg' | 'kll' | 'tdigest'
-          | 'ddsum' | 'fd'
+          | 'ddsum' | 'mom' | 'fd'
     column: source column — array<int*> token sequences (hll/cms/bloom/kmv
             hash each token; mg counts the raw integer keys; kll/tdigest
             sketch the token values), a numeric scalar column, or for 'fd'
@@ -106,6 +106,8 @@ def _new_state(spec: SketchSpec):
         return TDigest(p.get("delta", 200))
     if spec.kind == "ddsum":
         return DDSum()
+    if spec.kind == "mom":
+        return Moments()
     if spec.kind == "fd":
         return FrequentDirections(p.get("ell", 16), p["dim"])
     raise ValueError(f"unknown sketch kind {spec.kind!r}")
@@ -285,7 +287,7 @@ def _merge_blobs(kind: str, blobs: "list[bytes]") -> bytes:
             hll.merge_many([hll.from_bytes_any(b) for b in blobs]))
     cls = {"cms": CountMin, "csk": CountSketch, "bloom": Bloom,
            "kmv": KMV, "mg": MisraGries, "kll": KLL, "tdigest": TDigest,
-           "ddsum": DDSum, "fd": FrequentDirections}[kind]
+           "ddsum": DDSum, "mom": Moments, "fd": FrequentDirections}[kind]
     acc = cls.from_bytes(blobs[0])
     for b in blobs[1:]:
         acc.merge(cls.from_bytes(b))

@@ -7,6 +7,7 @@ carry ~106 bits, i.e. relative error <= 2^-104 (slack over the 2^-106
 ideal for the div/sqrt Newton steps).
 """
 
+import math
 from fractions import Fraction
 
 import numpy as np
@@ -152,3 +153,60 @@ def test_ddsum_aggregator_serde_merge():
     assert len(acc.to_bytes()) == 16
     with pytest.raises(ValueError):
         DDSum.from_bytes(b"\x00" * 7)
+
+
+def test_moments_known_answer_and_fsum_parity():
+    from grenier_spark.core.doubledouble import Moments
+
+    m = Moments()
+    m.update_batch([1.0, 2.0, 3.0, 4.0])
+    n, mean, var, skew, kurt = m.stats()
+    assert (n, mean, var) == (4, 2.5, 1.25)
+    assert skew == 0.0
+    assert kurt == pytest.approx(2.5625 / (1.25 * 1.25) - 3.0)
+    # power sums match fsum of the identical per-element power chain
+    rng = np.random.Generator(np.random.PCG64(3))
+    v = rng.normal(50.0, 20.0, size=20_000)
+    m2 = Moments()
+    m2.update_batch(v)
+    p = v.copy()
+    for got in m2.sums():
+        assert got == math.fsum(p.tolist()), got
+        p = p * v
+
+
+def test_moments_merge_tree_and_serde():
+    from grenier_spark.core.doubledouble import Moments
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    v = rng.normal(0.0, 3.0, size=10_000)
+    whole = Moments()
+    whole.update_batch(v)
+    parts = [Moments() for _ in range(4)]
+    for i, chunk in enumerate(np.array_split(v, 4)):
+        parts[i].update_batch(chunk)
+    merged = parts[0]
+    for q in parts[1:]:
+        merged.merge(q)
+    assert merged.n == whole.n == len(v)
+    for a, b in zip(merged.sums(), whole.sums()):
+        assert a == pytest.approx(b, rel=1e-15)
+    # serde roundtrip is byte-stable; corrupt blobs fail loudly
+    blob = merged.to_bytes()
+    assert Moments.from_bytes(blob).to_bytes() == blob
+    with pytest.raises(ValueError):
+        Moments.from_bytes(blob[:-1])
+    with pytest.raises(ValueError):
+        Moments.from_bytes(b"XXX1" + blob[4:])
+
+
+def test_moments_degenerate():
+    from grenier_spark.core.doubledouble import Moments
+
+    m = Moments()
+    n, mean, var, skew, kurt = m.stats()
+    assert n == 0 and math.isnan(mean)
+    m.update_batch([7.0, 7.0, 7.0])
+    n, mean, var, skew, kurt = m.stats()
+    assert (n, mean, var) == (3, 7.0, 0.0)
+    assert math.isnan(skew) and math.isnan(kurt)

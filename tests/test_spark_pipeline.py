@@ -615,3 +615,46 @@ def test_udaf_refuses_lossy_nullable_int64(spark):
         pd.DataFrame({"g": ["a", "a"], "k": [2 ** 62 + 1, 5]}),
         schema="g string, k long")
     assert ok.groupBy("g").agg(hll_agg_col("k").alias("s")).count() == 1
+
+
+def test_mom_distributed_build_matches_fsum(spark, docs_df):
+    """Moments (kind 'mom') through the two-level pipeline: power sums per
+    group equal math.fsum of the identical per-element power chain over
+    the group's values (to 1e-15 rel — dd merges are order-sensitive only
+    at ~2^-104), at two different partitionings; the UDAF surface agrees."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from grenier_spark.core.doubledouble import Moments
+    from grenier_spark.functions.aggregates import mom_agg_col
+
+    spec = [SketchSpec.of("m", "mom", "n_tok")]
+    vals = {r.source: r.v for r in
+            (docs_df.groupBy("source")
+             .agg(F.collect_list(F.col("n_tok").cast("double")).alias("v"))
+             .collect())}
+
+    def expect(v):
+        out, p = [], np.asarray(v, dtype=np.float64)
+        for _ in range(4):
+            out.append(math.fsum(p.tolist()))
+            p = p * np.asarray(v, dtype=np.float64)
+        return out
+
+    for df in (docs_df.repartition(9), docs_df.repartition(2, "doc_id")):
+        res = build_sketches(df, spec, group_cols=["source"]).toPandas()
+        assert len(res) == 4
+        for r in res.itertuples():
+            m = Moments.from_bytes(bytes(r.sketch))
+            assert m.n == len(vals[r.source])
+            for got, exp in zip(m.sums(), expect(vals[r.source])):
+                assert got == pytest.approx(exp, rel=1e-15), r.source
+    udaf = (docs_df.repartition(5).groupBy("source")
+            .agg(mom_agg_col(F.col("n_tok").cast("double")).alias("s"))
+            .toPandas())
+    for r in udaf.itertuples():
+        m = Moments.from_bytes(bytes(r.s))
+        assert m.n == len(vals[r.source])
+        for got, exp in zip(m.sums(), expect(vals[r.source])):
+            assert got == pytest.approx(exp, rel=1e-15), r.source
