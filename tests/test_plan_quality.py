@@ -472,3 +472,26 @@ def test_fd_projection_never_shuffles_vectors(spark):
     for ln in plan.splitlines():
         if "Exchange" in ln and "Reused" not in ln:
             assert "embedding" not in ln, ln
+
+
+def test_pmi_topk_is_take_ordered_not_global_sort(spark):
+    """pmi_collocations' top-k must plan as TakeOrdered (per-partition
+    top-k + driver merge of k rows), never a full global Sort of the
+    candidate set."""
+    plan = plan_of(entry_mod.q_pmi_collocations(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_moments_build_no_exchange_before_partials(spark):
+    """The 'mom' kind rides the same scan-stage partial build as every
+    other sketch: no Exchange between the parquet scan and the Arrow
+    stage, and the rows that do shuffle are 76-byte states."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = build_sketches(ev, [SketchSpec.of("m", "mom", "value")],
+                        group_cols=["event_type"])
+    plan = plan_of(df)
+    lines = plan.splitlines()
+    py_idx = max(i for i, ln in enumerate(lines)
+                 if "MapInArrow" in ln or "ArrowEvalPython" in ln)
+    scan_idx = max(i for i, ln in enumerate(lines) if "Scan parquet" in ln)
+    assert not any("Exchange" in ln for ln in lines[py_idx:scan_idx])
