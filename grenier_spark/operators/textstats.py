@@ -502,10 +502,10 @@ def pmi_collocations(df, text_col: str = "text", min_count: int = 2,
     ``((((c_xy * N_uni) * N_uni) / N_bi) / c_x) / c_y`` — a fixed
     left-associated float64 chain that is bit-identical in DuckDB, and
     monotone in pmi, so no ``ln`` affects the cut; ties break on md5 hex.
-    Only the k winner rows pay the numpy ``ln`` (vectorized Arrow batch;
-    numpy-libm == DuckDB-libm, the suite's LM-scorer contract).
+    The ``ln`` itself runs as one vectorized numpy pass over the candidate
+    rows (numpy-libm == DuckDB-libm, the suite's LM-scorer contract).
 
-    Returns (w1, w2, c_xy, c_w1, c_w2, pmi round-6), pmi descending.
+    Returns (w1, w2, c_xy, c_w1, c_w2, pmi round-6).
     """
     import numpy as np
     import pandas as pd
@@ -539,19 +539,24 @@ def pmi_collocations(df, text_col: str = "text", min_count: int = 2,
              / F.col("n_bi").cast("double")
              / F.col("c_w1").cast("double")
              / F.col("c_w2").cast("double"))
-    top = (cand.withColumn("_ratio", ratio)
-           .orderBy(F.desc("_ratio"), F.md5("w1").asc(), F.md5("w2").asc())
-           .limit(top_k))
-
     # no type hints: this module's `from __future__ import annotations`
     # would stringify them and break pandas_udf's eval-type inference
     @pandas_udf("double")
     def _ln(x):
         return pd.Series(np.log(x.to_numpy(dtype=np.float64)))
 
-    return (top.select("w1", "w2", "c_xy", "c_w1", "c_w2",
-                       F.round(_ln("_ratio"), 6).alias("pmi"))
-            .orderBy(F.desc("pmi"), F.md5("w1").asc(), F.md5("w2").asc()))
+    # ln runs vectorized over the candidate rows BELOW the sort so the
+    # limit sits directly on Sort with a plain Project above — Spark then
+    # plans TakeOrderedAndProject (per-partition top-k, k rows to the
+    # driver) instead of an all-candidates SinglePartition exchange
+    # (plan-gated in test_plan_quality.py). The cut itself is still on the
+    # raw ratio, so the ln never affects which rows win.
+    scored = (cand.withColumn("_ratio", ratio)
+              .withColumn("pmi", F.round(_ln(ratio), 6)))
+    return (scored
+            .orderBy(F.desc("_ratio"), F.md5("w1").asc(), F.md5("w2").asc())
+            .limit(top_k)
+            .select("w1", "w2", "c_xy", "c_w1", "c_w2", "pmi"))
 
 
 def pmi_collocations_sql(table_sql: str, text_col: str = "text",
