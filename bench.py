@@ -324,10 +324,14 @@ def run_default():
     # run-to-run co-tenant variance on this VM (15-150 s on identical
     # input), which would swamp round-over-round comparisons; it remains
     # value-gated for correctness in the driver's oracle run.
+    # value_moments_by_type / token_seq_dups joined in late round 3 (new
+    # sketch kind + payload dedup); extra keys don't break round-over-round
+    # comparisons of the original 11
     for name in ["hll_registers", "jump_buckets", "cms_cells", "tpch_q1",
                  "top_tokens", "knn_topk", "hll_card_by_type",
                  "token_hll_by_source", "value_quantiles_tdigest",
-                 "exact_value_sums", "user_sessions"]:
+                 "exact_value_sums", "user_sessions",
+                 "value_moments_by_type", "token_seq_dups"]:
         best = float("inf")
         for _ in range(2):  # best-of-2: queries are 1-7 s, noise is 2-10x
             t0 = time.perf_counter()
