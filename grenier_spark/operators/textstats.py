@@ -492,9 +492,12 @@ def pmi_collocations(df, text_col: str = "text", min_count: int = 2,
     the standard signal for multi-word expressions ("new york") when
     building tokenizer pre-merges or phrase-aware dedup keys.
 
-    Shape at 100 TB: ONE corpus scan explodes unigrams + bigrams; the two
-    count groupBys are the inherent vocab-/bigram-scale exchanges
-    (map-side combined). Candidates are bigrams with ``c_xy >= min_count``
+    Shape at 100 TB: one corpus scan per count family (unigram + bigram
+    explodes) feeds the two inherent vocab-/bigram-scale count exchanges
+    (map-side combined); AQE exchange reuse then shares each count shuffle
+    across its consumers (marginal joins + totals — ReusedExchange in the
+    final adaptive plan), so the corpus is never re-exploded per consumer.
+    Candidates are bigrams with ``c_xy >= min_count``
     joined to their two unigram marginals (word-keyed shuffle joins), the
     totals ride in as a broadcast 1-row crossJoin (fully lazy — no driver
     round-trip, no persist), and the global top-``top_k`` is a
