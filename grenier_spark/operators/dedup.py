@@ -45,19 +45,6 @@ def _content_key(text_col: str, id_col: str):
     ).alias("content_hash")
 
 
-def _ranked_by_content_hash(df: DataFrame, text_col: str,
-                            id_col: str) -> DataFrame:
-    """(content_hash, id, rn, n_copies): md5 content hash + per-hash rank
-    and copy count — the frame behind :func:`exact_dup_groups` (which needs
-    the rank to CAP its id arrays). A window partition is one task, so this
-    shape is for diagnostics at moderate skew; the member/keep-first paths
-    below use the agg+join form instead (AQE-splittable)."""
-    wp = Window.partitionBy("content_hash")
-    return (df.select(_content_key(text_col, id_col), F.col(id_col))
-            .withColumn("rn", F.row_number().over(wp.orderBy(id_col)))
-            .withColumn("n_copies", F.count(F.lit(1)).over(wp)))
-
-
 def _dup_members_by_key(keyed: DataFrame, key: str, id_col: str) -> DataFrame:
     """Row-per-member duplicate report over a pre-keyed frame, WITHOUT a
     window: groupBy(key) min/count (map-side combined — the shuffle carries
@@ -88,23 +75,36 @@ def _keep_first_by_key(df: DataFrame, key_expr, id_col: str) -> DataFrame:
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id", max_ids: int = 100) -> DataFrame:
+                     id_col: str = "doc_id", max_ids: int = 100,
+                     n_salts: int = 64) -> DataFrame:
     """Groups of byte-identical documents: (content_hash, n_copies, keep_id,
-    all_ids). Pure JVM plan — hash, ONE shuffle on hash (the window and the
-    groupBy share the partitioning), aggregate.
-
-    ``n_copies`` is exact but ``all_ids`` is capped at ``max_ids`` per
-    group: at web scale a degenerate dup cluster (empty strings,
-    boilerplate pages) holds millions of ids, and an uncapped
-    ``collect_list`` would buffer them all into one row. Row-level
-    membership without any array lives in :func:`exact_dup_members`.
+    all_ids). Pure JVM plan, two-stage SALT-SPLIT aggregation (no window):
+    stage 1 groups by (hash, pmod(xxhash64(id), n_salts)) and reduces each
+    salt's slice to (min-``max_ids`` sorted ids, exact count, min id);
+    stage 2 merges the per-salt summaries — counts add, arrays flatten →
+    sort → slice. So a degenerate dup cluster (empty strings, boilerplate
+    pages — millions of copies at web scale) spreads over ``n_salts``
+    reducers instead of pinning one task, and stage 2 never buffers more
+    than ``n_salts * max_ids`` ids per group. ``n_copies`` is exact;
+    ``all_ids`` = the ``max_ids`` smallest ids (same set the old rank-cap
+    form produced). Stage-1 reducers buffer their salt's slice
+    (cluster/n_salts rows, spillable) before the cap — raise ``n_salts``
+    for pathological skew. Row-level membership without any array lives
+    in :func:`exact_dup_members`.
     """
-    ranked = _ranked_by_content_hash(df, text_col, id_col)
-    return (ranked.where(F.col("rn") <= max_ids)
-            .groupBy("content_hash")
-            .agg(F.max("n_copies").alias("n_copies"),
-                 F.min(id_col).alias("keep_id"),
-                 F.sort_array(F.collect_list(id_col)).alias("all_ids"))
+    keyed = df.select(
+        _content_key(text_col, id_col), F.col(id_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("_salt"))
+    s1 = (keyed.groupBy("content_hash", "_salt")
+          .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_ids)
+               .alias("_ids"),
+               F.count(F.lit(1)).alias("_c"),
+               F.min(id_col).alias("_min")))
+    return (s1.groupBy("content_hash")
+            .agg(F.sum("_c").alias("n_copies"),
+                 F.min("_min").alias("keep_id"),
+                 F.slice(F.sort_array(F.flatten(F.collect_list("_ids"))),
+                         1, max_ids).alias("all_ids"))
             .where("n_copies > 1"))
 
 

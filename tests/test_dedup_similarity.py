@@ -35,6 +35,23 @@ def test_exact_dup_groups(spark, docs_with_plants):
         assert r.keep_id + 2_000_000 in r.all_ids
 
 
+def test_exact_dup_groups_salt_split_caps_ids(spark):
+    """A dup cluster larger than max_ids: n_copies stays exact, all_ids is
+    exactly the max_ids smallest ids, and the salt-split two-stage shape
+    (no window) produces the same set at any n_salts."""
+    rows = [(i, "same text here") for i in range(250)] + [(1000, "unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n_salts in (1, 8, 64):
+        g = dedup.exact_dup_groups(df, max_ids=100,
+                                   n_salts=n_salts).toPandas()
+        assert len(g) == 1
+        r = g.iloc[0]
+        assert r.n_copies == 250 and r.keep_id == 0
+        assert list(r.all_ids) == list(range(100))
+    assert "Window" not in dedup.exact_dup_groups(df)._jdf \
+        .queryExecution().executedPlan().toString()
+
+
 def test_token_seq_dup_members(spark):
     """Dedup keyed on the pre-tokenized payload: duplicates = identical
     token ARRAYS. Covers the serialization contract (comma-joined decimals
