@@ -210,3 +210,27 @@ def test_moments_degenerate():
     n, mean, var, skew, kurt = m.stats()
     assert (n, mean, var) == (3, 7.0, 0.0)
     assert math.isnan(skew) and math.isnan(kurt)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=-1e12, max_value=1e12,
+                          allow_nan=False, width=64),
+                min_size=1, max_size=300))
+def test_moments_fsum_parity_hypothesis(vals):
+    """Power sums equal math.fsum of the pinned per-element power chain to
+    within 1 ulp for arbitrary magnitudes/signs — the DDSum contract (dd
+    carries ~106 bits, so a crumb below the lo window can flip a rounding
+    tie that exact fsum resolves; the round-6 gate surface absorbs it,
+    same posture as exact_value_sums)."""
+    from grenier_spark.core.doubledouble import Moments
+
+    v = np.asarray(vals, dtype=np.float64)
+    m = Moments()
+    # split into uneven batches to exercise the dd merge path too
+    m.update_batch(v[: len(v) // 3])
+    m.update_batch(v[len(v) // 3:])
+    p = v.copy()
+    for got in m.sums():
+        want = math.fsum(p.tolist())
+        assert abs(got - want) <= math.ulp(want), (got, want)
+        p = p * v
