@@ -1872,6 +1872,37 @@ def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_values").alias("n_tokens"))
 
 
+def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS multi-sketch corpus profile: a single build_sketches scan
+    produces, per source, the HLL distinct-token estimate, the KMV kept-set
+    surface + estimate, and the Moments mean/variance of n_chars. The
+    sketch rows pivot into one row per source (no self-join — the corpus
+    is scanned exactly once, plan-gated), which is the profile job a
+    10^12-sequence table wants: every summary from one pass."""
+    from grenier_spark.functions import (kmv_est_col, kmv_stats_col,
+                                         moments_col)
+
+    docs = _tokenized_docs(spark, sf_dir)
+    specs = [SketchSpec.of("h", "hll", "tokens", p=12),
+             SketchSpec.of("kv", "kmv", "tokens", k=256),
+             SketchSpec.of("mm", "mom", "n_chars")]
+    res = build_sketches(docs, specs, group_cols=["source"])
+    wide = (res.groupBy("source")
+            .pivot("sketch_name", ["h", "kv", "mm"])
+            .agg(F.first("sketch").alias("sk"),
+                 F.first("n_rows").alias("nr")))
+    return (wide.select(
+        "source",
+        F.col("h_nr").alias("n_docs"),
+        F.round(hll_card_col("h_sk"), 6).alias("est_tokens_hll"),
+        kmv_stats_col("kv_sk").getField("n_kept").alias("kmv_n_kept"),
+        F.round(kmv_est_col("kv_sk"), 6).alias("est_tokens_kmv"),
+        F.round(moments_col("mm_sk").getField("mean"), 6)
+        .alias("mean_chars"),
+        F.round(moments_col("mm_sk").getField("variance"), 6)
+        .alias("var_chars")))
+
+
 def q_csk_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-zero count-sketch cells over events.user_id (d=5, w=512,
     seed=7) — exact signed +-merge makes the full matrix SQL-checkable
@@ -2472,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles_tdigest": q_value_quantiles_tdigest,
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
         "token_hll_by_source": q_token_hll_by_source,
+        "source_profile": q_source_profile,
         "cms_point_queries": q_cms_point_queries,
         "bloom_membership": q_bloom_membership,
         "jump_relocation": q_jump_relocation,
@@ -3004,6 +3036,30 @@ FROM events GROUP BY event_type""",
             "SELECT source, COUNT(*)::BIGINT AS n_docs, "
             "SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens "
             "FROM documents GROUP BY 1) d USING (source)"),
+        "source_profile": (
+            "SELECT h.source, h.n_docs, h.est_tokens_hll, k.n_kept AS "
+            "kmv_n_kept, k.est_distinct AS est_tokens_kmv, m.mean_chars, "
+            "m.var_chars FROM ("
+            "SELECT c.source, round(c.est, 6) AS est_tokens_hll, d.n_docs "
+            "FROM (" + hll_card_sql(
+                "SELECT source, " + md5_low64_expr("token") + " AS k FROM ("
+                "SELECT source, unnest(string_split(text, ' ')) AS token "
+                "FROM documents)",
+                "k", 12, group_cols=["source"]) + ") c JOIN ("
+            "SELECT source, COUNT(*)::BIGINT AS n_docs FROM documents "
+            "GROUP BY 1) d USING (source)) h JOIN ("
+            + kmv_by_source_sql(
+                "SELECT source, " + md5_low64_expr("token") + " AS tk FROM ("
+                "SELECT source, unnest(string_split(text, ' ')) AS token "
+                "FROM documents)",
+                "tk", 256, group_cols=["source"])
+            + ") k USING (source) JOIN ("
+            "SELECT source, round(s1 / n, 6) AS mean_chars, "
+            "round(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0), 6) AS "
+            "var_chars FROM ("
+            "SELECT source, COUNT(n_chars)::BIGINT AS n, fsum(n_chars) AS "
+            "s1, fsum(n_chars * n_chars) AS s2 FROM documents GROUP BY 1)"
+            ") m USING (source)"),
         "cms_point_queries": cms_point_sql(
             "SELECT user_id FROM events", "user_id", 4, 512, 7),
         "bloom_membership": bloom_membership_sql(

@@ -495,3 +495,10 @@ def test_moments_build_no_exchange_before_partials(spark):
                  if "MapInArrow" in ln or "ArrowEvalPython" in ln)
     scan_idx = max(i for i, ln in enumerate(lines) if "Scan parquet" in ln)
     assert not any("Exchange" in ln for ln in lines[py_idx:scan_idx])
+
+
+def test_source_profile_single_scan(spark):
+    """The one-pass profile query: three sketch kinds from ONE parquet
+    scan (pivot over the sketch rows, no self-join re-build)."""
+    plan = plan_of(entry_mod.q_source_profile(spark, SF))
+    assert plan.count("Scan parquet") == 1, plan
