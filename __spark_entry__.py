@@ -1192,6 +1192,34 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id"))
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ / IVFADC composition (similarity.ivfpq_topk): coarse cell
+    routing in front of PQ ADC + exact shortlist re-rank — the (4 + m)
+    bytes/vector production shape. Guarantee-gated like
+    ann_ivf_kmeans_topk: per query, recall@10 vs the exact brute-force
+    top-10 is computed FOR REAL Spark-side and emitted as recall_ok
+    (>= 7/10 — the deterministic sampled-quantizer result on the
+    isotropic fixture embeddings is 7-10/10; the composed pipeline is not
+    SQL-reproducible end-to-end, so the boolean is the engine-independent
+    surface while ann_ivf_topk / ann_pq_topk carry the value-exact
+    oracles for the two halves)."""
+    from grenier_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    queries = (em.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    approx = ivfpq_topk(em, queries, k=10, n_centroids=16, n_probe=6,
+                        m=8, ksub=16, shortlist=100)
+    brute = cosine_topk(em, queries, k=10).select("query_id", "vec_id")
+    hits = (approx.join(brute, ["query_id", "vec_id"], "semi")
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    return (queries.select("query_id").join(hits, "query_id", "left")
+            .select(F.col("query_id").cast("long").alias("query_id"),
+                    F.lit(10).cast("long").alias("k"),
+                    (F.coalesce("n_hit", F.lit(0)) >= 7).alias("recall_ok"))
+            .orderBy("query_id"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing with a FULL oracle: binary payloads (UTF-8 bytes
     of document text, so DuckDB can reconstruct them) -> mapInPandas
@@ -2553,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "media_features": q_media_features,
         "token_hll_udaf": q_token_hll_udaf,
         "pii_redaction": q_pii_redaction,
@@ -3281,6 +3310,12 @@ GROUP BY ROLLUP (n_name, c_mktsegment)""",
             # guarantee surface: Spark computes recall@10 of the k-means-
             # refined IVF against brute force for real; the oracle pins the
             # query-id set and asserts the guarantee held (literal TRUE)
+            "SELECT vec_id::BIGINT AS query_id, 10::BIGINT AS k, "
+            "TRUE AS recall_ok FROM embeddings ORDER BY vec_id LIMIT 3"),
+        "ann_ivfpq_topk": (
+            # same guarantee surface as ann_ivf_kmeans_topk: Spark computes
+            # IVFADC recall@10 vs brute force for real; the oracle pins the
+            # query-id set and asserts the >= 7/10 guarantee held
             "SELECT vec_id::BIGINT AS query_id, 10::BIGINT AS k, "
             "TRUE AS recall_ok FROM embeddings ORDER BY vec_id LIMIT 3"),
         "ann_lsh_topk": ann_rademacher_sql(

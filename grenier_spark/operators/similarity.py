@@ -160,6 +160,59 @@ def cosine_neardup_pairs(vectors: DataFrame, tau: float = 0.9,
             .where(F.col("cos_sim") >= tau))
 
 
+def _coarse_C(vectors: DataFrame, n_centroids: int,
+              centroids: "np.ndarray | None", id_col: str,
+              vec_col: str) -> np.ndarray:
+    """The IVF coarse-quantizer matrix: the caller's ``centroids`` (e.g.
+    from :func:`ivf_refine_centroids`), else the SAMPLED default — the
+    ``n_centroids`` lowest-id vectors, deterministic and exactly
+    reproducible in the DuckDB oracle (``sql_oracles.ann_ivf_sql``)."""
+    if centroids is not None:
+        return np.asarray(centroids, dtype=np.float64)
+    cents = (vectors.orderBy(id_col).limit(n_centroids)
+             .select(F.transform(vec_col, lambda x: x.cast("double"))
+                     .alias("cv")).toPandas())
+    return np.asarray([np.asarray(v, dtype=np.float64)
+                       for v in cents["cv"]])
+
+
+def _cell_udfs(C: np.ndarray, n_probe: int):
+    """(cell_of, probe_cells) UDFs over the coarse quantizer ``C``:
+    round-6 cosine assignment (argmax ties to the lowest cell id) and the
+    per-query n_probe nearest cells (stable argsort — equal rounded
+    cosines keep ascending cell-id order), the oracle's
+    ORDER BY cos6 DESC, cid ASC twins.
+
+    Zero-norm guard: an all-zero vector or centroid would divide by zero
+    and inject NaN cosines, whose ordering differs between numpy argsort
+    and DuckDB — with norm coerced to 1 the dot product is 0, so such
+    rows get cosine exactly 0.0 on BOTH engines (mirrored in
+    sql_oracles.ann_ivf_sql via CASE WHEN norm = 0 THEN 1)."""
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    cnorm = np.where(cnorm == 0, 1.0, cnorm)
+
+    def _cos_to_cents(vs: pd.Series) -> np.ndarray:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        vnorm = np.sqrt((mat * mat).sum(axis=1))
+        vnorm = np.where(vnorm == 0, 1.0, vnorm)
+        return np.round((mat @ C.T) / (vnorm[:, None] * cnorm[None, :]), 6)
+
+    @pandas_udf("int")
+    def _cell_of(vs: pd.Series) -> pd.Series:
+        # argmax on the ROUNDED cosines; np.argmax takes the first maximum,
+        # i.e. ties break to the lowest cell id
+        return pd.Series(np.argmax(_cos_to_cents(vs), axis=1)
+                         .astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def _probe_cells(vs: pd.Series) -> pd.Series:
+        cos6 = _cos_to_cents(vs)
+        order = np.argsort(-cos6, axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe].astype(np.int32)))
+
+    return _cell_of, _probe_cells
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -184,43 +237,8 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     cosines (ties -> lowest cell id) and of the re-rank ordering, same
     contract as :func:`lsh_topk_rademacher`.
     """
-    if centroids is not None:
-        C = np.asarray(centroids, dtype=np.float64)
-    else:
-        cents = (vectors.orderBy(id_col).limit(n_centroids)
-                 .select(F.transform(vec_col, lambda x: x.cast("double"))
-                         .alias("cv")).toPandas())
-        C = np.asarray([np.asarray(v, dtype=np.float64)
-                        for v in cents["cv"]])
-    # zero-norm guard: an all-zero vector or centroid would divide by zero
-    # and inject NaN cosines, whose ordering differs between numpy argsort
-    # and DuckDB — with norm coerced to 1 the dot product is 0, so such
-    # rows get cosine exactly 0.0 on BOTH engines (mirrored in
-    # sql_oracles.ann_ivf_sql via CASE WHEN norm = 0 THEN 1)
-    cnorm = np.sqrt((C * C).sum(axis=1))
-    cnorm = np.where(cnorm == 0, 1.0, cnorm)
-
-    def _cos_to_cents(vs: pd.Series) -> np.ndarray:
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        vnorm = np.sqrt((mat * mat).sum(axis=1))
-        vnorm = np.where(vnorm == 0, 1.0, vnorm)
-        return np.round((mat @ C.T) / (vnorm[:, None] * cnorm[None, :]), 6)
-
-    @pandas_udf("int")
-    def _cell_of(vs: pd.Series) -> pd.Series:
-        # argmax on the ROUNDED cosines; np.argmax takes the first maximum,
-        # i.e. ties break to the lowest cell id — mirrored by the oracle's
-        # row_number() ORDER BY cos6 DESC, cid ASC
-        return pd.Series(np.argmax(_cos_to_cents(vs), axis=1)
-                         .astype(np.int32))
-
-    @pandas_udf("array<int>")
-    def _probe_cells(vs: pd.Series) -> pd.Series:
-        cos6 = _cos_to_cents(vs)
-        # stable argsort of -cos6: equal (rounded) cosines keep ascending
-        # cell-id order — the oracle's ORDER BY cos6 DESC, cid ASC twin
-        order = np.argsort(-cos6, axis=1, kind="stable")
-        return pd.Series(list(order[:, :n_probe].astype(np.int32)))
+    C = _coarse_C(vectors, n_centroids, centroids, id_col, vec_col)
+    _cell_of, _probe_cells = _cell_udfs(C, n_probe)
 
     v_cells = vectors.select(id_col, vec_col,
                              _cell_of(F.col(vec_col)).alias("cell"))
@@ -432,7 +450,16 @@ def pq_encode(vectors: DataFrame, codebooks: np.ndarray,
     replace 4*dim bytes per vector — 64x compression at dim=64/m=4 —
     so the search structure fits in RAM at corpus sizes where raw
     embeddings cannot."""
-    mm, ksub, dsub = codebooks.shape
+    return vectors.select(F.col(id_col),
+                          _pq_codes_udf(codebooks)(F.col(vec_col))
+                          .alias("codes"))
+
+
+def _pq_codes_udf(codebooks: np.ndarray):
+    """array<int> UDF assigning each L2-normalized subspace chunk to its
+    nearest codebook centroid (round-6 squared-L2 argmin, ties to the
+    lowest code — np.argmin first-min == ORDER BY d6 ASC, code ASC)."""
+    mm, _ksub, dsub = codebooks.shape
     C = codebooks
 
     @pandas_udf("array<int>")
@@ -445,8 +472,26 @@ def pq_encode(vectors: DataFrame, codebooks: np.ndarray,
             out[:, j] = np.argmin(d6, axis=1).astype(np.int32)
         return pd.Series(list(out))
 
-    return vectors.select(F.col(id_col), _codes(F.col(vec_col))
-                          .alias("codes"))
+    return _codes
+
+
+def _pq_dist_tables_udf(codebooks: np.ndarray):
+    """array<array<double>> UDF: per query, the m x ksub table of round-6
+    subspace distances to every codebook centroid (the ADC lookup
+    tables)."""
+    mm, _ksub, dsub = codebooks.shape
+    C = codebooks
+
+    @pandas_udf("array<array<double>>")
+    def _dist_tables(vs: pd.Series) -> pd.Series:
+        mat = _l2_normalize(np.asarray([np.asarray(v, dtype=np.float64)
+                                        for v in vs]))
+        tabs = np.stack([
+            _pq_subspace_d6(mat[:, j * dsub:(j + 1) * dsub], C[j])
+            for j in range(mm)], axis=1)  # (n, m, ksub)
+        return pd.Series([t.tolist() for t in tabs])
+
+    return _dist_tables
 
 
 def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
@@ -484,28 +529,83 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     for IVF-PQ."""
     C = (pq_codebooks(vectors, m, ksub, id_col, vec_col, dim)
          if codebooks is None else np.asarray(codebooks, dtype=np.float64))
-    mm, _ksub, dsub = C.shape
-
-    @pandas_udf("array<array<double>>")
-    def _dist_tables(vs: pd.Series) -> pd.Series:
-        mat = _l2_normalize(np.asarray([np.asarray(v, dtype=np.float64)
-                                        for v in vs]))
-        tabs = np.stack([
-            _pq_subspace_d6(mat[:, j * dsub:(j + 1) * dsub], C[j])
-            for j in range(mm)], axis=1)  # (n, m, ksub)
-        return pd.Series([t.tolist() for t in tabs])
-
     enc = pq_encode(vectors, C, id_col, vec_col)
     q = queries.select(F.col(qid_col),
-                       _dist_tables(F.col(vec_col)).alias("_qtab"))
-    adc = F.round(F.aggregate(
-        F.zip_with("codes", "_qtab",
-                   lambda c, t: F.element_at(t, c + F.lit(1))),
-        F.lit(0.0), lambda acc, x: acc + x), 6)
+                       _pq_dist_tables_udf(C)(F.col(vec_col)).alias("_qtab"))
+    adc = _adc_col()
     w = Window.partitionBy(qid_col).orderBy(F.asc("adc_dist"),
                                             F.asc(id_col))
     ranked = (enc.crossJoin(F.broadcast(q))
               .select(qid_col, id_col, adc.alias("adc_dist"))
+              .withColumn("rank", F.row_number().over(w)))
+    if shortlist <= 0:
+        return ranked.where(F.col("rank") <= k)
+    cands = (ranked.where(F.col("rank") <= shortlist)
+             .select(qid_col, id_col)
+             .join(vectors.select(F.col(id_col),
+                                  F.col(vec_col).alias("_v")), id_col)
+             .join(F.broadcast(queries.select(
+                 F.col(qid_col), F.col(vec_col).alias("_qv"))), qid_col))
+    return _rerank_topk(cands, k, qid_col, id_col, round6=True)
+
+
+def _adc_col():
+    """The ADC lookup-sum over (codes, _qtab): round-6 of the sum of m
+    table entries selected by the vector's codes — pure JVM (zip_with +
+    element_at + aggregate, whole-stage codegen)."""
+    return F.round(F.aggregate(
+        F.zip_with("codes", "_qtab",
+                   lambda c, t: F.element_at(t, c + F.lit(1))),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+
+
+def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+               n_centroids: int = 16, n_probe: int = 4, m: int = 4,
+               ksub: int = 16, shortlist: int = 50,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               qid_col: str = "query_id",
+               centroids: "np.ndarray | None" = None,
+               codebooks: "np.ndarray | None" = None,
+               dim: "int | None" = None) -> DataFrame:
+    """IVF-PQ / IVFADC (Jegou et al. TPAMI 2011 §V): the composition of
+    :func:`ivf_topk`'s coarse cell routing with :func:`pq_topk`'s ADC —
+    the production shape at 10^9+ vectors, where BOTH levers are needed:
+    the inverted file cuts the scanned fraction to ~n_probe/n_centroids,
+    and the PQ codes cut the per-vector footprint to (4 + m) bytes
+    (cell int + m codes), so the whole search structure lives in RAM
+    while raw embeddings cannot.
+
+    Plan shape: ONE pass over the vectors emits (id, cell, codes) — the
+    payload never enters the index; queries broadcast with their probe
+    cells and ADC tables; candidates come from a cell EQUI-join (a
+    vector lives in exactly one cell, so no dedup is needed and never a
+    cross-join); the ADC lookup-sum folds JVM-side; only the per-query
+    ADC top-``shortlist`` rows join the vector payload back for the
+    exact round-6 cosine re-rank (ties by id), so recall is set by
+    (n_probe, shortlist), not quantization error. Both quantizers default
+    to the SAMPLED (lowest-id) discipline; pass ``centroids`` /
+    ``codebooks`` (e.g. :func:`ivf_refine_centroids`) for refined ones —
+    the plan is identical, only the broadcast matrices change.
+
+    Recall accounting vs :func:`pq_topk` ``shortlist`` mode: the IVF stage
+    additionally excludes any true neighbor whose home cell is not probed
+    — the standard IVFADC trade (gate query ann_ivfpq_topk asserts
+    recall@10 against exact brute force)."""
+    Cc = _coarse_C(vectors, n_centroids, centroids, id_col, vec_col)
+    cell_of, probe_cells = _cell_udfs(Cc, n_probe)
+    CB = (pq_codebooks(vectors, m, ksub, id_col, vec_col, dim)
+          if codebooks is None else np.asarray(codebooks, dtype=np.float64))
+    v = vectors.select(F.col(id_col),
+                       cell_of(F.col(vec_col)).alias("cell"),
+                       _pq_codes_udf(CB)(F.col(vec_col)).alias("codes"))
+    q = queries.select(
+        F.col(qid_col),
+        _pq_dist_tables_udf(CB)(F.col(vec_col)).alias("_qtab"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"))
+    w = Window.partitionBy(qid_col).orderBy(F.asc("adc_dist"),
+                                            F.asc(id_col))
+    ranked = (v.join(F.broadcast(q), "cell")
+              .select(qid_col, id_col, _adc_col().alias("adc_dist"))
               .withColumn("rank", F.row_number().over(w)))
     if shortlist <= 0:
         return ranked.where(F.col("rank") <= k)

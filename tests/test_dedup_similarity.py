@@ -1050,3 +1050,49 @@ def test_pq_validation_errors(spark, embeddings):
         similarity.pq_codebooks(embeddings, m=5, ksub=16, dim=64)
     with pytest.raises(ValueError, match="need >="):
         similarity.pq_codebooks(embeddings.limit(3), m=4, ksub=16, dim=64)
+
+
+def test_ivfpq_topk_recall_and_partitioning_invariance(spark, embeddings):
+    """The composed IVF-PQ path: recall@10 vs brute force stays >= 0.7 per
+    query (cell routing adds the standard IVF miss on isotropic vectors)
+    with mean >= 0.8, and the whole chain is partitioning-invariant."""
+    queries = (embeddings.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = similarity.cosine_topk(embeddings, queries, k=10).toPandas()
+    approx = similarity.ivfpq_topk(embeddings, queries, k=10,
+                                   n_centroids=16, n_probe=6, m=8,
+                                   ksub=16, shortlist=100, dim=64).toPandas()
+    recalls = []
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert min(recalls) >= 0.7 and np.mean(recalls) >= 0.8, recalls
+
+    again = similarity.ivfpq_topk(embeddings.repartition(7), queries, k=10,
+                                  n_centroids=16, n_probe=6, m=8,
+                                  ksub=16, shortlist=100, dim=64).toPandas()
+    key = ["query_id", "rank"]
+    assert approx.sort_values(key).vec_id.tolist() == \
+        again.sort_values(key).vec_id.tolist()
+
+
+def test_ivfpq_topk_planted_copy_is_top1(spark, embeddings):
+    """A perturbed copy routes to its source's cell, quantizes to (nearly)
+    the same codes, and the exact re-rank surfaces it as top-1."""
+    base = embeddings.orderBy("vec_id").limit(40).toPandas()
+    plants = base.head(3).copy()
+    plants["vec_id"] = plants.vec_id + 1_000_000
+    plants["embedding"] = plants.embedding.map(
+        lambda v: [float(v[0]) + 0.05] + [float(x) for x in v[1:]])
+    base["embedding"] = base.embedding.map(lambda v: [float(x) for x in v])
+    full = spark.createDataFrame(pd.concat([base, plants],
+                                           ignore_index=True))
+    queries = (full.where("vec_id >= 1000000")
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = similarity.ivfpq_topk(full, queries, k=3, n_centroids=8,
+                                n_probe=4, m=4, ksub=16, shortlist=20,
+                                dim=64).toPandas()
+    for qid in queries.toPandas().query_id:
+        top = got[(got.query_id == qid) & (got["rank"] == 1)]
+        assert int(top.vec_id.iloc[0]) == int(qid)
