@@ -62,7 +62,8 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  simhash_pairs_sql)
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
 from grenier_spark.operators.textstats import BPE_ISH_PATTERN as _BPE_PATTERN
-from grenier_spark.operators.textstats import pmi_collocations_sql
+from grenier_spark.operators.textstats import (pmi_collocations_sql,
+                                               token_entropy_stats_sql)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -2112,6 +2113,15 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                             min_count=5, top_k=40)
 
 
+def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics (textstats.token_entropy_stats):
+    exact token/distinct/hapax counts + Shannon entropy via the
+    ddsum-reduced Σ c·ln c (oracle twin rides fsum + DuckDB ln)."""
+    from grenier_spark.operators.textstats import token_entropy_stats
+
+    return token_entropy_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source frequency-of-frequencies spectrum over the md5 token
     ids (textstats.token_freq_spectrum) — the vocab-sizing / Zipf view.
@@ -2595,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_kmv_by_source": q_token_kmv_by_source,
         "source_token_kmv_jaccard": q_source_token_kmv_jaccard,
         "pmi_collocations": q_pmi_collocations,
+        "source_token_entropy": q_source_token_entropy,
         "source_token_overlap": q_source_token_overlap,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_lm_scores": q_doc_lm_scores,
@@ -3056,6 +3067,8 @@ FROM events GROUP BY event_type""",
             "tk", 256, group_col="source"),
         "pmi_collocations": pmi_collocations_sql(
             "SELECT text FROM documents", min_count=5, top_k=40),
+        "source_token_entropy": token_entropy_stats_sql(
+            "SELECT source, text FROM documents"),
         "token_hll_by_source": (
             "SELECT c.source, round(c.est, 6) AS est_tokens, d.n_docs, "
             "d.n_tokens FROM (" + hll_card_sql(

@@ -562,6 +562,85 @@ def pmi_collocations(df, text_col: str = "text", min_count: int = 2,
             .select("w1", "w2", "c_xy", "c_w1", "c_w2", "pmi"))
 
 
+def token_entropy_stats(df, text_col: str = "text",
+                        group_col: str = "source"):
+    """Vocabulary statistics of the word distribution per group: token
+    count, distinct count, hapax count (frequency-1 types — the Zipf tail
+    mass) and Shannon entropy ``H = ln N − (Σ c·ln c)/N`` in nats — the
+    standard corpus-diversity / vocabulary-health signals a mixture
+    pipeline monitors per source.
+
+    Shape at 100 TB: ONE corpus scan feeds the inherent vocab-scale count
+    exchange (map-side combined — same as :func:`token_freq_spectrum`);
+    ``ln`` runs once per DISTINCT token as a vectorized numpy pass
+    (numpy-libm == DuckDB-libm, the suite's LM contract), and the
+    Σ c·ln c reduction rides the ddsum mergeable state so the oracle's
+    ``fsum`` reproduces it to the ulp regardless of partitioning (the
+    exact_value_sums pairing). Entropy is round-6; the count columns are
+    exact BIGINTs.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.aggregates import ddsum_agg_col
+    from ..functions.estimates import ddsum_col
+
+    # no type hints (module-level `from __future__ import annotations`)
+    @pandas_udf("double")
+    def _clnc(c):
+        x = c.to_numpy(dtype=np.float64)
+        return pd.Series(x * np.log(x))
+
+    @pandas_udf("double")
+    def _ln(x):
+        return pd.Series(np.log(x.to_numpy(dtype=np.float64)))
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    tok = df.select(group_col, F.explode(words).alias("w"))
+    counts = (tok.groupBy(group_col, "w")
+              .agg(F.count(F.lit(1)).alias("c")))
+    per = counts.select(group_col, "c", _clnc(F.col("c")).alias("clnc"))
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one groupBy, so the exact counters and the ddsum
+    # reduction are two group-scale aggs joined back on the key (the
+    # vocab-scale counts exchange below them is shared via AQE reuse)
+    exacts = (per.groupBy(group_col)
+              .agg(F.sum("c").alias("n_tokens"),
+                   F.count(F.lit(1)).alias("n_distinct"),
+                   F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                   .cast("long").alias("n_hapax")))
+    dd = (per.groupBy(group_col)
+          .agg(ddsum_agg_col("clnc").alias("_dd")))
+    agg = exacts.join(dd, group_col)
+    entropy = (_ln(F.col("n_tokens").cast("double"))
+               - ddsum_col("_dd") / F.col("n_tokens").cast("double"))
+    return (agg.select(group_col, "n_tokens", "n_distinct", "n_hapax",
+                       F.round(entropy, 6).alias("entropy")))
+
+
+def token_entropy_stats_sql(table_sql: str, text_col: str = "text",
+                            group_col: str = "source") -> str:
+    """DuckDB twin of :func:`token_entropy_stats`: same filtered split,
+    same per-distinct-token ``c·ln c`` doubles, ``fsum`` for the ddsum
+    reduction, same ``ln N − S/N`` chain, round-6."""
+    return f"""
+WITH cnt AS (
+  SELECT {group_col} AS g, w, COUNT(*)::BIGINT AS c FROM (
+    SELECT {group_col},
+           unnest(list_filter(string_split({text_col}, ' '), x -> x <> ''))
+             AS w
+    FROM ({table_sql}))
+  GROUP BY 1, 2)
+SELECT g AS {group_col}, SUM(c)::BIGINT AS n_tokens,
+       COUNT(*)::BIGINT AS n_distinct,
+       SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+       round(ln(SUM(c)::DOUBLE)
+             - fsum(c::DOUBLE * ln(c::DOUBLE)) / SUM(c)::DOUBLE, 6)
+         AS entropy
+FROM cnt GROUP BY 1"""
+
+
 def pmi_collocations_sql(table_sql: str, text_col: str = "text",
                          min_count: int = 2, top_k: int = 100) -> str:
     """DuckDB twin of :func:`pmi_collocations`: same filtered word split,

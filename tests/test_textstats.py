@@ -148,3 +148,31 @@ def test_pmi_degenerate_and_validation(spark):
         _pmi(spark, [(0, "a b")], min_count=0)
     with pytest.raises(ValueError):
         _pmi(spark, [(0, "a b")], top_k=0)
+
+
+def _entropy(spark, rows, **kw):
+    from grenier_spark.operators.textstats import token_entropy_stats
+
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = token_entropy_stats(df, **kw).toPandas()
+    return {r.source: (int(r.n_tokens), int(r.n_distinct), int(r.n_hapax),
+                       float(r.entropy))
+            for r in out.itertuples()}
+
+
+def test_token_entropy_known_answer(spark):
+    # source a: tokens (a a b) -> N=3, c_a=2, c_b=1
+    # H = ln 3 - (2 ln 2 + 1 ln 1)/3
+    got = _entropy(spark, [("s", "a a"), ("s", "b")])
+    h = math.log(3) - (2 * math.log(2)) / 3
+    assert got == {"s": (3, 2, 1, round(h, 6))}
+
+
+def test_token_entropy_degenerate(spark):
+    # single repeated word: entropy exactly 0 (ln N - (N ln N)/N)
+    got = _entropy(spark, [("s", "x x x x")])
+    assert got == {"s": (4, 1, 0, 0.0)}
+    # empty / NULL text contribute no tokens; all-empty group drops
+    got2 = _entropy(spark, [("s", "a b"), ("t", ""), ("u", None)])
+    assert set(got2) == {"s"}
+    assert got2["s"] == (2, 2, 2, round(math.log(2), 6))
