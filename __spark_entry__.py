@@ -63,7 +63,8 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
 from grenier_spark.operators.textstats import BPE_ISH_PATTERN as _BPE_PATTERN
 from grenier_spark.operators.textstats import (pmi_collocations_sql,
-                                               token_entropy_stats_sql)
+                                               token_entropy_stats_sql,
+                                               token_kl_matrix_sql)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -2122,6 +2123,16 @@ def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-distribution KL matrix (textstats.token_kl_matrix,
+    add-0.5 smoothing over the global vocab): both directed sums ride
+    ddsum states, the oracle replays the whole dense smoothing/ln chain
+    with fsum."""
+    from grenier_spark.operators.textstats import token_kl_matrix
+
+    return token_kl_matrix(_t(spark, sf_dir, "documents"))
+
+
 def q_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source frequency-of-frequencies spectrum over the md5 token
     ids (textstats.token_freq_spectrum) — the vocab-sizing / Zipf view.
@@ -2606,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_kmv_jaccard": q_source_token_kmv_jaccard,
         "pmi_collocations": q_pmi_collocations,
         "source_token_entropy": q_source_token_entropy,
+        "source_token_kl": q_source_token_kl,
         "source_token_overlap": q_source_token_overlap,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_lm_scores": q_doc_lm_scores,
@@ -3068,6 +3080,8 @@ FROM events GROUP BY event_type""",
         "pmi_collocations": pmi_collocations_sql(
             "SELECT text FROM documents", min_count=5, top_k=40),
         "source_token_entropy": token_entropy_stats_sql(
+            "SELECT source, text FROM documents"),
+        "source_token_kl": token_kl_matrix_sql(
             "SELECT source, text FROM documents"),
         "token_hll_by_source": (
             "SELECT c.source, round(c.est, 6) AS est_tokens, d.n_docs, "

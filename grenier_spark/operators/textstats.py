@@ -641,6 +641,107 @@ SELECT g AS {group_col}, SUM(c)::BIGINT AS n_tokens,
 FROM cnt GROUP BY 1"""
 
 
+def token_kl_matrix(df, text_col: str = "text", group_col: str = "source",
+                    alpha: float = 0.5):
+    """Pairwise KL divergence between the groups' token distributions —
+    the mixture-diagnostics companion to :func:`token_entropy_stats`
+    (which source is drifting, which pair is redundant): for every group
+    pair (a < b), ``KL(a||b) = Σ_V p_a ln(p_a/p_b)`` and the reverse, with
+    add-``alpha`` smoothing over the GLOBAL vocabulary ``V`` so both
+    distributions have full support:
+    ``p_g(w) = (c_gw + alpha) / (N_g + alpha·|V|)``.
+
+    Shape: one vocab-scale count exchange (map-side combined), then a
+    dense (vocab x groups) frame joins itself on the word — |V|·S²/2
+    pair-word rows, fine for the handful of sources a corpus mixes (at
+    very large S restrict to selected pairs). Totals and |V| ride in as
+    lazy broadcast 1-row crossJoins. Both directed sums ride ddsum states
+    (== the oracle's fsum to the ulp); ``ln`` is one vectorized numpy
+    pass over the pair-word rows (numpy-libm == DuckDB-libm). Returns
+    (group_a, group_b, kl_ab, kl_ba) round-6, pairs a < b.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.aggregates import ddsum_agg_col
+    from ..functions.estimates import ddsum_col
+
+    if not 0.0 < alpha:
+        raise ValueError("alpha must be > 0 (zero breaks full support)")
+
+    @pandas_udf("double")
+    def _ln(x):
+        return pd.Series(np.log(x.to_numpy(dtype=np.float64)))
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    tok = df.select(F.col(group_col).alias("g"), F.explode(words).alias("w"))
+    counts = tok.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = tok.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    vsize = counts.select("w").distinct().agg(
+        F.count(F.lit(1)).alias("v"))
+    dense = (counts.select("w").distinct()
+             .crossJoin(totals)  # (w, g, n) for every group x word
+             .join(counts, ["g", "w"], "left")
+             .select("g", "w", "n",
+                     F.coalesce("c", F.lit(0)).alias("c"))
+             .crossJoin(F.broadcast(vsize)))
+    p = ((F.col("c").cast("double") + F.lit(float(alpha)))
+         / (F.col("n").cast("double")
+            + F.lit(float(alpha)) * F.col("v").cast("double")))
+    side = dense.select("g", "w", p.alias("p"))
+    a = side.select(F.col("g").alias("ga"), "w", F.col("p").alias("pa"))
+    b = side.select(F.col("g").alias("gb"), "w", F.col("p").alias("pb"))
+    pairs = (a.join(b, "w").where(F.col("ga") < F.col("gb"))
+             .withColumn("t_ab", F.col("pa") * _ln(F.col("pa")
+                                                   / F.col("pb")))
+             .withColumn("t_ba", F.col("pb") * _ln(F.col("pb")
+                                                   / F.col("pa"))))
+    agg = (pairs.groupBy("ga", "gb")
+           .agg(ddsum_agg_col("t_ab").alias("_da"),
+                ddsum_agg_col("t_ba").alias("_db")))
+    return (agg.select(F.col("ga").alias("group_a"),
+                       F.col("gb").alias("group_b"),
+                       F.round(ddsum_col("_da"), 6).alias("kl_ab"),
+                       F.round(ddsum_col("_db"), 6).alias("kl_ba")))
+
+
+def token_kl_matrix_sql(table_sql: str, text_col: str = "text",
+                        group_col: str = "source",
+                        alpha: float = 0.5) -> str:
+    """DuckDB twin of :func:`token_kl_matrix`: same smoothing chain over
+    the same dense vocab x groups frame, fsum for the ddsum reductions,
+    same ln, round-6."""
+    return f"""
+WITH tok AS (
+  SELECT {group_col} AS g,
+         unnest(list_filter(string_split({text_col}, ' '), x -> x <> ''))
+           AS w
+  FROM ({table_sql})),
+cnt AS (SELECT g, w, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT g, COUNT(*)::BIGINT AS n FROM tok GROUP BY 1),
+vs AS (SELECT COUNT(DISTINCT w)::BIGINT AS v FROM cnt),
+dense AS (
+  SELECT t.g, vv.w, t.n, COALESCE(c.c, 0)::BIGINT AS c, (SELECT v FROM vs) AS v
+  FROM (SELECT DISTINCT w FROM cnt) vv
+  CROSS JOIN tot t
+  LEFT JOIN cnt c ON c.g = t.g AND c.w = vv.w),
+side AS (
+  SELECT g, w,
+         (c::DOUBLE + {alpha!r}::DOUBLE)
+           / (n::DOUBLE + {alpha!r}::DOUBLE * v::DOUBLE) AS p
+  FROM dense),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb,
+         a.p * ln(a.p / b.p) AS t_ab,
+         b.p * ln(b.p / a.p) AS t_ba
+  FROM side a JOIN side b ON a.w = b.w AND a.g < b.g)
+SELECT ga AS group_a, gb AS group_b,
+       round(fsum(t_ab), 6) AS kl_ab,
+       round(fsum(t_ba), 6) AS kl_ba
+FROM pairs GROUP BY 1, 2"""
+
+
 def pmi_collocations_sql(table_sql: str, text_col: str = "text",
                          min_count: int = 2, top_k: int = 100) -> str:
     """DuckDB twin of :func:`pmi_collocations`: same filtered word split,

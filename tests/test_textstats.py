@@ -176,3 +176,29 @@ def test_token_entropy_degenerate(spark):
     got2 = _entropy(spark, [("s", "a b"), ("t", ""), ("u", None)])
     assert set(got2) == {"s"}
     assert got2["s"] == (2, 2, 2, round(math.log(2), 6))
+
+
+def test_token_kl_known_answer(spark):
+    from grenier_spark.operators.textstats import token_kl_matrix
+
+    df = spark.createDataFrame([("s", "a a"), ("s", "b"), ("t", "b c")],
+                               "source string, text string")
+    out = token_kl_matrix(df).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.group_a, r.group_b) == ("s", "t")
+    # V=3, alpha=0.5: p_s over (a,b,c) = (2.5, 1.5, 0.5)/4.5,
+    # p_t = (0.5, 1.5, 1.5)/3.5
+    ps = [2.5 / 4.5, 1.5 / 4.5, 0.5 / 4.5]
+    pt = [0.5 / 3.5, 1.5 / 3.5, 1.5 / 3.5]
+    kl_st = sum(p * math.log(p / q) for p, q in zip(ps, pt))
+    kl_ts = sum(q * math.log(q / p) for p, q in zip(ps, pt))
+    assert r.kl_ab == pytest.approx(round(kl_st, 6), abs=2e-6)
+    assert r.kl_ba == pytest.approx(round(kl_ts, 6), abs=2e-6)
+    # KL of a distribution with itself is exactly 0 on both directions
+    df2 = spark.createDataFrame([("x", "a b c"), ("y", "a b c")],
+                                "source string, text string")
+    out2 = token_kl_matrix(df2).toPandas().iloc[0]
+    assert out2.kl_ab == 0.0 and out2.kl_ba == 0.0
+    with pytest.raises(ValueError):
+        token_kl_matrix(df, alpha=0.0)
