@@ -770,3 +770,33 @@ def test_pmi_hypothesis_random_corpora(spark):
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
     check()
+
+
+def test_entropy_and_kl_match_duckdb_adversarial(spark, corpus, duck):
+    """The entropy (ln N − ddsum(c·ln c)/N == fsum twin) and KL
+    (smoothed dense-support ratio ln, both directed ddsums) chains agree
+    on adversarial texts — unicode words, empty tokens from repeated
+    separators, singleton-heavy vocabularies."""
+    from grenier_spark.operators.textstats import (token_entropy_stats,
+                                                   token_entropy_stats_sql,
+                                                   token_kl_matrix,
+                                                   token_kl_matrix_sql)
+
+    # two synthetic groups over the adversarial texts: doc parity
+    df = (spark.createDataFrame(corpus, "doc_id long, text string")
+          .withColumn("source", F.concat(F.lit("g"),
+                                         (F.col("doc_id") % 2))))
+    tbl = ("SELECT doc_id % 2 AS par, 'g' || (doc_id % 2)::VARCHAR "
+           "AS source, text FROM docs")
+    got = (token_entropy_stats(df).toPandas()
+           .sort_values("source").reset_index(drop=True))
+    exp = duck.execute(
+        "SELECT * FROM (" + token_entropy_stats_sql(tbl)
+        + ") ORDER BY source").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    gotk = (token_kl_matrix(df).toPandas()
+            .sort_values(["group_a", "group_b"]).reset_index(drop=True))
+    expk = (duck.execute(token_kl_matrix_sql(tbl)).df()
+            .sort_values(["group_a", "group_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(gotk, expk, check_dtype=False)
+    assert len(gotk) == 1 and gotk.kl_ab.iloc[0] > 0
