@@ -69,6 +69,34 @@ def register_sql_functions(spark) -> None:
 
         return blobs.map(lambda b: DDSum.from_bytes(bytes(b)).value())
 
+    @pandas_udf("double")
+    def _kmv_card(blobs: pd.Series) -> pd.Series:
+        from ..core.kmv import KMV
+
+        return blobs.map(lambda b: KMV.from_bytes(bytes(b)).estimate())
+
+    @pandas_udf("long")
+    def _csk_f2(blobs: pd.Series) -> pd.Series:
+        from ..core.countsketch import CountSketch
+
+        return blobs.map(lambda b: CountSketch.from_bytes(bytes(b)).f2())
+
+    @pandas_udf("double")
+    def _mom_mean(blobs: pd.Series) -> pd.Series:
+        from ..core.doubledouble import Moments
+
+        return blobs.map(lambda b: Moments.from_bytes(bytes(b)).stats()[1])
+
+    @pandas_udf("double")
+    def _mom_variance(blobs: pd.Series) -> pd.Series:
+        from ..core.doubledouble import Moments
+
+        return blobs.map(lambda b: Moments.from_bytes(bytes(b)).stats()[2])
+
+    spark.udf.register("kmv_card", _kmv_card)
+    spark.udf.register("csk_f2", _csk_f2)
+    spark.udf.register("mom_mean", _mom_mean)
+    spark.udf.register("mom_variance", _mom_variance)
     spark.udf.register("ddsum_value", _ddsum_v)
     spark.udf.register("hll_card", _hll_card)
     spark.udf.register("hll_card_original", _hll_card_original)

@@ -533,6 +533,24 @@ def test_sql_aggregate_surface_composes(spark, docs_df, local_rows):
         assert out[src][0] == hll.card(t), src
         sel = local_rows[local_rows.source == src]
         assert out[src][1] == float(sum(int(x) for x in sel.n_tok)), src
+    # the newer kinds compose in plain SQL too: kmv estimate and the
+    # Moments mean must equal their kernel twins
+    from grenier_spark.core.doubledouble import Moments
+    from grenier_spark.core.kmv import KMV
+
+    out2 = {r.source: (r.kest, r.mmean) for r in spark.sql(
+        "SELECT source, kmv_card(kmv_agg(tokens)) AS kest, "
+        "       mom_mean(mom_agg(CAST(n_tok AS DOUBLE))) AS mmean "
+        "FROM udaf_docs GROUP BY source").collect()}
+    for src in ["web", "books"]:
+        toks = local_tokens(local_rows, src)
+        kv = KMV(256)
+        kv.update_batch(toks.view(np.int64))
+        assert out2[src][0] == kv.estimate(), src
+        sel = local_rows[local_rows.source == src]
+        mo = Moments()
+        mo.update_batch(sel.n_tok.to_numpy(dtype=np.float64))
+        assert out2[src][1] == pytest.approx(mo.stats()[1], rel=1e-12), src
 
 
 def test_udaf_kll_quantiles_within_rank_bound(spark, docs_df, local_rows):
