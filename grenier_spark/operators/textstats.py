@@ -658,7 +658,10 @@ def token_kl_matrix(df, text_col: str = "text", group_col: str = "source",
     lazy broadcast 1-row crossJoins. Both directed sums ride ddsum states
     (== the oracle's fsum to the ulp); ``ln`` is one vectorized numpy
     pass over the pair-word rows (numpy-libm == DuckDB-libm). Returns
-    (group_a, group_b, kl_ab, kl_ba) round-6, pairs a < b.
+    (group_a, group_b, kl_ab, kl_ba, jsd) round-6, pairs a < b — ``jsd``
+    is the Jensen-Shannon divergence ``0.5·KL(a||m) + 0.5·KL(b||m)`` with
+    ``m = 0.5·(p_a + p_b)``: symmetric, bounded by ln 2, the form a
+    mixture pipeline thresholds on.
     """
     import numpy as np
     import pandas as pd
@@ -692,18 +695,26 @@ def token_kl_matrix(df, text_col: str = "text", group_col: str = "source",
     side = dense.select("g", "w", p.alias("p"))
     a = side.select(F.col("g").alias("ga"), "w", F.col("p").alias("pa"))
     b = side.select(F.col("g").alias("gb"), "w", F.col("p").alias("pb"))
+    mid = F.lit(0.5) * (F.col("pa") + F.col("pb"))
     pairs = (a.join(b, "w").where(F.col("ga") < F.col("gb"))
              .withColumn("t_ab", F.col("pa") * _ln(F.col("pa")
                                                    / F.col("pb")))
              .withColumn("t_ba", F.col("pb") * _ln(F.col("pb")
-                                                   / F.col("pa"))))
+                                                   / F.col("pa")))
+             .withColumn("t_am", F.col("pa") * _ln(F.col("pa") / mid))
+             .withColumn("t_bm", F.col("pb") * _ln(F.col("pb") / mid)))
     agg = (pairs.groupBy("ga", "gb")
            .agg(ddsum_agg_col("t_ab").alias("_da"),
-                ddsum_agg_col("t_ba").alias("_db")))
+                ddsum_agg_col("t_ba").alias("_db"),
+                ddsum_agg_col("t_am").alias("_dam"),
+                ddsum_agg_col("t_bm").alias("_dbm")))
+    jsd = (F.lit(0.5) * ddsum_col("_dam")
+           + F.lit(0.5) * ddsum_col("_dbm"))
     return (agg.select(F.col("ga").alias("group_a"),
                        F.col("gb").alias("group_b"),
                        F.round(ddsum_col("_da"), 6).alias("kl_ab"),
-                       F.round(ddsum_col("_db"), 6).alias("kl_ba")))
+                       F.round(ddsum_col("_db"), 6).alias("kl_ba"),
+                       F.round(jsd, 6).alias("jsd")))
 
 
 def token_kl_matrix_sql(table_sql: str, text_col: str = "text",
@@ -734,11 +745,14 @@ side AS (
 pairs AS (
   SELECT a.g AS ga, b.g AS gb,
          a.p * ln(a.p / b.p) AS t_ab,
-         b.p * ln(b.p / a.p) AS t_ba
+         b.p * ln(b.p / a.p) AS t_ba,
+         a.p * ln(a.p / (0.5::DOUBLE * (a.p + b.p))) AS t_am,
+         b.p * ln(b.p / (0.5::DOUBLE * (a.p + b.p))) AS t_bm
   FROM side a JOIN side b ON a.w = b.w AND a.g < b.g)
 SELECT ga AS group_a, gb AS group_b,
        round(fsum(t_ab), 6) AS kl_ab,
-       round(fsum(t_ba), 6) AS kl_ba
+       round(fsum(t_ba), 6) AS kl_ba,
+       round(0.5::DOUBLE * fsum(t_am) + 0.5::DOUBLE * fsum(t_bm), 6) AS jsd
 FROM pairs GROUP BY 1, 2"""
 
 

@@ -193,12 +193,17 @@ def test_token_kl_known_answer(spark):
     pt = [0.5 / 3.5, 1.5 / 3.5, 1.5 / 3.5]
     kl_st = sum(p * math.log(p / q) for p, q in zip(ps, pt))
     kl_ts = sum(q * math.log(q / p) for p, q in zip(ps, pt))
+    jsd = sum(0.5 * p * math.log(p / (0.5 * (p + q)))
+              + 0.5 * q * math.log(q / (0.5 * (p + q)))
+              for p, q in zip(ps, pt))
     assert r.kl_ab == pytest.approx(round(kl_st, 6), abs=2e-6)
     assert r.kl_ba == pytest.approx(round(kl_ts, 6), abs=2e-6)
-    # KL of a distribution with itself is exactly 0 on both directions
+    assert r.jsd == pytest.approx(round(jsd, 6), abs=2e-6)
+    assert 0 < r.jsd < math.log(2)
+    # identical distributions: zero divergence on every output
     df2 = spark.createDataFrame([("x", "a b c"), ("y", "a b c")],
                                 "source string, text string")
     out2 = token_kl_matrix(df2).toPandas().iloc[0]
-    assert out2.kl_ab == 0.0 and out2.kl_ba == 0.0
+    assert out2.kl_ab == 0.0 and out2.kl_ba == 0.0 and out2.jsd == 0.0
     with pytest.raises(ValueError):
         token_kl_matrix(df, alpha=0.0)
