@@ -85,21 +85,27 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-source distinct-token estimate + n_chars t-digest over
-    the tokenized documents table, through the full two-level pipeline."""
+    the tokenized documents table, through the full two-level pipeline.
+    The sketch rows pivot into one row per source (no self-join of the
+    build output — the corpus is scanned exactly ONCE, the same
+    single-pass shape q_source_profile plan-gates)."""
     docs = _tokenized_docs(spark, SF0001)
     specs = [SketchSpec.of("tok_hll", "hll", "tokens", p=12),
              SketchSpec.of("chars_td", "tdigest", "n_chars", delta=200)]
     res = build_sketches(docs, specs, group_cols=["source"])
-    hll_rows = (res.where("sketch_name = 'tok_hll'")
-                .select("source",
-                        hll_card_col("sketch").alias("est_distinct_tokens"),
-                        F.col("n_rows").alias("n_docs"),
-                        F.col("n_values").alias("n_tokens")))
-    td_rows = (res.where("sketch_name = 'chars_td'")
-               .select("source",
-                       tdigest_quantiles_col("sketch", [0.5]).getItem(0)
-                       .alias("p50_chars")))
-    return hll_rows.join(td_rows, "source").orderBy("source")
+    wide = (res.groupBy("source")
+            .pivot("sketch_name", ["tok_hll", "chars_td"])
+            .agg(F.first("sketch").alias("sk"),
+                 F.first("n_rows").alias("nr"),
+                 F.first("n_values").alias("nv")))
+    return (wide.select(
+        "source",
+        hll_card_col("tok_hll_sk").alias("est_distinct_tokens"),
+        F.col("tok_hll_nr").alias("n_docs"),
+        F.col("tok_hll_nv").alias("n_tokens"),
+        tdigest_quantiles_col("chars_td_sk", [0.5]).getItem(0)
+        .alias("p50_chars"))
+            .orderBy("source"))
 
 
 # --------------------------------------------------------------------------
