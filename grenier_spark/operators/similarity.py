@@ -714,24 +714,8 @@ def semdedup(vectors: DataFrame, tau: float = 0.9, n_centroids: int = 16,
     """
     from .dedup import connected_components
 
-    if centroids is not None:
-        C = np.asarray(centroids, dtype=np.float64)
-    else:
-        cents = (vectors.orderBy(id_col).limit(n_centroids)
-                 .select(F.transform(vec_col, lambda x: x.cast("double"))
-                         .alias("cv")).toPandas())
-        C = np.asarray([np.asarray(v, dtype=np.float64)
-                        for v in cents["cv"]])
-    cnorm = np.sqrt((C * C).sum(axis=1))
-    cnorm = np.where(cnorm == 0, 1.0, cnorm)
-
-    @pandas_udf("int")
-    def _cell_of(vs: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        vnorm = np.sqrt((mat * mat).sum(axis=1))
-        vnorm = np.where(vnorm == 0, 1.0, vnorm)
-        cos6 = np.round((mat @ C.T) / (vnorm[:, None] * cnorm[None, :]), 6)
-        return pd.Series(np.argmax(cos6, axis=1).astype(np.int32))
+    C = _coarse_C(vectors, n_centroids, centroids, id_col, vec_col)
+    _cell_of, _ = _cell_udfs(C, n_probe=1)
 
     # persisted: feeds both sides of the self-join, the node list and the
     # final output join — without the cache the assignment UDF re-runs 4x
