@@ -519,7 +519,10 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     cross-joins the BROADCAST queries (each carrying its distance table),
     the lookup-sum folds JVM-side (zip_with + element_at + aggregate,
     whole-stage codegen, no Python in the scan), and only narrow
-    (qid, id, adc) rows reach the per-query top-k window; the re-rank
+    (qid, id, adc) rows reach the per-query top-k, which is the
+    salt-split two-stage min-K (``_bounded_topk`` — no per-query window
+    task, so one query scanning the whole corpus still parallelizes); the
+    re-rank
     joins vector payloads back for shortlist rows only. At 100 TB the
     codes frame is the only corpus-scale input, ~m bytes/vector — the
     memory lever that lets the search structure live in RAM when raw
@@ -532,21 +535,44 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     enc = pq_encode(vectors, C, id_col, vec_col)
     q = queries.select(F.col(qid_col),
                        _pq_dist_tables_udf(C)(F.col(vec_col)).alias("_qtab"))
-    adc = _adc_col()
-    w = Window.partitionBy(qid_col).orderBy(F.asc("adc_dist"),
-                                            F.asc(id_col))
-    ranked = (enc.crossJoin(F.broadcast(q))
-              .select(qid_col, id_col, adc.alias("adc_dist"))
-              .withColumn("rank", F.row_number().over(w)))
+    scores = (enc.crossJoin(F.broadcast(q))
+              .select(qid_col, id_col, _adc_col().alias("adc_dist")))
     if shortlist <= 0:
-        return ranked.where(F.col("rank") <= k)
-    cands = (ranked.where(F.col("rank") <= shortlist)
+        return _bounded_topk(scores, qid_col, id_col, "adc_dist", k)
+    cands = (_bounded_topk(scores, qid_col, id_col, "adc_dist", shortlist)
              .select(qid_col, id_col)
              .join(vectors.select(F.col(id_col),
                                   F.col(vec_col).alias("_v")), id_col)
              .join(F.broadcast(queries.select(
                  F.col(qid_col), F.col(vec_col).alias("_qv"))), qid_col))
     return _rerank_topk(cands, k, qid_col, id_col, round6=True)
+
+
+def _bounded_topk(rows: DataFrame, qid_col: str, id_col: str,
+                  key_col: str, k: int, n_salts: int = 64) -> DataFrame:
+    """Per-query top-``k`` by (``key_col`` asc, ``id_col`` asc) WITHOUT a
+    per-query window: salt-split two-stage min-K (the exact_dup_groups
+    shape). A row_number window puts ALL of one query's candidate rows in
+    ONE task — for an ADC scan that is the whole corpus per query, which
+    no cluster size fixes. Here stage 1 reduces each (query, salt) slice
+    to its k smallest (key, id) structs (map-side combined), stage 2
+    merges the <= n_salts*k survivors per query, and ranks come from the
+    final sorted array's positions — identical output ordering rule to
+    the window it replaces (struct comparison is lexicographic)."""
+    sk = F.struct(F.col(key_col), F.col(id_col))
+    s1 = (rows.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)),
+                                          F.lit(n_salts)))
+          .groupBy(qid_col, "_salt")
+          .agg(F.slice(F.sort_array(F.collect_list(sk)), 1, k)
+               .alias("_a")))
+    s2 = (s1.groupBy(qid_col)
+          .agg(F.slice(F.sort_array(F.flatten(F.collect_list("_a"))),
+                       1, k).alias("_a")))
+    ex = s2.select(qid_col, F.posexplode("_a").alias("_pos", "_s"))
+    return ex.select(qid_col,
+                     F.col(f"_s.{id_col}").alias(id_col),
+                     F.col(f"_s.{key_col}").alias(key_col),
+                     (F.col("_pos") + 1).alias("rank"))
 
 
 def _adc_col():
@@ -602,14 +628,11 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         F.col(qid_col),
         _pq_dist_tables_udf(CB)(F.col(vec_col)).alias("_qtab"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"))
-    w = Window.partitionBy(qid_col).orderBy(F.asc("adc_dist"),
-                                            F.asc(id_col))
-    ranked = (v.join(F.broadcast(q), "cell")
-              .select(qid_col, id_col, _adc_col().alias("adc_dist"))
-              .withColumn("rank", F.row_number().over(w)))
+    scores = (v.join(F.broadcast(q), "cell")
+              .select(qid_col, id_col, _adc_col().alias("adc_dist")))
     if shortlist <= 0:
-        return ranked.where(F.col("rank") <= k)
-    cands = (ranked.where(F.col("rank") <= shortlist)
+        return _bounded_topk(scores, qid_col, id_col, "adc_dist", k)
+    cands = (_bounded_topk(scores, qid_col, id_col, "adc_dist", shortlist)
              .select(qid_col, id_col)
              .join(vectors.select(F.col(id_col),
                                   F.col(vec_col).alias("_v")), id_col)
