@@ -41,17 +41,21 @@ def _cos(a, b):
 
 def _rerank_topk(cands, k: int, qid_col: str, id_col: str,
                  round6: bool = False):
-    """Shared exact re-rank tail: window-rank candidates per query by
-    cosine desc (NULLs excluded), ties by id. ``round6`` ranks by the
-    round-6 cosine (cross-engine contract of the rademacher/IVF paths)."""
+    """Shared exact re-rank tail: per-query top-k by cosine desc (NULLs
+    excluded), ties by id. ``round6`` ranks by the round-6 cosine
+    (cross-engine contract of the rademacher/IVF paths). The ranking is
+    the salt-split bounded min-K (:func:`_bounded_topk`) on the NEGATED
+    cosine — an exact sign flip, so the ordering rule is identical to the
+    row_number window it replaces, but one query's candidate set (the
+    whole corpus, in the brute-force baseline) never lands in one task."""
     cos = _cos("_v", "_qv")
     cos = F.round(cos, 6) if round6 else cos
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"),
-                                            F.asc(id_col))
-    return (cands.select(qid_col, id_col, cos.alias("cos_sim"))
-            .where(F.col("cos_sim").isNotNull())
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    scored = (cands.select(qid_col, id_col, cos.alias("cos_sim"))
+              .where(F.col("cos_sim").isNotNull())
+              .select(qid_col, id_col, (-F.col("cos_sim")).alias("_nc")))
+    top = _bounded_topk(scored, qid_col, id_col, "_nc", k)
+    return top.select(qid_col, id_col,
+                      (-F.col("_nc")).alias("cos_sim"), "rank")
 
 
 def _bucket_candidates(vectors, queries, bucket_udf, id_col: str,
@@ -253,10 +257,14 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
 
     cos = _dot(vec_col, "qv") / (_norm1(vec_col) * _norm1("qv"))
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (cands.select(qid_col, id_col, F.round(cos, 6).alias("cos_sim"))
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    # per-query top-k via the salt-split bounded min-K on the negated
+    # round-6 cosine (exact sign flip — same ordering rule as the window
+    # it replaces); a hot cell x query set never lands in one task
+    scored = (cands.select(qid_col, id_col,
+                           (-F.round(cos, 6)).alias("_nc")))
+    top = _bounded_topk(scored, qid_col, id_col, "_nc", k)
+    return top.select(qid_col, id_col,
+                      (-F.col("_nc")).alias("cos_sim"), "rank")
 
 
 def ivf_refine_centroids(vectors: DataFrame, n_centroids: int = 16,
