@@ -2,7 +2,7 @@
 
 * ``cosine_topk`` — brute-force baseline: broadcast the query vectors,
   fold dot products JVM-side (zip_with + aggregate, whole-stage codegen),
-  window-rank per query. Exact; O(n_queries * n_vectors) but fully
+  salt-split bounded top-k per query. Exact; O(n_queries * n_vectors) but fully
   distributed and shuffle-light (only top-k rows move).
 * ``lsh_topk`` — the scale path: random-hyperplane LSH (Charikar 2002).
   Deterministic seeded hyperplanes -> sign-bit signature -> multi-probe via
@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
