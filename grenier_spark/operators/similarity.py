@@ -563,10 +563,15 @@ def _bounded_topk(rows: DataFrame, qid_col: str, id_col: str,
     shape). A row_number window puts ALL of one query's candidate rows in
     ONE task — for an ADC scan that is the whole corpus per query, which
     no cluster size fixes. Here stage 1 reduces each (query, salt) slice
-    to its k smallest (key, id) structs (map-side combined), stage 2
-    merges the <= n_salts*k survivors per query, and ranks come from the
-    final sorted array's positions — identical output ordering rule to
-    the window it replaces (struct comparison is lexicographic)."""
+    to its k smallest (key, id) structs, stage 2 merges the <=
+    n_salts*k survivors per query, and ranks come from the final sorted
+    array's positions — identical output ordering rule to the window it
+    replaces (struct comparison is lexicographic). Buffer honesty:
+    collect_list slices only AFTER aggregating, so a stage-1 task still
+    buffers its (query, salt) slice ~N_cands/n_salts rows (spillable) —
+    the salt bounds the per-task buffer and parallelizes the reduction
+    n_salts-ways, it does not shrink the shuffled volume; raise
+    ``n_salts`` for extreme candidate counts."""
     sk = F.struct(F.col(key_col), F.col(id_col))
     s1 = (rows.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)),
                                           F.lit(n_salts)))
