@@ -1433,6 +1433,58 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, token long, f long, n long")
 
 
+def q_streaming_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming running moments in the gate (streaming/stateful.py
+    moments_state_stream): events arrive in two micro-batches (event_id
+    parity); the per-event_type Moments summary lives in the state store
+    across triggers. Final-trigger rows (n == the exact per-type non-null
+    count) carry mean/variance/skew/kurtosis that match the batch oracle
+    (the same fsum SQL as value_moments_by_type) to round-6."""
+    import tempfile
+    import time as _time
+
+    from grenier_spark.streaming.stateful import moments_state_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type", F.col("value").cast("double").alias("value"))
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ck"
+        ev.where("event_id % 2 = 0").coalesce(1).write.parquet(f"{src}/b1")
+        _time.sleep(0.05)
+        stream = (spark.readStream
+                  .schema("event_id long, event_type string, value double")
+                  .option("maxFilesPerTrigger", "1").parquet(f"{src}/*"))
+        out = moments_state_stream(stream, "event_type")
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName("g_stream_mom")
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            ev.where("event_id % 2 = 1").coalesce(1) \
+                .write.parquet(f"{src}/b2")
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM g_stream_mom").toPandas()
+        finally:
+            q.stop()
+    totals = {r.event_type: r._n for r in
+              ev.where("value IS NOT NULL").groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("_n")).collect()}
+    fin = got[got.apply(lambda r: r.n == totals.get(r.event_type),
+                        axis=1)]
+    # a key whose second slice was all-NULL emits the same (n, stats) row
+    # on both triggers — keep one (the rows are identical by construction)
+    fin = fin.drop_duplicates(subset=["event_type"]).reset_index(drop=True)
+    res = spark.createDataFrame(
+        fin, "event_type string, n bigint, mean double, variance double, "
+             "skew double, kurtosis double")
+    return res.select("event_type", F.col("n").alias("n_events"),
+                      F.round("mean", 6).alias("mean_value"),
+                      F.round("variance", 6).alias("var_value"),
+                      F.round("skew", 6).alias("skew_value"),
+                      F.round("kurtosis", 6).alias("kurt_value"))
+
+
 def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windows + watermark in the gate (streaming/stateful.py
     windowed_hll_stream): events arrive in TIME ORDER (first half, second
@@ -2592,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_dedup_docs": q_ingest_dedup_docs,
         "streaming_dedup_docs": q_streaming_dedup_docs,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        "streaming_value_moments": q_streaming_value_moments,
         "streaming_windowed_hll": q_streaming_windowed_hll,
         "shard_manifest_stats": q_shard_manifest_stats,
         "embedding_neardup": q_embedding_neardup,
@@ -2860,6 +2913,35 @@ WHERE {stratified_sample_sql_pred('doc_id', 0.2, 11)}
 GROUP BY source"""
 
 
+_MOMENTS_ORACLE_SQL = """
+WITH s AS (
+  SELECT event_type, COUNT(value)::BIGINT AS n,
+         fsum(value) AS s1,
+         fsum(value * value) AS s2,
+         fsum(value * value * value) AS s3,
+         fsum(value * value * value * value) AS s4
+  FROM events GROUP BY event_type),
+d AS (
+  SELECT event_type, n, s1 / n AS mean,
+         greatest(s2 / n - (s1 / n) * (s1 / n), 0.0) AS var,
+         s2 / n AS m2r, s3 / n AS m3r, s4 / n AS m4r
+  FROM s),
+e AS (
+  SELECT event_type, n, mean, var,
+         m3r - 3.0 * mean * m2r + 2.0 * (mean * mean) * mean AS m3,
+         m4r - 4.0 * mean * m3r + 6.0 * (mean * mean) * m2r
+             - 3.0 * ((mean * mean) * (mean * mean)) AS m4
+  FROM d)
+SELECT event_type, n AS n_events,
+       round(mean, 6) AS mean_value,
+       round(var, 6) AS var_value,
+       CASE WHEN var = 0.0 THEN NULL
+            ELSE round(m3 / pow(var, 1.5), 6) END AS skew_value,
+       CASE WHEN var = 0.0 THEN NULL
+            ELSE round(m4 / (var * var) - 3.0, 6) END AS kurt_value
+FROM e"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "value_quantiles_tdigest": _quantile_bound_oracle(
@@ -2961,33 +3043,11 @@ WHERE f_exact::DOUBLE >= 0.03::DOUBLE * n::DOUBLE""",
 SELECT event_type, round(fsum(value), 6) AS sum_value,
        COUNT(value)::BIGINT AS n_events
 FROM events GROUP BY event_type""",
-        "value_moments_by_type": """
-WITH s AS (
-  SELECT event_type, COUNT(value)::BIGINT AS n,
-         fsum(value) AS s1,
-         fsum(value * value) AS s2,
-         fsum(value * value * value) AS s3,
-         fsum(value * value * value * value) AS s4
-  FROM events GROUP BY event_type),
-d AS (
-  SELECT event_type, n, s1 / n AS mean,
-         greatest(s2 / n - (s1 / n) * (s1 / n), 0.0) AS var,
-         s2 / n AS m2r, s3 / n AS m3r, s4 / n AS m4r
-  FROM s),
-e AS (
-  SELECT event_type, n, mean, var,
-         m3r - 3.0 * mean * m2r + 2.0 * (mean * mean) * mean AS m3,
-         m4r - 4.0 * mean * m3r + 6.0 * (mean * mean) * m2r
-             - 3.0 * ((mean * mean) * (mean * mean)) AS m4
-  FROM d)
-SELECT event_type, n AS n_events,
-       round(mean, 6) AS mean_value,
-       round(var, 6) AS var_value,
-       CASE WHEN var = 0.0 THEN NULL
-            ELSE round(m3 / pow(var, 1.5), 6) END AS skew_value,
-       CASE WHEN var = 0.0 THEN NULL
-            ELSE round(m4 / (var * var) - 3.0, 6) END AS kurt_value
-FROM e""",
+        "value_moments_by_type": _MOMENTS_ORACLE_SQL,
+        # the streaming surface must converge to the SAME batch answer:
+        # identical oracle (final-trigger state == whole-corpus moments)
+        "streaming_value_moments": _MOMENTS_ORACLE_SQL,
+
         "bpe_token_stats": f"""
 SELECT source, COUNT(*)::BIGINT AS n_docs,
        SUM(len(regexp_extract_all(text,

@@ -126,6 +126,54 @@ def lossy_state_stream(stream_df, group_col: str, tokens_col: str = "tokens",
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def moments_state_stream(stream_df, group_col: str,
+                         value_col: str = "value",
+                         order_col: str = "event_id"):
+    """Streaming running moments: per-group count + error-free dd sums of
+    x..x^4 (core/doubledouble.Moments) living in the state store — the
+    76-byte streaming profile of a value column (live mean / variance /
+    skew / kurtosis per key), exactly-once via the engine's state
+    checkpointing.
+
+    Each trigger extends the SAME summary, so after k triggers the state
+    equals a batch Moments fed the concatenated per-trigger streams
+    (asserted byte-for-byte in tests — ``order_col`` sorts rows within a
+    trigger so the dd reduction order is deterministic under Arrow
+    chunking; NULL values drop, matching the batch build). Emission per
+    trigger: (group, n, mean, variance, skew, kurtosis) in update mode.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..core.doubledouble import Moments
+
+    out_schema = (f"{group_col} string, n bigint, mean double, "
+                  "variance double, skew double, kurtosis double")
+    state_schema = "n bigint, s array<double>"
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        m = Moments()
+        if state.exists:
+            n, s = state.get
+            m = Moments(int(n), np.asarray(s, dtype=np.float64))
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True)
+            if order_col in rows.columns:
+                rows = rows.sort_values(order_col, kind="stable")
+            vals = rows[value_col].dropna().to_numpy(dtype=np.float64)
+            if len(vals):
+                m.update_batch(vals)
+        state.update((int(m.n), [float(x) for x in m.s.ravel()]))
+        n, mean, var, skew, kurt = m.stats()
+        yield pd.DataFrame({group_col: [key[0]], "n": [n],
+                            "mean": [mean], "variance": [var],
+                            "skew": [skew], "kurtosis": [kurt]})
+
+    return (stream_df.groupBy(group_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def windowed_hll_stream(stream_df, ts_col: str, group_col: str,
                         key_col: str, window: str = "1 hour",
                         watermark: str = "10 minutes", p: int = 12):

@@ -513,3 +513,68 @@ def test_stateful_hll_stream_skips_null_token_cells(spark, tmp_path):
     last = spark.sql("select * from null_hll").toPandas().iloc[-1]
     assert last.n_docs == 3 and last.n_tokens == 5
     assert abs(last.est_distinct - 4) < 0.5  # {1,2,3,4}
+
+
+def test_moments_state_stream_matches_batch_twin(spark, tmp_path):
+    """Streaming running moments: state after two triggers (split across a
+    query RESTART on one checkpoint) must equal a batch Moments fed the
+    same two per-key batches in event_id order — n exact, power sums to
+    1e-15 rel (the state round-trips float64 exactly; dd order is pinned
+    by the order_col sort)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from grenier_spark.core.doubledouble import Moments
+    from grenier_spark.streaming.stateful import moments_state_stream
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src_dir, exist_ok=True)
+    batches = []
+    for part in range(2):
+        df = pd.DataFrame({
+            "event_id": np.arange(part * 200, part * 200 + 200),
+            "event_type": [f"t{i % 3}" for i in range(200)],
+            "value": rng.normal(10.0, 4.0, 200)})
+        batches.append(df)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       f"{src_dir}/part-{part:05d}.parquet")
+
+    collected = []
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("event_id long, event_type string, value double")
+                  .option("maxFilesPerTrigger", "16").parquet(src_dir))
+        out = moments_state_stream(stream, "event_type")
+        q = (out.writeStream.outputMode("update")
+             .foreachBatch(lambda df, bid: collected.append(df.toPandas()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    hidden = str(tmp_path / "hidden.parquet")
+    os.replace(f"{src_dir}/part-00001.parquet", hidden)
+    run_once()
+    os.replace(hidden, f"{src_dir}/part-00001.parquet")
+    run_once()
+
+    final = pd.concat(collected, ignore_index=True)
+    final = (final.sort_values("n").groupby("event_type").last()
+             .reset_index())
+    for key in ["t0", "t1", "t2"]:
+        twin = Moments()
+        for b in batches:
+            sel = b[b.event_type == key].sort_values("event_id")
+            twin.update_batch(sel.value.to_numpy(dtype=np.float64))
+        row = final[final.event_type == key].iloc[0]
+        tn, tmean, tvar, tskew, tkurt = twin.stats()
+        assert int(row.n) == tn
+        assert row["mean"] == pytest.approx(tmean, rel=1e-15)
+        assert row["variance"] == pytest.approx(tvar, rel=1e-12)
+        assert row["skew"] == pytest.approx(tskew, rel=1e-9)
+        assert row["kurtosis"] == pytest.approx(tkurt, rel=1e-9)
