@@ -868,6 +868,58 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_t(spark, sf_dir, "events")).orderBy("user_id")
 
 
+def q_purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py): for every purchase event, the
+    latest click by the same user at-or-before it (ties on ts break by max
+    event_id). Implemented as union + one per-user window — ONE hash
+    shuffle, no join node, nothing quadratic. gap_us is a timestamp
+    DIFFERENCE, so the session-timezone offset cancels cross-engine;
+    unmatched purchases coalesce to -1 on both sides."""
+    from grenier_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"), "user_id", "ts"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    j = asof_join(purch, clicks, on="user_id", tie_col="click_id")
+    return j.select(
+        "purchase_id", "user_id",
+        F.coalesce("asof_click_id", F.lit(-1)).cast("long").alias("click_id"),
+        F.coalesce(F.unix_micros(F.col("ts").cast("timestamp"))
+                   - F.unix_micros(F.col("asof_ts").cast("timestamp")),
+                   F.lit(-1)).cast("long").alias("gap_us"))
+
+
+def q_signup_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/joins.py): signup events vs error
+    events, each widened to a 30-minute closed interval; all overlapping
+    (signup, error) pairs with the overlap length. Time-binned equi-join
+    with canonical-bin exactly-once emission — no cartesian, no distinct
+    pass. overlap_us is a difference of epochs, timezone-free."""
+    from grenier_spark.operators.joins import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    half_h = 1_800_000_000
+
+    def iv(etype, id_alias):
+        return (ev.where(F.col("event_type") == etype)
+                .select(F.col("event_id").alias(id_alias),
+                        F.unix_micros(F.col("ts").cast("timestamp"))
+                        .alias("s"),
+                        (F.unix_micros(F.col("ts").cast("timestamp"))
+                         + half_h).alias("e")))
+
+    out = interval_overlap_join(
+        iv("signup", "signup_id"), iv("error", "error_id"),
+        left_start="s", left_end="e", right_start="s", right_end="e",
+        bin_us=half_h)
+    return out.select(
+        F.col("l_signup_id").alias("signup_id"),
+        F.col("r_error_id").alias("error_id"),
+        F.col("overlap_us").cast("long").alias("overlap_us"))
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join: customers with no finished ('F') orders, summarized
     per nation (the 'F' filter keeps the result non-empty on the driver
@@ -2651,6 +2703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_docs": q_semdedup_docs,
         "dsir_selection": q_dsir_selection,
         "user_sessions": q_user_sessions,
+        "purchase_asof_click": q_purchase_asof_click,
+        "signup_error_overlap": q_signup_error_overlap,
         "customers_without_orders": q_customers_without_orders,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "mg_heavy_tokens": q_mg_heavy_tokens,
@@ -3704,6 +3758,37 @@ SELECT user_id, MAX(session_id)::BIGINT AS n_sessions,
        SUM(sess_events)::BIGINT AS n_events,
        MAX(sess_events)::BIGINT AS max_session_events
 FROM per_sess GROUP BY user_id""",
+        # as-of join: the QUALIFY row_number formulation is the oracle's
+        # O(n^2)-per-key mirror of the single-window Spark operator; the
+        # DESC (ts, id) order pins the same max-tie contract
+        "purchase_asof_click": """
+WITH l AS (SELECT event_id AS purchase_id, user_id, ts
+           FROM events WHERE event_type = 'purchase'),
+r AS (SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT l.purchase_id, l.user_id, r.click_id,
+         epoch_us(l.ts) - epoch_us(r.ts) AS gap,
+         row_number() OVER (PARTITION BY l.purchase_id
+                            ORDER BY r.ts DESC, r.click_id DESC) AS rn
+  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts
+)
+SELECT purchase_id, user_id,
+       COALESCE(click_id, -1)::BIGINT AS click_id,
+       COALESCE(gap, -1)::BIGINT AS gap_us
+FROM j WHERE rn = 1""",
+        # interval overlap: plain inequality join at oracle scale; closed
+        # intervals, inclusive at touching endpoints on both engines
+        "signup_error_overlap": """
+WITH l AS (SELECT event_id AS signup_id, epoch_us(ts) AS s,
+                  epoch_us(ts) + 1800000000 AS e
+           FROM events WHERE event_type = 'signup'),
+r AS (SELECT event_id AS error_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 1800000000 AS e
+      FROM events WHERE event_type = 'error')
+SELECT signup_id, error_id,
+       (LEAST(l.e, r.e) - GREATEST(l.s, r.s))::BIGINT AS overlap_us
+FROM l JOIN r ON l.s <= r.e AND r.s <= l.e""",
         "customers_without_orders": """
 SELECT n_name, COUNT(*)::BIGINT AS n_customers,
        MIN(c_custkey)::BIGINT AS min_custkey
