@@ -920,6 +920,37 @@ def q_signup_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("overlap_us").cast("long").alias("overlap_us"))
 
 
+def q_docs_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column dataset profile (operators/profile.py): null /
+    distinct counts plus integer value stats (value for int columns,
+    LENGTH for strings) in a single wide aggregate — map-side partials,
+    bytes of shuffled state. All stats integer-derived; mean is
+    round(exact-BIGINT-sum / count, 6) on both engines."""
+    from grenier_spark.operators.profile import column_profile
+
+    return column_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality checks (Deequ-style) evaluated in ONE
+    aggregate pass: completeness, uniqueness, range, allowed-set,
+    min-rows. Two checks intentionally FAIL on the fixtures (n_chars
+    range cap 400, lang set omitting zh) so both verdict branches are
+    gate-checked; metrics are exact integers — no float thresholds."""
+    from grenier_spark.operators.profile import (completeness, in_range,
+                                                 in_set, min_rows,
+                                                 run_checks, uniqueness)
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_checks(docs, [
+        completeness("text"),
+        uniqueness("doc_id"),
+        in_range("n_chars", 1, 400),
+        in_set("lang", ["de", "en", "es", "fr"]),
+        min_rows(100),
+    ])
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join: customers with no finished ('F') orders, summarized
     per nation (the 'F' filter keeps the result non-empty on the driver
@@ -2705,6 +2736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "purchase_asof_click": q_purchase_asof_click,
         "signup_error_overlap": q_signup_error_overlap,
+        "docs_column_profile": q_docs_column_profile,
+        "docs_constraints": q_docs_constraints,
         "customers_without_orders": q_customers_without_orders,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "mg_heavy_tokens": q_mg_heavy_tokens,
@@ -3789,6 +3822,84 @@ r AS (SELECT event_id AS error_id, epoch_us(ts) AS s,
 SELECT signup_id, error_id,
        (LEAST(l.e, r.e) - GREATEST(l.s, r.s))::BIGINT AS overlap_us
 FROM l JOIN r ON l.s <= r.e AND r.s <= l.e""",
+        # column profile: integer-derived stats per column (value for int
+        # columns, LENGTH for strings); mean = round(exact BIGINT sum /
+        # non-null count, 6) — identical float chain on both engines
+        "docs_column_profile": """
+SELECT 'doc_id' AS "column", COUNT(*)::BIGINT AS n_rows,
+       (COUNT(*) - COUNT(doc_id))::BIGINT AS n_nulls,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_distinct,
+       COALESCE(MIN(doc_id), -1)::BIGINT AS min_v,
+       COALESCE(MAX(doc_id), -1)::BIGINT AS max_v,
+       COALESCE(SUM(doc_id), -1)::BIGINT AS sum_v,
+       COALESCE(ROUND(SUM(doc_id)::DOUBLE / COUNT(doc_id)::DOUBLE, 6),
+                -1.0) AS mean_v
+FROM documents
+UNION ALL
+SELECT 'text', COUNT(*)::BIGINT, (COUNT(*) - COUNT(text))::BIGINT,
+       COUNT(DISTINCT text)::BIGINT,
+       COALESCE(MIN(LENGTH(text)), -1)::BIGINT,
+       COALESCE(MAX(LENGTH(text)), -1)::BIGINT,
+       COALESCE(SUM(LENGTH(text)), -1)::BIGINT,
+       COALESCE(ROUND(SUM(LENGTH(text))::DOUBLE / COUNT(text)::DOUBLE, 6),
+                -1.0)
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*)::BIGINT, (COUNT(*) - COUNT(lang))::BIGINT,
+       COUNT(DISTINCT lang)::BIGINT,
+       COALESCE(MIN(LENGTH(lang)), -1)::BIGINT,
+       COALESCE(MAX(LENGTH(lang)), -1)::BIGINT,
+       COALESCE(SUM(LENGTH(lang)), -1)::BIGINT,
+       COALESCE(ROUND(SUM(LENGTH(lang))::DOUBLE / COUNT(lang)::DOUBLE, 6),
+                -1.0)
+FROM documents
+UNION ALL
+SELECT 'source', COUNT(*)::BIGINT, (COUNT(*) - COUNT(source))::BIGINT,
+       COUNT(DISTINCT source)::BIGINT,
+       COALESCE(MIN(LENGTH(source)), -1)::BIGINT,
+       COALESCE(MAX(LENGTH(source)), -1)::BIGINT,
+       COALESCE(SUM(LENGTH(source)), -1)::BIGINT,
+       COALESCE(ROUND(SUM(LENGTH(source))::DOUBLE
+                      / COUNT(source)::DOUBLE, 6), -1.0)
+FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*)::BIGINT, (COUNT(*) - COUNT(n_chars))::BIGINT,
+       COUNT(DISTINCT n_chars)::BIGINT,
+       COALESCE(MIN(n_chars), -1)::BIGINT,
+       COALESCE(MAX(n_chars), -1)::BIGINT,
+       COALESCE(SUM(n_chars), -1)::BIGINT,
+       COALESCE(ROUND(SUM(n_chars)::DOUBLE / COUNT(n_chars)::DOUBLE, 6),
+                -1.0)
+FROM documents""",
+        # constraint checks: exact integer metrics; verdicts are integer
+        # comparisons recomputed here — no literal TRUE shortcuts
+        "docs_constraints": """
+SELECT 'complete(text)' AS "check",
+       SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS metric,
+       SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM documents
+UNION ALL
+SELECT 'unique(doc_id)',
+       (COUNT(*) - COUNT(DISTINCT doc_id))::BIGINT,
+       COUNT(*) - COUNT(DISTINCT doc_id) = 0
+FROM documents
+UNION ALL
+SELECT 'range(n_chars,1,400)',
+       SUM(CASE WHEN n_chars IS NOT NULL AND n_chars BETWEEN 1 AND 400
+                THEN 0 ELSE 1 END)::BIGINT,
+       SUM(CASE WHEN n_chars IS NOT NULL AND n_chars BETWEEN 1 AND 400
+                THEN 0 ELSE 1 END) = 0
+FROM documents
+UNION ALL
+SELECT 'in_set(lang,[de,en,es,fr])',
+       SUM(CASE WHEN lang IN ('de','en','es','fr')
+                THEN 0 ELSE 1 END)::BIGINT,
+       SUM(CASE WHEN lang IN ('de','en','es','fr')
+                THEN 0 ELSE 1 END) = 0
+FROM documents
+UNION ALL
+SELECT 'min_rows(100)', COUNT(*)::BIGINT, COUNT(*) >= 100
+FROM documents""",
         "customers_without_orders": """
 SELECT n_name, COUNT(*)::BIGINT AS n_customers,
        MIN(c_custkey)::BIGINT AS min_custkey
