@@ -352,6 +352,37 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_neardup_components_star(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Same planted transitive chains as ``neardup_components``, closed by
+    the alternating large-star/small-star rounds
+    (dedup.connected_components_star, Kiveris et al. SoCC 2014) — the
+    deep-component scale path; must agree with the recursive-CTE oracle
+    node for node, same as the min-label variant."""
+    from grenier_spark.operators.dedup import (connected_components_star,
+                                               ngram_word_jaccard_pairs)
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .orderBy("doc_id").limit(30))
+    base = docs.orderBy("doc_id").limit(5)
+    t75 = base.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, "
+               "(3*size(split(text, ' '))+3) div 4), ' ')").alias("text"))
+    t50 = base.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, "
+               "(size(split(text, ' '))+1) div 2), ' ')").alias("text"))
+    planted = docs.unionByName(t75).unionByName(t50)
+    pairs = ngram_word_jaccard_pairs(planted, "doc_id", "text",
+                                     n=3, tau=0.6)
+    cc = connected_components_star(
+        pairs, nodes=planted.select(F.col("doc_id").alias("id")))
+    return (cc.select(F.col("id").alias("doc_id"), "component_id")
+            .orderBy("doc_id"))
+
+
 def _docs_with_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, doc_id, n_tok) with n_tok = non-empty whitespace tokens —
     the documents table's packing input (twin SQL in the oracles)."""
@@ -2717,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_report": q_boilerplate_report,
         "boilerplate_clean_docs": q_boilerplate_clean,
         "neardup_components": q_neardup_components,
+        "neardup_components_star": q_neardup_components_star,
         "token_pack_chunks": q_token_pack_chunks,
         "token_pack_greedy": q_token_pack_greedy,
         "train_val_split": q_train_val_split,
@@ -3027,6 +3059,44 @@ SELECT event_type, n AS n_events,
        CASE WHEN var = 0.0 THEN NULL
             ELSE round(m4 / (var * var) - 3.0, 6) END AS kurt_value
 FROM e"""
+
+
+_NEARDUP_COMPONENTS_SQL = """
+WITH RECURSIVE
+d0 AS (SELECT doc_id::BIGINT AS id, text FROM documents
+       ORDER BY doc_id::BIGINT LIMIT 30),
+b AS (SELECT id, string_split(text, ' ') AS w
+      FROM (SELECT * FROM d0 ORDER BY id LIMIT 5)),
+d AS (SELECT id, text FROM d0
+      UNION ALL
+      SELECT id + 10000000,
+             array_to_string(list_slice(w, 1, (3*len(w)+3)//4), ' ')
+      FROM b
+      UNION ALL
+      SELECT id + 20000000,
+             array_to_string(list_slice(w, 1, (len(w)+1)//2), ' ')
+      FROM b),
+dw AS (SELECT id, string_split(text, ' ') AS w FROM d),
+sh AS (SELECT id, unnest(list_distinct(
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE []::VARCHAR[] END)) AS s
+       FROM dw),
+c AS (SELECT id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+ins AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM ins JOIN c ca ON id_a = ca.id JOIN c cb ON id_b = cb.id
+          WHERE round(inter / (ca.n_sh + cb.n_sh - inter)::DOUBLE, 6)
+                >= 0.6::DOUBLE),
+edges AS (SELECT id_a AS a, id_b AS bb FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT id, id AS lab FROM d
+          UNION
+          SELECT e.bb AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id)
+SELECT id AS doc_id, MIN(lab)::BIGINT AS component_id
+FROM reach GROUP BY id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3634,42 +3704,10 @@ SELECT id_a, id_b, inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
 FROM ins JOIN c ca ON id_a = ca.id JOIN c cb ON id_b = cb.id
 WHERE round(inter / least(ca.n_sh, cb.n_sh)::DOUBLE, 6) >= 0.8::DOUBLE
 ORDER BY id_a, id_b""",
-        "neardup_components": """
-WITH RECURSIVE
-d0 AS (SELECT doc_id::BIGINT AS id, text FROM documents
-       ORDER BY doc_id::BIGINT LIMIT 30),
-b AS (SELECT id, string_split(text, ' ') AS w
-      FROM (SELECT * FROM d0 ORDER BY id LIMIT 5)),
-d AS (SELECT id, text FROM d0
-      UNION ALL
-      SELECT id + 10000000,
-             array_to_string(list_slice(w, 1, (3*len(w)+3)//4), ' ')
-      FROM b
-      UNION ALL
-      SELECT id + 20000000,
-             array_to_string(list_slice(w, 1, (len(w)+1)//2), ' ')
-      FROM b),
-dw AS (SELECT id, string_split(text, ' ') AS w FROM d),
-sh AS (SELECT id, unnest(list_distinct(
-         CASE WHEN len(w) >= 3
-              THEN list_transform(range(1, len(w) - 1),
-                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-              ELSE []::VARCHAR[] END)) AS s
-       FROM dw),
-c AS (SELECT id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
-ins AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS inter
-        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
-pairs AS (SELECT id_a, id_b
-          FROM ins JOIN c ca ON id_a = ca.id JOIN c cb ON id_b = cb.id
-          WHERE round(inter / (ca.n_sh + cb.n_sh - inter)::DOUBLE, 6)
-                >= 0.6::DOUBLE),
-edges AS (SELECT id_a AS a, id_b AS bb FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-reach AS (SELECT id, id AS lab FROM d
-          UNION
-          SELECT e.bb AS id, r.lab FROM reach r JOIN edges e ON e.a = r.id)
-SELECT id AS doc_id, MIN(lab)::BIGINT AS component_id
-FROM reach GROUP BY id""",
+        "neardup_components": _NEARDUP_COMPONENTS_SQL,
+        # the star variant computes the SAME closure (same planted
+        # chains), so it rides the identical oracle
+        "neardup_components_star": _NEARDUP_COMPONENTS_SQL,
         "token_pack_chunks": """
 WITH d AS (
   SELECT source, doc_id::BIGINT AS doc_id,

@@ -430,6 +430,72 @@ def test_connected_components_raises_on_nonconvergence(spark):
     assert set(got.component_id) == {0}
 
 
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min member id
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ms) for ms in comp.values() for n in ms}
+
+
+def test_star_components_match_union_find_random_graphs(spark):
+    """Large-star/small-star vs an exact union-find on random sparse
+    graphs with shuffled non-contiguous ids (min-id labels must NOT
+    depend on ids being dense or ordered)."""
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        ids = rng.permutation(10_000)[:120] * 13 + 5
+        n_edges = int(rng.integers(30, 140))
+        edges = [(int(ids[rng.integers(len(ids))]),
+                  int(ids[rng.integers(len(ids))]))
+                 for _ in range(n_edges)]
+        exp = _union_find_components(edges, [int(i) for i in ids])
+        out = dedup.connected_components_star(
+            spark.createDataFrame(edges, "id_a long, id_b long"),
+            nodes=spark.createDataFrame([(int(i),) for i in ids],
+                                        "id long"))
+        got = {r.id: r.component_id for r in out.collect()}
+        out.unpersist()
+        assert got == exp, f"trial {trial}"
+
+
+def test_star_components_resolve_deep_path_in_log_rounds(spark):
+    """A 300-node path has diameter 299: min-label propagation would need
+    ~300 iterations, the star rounds halve diameter — 300 nodes must
+    resolve within 12 rounds (2^12 >> 300) to one component."""
+    short = spark.createDataFrame([(i, i + 1) for i in range(49)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(short, max_iter=3).collect()
+    chain = spark.createDataFrame([(i, i + 1) for i in range(299)],
+                                  "id_a long, id_b long")
+    out = dedup.connected_components_star(chain, max_rounds=12)
+    got = out.toPandas()
+    out.unpersist()
+    assert len(got) == 300 and set(got.component_id) == {0}
+
+
+def test_star_components_singletons_and_empty_edges(spark):
+    nodes = spark.createDataFrame([(5,), (9,), (42,)], "id long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = dedup.connected_components_star(empty, nodes=nodes)
+    got = {r.id: r.component_id for r in out.collect()}
+    out.unpersist()
+    assert got == {5: 5, 9: 9, 42: 42}
+
+
 # -- incremental ingest dedup ----------------------------------------------
 
 def test_ingest_dedup_exact_even_under_heavy_false_positives(spark):
