@@ -455,6 +455,22 @@ def q_doc_sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def q_stratified_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample (operators/splits.py quota_sample):
+    exactly min(12, |source|) docs per source = the 12 smallest
+    ':quo'-chain hashes, ranked. Window-free — the salt-split bounded
+    min-K, same skew discipline as the dedup family; the oracle is the
+    row_number window it replaces."""
+    from grenier_spark.operators.splits import quota_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"))
+    out = quota_sample(docs, k=12, group_col="source", id_col="doc_id",
+                       seed=7)
+    return out.select("source", "doc_id", "sample_hash",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 _MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.0}
 
 
@@ -2753,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pack_greedy": q_token_pack_greedy,
         "train_val_split": q_train_val_split,
         "doc_sample_frac": q_doc_sample_frac,
+        "stratified_quota_docs": q_stratified_quota_docs,
         "mixture_docs": q_mixture_docs,
         "shuffle_order_docs": q_shuffle_order_docs,
         "stride_interleave_docs": q_stride_interleave_docs,
@@ -3753,6 +3770,21 @@ WITH RECURSIVE d AS (
 SELECT source, doc_id, n_tok, batch_id, fill_after FROM g""",
         "train_val_split": _train_val_split_oracle(),
         "doc_sample_frac": _doc_sample_frac_oracle(),
+        # exact-quota sample: the oracle IS the per-group window the
+        # Spark operator deliberately avoids (salt-split bounded min-K);
+        # identical (hash, id) order rule on both engines
+        "stratified_quota_docs": """
+SELECT source, doc_id::BIGINT AS doc_id, sample_hash,
+       rn::BIGINT AS rank
+FROM (SELECT source, doc_id,
+             substr(md5(doc_id::VARCHAR || ':quo:7'), 1, 16)
+               AS sample_hash,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5(doc_id::VARCHAR || ':quo:7'), 1, 16),
+                        doc_id) AS rn
+      FROM documents)
+WHERE rn <= 12""",
         "mixture_docs": _mixture_docs_oracle(),
         "shuffle_order_docs": _shuffle_order_docs_oracle(),
         "stride_interleave_docs": _stride_interleave_docs_oracle(),

@@ -117,6 +117,31 @@ def stratified_sample_sql_pred(id_expr: str, fraction: float,
     return f"{hash_hex_sql(id_expr, seed, ':smp')} < '{thr}'"
 
 
+def quota_sample(df: DataFrame, k: int, group_col: str = "source",
+                 id_col: str = "doc_id", seed: int = 0,
+                 n_salts: int = 64) -> DataFrame:
+    """Exact-quota stratified sample: exactly ``min(k, |group|)`` rows per
+    group — the k smallest values of the ``:quo``-tagged hash chain, so
+    the draw is seeded, uniform, and retry/AQE-stable (a Bernoulli
+    fraction only hits quotas in expectation; curriculum mixtures and
+    eval carve-outs want them exact).
+
+    NO per-group window: rides the salt-split two-stage min-K
+    (similarity._bounded_topk), so one 10^9-row group spreads over
+    ``n_salts`` stage-1 reducers instead of pinning a single
+    row_number task — the same skew discipline as the dedup family.
+
+    Output: (group_col, id_col, sample_hash, rank 1..k ordered by the
+    hash) — join back on ``id_col`` for payload columns."""
+    from .similarity import _bounded_topk
+
+    rows = (df.select(group_col, id_col)
+            .withColumn("__qh", _hash_hex(id_col, seed, ":quo")))
+    top = _bounded_topk(rows, group_col, id_col, "__qh", k,
+                        n_salts=n_salts)
+    return top.withColumnRenamed("__qh", "sample_hash")
+
+
 # -- weighted sampling without replacement (priority sampling) --------------
 
 _P52 = float(1 << 52)  # exact power of two; scaling by it never rounds

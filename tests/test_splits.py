@@ -234,3 +234,67 @@ def test_priority_sample_matches_pure_python(spark, weighted):
     got_ids = {s: list(g.sort_values("sample_rank").doc_id)
                for s, g in got.groupby("source")}
     assert got_ids == exp_ids
+
+
+# -- exact-quota stratified sampling ---------------------------------------
+
+@pytest.fixture(scope="module")
+def grouped_ids(spark):
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(2000, dtype=np.int64) * 7 + 1,
+        "source": [f"s{g}" for g in rng.integers(0, 6, 2000)],
+    })
+    # one tiny group below the quota
+    pdf.loc[:2, "source"] = "tiny"
+    pdf.loc[3:, "source"] = pdf.loc[3:, "source"].replace("s5", "s0")
+    return spark.createDataFrame(pdf)
+
+
+def _quota_reference(pdf, k, seed):
+    import hashlib
+
+    h = pdf.assign(sample_hash=[
+        hashlib.md5(f"{i}:quo:{seed}".encode()).hexdigest()[:16]
+        for i in pdf.doc_id])
+    h = h.sort_values(["source", "sample_hash", "doc_id"])
+    h["rank"] = h.groupby("source").cumcount() + 1
+    return h[h["rank"] <= k][["source", "doc_id", "sample_hash", "rank"]] \
+        .reset_index(drop=True)
+
+
+def test_quota_sample_matches_window_reference(spark, grouped_ids):
+    from grenier_spark.operators.splits import quota_sample
+
+    got = (quota_sample(grouped_ids, k=15, seed=4)
+           .toPandas().sort_values(["source", "rank"])
+           .reset_index(drop=True))
+    exp = _quota_reference(grouped_ids.toPandas(), 15, 4) \
+        .sort_values(["source", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns].astype(exp.dtypes.to_dict()), exp)
+    # exact quotas: min(k, |group|) per group — the tiny group yields all
+    # its rows
+    sizes = got.groupby("source").size()
+    assert sizes["tiny"] == 3
+    assert (sizes.drop("tiny") == 15).all()
+
+
+def test_quota_sample_partitioning_invariant_and_seeded(spark, grouped_ids):
+    from grenier_spark.operators.splits import quota_sample
+
+    a = quota_sample(grouped_ids, k=10, seed=1).toPandas()
+    b = quota_sample(grouped_ids.repartition(17), k=10, seed=1,
+                     n_salts=8).toPandas()
+    key = lambda d: sorted(map(tuple, d[["source", "doc_id", "rank"]]
+                               .itertuples(index=False)))
+    assert key(a) == key(b)
+    c = quota_sample(grouped_ids, k=10, seed=2).toPandas()
+    assert key(a) != key(c)  # a fresh seed redraws the sample
+
+
+def test_quota_sample_plan_has_no_window(spark, grouped_ids):
+    from grenier_spark.operators.splits import quota_sample
+
+    plan = quota_sample(grouped_ids, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan, plan
