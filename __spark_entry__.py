@@ -455,6 +455,21 @@ def q_doc_sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def q_zorder_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (operators/layout.py): Morton interleave of
+    (n_chars, doc_id) — the data-skipping clustering key. Pure unrolled
+    JVM shift/and/or, no UDF; the oracle replays the identical chain via
+    zorder_sql. The pruning BENEFIT (fewer chunks read than a
+    single-column sort under min/max stats) is asserted in
+    tests/test_layout.py."""
+    from grenier_spark.operators.layout import zorder_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        zorder_key(["n_chars", "doc_id"], 16).alias("zval"))
+            .orderBy("doc_id"))
+
+
 def q_stratified_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-quota stratified sample (operators/splits.py quota_sample):
     exactly min(12, |source|) docs per source = the 12 smallest
@@ -2770,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "doc_sample_frac": q_doc_sample_frac,
         "stratified_quota_docs": q_stratified_quota_docs,
+        "zorder_docs": q_zorder_docs,
         "mixture_docs": q_mixture_docs,
         "shuffle_order_docs": q_shuffle_order_docs,
         "stride_interleave_docs": q_stride_interleave_docs,
@@ -3076,6 +3092,14 @@ SELECT event_type, n AS n_events,
        CASE WHEN var = 0.0 THEN NULL
             ELSE round(m4 / (var * var) - 3.0, 6) END AS kurt_value
 FROM e"""
+
+
+def _zorder_docs_oracle() -> str:
+    from grenier_spark.operators.layout import zorder_sql
+
+    return (f"SELECT doc_id::BIGINT AS doc_id, "
+            f"{zorder_sql(['n_chars', 'doc_id'], 16)} AS zval "
+            f"FROM documents")
 
 
 _NEARDUP_COMPONENTS_SQL = """
@@ -3773,6 +3797,7 @@ SELECT source, doc_id, n_tok, batch_id, fill_after FROM g""",
         # exact-quota sample: the oracle IS the per-group window the
         # Spark operator deliberately avoids (salt-split bounded min-K);
         # identical (hash, id) order rule on both engines
+        "zorder_docs": _zorder_docs_oracle(),
         "stratified_quota_docs": """
 SELECT source, doc_id::BIGINT AS doc_id, sample_hash,
        rn::BIGINT AS rank
