@@ -455,6 +455,38 @@ def q_doc_sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def q_jsonl_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus ingest (sources/jsonl.py): documents round-trip
+    through sharded JSON-lines with a schema-pinned single-pass read
+    (no inference scan), plus one PLANTED malformed line per distinct
+    source routed to quarantine — the corrupt count is therefore
+    oracle-recomputable as count(DISTINCT source), no literals."""
+    import os
+    import tempfile
+
+    from grenier_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    srcs = sorted(r[0] for r in docs.select("source").distinct().collect())
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "corpus")
+        write_jsonl(docs, p, n_shards=4)
+        with open(os.path.join(p, "part-extra-bad.json"), "w") as f:
+            for s in srcs:
+                f.write('{"doc_id": "unterminated ' + s + "\n")
+        clean, bad = read_jsonl(spark, p)
+        per_src = (clean.groupBy("source")
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                        F.sum("n_chars").cast("long").alias("sum_nchars")))
+        badrow = (bad.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+                  .select(F.lit("__corrupt__").alias("source"), "n_docs",
+                          F.lit(-1).cast("long").alias("sum_nchars")))
+        out = per_src.unionByName(badrow)
+        # materialize before the TemporaryDirectory (and the shards the
+        # lazy plan would re-read) disappear
+        return spark.createDataFrame(out.toPandas())
+
+
 def q_zorder_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key (operators/layout.py): Morton interleave of
     (n_chars, doc_id) — the data-skipping clustering key. Pure unrolled
@@ -2786,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_frac": q_doc_sample_frac,
         "stratified_quota_docs": q_stratified_quota_docs,
         "zorder_docs": q_zorder_docs,
+        "jsonl_ingest_docs": q_jsonl_ingest_docs,
         "mixture_docs": q_mixture_docs,
         "shuffle_order_docs": q_shuffle_order_docs,
         "stride_interleave_docs": q_stride_interleave_docs,
@@ -3798,6 +3831,15 @@ SELECT source, doc_id, n_tok, batch_id, fill_after FROM g""",
         # Spark operator deliberately avoids (salt-split bounded min-K);
         # identical (hash, id) order rule on both engines
         "zorder_docs": _zorder_docs_oracle(),
+        # the JSONL round-trip is lossless and the planted corrupt lines
+        # are one-per-source, so everything recomputes from the table
+        "jsonl_ingest_docs": """
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS sum_nchars
+FROM documents GROUP BY source
+UNION ALL
+SELECT '__corrupt__', COUNT(DISTINCT source)::BIGINT, (-1)::BIGINT
+FROM documents""",
         "stratified_quota_docs": """
 SELECT source, doc_id::BIGINT AS doc_id, sample_hash,
        rn::BIGINT AS rank
