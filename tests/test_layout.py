@@ -54,6 +54,24 @@ def test_zorder_sql_twin_matches(spark):
     assert spark_z.z.tolist() == duck_z.z.tolist()
 
 
+def test_zorder_sql_twin_boundary_values(spark):
+    """Adversarial ints: sign bit set, all-ones, mask edges — the two
+    engines must agree on the masked interleave for every combination."""
+    vals = np.array([-(1 << 63), -1, 0, 1, (1 << 16) - 1, 1 << 16,
+                     (1 << 62), (1 << 63) - 1], dtype="int64")
+    a, b = np.meshgrid(vals, vals)
+    pdf = pd.DataFrame({"a": a.ravel(), "b": b.ravel()})
+    spark_z = (spark.createDataFrame(pdf)
+               .select(zorder_key(["a", "b"], 16).alias("z"))
+               .toPandas().z.tolist())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck_z = con.execute(
+        f"SELECT {zorder_sql(['a', 'b'], 16)} AS z FROM t").df().z.tolist()
+    ref = [_z_ref((r.a, r.b), 16) for r in pdf.itertuples()]
+    assert spark_z == duck_z == ref
+
+
 def test_zorder_validation():
     with pytest.raises(ValueError):
         zorder_key([], 16)
