@@ -455,6 +455,18 @@ def q_doc_sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def q_user_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiler (operators/profile.py key_skew_profile): the 10
+    heaviest event user_ids with corpus share and the global
+    max/mean skew factor — exact counts, window-free ranking (salt-split
+    bounded min-K over the key-count rows). Oracle is the row_number
+    window the ranking replaces; identical round-6 double chains."""
+    from grenier_spark.operators.profile import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top=10)
+
+
 def q_jsonl_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL corpus ingest (sources/jsonl.py): documents round-trip
     through sharded JSON-lines with a schema-pinned single-pass read
@@ -2819,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_quota_docs": q_stratified_quota_docs,
         "zorder_docs": q_zorder_docs,
         "jsonl_ingest_docs": q_jsonl_ingest_docs,
+        "user_key_skew": q_user_key_skew,
         "mixture_docs": q_mixture_docs,
         "shuffle_order_docs": q_shuffle_order_docs,
         "stride_interleave_docs": q_stride_interleave_docs,
@@ -3840,6 +3853,22 @@ FROM documents GROUP BY source
 UNION ALL
 SELECT '__corrupt__', COUNT(DISTINCT source)::BIGINT, (-1)::BIGINT
 FROM documents""",
+        # skew profiler: the oracle IS the per-key window the operator
+        # replaces; share and skew_factor spelled with the same ::DOUBLE
+        # chain
+        "user_key_skew": """
+WITH c AS (SELECT user_id::VARCHAR AS key, COUNT(*)::BIGINT AS n_rows
+           FROM events GROUP BY 1),
+t AS (SELECT SUM(n_rows)::BIGINT AS tot, COUNT(*)::BIGINT AS nk,
+             MAX(n_rows)::BIGINT AS mx FROM c),
+r AS (SELECT key, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, key) AS rn
+      FROM c)
+SELECT key, n_rows,
+       ROUND(n_rows / tot::DOUBLE, 6) AS share,
+       rn::BIGINT AS rank,
+       ROUND(mx::DOUBLE / (tot::DOUBLE / nk::DOUBLE), 6) AS skew_factor
+FROM r, t WHERE rn <= 10""",
         "stratified_quota_docs": """
 SELECT source, doc_id::BIGINT AS doc_id, sample_hash,
        rn::BIGINT AS rank

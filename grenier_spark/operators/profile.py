@@ -133,6 +133,52 @@ def approx_distinct_profile(df: DataFrame,
                       F.col("approx_distinct").cast("double"))
 
 
+def key_skew_profile(df: DataFrame, col: str, top: int = 20) -> DataFrame:
+    """The 'will this key shuffle well?' probe: exact per-key counts
+    (one partial-aggregated pass over the rows), then the ``top`` heaviest
+    keys with their corpus share and the global skew factor
+    ``max_count / mean_count`` — the multiplier the fullest reducer pays
+    over the average, i.e. the number AQE skew handling or salting has to
+    beat.
+
+    Ranking reuses the salt-split bounded min-K over the KEY-count rows
+    (struct(-n, key) ascending == count desc, key asc — deterministic
+    ties), so even a column with 10^9 distinct keys never pins a
+    row_number window to one task. Output (one row per top key):
+    key (string), n_rows, share = round(n/total, 6), rank,
+    skew_factor = round(max/mean, 6) (repeated on every row)."""
+    from .similarity import _bounded_topk
+
+    counts = (df.groupBy(F.col(col).cast("string").alias("key"))
+              .agg(F.count(F.lit(1)).alias("n_rows"))
+              .persist())  # consumed by the top-k AND the totals
+    totals = counts.agg(
+        F.sum("n_rows").alias("__tot"),
+        F.count(F.lit(1)).alias("__nk"),
+        F.max("n_rows").alias("__mx")).withColumn("__one", F.lit(0))
+    ranked = _bounded_topk(
+        counts.withColumn("__one", F.lit(0))
+        .withColumn("__negn", -F.col("n_rows")),
+        "__one", "key", "__negn", top)
+    out = (ranked.join(F.broadcast(totals), "__one")
+           .select("key",
+                   (-F.col("__negn")).cast("long").alias("n_rows"),
+                   F.round(-F.col("__negn")
+                           / F.col("__tot").cast("double"), 6)
+                   .alias("share"),
+                   F.col("rank").cast("long").alias("rank"),
+                   F.round(F.col("__mx").cast("double")
+                           / (F.col("__tot").cast("double")
+                              / F.col("__nk").cast("double")), 6)
+                   .alias("skew_factor")))
+    # the result is <= `top` rows: materialize it eagerly (localCheckpoint
+    # truncates the plan) so the per-key counts cache can be released
+    # here instead of leaking out of the call
+    out = out.localCheckpoint()
+    counts.unpersist()
+    return out
+
+
 @dataclass(frozen=True)
 class Check:
     """One constraint: ``metric`` is an aggregate Column (BIGINT-valued for

@@ -133,3 +133,40 @@ def test_checks_single_scan(spark):
                            in_range("n_chars", 1, 400), min_rows(10)])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_key_skew_profile_matches_reference(spark):
+    from grenier_spark.operators.profile import key_skew_profile
+
+    rng = np.random.default_rng(5)
+    keys = np.concatenate([
+        np.zeros(400, dtype="int64"),          # hot key 0
+        np.full(100, 7, dtype="int64"),        # warm key 7
+        rng.integers(100, 160, 500),           # 60-key tail
+    ])
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    got = (key_skew_profile(df, "k", top=5).toPandas()
+           .sort_values("rank").reset_index(drop=True))
+    vc = pd.Series(keys).value_counts()
+    tot, nk, mx = len(keys), len(vc), vc.max()
+    assert got.key.tolist()[:2] == ["0", "7"]
+    assert got.n_rows.tolist()[:2] == [400, 100]
+    assert got["rank"].tolist() == [1, 2, 3, 4, 5]
+    assert (got.skew_factor == round(mx / (tot / nk), 6)).all()
+    assert got.share[0] == round(400 / tot, 6)
+    # deterministic under repartitioning
+    again = (key_skew_profile(df.repartition(13), "k", top=5).toPandas()
+             .sort_values("rank").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_key_skew_profile_tie_break_is_string_order(spark):
+    from grenier_spark.operators.profile import key_skew_profile
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [10, 2, 2, 10, 3, 3]}))  # all counts tie at 2
+    got = key_skew_profile(df, "k", top=3).toPandas() \
+        .sort_values("rank")
+    # string order: "10" < "2" < "3"
+    assert got.key.tolist() == ["10", "2", "3"]
+    assert (got.skew_factor == 1.0).all()
