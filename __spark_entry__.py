@@ -1026,6 +1026,27 @@ def q_signup_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("overlap_us").cast("long").alias("overlap_us"))
 
 
+def q_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/joins.py salted_join): the events
+    fact joined to its own per-user activity dim on (user_id, salt) with
+    n_salts=8 — the deterministic plan-time mitigation for a hot key that
+    AQE can't always split. Row-identical to the plain join by
+    construction (left carries exactly one salt, right every salt once),
+    which is exactly what the oracle checks; the gate aggregates the
+    joined rows per event_type so the surface stays bounded."""
+    from grenier_spark.operators.joins import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    dim = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_user_events"))
+    j = salted_join(ev, dim, on="user_id", n_salts=8)
+    return (j.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.sum("n_user_events").cast("long").alias("sum_user_events"))
+            .orderBy("event_type"))
+
+
 def q_docs_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column dataset profile (operators/profile.py): null /
     distinct counts plus integer value stats (value for int columns,
@@ -2847,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "purchase_asof_click": q_purchase_asof_click,
         "signup_error_overlap": q_signup_error_overlap,
+        "salted_user_join": q_salted_user_join,
         "docs_column_profile": q_docs_column_profile,
         "docs_constraints": q_docs_constraints,
         "customers_without_orders": q_customers_without_orders,
@@ -3988,6 +4010,15 @@ r AS (SELECT event_id AS error_id, epoch_us(ts) AS s,
 SELECT signup_id, error_id,
        (LEAST(l.e, r.e) - GREATEST(l.s, r.s))::BIGINT AS overlap_us
 FROM l JOIN r ON l.s <= r.e AND r.s <= l.e""",
+        # salted join is row-identical to the plain join — the oracle IS
+        # the plain join, aggregated identically
+        "salted_user_join": """
+WITH d AS (SELECT user_id, COUNT(*)::BIGINT AS n_user_events
+           FROM events GROUP BY user_id)
+SELECT e.event_type, COUNT(*)::BIGINT AS n_rows,
+       SUM(d.n_user_events)::BIGINT AS sum_user_events
+FROM events e JOIN d USING (user_id)
+GROUP BY e.event_type ORDER BY event_type""",
         # column profile: integer-derived stats per column (value for int
         # columns, LENGTH for strings); mean = round(exact BIGINT sum /
         # non-null count, 6) — identical float chain on both engines

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["asof_join", "interval_overlap_join"]
+__all__ = ["asof_join", "interval_overlap_join", "salted_join"]
 
 
 def _is_timestamp(df: DataFrame, col: str) -> bool:
@@ -127,6 +127,71 @@ def asof_join(left: DataFrame, right: DataFrame,
     out.append(m["__rts"].alias(f"{prefix}{right_ts}"))
     out += [m[c].alias(f"{prefix}{c}") for c in right_cols]
     return matched.select(*out)
+
+
+def salted_join(left: DataFrame, right: DataFrame,
+                on: Union[str, Sequence[str]],
+                n_salts: int = 16,
+                how: str = "inner",
+                salt_on: Optional[Sequence[str]] = None) -> DataFrame:
+    """Equi-join with explicit key salting for skewed LEFT keys.
+
+    A hot join key (one user with 10% of a 100 TB fact table, the empty
+    string, a boilerplate URL) pins its entire hash partition onto a
+    single reducer — the one shape no cluster size fixes.  AQE's skew-join
+    split handles sort-merge inner joins, but not every plan (it cannot
+    split when the skewed side feeds a window/bucketed requirement, and it
+    is reactive — the straggler must first materialize).  This operator is
+    the deterministic, plan-time mitigation: the LEFT (large, skewed) side
+    gets a salt in [0, n_salts) hashed from ``salt_on`` (default: all left
+    columns, so the salt is deterministic for a given row — retries and
+    both sides of a self-join agree); the RIGHT (smaller, per-key-unique)
+    side is replicated onto all n_salts salts via one narrow
+    explode(sequence(...)).  The join condition becomes
+    (keys..., salt) — the hot key's rows now spread over n_salts reducers.
+
+    Cost model at 100 TB: right side shuffles n_salts copies (choose
+    n_salts ~ hot-partition-size / target-partition-size — 16-64 tames a
+    10%-hot key on thousands of reducers while multiplying the SMALL side
+    only); left side shuffles once, exactly as unsalted.  Result is
+    row-identical to the plain join for ``inner``, ``left`` and
+    ``left_semi``, because each left row carries exactly one salt and the
+    right side carries every salt exactly once per row.  ``right``/
+    ``full``/``left_anti`` are rejected: right-row multiplicity would be
+    n_salts, not 1.
+
+    Use with operators/profile.py::key_skew_profile — its top-N skewed
+    keys tell you whether n_salts=1 (no skew) suffices.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, got: {how}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1: {n_salts}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt_cols = list(salt_on) if salt_on is not None else list(left.columns)
+
+    l = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
+               F.lit(n_salts)).cast("int"))
+    # one narrow explode — no shuffle to replicate; the copies fan out in
+    # the right side's ONE exchange on (keys, salt).  Right keys are
+    # renamed so a fact-joined-to-aggregate-of-itself shape never hits
+    # self-join attribute ambiguity.
+    r = (right
+         .withColumnsRenamed({k: f"__rk_{k}" for k in keys})
+         .withColumn("__salt",
+                     F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+         .withColumn("__salt", F.col("__salt").cast("int")))
+    cond = [F.col(k) == F.col(f"__rk_{k}") for k in keys]
+    cond.append(l["__salt"] == r["__salt"])
+    j = l.join(r, cond, how)
+    if how == "left_semi":
+        return j.drop("__salt")
+    keep_right = [c for c in right.columns if c not in keys]
+    return j.select(*[l[c].alias(c) for c in left.columns],
+                    *[r[c].alias(c) for c in keep_right])
 
 
 def _to_us(df: DataFrame, col: str):

@@ -7,7 +7,8 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from grenier_spark.operators.joins import asof_join, interval_overlap_join
+from grenier_spark.operators.joins import (asof_join, interval_overlap_join,
+                                           salted_join)
 
 
 def _rand_frames(seed, n_left=300, n_right=400, n_keys=7, ts_range=1000):
@@ -197,6 +198,94 @@ def test_overlap_no_cartesian_and_joins_on_bin(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def _skewed_frames(seed=0, n=2000, n_keys=40):
+    """Left fact with one hot key holding ~half the rows; right dim with
+    one row per key (some keys absent so outer-ness is exercised)."""
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, n_keys, n).astype("int64")
+    k[: n // 2] = 7  # hot key
+    left = pd.DataFrame({
+        "k": k, "lid": np.arange(n, dtype="int64"),
+        "v": rng.integers(0, 100, n).astype("int64")})
+    right = pd.DataFrame({
+        "k": np.arange(0, n_keys, 2, dtype="int64"),  # evens only
+        "dim": np.arange(0, n_keys, 2, dtype="int64") * 10})
+    return left, right
+
+
+def _sorted(pdf, cols):
+    return pdf.sort_values(cols).reset_index(drop=True)[
+        sorted(pdf.columns)]
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi"])
+@pytest.mark.parametrize("n_salts", [1, 8])
+def test_salted_join_row_identical_to_plain(spark, how, n_salts):
+    left, right = _skewed_frames()
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = salted_join(l, r, on="k", n_salts=n_salts, how=how).toPandas()
+    exp = l.join(r, on="k", how=how).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got, ["lid"]),
+                                  _sorted(exp, ["lid"]))
+
+
+def test_salted_join_null_keys_match_plain_semantics(spark):
+    """NULL join keys never match (equality) but survive a left join with
+    NULL right columns — exactly as unsalted."""
+    left = pd.DataFrame({"k": pd.array([1, None, 2], dtype="Int64"),
+                         "lid": [0, 1, 2]})
+    right = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                          "dim": [10, 99]})
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    for how in ("inner", "left"):
+        got = salted_join(l, r, on="k", n_salts=4, how=how).toPandas()
+        exp = l.join(r, on="k", how=how).toPandas()
+        pd.testing.assert_frame_equal(_sorted(got, ["lid"]),
+                                      _sorted(exp, ["lid"]))
+
+
+def test_salted_join_self_derived_dim(spark):
+    """The common shape: fact joined to an aggregate of itself (attribute
+    ids overlap) — must resolve without ambiguity and stay row-identical."""
+    left, _ = _skewed_frames(1)
+    l = spark.createDataFrame(left)
+    dim = l.groupBy("k").agg(F.count("*").alias("n_k"))
+    got = salted_join(l, dim, on="k", n_salts=8).toPandas()
+    exp = l.join(dim, on="k").toPandas()
+    pd.testing.assert_frame_equal(_sorted(got, ["lid"]),
+                                  _sorted(exp, ["lid"]))
+
+
+def test_salted_join_plan_salts_both_sides(spark):
+    """Plan gate: join keys include the salt (hot key spreads over
+    n_salts reducers); the right side replicates via a narrow explode —
+    no extra exchange beyond the two hash shuffles; never a cartesian."""
+    left, right = _skewed_frames(2)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = salted_join(spark.createDataFrame(left),
+                          spark.createDataFrame(right), on="k", n_salts=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan, plan
+    assert "__salt" in plan, plan
+    import re
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+    assert parts and all("__salt" in p for p in parts), plan
+    assert "Generate explode" in plan, plan
+
+
+def test_salted_join_rejects_right_outer_shapes(spark):
+    left, right = _skewed_frames(3)
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    with pytest.raises(ValueError, match="inner/left/left_semi"):
+        salted_join(l, r, on="k", how="full")
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(l, r, on="k", n_salts=0)
 
 
 def test_overlap_oversize_interval_fails_fast(spark):
