@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from grenier_spark.functions import (hll_card_col, hll_merge_col,
-                                     jump_bucket_col, kll_quantiles_col,
+                                     hrw_bucket_col, jump_bucket_col,
+                                     kll_quantiles_col,
                                      tdigest_quantiles_col, wang64_col)
 from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  ann_pq_sql,
@@ -52,6 +53,7 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  hll_card_hll_sql,
                                                  hll_card_sql,
                                                  hll_registers_sql,
+                                                 hrw_buckets_sql,
                                                  jump_buckets_sql,
                                                  kmv_by_source_sql,
                                                  kmv_pairs_sql,
@@ -1512,6 +1514,42 @@ def q_jump_relocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total"))
 
 
+def q_hrw_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) owner of every distinct user among 16 nodes
+    (core/rendezvous.py — the placement hash for ARBITRARY-node failure,
+    complementing jump hash's grow-only contract). Key chain
+    wang64(user) -> argmax_i wang64(key ^ splitmix64(i+1)), bit-exact in
+    the oracle."""
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    return ev.select("user_id",
+                     hrw_bucket_col(wang64_col("user_id"), 16)
+                     .cast("long").alias("bucket"))
+
+
+def q_hrw_relocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HRW's minimal-disruption property surfaced as a query: distinct
+    users placed on nodes 0..15, then node 5 removed. moved == keys that
+    were ON node 5 (moved_from_dead), and nothing lands on 5
+    (landed_on_dead = 0) — every column recomputed exactly by the
+    oracle's own two HRW chains."""
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    w = wang64_col("user_id")
+    live = [i for i in range(16) if i != 5]
+    b = ev.select(
+        "user_id",
+        hrw_bucket_col(w, 16).cast("long").alias("b_all"),
+        hrw_bucket_col(w, nodes=live).cast("long").alias("b_live"))
+    return b.select(
+        F.sum(F.when(F.col("b_all") != F.col("b_live"), 1).otherwise(0))
+        .cast("long").alias("moved"),
+        F.sum(F.when((F.col("b_all") != F.col("b_live"))
+                     & (F.col("b_all") == 5), 1).otherwise(0))
+        .cast("long").alias("moved_from_dead"),
+        F.sum(F.when(F.col("b_live") == 5, 1).otherwise(0))
+        .cast("long").alias("landed_on_dead"),
+        F.count(F.lit(1)).alias("total"))
+
+
 def q_incremental_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming surface in the gate: events split into two micro-batches by
     event_id parity, folded through the foreachBatch sink; merged per-type
@@ -2825,6 +2863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_point_queries": q_cms_point_queries,
         "bloom_membership": q_bloom_membership,
         "jump_relocation": q_jump_relocation,
+        "hrw_buckets": q_hrw_buckets,
+        "hrw_relocation": q_hrw_relocation,
         "incremental_hll_stream": q_incremental_hll_stream,
         "hll_history_snapshots": q_hll_history_snapshots,
         "sticky_sample_tokens": q_sticky_sample_tokens,
@@ -3465,6 +3505,25 @@ FROM events GROUP BY event_type""",
             + jump_buckets_sql(
                 "SELECT user_id, w AS h FROM (" + _wang_over_users() + ")",
                 "h", "user_id", 33)
+            + ") b USING (user_id)"),
+        "hrw_buckets": hrw_buckets_sql(
+            "SELECT user_id, w AS h FROM (" + _wang_over_users() + ")",
+            "h", "user_id", 16),
+        "hrw_relocation": (
+            "SELECT SUM(CASE WHEN a.bucket <> b.bucket THEN 1 ELSE 0 END)"
+            "::BIGINT AS moved, "
+            "SUM(CASE WHEN a.bucket <> b.bucket AND a.bucket = 5 "
+            "THEN 1 ELSE 0 END)::BIGINT AS moved_from_dead, "
+            "SUM(CASE WHEN b.bucket = 5 THEN 1 ELSE 0 END)"
+            "::BIGINT AS landed_on_dead, COUNT(*)::BIGINT AS total FROM ("
+            + hrw_buckets_sql(
+                "SELECT user_id, w AS h FROM (" + _wang_over_users() + ")",
+                "h", "user_id", 16)
+            + ") a JOIN ("
+            + hrw_buckets_sql(
+                "SELECT user_id, w AS h FROM (" + _wang_over_users() + ")",
+                "h", "user_id",
+                nodes=[i for i in range(16) if i != 5])
             + ") b USING (user_id)"),
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,

@@ -1,6 +1,6 @@
 """Spark Column-level functions over 64-bit hashes and sketch states."""
 
-from .hashing import jump_bucket_col, wang64_col  # noqa: F401
+from .hashing import hrw_bucket_col, jump_bucket_col, wang64_col  # noqa: F401
 from .estimates import (  # noqa: F401
     bloom_cardinality_col,
     bloom_contains_col,

@@ -21,6 +21,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..core.bits import U64, wang64
 from ..core.jmphash import jump_bucket
+from ..core.rendezvous import hrw_bucket_among
 
 
 def wang64_col(col: "Column | str") -> Column:
@@ -70,6 +71,23 @@ def repartition_by_jump(df, key_col: str, n_buckets: int):
     bucket = jump_bucket_col(wang64_col(F.xxhash64(F.col(key_col))), n_buckets)
     return (df.withColumn("_jump_bucket", bucket)
             .repartitionByRange(n_buckets, "_jump_bucket"))
+
+
+def hrw_bucket_col(col: "Column | str", n_nodes: int = None,
+                   nodes=None) -> Column:
+    """Rendezvous (HRW) owner node of a long column (core/rendezvous.py —
+    survives removal of an ARBITRARY node with exactly that node's keys
+    moving, where jump hash only handles the highest-numbered one).
+    Pass ``n_nodes`` for the full set 0..n-1 or ``nodes`` for a live
+    subset."""
+    live = tuple(range(n_nodes)) if nodes is None else tuple(nodes)
+
+    @pandas_udf("int")
+    def _hrw(keys: pd.Series) -> pd.Series:
+        ks = keys.to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.Series(hrw_bucket_among(ks, live).astype(np.int32))
+
+    return _hrw(F.col(col) if isinstance(col, str) else col)
 
 
 def md5_low64_col(col: "Column | str") -> Column:

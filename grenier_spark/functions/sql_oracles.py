@@ -96,6 +96,33 @@ WITH RECURSIVE jmp AS (
 SELECT {out_key}, j::BIGINT AS bucket FROM jmp WHERE done"""
 
 
+def hrw_buckets_sql(keys_sql: str, key_col: str, out_key: str, n=None,
+                    nodes=None) -> str:
+    """(out_key, bucket) via rendezvous hashing (core/rendezvous.py):
+    owner = argmax over live nodes i of wang64(key XOR splitmix64(i+1)),
+    ties to the smallest i. One wang64 chain over the keys x nodes cross
+    product, argmax via row_number. Pass ``n`` for nodes 0..n-1 or
+    ``nodes`` for an arbitrary live set (the removal story)."""
+    if nodes is None:
+        nodes = list(range(n))
+    node_list = ", ".join(str(int(i)) for i in sorted(set(nodes)))
+    salts = chain_selects(
+        f"SELECT (i + 1)::UHUGEINT AS si, i AS node "
+        f"FROM unnest([{node_list}]) AS t(i)",
+        splitmix64_stages("si", "salt"))
+    hashed = chain_selects(
+        f"SELECT k.{out_key}, s.node, xor(k.{key_col}::UHUGEINT, s.salt) AS kx "
+        f"FROM ({keys_sql}) k CROSS JOIN ({salts}) s",
+        wang64_stages("kx", "h"))
+    return f"""
+SELECT {out_key}, node::BIGINT AS bucket FROM (
+  SELECT {out_key}, node,
+         row_number() OVER (PARTITION BY {out_key}
+                            ORDER BY h DESC, node ASC) AS rn
+  FROM ({hashed})
+) WHERE rn = 1"""
+
+
 def cms_positions_sql(keys_sql: str, key_col: str, depth: int, width: int,
                       seed: int) -> str:
     """(key, row, col) cell coordinates per key per hash row, matching
