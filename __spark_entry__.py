@@ -1049,6 +1049,30 @@ def q_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_bloom_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned equi-join (operators/joins.py bloom_pruned_join): the
+    orders fact joined to the BUILDING-segment customers with the fact
+    side pruned in the SCAN stage by a broadcast grenier Bloom built over
+    the dim keys — only probable matches shuffle into the verify join.
+    Row-identical to the plain join (no false negatives + exact verify),
+    which is exactly what the oracle checks; aggregated per order
+    priority, price in exact integer 1e-2 units (the tpch_q3 pattern)."""
+    from grenier_spark.operators.joins import bloom_pruned_join
+
+    dim = (_t(spark, sf_dir, "customer")
+           .where("c_mktsegment = 'BUILDING'")
+           .select(F.col("c_custkey").alias("o_custkey")))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice")
+    j = bloom_pruned_join(orders, dim, on="o_custkey",
+                          expected_keys=50_000, fpr=0.01)
+    price_e2 = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(price_e2).cast("long").alias("price_e2"))
+            .orderBy("o_orderpriority"))
+
+
 def q_docs_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column dataset profile (operators/profile.py): null /
     distinct counts plus integer value stats (value for int columns,
@@ -2909,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_asof_click": q_purchase_asof_click,
         "signup_error_overlap": q_signup_error_overlap,
         "salted_user_join": q_salted_user_join,
+        "bloom_pruned_orders": q_bloom_pruned_orders,
         "docs_column_profile": q_docs_column_profile,
         "docs_constraints": q_docs_constraints,
         "customers_without_orders": q_customers_without_orders,
@@ -4078,6 +4103,15 @@ SELECT e.event_type, COUNT(*)::BIGINT AS n_rows,
        SUM(d.n_user_events)::BIGINT AS sum_user_events
 FROM events e JOIN d USING (user_id)
 GROUP BY e.event_type ORDER BY event_type""",
+        # bloom-pruned join is row-identical to the plain join (no false
+        # negatives; false positives die in the verify join) — the oracle
+        # IS the plain join, aggregated identically
+        "bloom_pruned_orders": """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+       SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS price_e2
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         # column profile: integer-derived stats per column (value for int
         # columns, LENGTH for strings); mean = round(exact BIGINT sum /
         # non-null count, 6) — identical float chain on both engines

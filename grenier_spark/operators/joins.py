@@ -266,3 +266,69 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
            + [F.col(f"{r_prefix}{c}") for c in right.columns]
            + [(F.least(le, re_) - F.greatest(ls, rs)).alias("overlap_us")])
     return j.select(*out)
+
+
+def bloom_pruned_join(fact: DataFrame, dim: DataFrame,
+                      on: Union[str, Sequence[str]], how: str = "inner",
+                      expected_keys: int = 1_000_000, fpr: float = 0.01,
+                      seed: int = 41) -> DataFrame:
+    """Equi-join with a broadcast grenier-Bloom prune of the fact side:
+    one pass over ``dim`` builds a Bloom filter (core/bloom.py — the same
+    wire format the membership gate checks bit-exactly) over the join
+    keys, the KB–MB blob is broadcast, and an Arrow-batched probe drops
+    fact rows in the SCAN stage so only probable matches ever reach the
+    shuffle join.  Output is IDENTICAL to ``fact.join(dim, on, how)``:
+    a Bloom has no false negatives (same ``xxhash64`` key expression on
+    both sides), and every false positive dies in the real join that
+    still runs on the survivors.
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling only the matching fraction + fpr noise: when the
+    dim side is too big for a broadcast-hash join as ROWS (say 10^9
+    keys ≈ tens of GB of rows) its Bloom at fpr=1% is ~9.6 bits/key
+    (~1.2 GB — chunky but broadcastable, and ``expected_keys``/``fpr``
+    tune it down), so the prune rides where Spark's own runtime
+    ``spark.sql.optimizer.runtime.bloomFilter`` row-filter would apply,
+    but explicitly, engine-independently, and with the library's own
+    mergeable one-pass build (two-level, no key-scale shuffle).
+
+    Only ``inner`` and ``semi`` joins are supported — the two shapes
+    where a pruned fact row is provably absent from the output (NULL
+    keys never equi-match, so fact rows with any NULL key are dropped
+    up front; dim NULL keys contribute nothing to the filter).
+
+    xxhash64 is fine here precisely because the HASH never reaches the
+    output — the gate oracles the JOIN RESULT, which is hash-independent
+    (CLAUDE.md: xxhash64 for fast paths only, never in an oracle-gated
+    value chain).
+    """
+    from ..core.bloom import Bloom, params_for
+    from .dedup import bloom_probe_udf
+    from .sketch_build import SketchSpec, build_sketches
+
+    if how not in ("inner", "semi", "leftsemi", "left_semi"):
+        raise ValueError(
+            f"bloom_pruned_join supports inner/semi joins only, got {how!r}"
+            " — an outer join must keep pruned rows, so pruning is wrong")
+    cols = [on] if isinstance(on, str) else list(on)
+    if not cols:
+        raise ValueError("bloom_pruned_join needs at least one join column")
+    nn_fact = F.lit(True)
+    nn_dim = F.lit(True)
+    for c in cols:
+        nn_fact = nn_fact & F.col(c).isNotNull()
+        nn_dim = nn_dim & F.col(c).isNotNull()
+    key = F.xxhash64(*[F.col(c) for c in cols])
+
+    m, kh = params_for(max(1, expected_keys), fpr)
+    row = (build_sketches(dim.where(nn_dim).select(key.alias("k")),
+                          [SketchSpec.of("dk", "bloom", "k",
+                                         m=m, k=kh, seed=seed)])
+           .select("sketch").first())
+    blob = (bytes(row.sketch) if row is not None
+            else Bloom(m, kh, seed=seed).to_bytes())
+    bc = fact.sparkSession.sparkContext.broadcast(blob)
+    probe = bloom_probe_udf(bc)
+
+    pruned = fact.where(nn_fact).where(probe(key))
+    return pruned.join(dim, cols, how)

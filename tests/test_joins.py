@@ -298,3 +298,64 @@ def test_overlap_oversize_interval_fails_fast(spark):
         bin_us=10, max_bins=100)
     with pytest.raises(Exception, match="max_bins"):
         out.collect()
+
+
+# ---------------- bloom_pruned_join ----------------
+
+def _bp_frames():
+    rng = np.random.default_rng(11)
+    fact = pd.DataFrame({
+        "k": pd.array(list(rng.integers(0, 50, 400)) + [None, None],
+                      dtype="Int64"),
+        "fid": np.arange(402, dtype="int64")})
+    dim = pd.DataFrame({
+        "k": pd.array(list(range(0, 50, 3)) + [None], dtype="Int64"),
+        "dim": np.arange(18, dtype="int64") * 7})
+    return fact, dim
+
+
+@pytest.mark.parametrize("how", ["inner", "semi"])
+@pytest.mark.parametrize("expected_keys,fpr", [(100_000, 0.01), (1, 0.5)])
+def test_bloom_pruned_join_identical_to_plain(spark, how, expected_keys,
+                                              fpr):
+    """Row-identical to the plain join with a well-sized AND a
+    pathologically undersized filter (m -> tiny, fpr -> ~1: everything
+    probes maybe-present, and the verify join restores exactness) —
+    including NULL keys on both sides, which never equi-match."""
+    from grenier_spark.operators.joins import bloom_pruned_join
+    fact, dim = _bp_frames()
+    f, d = spark.createDataFrame(fact), spark.createDataFrame(dim)
+    got = bloom_pruned_join(f, d, "k", how=how,
+                            expected_keys=expected_keys, fpr=fpr).toPandas()
+    exp = f.join(d, "k", how).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got, ["fid"]),
+                                  _sorted(exp, ["fid"]))
+
+
+def test_bloom_pruned_join_multi_column_and_empty_dim(spark):
+    """Composite keys hash as one xxhash64 tuple; an EMPTY dim yields an
+    empty (never-None) filter and an empty join, not a crash."""
+    from grenier_spark.operators.joins import bloom_pruned_join
+    fact = pd.DataFrame({"a": [1, 1, 2, 2], "b": [1, 2, 1, 2],
+                         "fid": [0, 1, 2, 3]})
+    dim = pd.DataFrame({"a": [1, 2], "b": [2, 1], "dim": [10, 20]})
+    f, d = spark.createDataFrame(fact), spark.createDataFrame(dim)
+    got = bloom_pruned_join(f, d, ["a", "b"], expected_keys=16).toPandas()
+    exp = f.join(d, ["a", "b"], "inner").toPandas()
+    pd.testing.assert_frame_equal(_sorted(got, ["fid"]),
+                                  _sorted(exp, ["fid"]))
+    empty = d.where("a < 0")
+    assert bloom_pruned_join(f, empty, ["a", "b"],
+                             expected_keys=16).count() == 0
+
+
+def test_bloom_pruned_join_rejects_outer_shapes(spark):
+    """Outer joins must keep non-matching fact rows, so pruning them is
+    semantically wrong — fail fast rather than silently drop."""
+    from grenier_spark.operators.joins import bloom_pruned_join
+    fact, dim = _bp_frames()
+    f, d = spark.createDataFrame(fact), spark.createDataFrame(dim)
+    with pytest.raises(ValueError, match="inner/semi"):
+        bloom_pruned_join(f, d, "k", how="left")
+    with pytest.raises(ValueError, match="join column"):
+        bloom_pruned_join(f, d, [], how="inner")

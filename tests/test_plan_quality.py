@@ -502,3 +502,20 @@ def test_source_profile_single_scan(spark):
     scan (pivot over the sketch rows, no self-join re-build)."""
     plan = plan_of(entry_mod.q_source_profile(spark, SF))
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_bloom_pruned_join_probe_is_scan_stage(spark):
+    """bloom_pruned_orders: the Bloom probe (ArrowEvalPython) must consume
+    the orders scan DIRECTLY — no Exchange between the probe and the fact
+    scan below it, so pruned rows never shuffle; candidate-scale exchanges
+    ABOVE the probe (the verify join / final aggregate) are the point."""
+    plan = plan_of(entry_mod.q_bloom_pruned_orders(spark, SF))
+    lines = plan.splitlines()
+    py = [i for i, ln in enumerate(lines) if "ArrowEvalPython" in ln]
+    assert py, plan
+    probe = max(py)
+    scan = min(i for i, ln in enumerate(lines)
+               if i > probe and "Scan parquet" in ln)
+    between = lines[probe:scan]
+    assert not any("Exchange" in ln for ln in between), "\n".join(between)
+    assert "CartesianProduct" not in plan, plan
