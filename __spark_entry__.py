@@ -516,6 +516,40 @@ def q_zorder_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_kll_balanced_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-driven balanced range bucketing (operators/layout.py
+    kll_range_buckets): the library's own quantile sketch picks the
+    boundary values, every events.value row gets a bucket, and the gate
+    checks the BALANCE GUARANTEE for real — each of the 8 buckets must
+    hold n/8 +- 3*eps*n rows (eps=0.04 at k=200; the extra eps is margin
+    over the 2-sided rank bound so a reshuffled fixture can't flip a
+    borderline row). Engine-independent surface: bucket ids + exact
+    non-null total; Spark computes ``within_bound`` from the real bucket
+    counts (boundary regression -> garbage counts -> FALSE), the oracle
+    emits the literals the guarantee promises."""
+    from grenier_spark.operators.layout import kll_range_buckets
+
+    B = 8
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.col("value").cast("double").alias("v"))
+          .where("v IS NOT NULL"))
+    out, _ = kll_range_buckets(ev, "v", B, k=200)
+    counts = (out.groupBy(F.col("_range_bucket").cast("long")
+                          .alias("bucket"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_bucket")))
+    buckets = spark.range(B).select(F.col("id").cast("long").alias("bucket"))
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    res = (buckets.join(counts, "bucket", "left")
+           .withColumn("n_bucket", F.coalesce("n_bucket", F.lit(0)))
+           .crossJoin(tot))
+    slack = F.lit(3 * 0.04) * F.col("n_total") + F.lit(1.0)
+    return (res.select(
+        "bucket", "n_total",
+        (F.abs(F.col("n_bucket") - F.col("n_total") / B) <= slack)
+        .alias("within_bound"))
+        .orderBy("bucket"))
+
+
 def q_stratified_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-quota stratified sample (operators/splits.py quota_sample):
     exactly min(12, |source|) docs per source = the 12 smallest
@@ -2915,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_frac": q_doc_sample_frac,
         "stratified_quota_docs": q_stratified_quota_docs,
         "zorder_docs": q_zorder_docs,
+        "kll_balanced_buckets": q_kll_balanced_buckets,
         "jsonl_ingest_docs": q_jsonl_ingest_docs,
         "user_key_skew": q_user_key_skew,
         "mixture_docs": q_mixture_docs,
@@ -3950,6 +3985,17 @@ SELECT source, doc_id, n_tok, batch_id, fill_after FROM g""",
         # Spark operator deliberately avoids (salt-split bounded min-K);
         # identical (hash, id) order rule on both engines
         "zorder_docs": _zorder_docs_oracle(),
+        # KLL balanced bucketing: the bucket ids and the exact non-null
+        # total are engine-independent; the balance booleans are the KLL
+        # rank guarantee, computed for REAL on the Spark side from the
+        # sketch-derived bucket counts (oracle emits the promised
+        # literals — same pattern as the quantile rank-bound gates)
+        "kll_balanced_buckets": """
+SELECT b.bucket,
+       (SELECT COUNT(value) FROM events)::BIGINT AS n_total,
+       TRUE AS within_bound
+FROM (SELECT unnest(range(0, 8)) AS bucket) b
+ORDER BY bucket""",
         # the JSONL round-trip is lossless and the planted corrupt lines
         # are one-per-source, so everything recomputes from the table
         "jsonl_ingest_docs": """

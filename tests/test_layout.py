@@ -143,3 +143,86 @@ def test_zorder_layout_partitions_are_z_contiguous(spark):
     # partitions cover disjoint, ordered z ranges
     for i in range(1, len(part)):
         assert part.zmin[i] > part.zmax[i - 1], part
+
+
+# ---------------- KLL-driven balanced range layout ----------------
+
+def test_kll_range_buckets_balance_and_bounds(spark):
+    """On a heavy-tailed distribution the sketch boundaries cut near the
+    true quantiles: every bucket holds n/B +- 2*eps*n rows (eps=0.04 at
+    k=200), and boundaries are sorted."""
+    import numpy as np
+    import pandas as pd
+    from grenier_spark.operators.layout import kll_range_buckets
+
+    rng = np.random.default_rng(7)
+    n, B = 20_000, 8
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": rng.lognormal(0, 2, n)})).repartition(4)
+    out, bounds = kll_range_buckets(df, "v", B)
+    assert len(bounds) == B - 1 and (np.diff(bounds) >= 0).all()
+    counts = (out.groupBy("_range_bucket").count()
+              .toPandas().set_index("_range_bucket")["count"])
+    assert len(counts) == B
+    assert (abs(counts - n / B) <= 2 * 0.04 * n + 1).all(), counts
+
+
+def test_kll_range_buckets_null_nan_last_heavy_atom_single(spark):
+    """NULL/NaN land in the LAST bucket; a constant column (one heavy
+    atom no range layout can split) maps every row to one bucket without
+    crashing; n_buckets=1 and empty inputs degrade to bucket 0 / empty."""
+    import pandas as pd
+    from grenier_spark.operators.layout import kll_range_buckets
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [1.0, None, 5.0]}))
+    got = kll_range_buckets(df, "v", 4)[0].toPandas()
+    assert int(got.loc[got.v.isna(), "_range_bucket"].iloc[0]) == 3
+
+    const = spark.createDataFrame(pd.DataFrame({"v": [3.0] * 500}))
+    buckets = (kll_range_buckets(const, "v", 8)[0]
+               .select("_range_bucket").distinct().toPandas())
+    assert len(buckets) == 1
+
+    one, b = kll_range_buckets(df, "v", 1)
+    assert len(b) == 0 and one.select("_range_bucket").distinct().count() == 1
+    empty = df.where("v < -1e18")
+    eout, eb = kll_range_buckets(empty, "v", 4)
+    assert len(eb) == 0 and eout.count() == 0
+
+
+def test_kll_range_repartition_single_range_exchange(spark):
+    """The physical move is ONE range exchange on the bucket id — no extra
+    shuffle, no Spark sampling job baked into THIS plan's exchanges — and
+    partitions are near-balanced (buckets map ~1:1 onto partitions)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from grenier_spark.operators.layout import kll_range_repartition
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": rng.normal(0, 3, n)})).repartition(4)
+    rp = kll_range_repartition(df, "v", 8)
+    plan = rp._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    pc = rp.groupBy(F.spark_partition_id().alias("p")).count().toPandas()
+    # range-sampling the 8 uniform bucket ids occasionally merges two
+    # adjacent buckets into one partition — never worse
+    assert pc["count"].max() <= 2 * (n / 8) + 2 * 0.04 * n + 1, pc
+
+
+def test_kll_range_buckets_deterministic_same_partitioning(spark):
+    """Boundaries are deterministic per input partitioning (seeded
+    compaction coin) — two builds over the identical layout agree."""
+    import numpy as np
+    import pandas as pd
+    from grenier_spark.operators.layout import kll_range_buckets
+
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": rng.normal(0, 1, 5_000)})).repartition(4)
+    _, b1 = kll_range_buckets(df, "v", 6)
+    _, b2 = kll_range_buckets(df, "v", 6)
+    assert np.array_equal(b1, b2)
