@@ -2159,6 +2159,37 @@ def q_hll_card_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_rows").alias("n_events"))
 
 
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling distinct users by SKETCH ALGEBRA
+    (operators/rolling.py): one corpus pass builds a per-day HLL, every
+    anchor day unions <= 7 KB-sized blobs — the raw events are scanned
+    once, never per-window. Because the union is byte-identical to a
+    scratch build over the window's rows (tested), the FULL estimator
+    oracle applies unchanged: DuckDB replicates each event onto the
+    anchor days whose trailing window covers it and recomputes the HLL++
+    estimate 0-ULP (sql_oracles.hll_card_sql). Session tz pinned to UTC
+    so both engines bucket the fixture's naive timestamps identically."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        from grenier_spark.operators.rolling import rolling_sketch_union
+
+        ev = _t(spark, sf_dir, "events").select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long").alias("day"), "user_id")
+        per_day = build_sketches(
+            ev, [SketchSpec.of("h", "hll", "user_id", p=12)],
+            group_cols=["day"])
+        rolled = rolling_sketch_union(per_day, "day", 7, "hll")
+        return (rolled.select(
+            "day",
+            F.round(hll_card_col("sketch"), 6).alias("est_users_7d"),
+            F.col("n_periods").cast("long").alias("n_days_merged"))
+            .orderBy("day"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_hll_card_orig_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both reference estimators side by side (H6 + H12): the HLL++
     estimate (hll.ml:142-153) AND the original-paper 32-bit-range
@@ -2913,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "doc_winnow_fps": q_doc_winnow_fps,
         "hll_card_by_type": q_hll_card_by_type,
+        "rolling_distinct_users": q_rolling_distinct_users,
         "hll_card_orig_by_type": q_hll_card_orig_by_type,
         "value_quantiles_tdigest": q_value_quantiles_tdigest,
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
@@ -3464,6 +3496,26 @@ FROM events GROUP BY event_type""",
                 "k", 12, group_cols=["event_type"]) + ") c JOIN ("
             "SELECT event_type, COUNT(*)::BIGINT AS n_events FROM events "
             "GROUP BY 1) n USING (event_type)"),
+        # rolling 7-day union == scratch build over the window's rows
+        # (byte-identical, tested), so the SAME full estimator SQL applies:
+        # replicate each event onto the anchor days whose trailing window
+        # covers it, then run the 0-ULP HLL++ chain per anchor day
+        "rolling_distinct_users": (
+            "SELECT c.day, round(c.est, 6) AS est_users_7d, "
+            "n.n_days_merged FROM (" + hll_card_sql(
+                "SELECT a.day, e.user_id::UHUGEINT AS k "
+                "FROM (SELECT DISTINCT (ts::DATE - DATE '1970-01-01')"
+                "::BIGINT AS day FROM events) a "
+                "JOIN (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS day,"
+                " user_id FROM events) e "
+                "ON e.day BETWEEN a.day - 6 AND a.day",
+                "k", 12, group_cols=["day"]) + ") c JOIN ("
+            "SELECT a.day, COUNT(DISTINCT e.day)::BIGINT AS n_days_merged "
+            "FROM (SELECT DISTINCT (ts::DATE - DATE '1970-01-01')::BIGINT "
+            "AS day FROM events) a "
+            "JOIN (SELECT DISTINCT (ts::DATE - DATE '1970-01-01')::BIGINT "
+            "AS day FROM events) e ON e.day BETWEEN a.day - 6 AND a.day "
+            "GROUP BY a.day) n USING (day) ORDER BY day"),
         "hll_card_orig_by_type": (
             "SELECT a.event_type, round(a.est, 6) AS est_orig_p12, "
             "round(b.est, 6) AS est_pp_p12, round(c.est, 6) AS est_orig_p4, "
