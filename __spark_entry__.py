@@ -2159,6 +2159,57 @@ def q_hll_card_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_rows").alias("n_events"))
 
 
+def q_cuckoo_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo filter — the DELETABLE membership sketch (core/cuckoo.py,
+    Fan et al. CoNEXT 2014) — through the full distributed build: insert
+    the distinct BUILDING-segment customer keys, functionally DELETE the
+    keys divisible by 10, then probe every remaining key. The gate rides
+    the structure's hard guarantees, all deterministic under ANY
+    partial-merge order the driver's session produces:
+
+    * ``present`` — inserted-and-not-deleted keys probe TRUE always (no
+      false negatives through eviction chains or deletions; same-fp pairs
+      are equal-or-disjoint, so a delete can never strand another key)
+    * ``slots_used`` — EXACT arithmetic: one slot per insert, one freed
+      per delete-of-an-inserted-key => count(keys) - count(deleted);
+      DuckDB recomputes it from set logic
+    * ``fp_ok`` — false positives over a disjoint probe set (keys + 1e9)
+      stay under a loose structural cap (expected ~8/2^16 per probe)
+
+    The delete-key array is a bounded collect (the deleted subset, tens
+    of rows at gate SF), same scale class as ivf's centroid fetch."""
+    from grenier_spark.core.cuckoo import params_for
+    from grenier_spark.functions import (cuckoo_contains_col,
+                                         cuckoo_delete_col,
+                                         cuckoo_stats_col)
+
+    keys = (_t(spark, sf_dir, "customer")
+            .where("c_mktsegment = 'BUILDING'")
+            .select(F.col("c_custkey").cast("long").alias("k"))
+            .distinct())
+    res = build_sketches(keys, [SketchSpec.of(
+        "c", "ckf", "k", n_buckets=params_for(20_000), fp_bits=16,
+        seed=17)])
+    dels = keys.where("k % 10 = 0").agg(
+        F.sort_array(F.collect_list("k")).alias("dks"))
+    sk = (res.select("sketch").crossJoin(dels)
+          .select(cuckoo_delete_col("sketch", "dks").alias("sketch")))
+    live = keys.where("k % 10 != 0")
+    probed = (live.crossJoin(sk)
+              .select("k", cuckoo_contains_col("sketch", "k")
+                      .alias("present")))
+    n_fp = (keys.select((F.col("k") + F.lit(1_000_000_000)).alias("k"))
+            .crossJoin(sk)
+            .agg(F.sum(F.when(cuckoo_contains_col("sketch", "k"), 1)
+                       .otherwise(0)).cast("long").alias("n_fp")))
+    stats = sk.select(cuckoo_stats_col("sketch").alias("s")) \
+        .select(F.col("s.slots_used").alias("slots_used"))
+    return (probed.crossJoin(stats).crossJoin(n_fp)
+            .select("k", "present", "slots_used",
+                    (F.col("n_fp") <= F.lit(5)).alias("fp_ok"))
+            .orderBy("k"))
+
+
 def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day rolling distinct users by SKETCH ALGEBRA
     (operators/rolling.py): one corpus pass builds a per-day HLL, every
@@ -2945,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fps": q_doc_winnow_fps,
         "hll_card_by_type": q_hll_card_by_type,
         "rolling_distinct_users": q_rolling_distinct_users,
+        "cuckoo_membership": q_cuckoo_membership,
         "hll_card_orig_by_type": q_hll_card_orig_by_type,
         "value_quantiles_tdigest": q_value_quantiles_tdigest,
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
@@ -3496,6 +3548,16 @@ FROM events GROUP BY event_type""",
                 "k", 12, group_cols=["event_type"]) + ") c JOIN ("
             "SELECT event_type, COUNT(*)::BIGINT AS n_events FROM events "
             "GROUP BY 1) n USING (event_type)"),
+        # cuckoo guarantees (no false negatives, exact slot arithmetic,
+        # bounded fp count) are computed for REAL on the Spark side; the
+        # key set and the slot count are pure set logic DuckDB recomputes
+        "cuckoo_membership": """
+WITH ks AS (SELECT DISTINCT c_custkey::BIGINT AS k FROM customer
+            WHERE c_mktsegment = 'BUILDING')
+SELECT k, TRUE AS present,
+       (SELECT COUNT(*) FROM ks WHERE k % 10 != 0)::BIGINT AS slots_used,
+       TRUE AS fp_ok
+FROM ks WHERE k % 10 != 0 ORDER BY k""",
         # rolling 7-day union == scratch build over the window's rows
         # (byte-identical, tested), so the SAME full estimator SQL applies:
         # replicate each event onto the anchor days whose trailing window

@@ -4,6 +4,9 @@ from .hashing import hrw_bucket_col, jump_bucket_col, wang64_col  # noqa: F401
 from .estimates import (  # noqa: F401
     bloom_cardinality_col,
     bloom_contains_col,
+    cuckoo_contains_col,
+    cuckoo_delete_col,
+    cuckoo_stats_col,
     cms_query_col,
     csk_f2_col,
     csk_inner_col,

@@ -15,6 +15,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..core import hll
 from ..core.bloom import Bloom
+from ..core.cuckoo import Cuckoo
 from ..core.countmin import CountMin
 from ..core.kll import KLL
 from ..core.tdigest import TDigest
@@ -98,6 +99,61 @@ def bloom_contains_col(sketch: "Column | str", key: "Column | str") -> Column:
         return pd.Series(out)
 
     return _c(_col(sketch), _col(key))
+
+
+def cuckoo_contains_col(sketch: "Column | str",
+                        key: "Column | str") -> Column:
+    """Membership probe of a serialized cuckoo filter (core/cuckoo.py):
+    TRUE is 'maybe present' at the structural fpr ~ 8/2^fp_bits, FALSE is
+    'definitely absent'; inserted-and-not-deleted keys are guaranteed
+    TRUE (no false negatives — core/cuckoo.py module contract)."""
+    @pandas_udf("boolean")
+    def _c(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        ks = keys.to_numpy(dtype=np.int64).view(np.uint64)
+        out = np.empty(len(blobs), dtype=bool)
+        codes, uniq = pd.factorize(blobs.map(bytes), sort=False)
+        for c, b in enumerate(uniq):
+            m = codes == c
+            out[m] = Cuckoo.from_bytes(b).contains(ks[m])
+        return pd.Series(out)
+
+    return _c(_col(sketch), _col(key))
+
+
+def cuckoo_delete_col(sketch: "Column | str",
+                      keys_array: "Column | str") -> Column:
+    """Functional deletion: returns a NEW serialized filter with one
+    stored copy of each key in the array column removed (delete only what
+    you inserted — core/cuckoo.py contract). The state is KB-sized, so
+    rebuilding the blob per row is the cheap path; per-key removal flags
+    come from re-probing."""
+    @pandas_udf("binary")
+    def _d(blobs: pd.Series, key_lists: pd.Series) -> pd.Series:
+        def one(b, ks):
+            f = Cuckoo.from_bytes(bytes(b))
+            f.delete_batch(np.asarray(list(ks), dtype=np.int64)
+                           .view(np.uint64))
+            return f.to_bytes()
+        return pd.Series([one(b, ks) for b, ks in zip(blobs, key_lists)])
+
+    return _d(_col(sketch), _col(keys_array))
+
+
+def cuckoo_stats_col(col: "Column | str") -> Column:
+    """(n_items, slots_used, load_factor, fpr_bound) of a serialized
+    cuckoo filter as a struct column."""
+    @pandas_udf("struct<n_items:long,slots_used:long,"
+                "load_factor:double,fpr_bound:double>")
+    def _s(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            f = Cuckoo.from_bytes(bytes(b))
+            rows.append((f.n_items, int(np.count_nonzero(f.table)),
+                         f.load_factor(), f.fpr()))
+        return pd.DataFrame(rows, columns=["n_items", "slots_used",
+                                           "load_factor", "fpr_bound"])
+
+    return _s(_col(col))
 
 
 def bloom_cardinality_col(col: "Column | str") -> Column:

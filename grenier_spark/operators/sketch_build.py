@@ -42,6 +42,7 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
 from ..core import hll
 from ..core.bits import U64, wang64
 from ..core.bloom import Bloom
+from ..core.cuckoo import Cuckoo
 from ..core.countmin import CountMin
 from ..core.countsketch import CountSketch
 from ..core.doubledouble import DDSum, Moments
@@ -56,8 +57,8 @@ from ..core.tdigest import TDigest
 class SketchSpec:
     """One sketch to build.
 
-    kind: 'hll' | 'cms' | 'csk' | 'bloom' | 'kmv' | 'mg' | 'kll' | 'tdigest'
-          | 'ddsum' | 'mom' | 'fd'
+    kind: 'hll' | 'cms' | 'csk' | 'bloom' | 'ckf' | 'kmv' | 'mg' | 'kll'
+          | 'tdigest' | 'ddsum' | 'mom' | 'fd'
     column: source column — array<int*> token sequences (hll/cms/bloom/kmv
             hash each token; mg counts the raw integer keys; kll/tdigest
             sketch the token values), a numeric scalar column, or for 'fd'
@@ -66,7 +67,10 @@ class SketchSpec:
     params: kind-specific, via ``SketchSpec.of(name, kind, column, p=14)``:
             hll {'p'}, cms {'depth','width','seed'}, bloom {'m','k','seed'},
             csk {'depth','width','seed'}, kmv {'k'}, mg {'k'},
-            kll {'k','seed'}, tdigest {'delta'}, fd {'ell','dim'}.
+            kll {'k','seed'}, tdigest {'delta'}, fd {'ell','dim'},
+            ckf {'n_buckets','fp_bits','seed'} (deletable membership —
+            MULTISET semantics, size n_buckets for TOTAL insertions via
+            cuckoo.params_for; build raises loudly past capacity).
     """
 
     name: str
@@ -96,6 +100,9 @@ def _new_state(spec: SketchSpec):
                            p.get("seed", 7))
     if spec.kind == "bloom":
         return Bloom(p.get("m", 1 << 20), p.get("k", 7), p.get("seed", 7))
+    if spec.kind == "ckf":
+        return Cuckoo(p.get("n_buckets", 1 << 16), p.get("fp_bits", 16),
+                      p.get("seed", 7))
     if spec.kind == "kmv":
         return KMV(p.get("k", 256))
     if spec.kind == "mg":
@@ -214,6 +221,11 @@ def _update_from_counts(state, spec: SketchSpec, keys: np.ndarray,
         # dense small non-negative ints: the u64 view equals the original
         # int64 values, so counting the view verbatim is exact
         state.update_batch(keys.view(np.int64), weights=counts)
+    elif spec.kind == "ckf":
+        # cuckoo is a MULTISET (each occurrence occupies a slot): expand
+        # the histogram back so the fast path transitions identically to
+        # the raw stream
+        state.update_batch(np.repeat(keys, counts.astype(np.int64)))
     else:
         state.update_batch(keys)
 
@@ -242,6 +254,13 @@ def _update(state, spec: SketchSpec, values: np.ndarray) -> None:
         # one exact-histogram absorb per batch — equivalent state
         # transition to the _grouped_counts fast path (same histogram)
         state.update_batch(values.astype(np.int64, copy=False))
+        return
+    if spec.kind == "ckf":
+        if values.dtype.kind == "f":
+            raise ValueError("ckf sketch over a float column: hashed "
+                             "kinds need integer keys")
+        # no dictionarize: duplicates occupy slots by the multiset contract
+        state.update_batch(values.astype(np.int64, copy=False).view(U64))
         return
     if spec.kind in ("hll", "cms", "csk", "bloom", "kmv"):
         dic = _dictionarize(values)
@@ -286,8 +305,9 @@ def _merge_blobs(kind: str, blobs: "list[bytes]") -> bytes:
         return hll.to_bytes(
             hll.merge_many([hll.from_bytes_any(b) for b in blobs]))
     cls = {"cms": CountMin, "csk": CountSketch, "bloom": Bloom,
-           "kmv": KMV, "mg": MisraGries, "kll": KLL, "tdigest": TDigest,
-           "ddsum": DDSum, "mom": Moments, "fd": FrequentDirections}[kind]
+           "ckf": Cuckoo, "kmv": KMV, "mg": MisraGries, "kll": KLL,
+           "tdigest": TDigest, "ddsum": DDSum, "mom": Moments,
+           "fd": FrequentDirections}[kind]
     acc = cls.from_bytes(blobs[0])
     for b in blobs[1:]:
         acc.merge(cls.from_bytes(b))
