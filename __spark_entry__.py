@@ -2241,6 +2241,71 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_rolling_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling VALUE QUANTILES by ordered sketch algebra
+    (operators/rolling.py rolling_sketch_merge_ordered): one corpus pass
+    builds a per-day KLL over events.value, every anchor day merges <= 7
+    KB-sized blobs in ascending-day order — the raw events are scanned
+    once, never per-window. KLL's rank guarantee survives any merge tree
+    (FOCS'16 Thm 1), so the gate emits what is engine-independent per
+    (day, q): the EXACT windowed quantile, the exact window row count, the
+    days-merged count, plus a ``within_bound`` boolean asserting the
+    two-sided rank condition — computed Spark-side from the REAL rolled
+    sketch estimate, literal TRUE in the DuckDB twin (a merge regression
+    past the published bound flips it). Session tz pinned to UTC so both
+    engines bucket the fixture's naive timestamps identically."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        from grenier_spark.operators.rolling import \
+            rolling_sketch_merge_ordered
+
+        qs = [0.1, 0.5, 0.9]
+        eps = 0.04
+        qarr = F.array(*[F.lit(q) for q in qs])
+        ev = (_t(spark, sf_dir, "events")
+              .where(F.col("value").isNotNull())
+              .select(F.datediff(F.to_date("ts"),
+                                 F.lit("1970-01-01").cast("date"))
+                      .cast("long").alias("day"),
+                      F.col("value").cast("double").alias("v")))
+        per_day = build_sketches(
+            ev, [SketchSpec.of("k", "kll", "v", k=200)], group_cols=["day"])
+        rolled = rolling_sketch_merge_ordered(per_day, "day", 7, "kll")
+        est = rolled.select(
+            F.col("day").alias("aday"),
+            F.col("n_periods").cast("long").alias("n_days_merged"),
+            F.posexplode(kll_quantiles_col("sketch", qs)).alias("i", "est"))
+        anchors = ev.select(F.col("day").alias("aday")).distinct()
+        win = (ev.withColumn("aday",
+                             F.explode(F.sequence(F.col("day"),
+                                                  F.col("day") + F.lit(6))))
+               .join(anchors, "aday", "semi")
+               .select("aday", "v"))
+        ranks = (win.join(F.broadcast(est), "aday")
+                 .groupBy("aday", "i", "est", "n_days_merged")
+                 .agg(F.sum(F.when(F.col("v") < F.col("est"), 1)
+                            .otherwise(0)).alias("cnt_lt"),
+                      F.sum(F.when(F.col("v") <= F.col("est"), 1)
+                            .otherwise(0)).alias("cnt_le"),
+                      F.count(F.lit(1)).alias("n")))
+        exact = (win.groupBy("aday")
+                 .agg(F.percentile("v", qarr).alias("p"))
+                 .select("aday", F.posexplode("p").alias("i", "exact_v")))
+        within = ((F.col("cnt_lt") <= (F.col("q") + eps) * F.col("n"))
+                  & (F.col("cnt_le") >= (F.col("q") - eps) * F.col("n")))
+        return (ranks.join(exact, ["aday", "i"])
+                .withColumn("q", F.element_at(qarr, F.col("i") + 1))
+                .select(F.col("aday").alias("day"), "q",
+                        F.col("n").cast("long").alias("n"),
+                        "n_days_merged",
+                        F.round("exact_v", 6).alias("exact_q"),
+                        within.alias("within_bound"))
+                .orderBy("day", "q"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_hll_card_orig_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both reference estimators side by side (H6 + H12): the HLL++
     estimate (hll.ml:142-153) AND the original-paper 32-bit-range
@@ -2996,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fps": q_doc_winnow_fps,
         "hll_card_by_type": q_hll_card_by_type,
         "rolling_distinct_users": q_rolling_distinct_users,
+        "rolling_value_quantiles": q_rolling_value_quantiles,
         "cuckoo_membership": q_cuckoo_membership,
         "hll_card_orig_by_type": q_hll_card_orig_by_type,
         "value_quantiles_tdigest": q_value_quantiles_tdigest,
@@ -3578,6 +3644,27 @@ FROM ks WHERE k % 10 != 0 ORDER BY k""",
             "JOIN (SELECT DISTINCT (ts::DATE - DATE '1970-01-01')::BIGINT "
             "AS day FROM events) e ON e.day BETWEEN a.day - 6 AND a.day "
             "GROUP BY a.day) n USING (day) ORDER BY day"),
+        # trailing 7-day KLL merge: exact windowed quantiles + window row
+        # count + days merged recomputed by replicating each event onto the
+        # anchor days whose window covers it; the rank-bound boolean is the
+        # guarantee (REAL Spark-side, literal TRUE here)
+        "rolling_value_quantiles": """
+WITH ev AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS day,
+                   value AS v
+            FROM events WHERE value IS NOT NULL),
+a AS (SELECT DISTINCT day FROM ev),
+w AS (SELECT a.day AS day, e.v, e.day AS src_day
+      FROM a JOIN ev e ON e.day BETWEEN a.day - 6 AND a.day)
+SELECT day, unnest([0.1, 0.5, 0.9]) AS q, n, n_days_merged,
+       unnest(ex) AS exact_q, TRUE AS within_bound
+FROM (SELECT day,
+             [round(quantile_cont(v, 0.1), 6),
+              round(quantile_cont(v, 0.5), 6),
+              round(quantile_cont(v, 0.9), 6)] AS ex,
+             COUNT(*)::BIGINT AS n,
+             COUNT(DISTINCT src_day)::BIGINT AS n_days_merged
+      FROM w GROUP BY day)
+ORDER BY day, q""",
         "hll_card_orig_by_type": (
             "SELECT a.event_type, round(a.est, 6) AS est_orig_p12, "
             "round(b.est, 6) AS est_pp_p12, round(c.est, 6) AS est_orig_p4, "

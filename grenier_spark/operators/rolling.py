@@ -33,9 +33,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, IntegerType, LongType,
                                StructField, StructType)
 
-__all__ = ["rolling_sketch_union"]
+__all__ = ["rolling_sketch_union", "rolling_sketch_merge_ordered"]
 
 _ORDER_INSENSITIVE = {"hll", "cms", "csk", "bloom", "kmv"}
+_ORDER_SENSITIVE = {"kll", "tdigest", "mom", "ddsum", "mg", "fd"}
 
 
 def rolling_sketch_union(sketches: DataFrame, period_col: str, window: int,
@@ -57,13 +58,50 @@ def rolling_sketch_union(sketches: DataFrame, period_col: str, window: int,
     tdigest) still merge associatively but not byte-stably — reject them
     here rather than hand back a weaker guarantee under the same name.
     """
-    if window < 1:
-        raise ValueError("rolling_sketch_union needs window >= 1")
     if kind not in _ORDER_INSENSITIVE:
         raise ValueError(
             f"rolling_sketch_union supports order-insensitive kinds "
             f"{sorted(_ORDER_INSENSITIVE)}, got {kind!r} — a kll/tdigest "
-            f"trailing union is not byte-stable; merge those explicitly")
+            f"trailing union is not byte-stable; use "
+            f"rolling_sketch_merge_ordered for those")
+    return _rolling_merge(sketches, period_col, window, kind, group_cols,
+                          sketch_col, sort_by_period=False)
+
+
+def rolling_sketch_merge_ordered(sketches: DataFrame, period_col: str,
+                                 window: int, kind: str,
+                                 group_cols: Sequence[str] = (),
+                                 sketch_col: str = "sketch") -> DataFrame:
+    """Trailing-window merge for ORDER-SENSITIVE kinds (kll, tdigest, mom,
+    ddsum, mg, fd): per-period blobs are merged in ascending ``period_col``
+    order, so the rolled-up sketch is DETERMINISTIC given the per-period
+    blobs — the same contract the deterministic single-stream build gives.
+
+    Unlike :func:`rolling_sketch_union`, the result is NOT byte-identical
+    to a scratch build over the window's raw rows (compaction schedules
+    differ), but the published guarantees survive mergeability — KLL's
+    rank error eps ~ C/k and t-digest's quantile error hold for any merge
+    tree (Karnin-Lang-Liberty FOCS'16 Thm 1; Dunning-Ertl 2019 §3) — so
+    rank-bound gates apply to every trailing-window estimate unchanged.
+
+    Same output shape and shuffle story as rolling_sketch_union: each
+    KB-sized per-period sketch row explodes onto <= ``window`` anchor
+    periods, one hash aggregate merges per anchor; raw data never moves.
+    """
+    if kind not in _ORDER_SENSITIVE:
+        raise ValueError(
+            f"rolling_sketch_merge_ordered is for order-sensitive kinds "
+            f"{sorted(_ORDER_SENSITIVE)}, got {kind!r} — use "
+            f"rolling_sketch_union for byte-stable unions")
+    return _rolling_merge(sketches, period_col, window, kind, group_cols,
+                          sketch_col, sort_by_period=True)
+
+
+def _rolling_merge(sketches: DataFrame, period_col: str, window: int,
+                   kind: str, group_cols: Sequence[str], sketch_col: str,
+                   sort_by_period: bool) -> DataFrame:
+    if window < 1:
+        raise ValueError("rolling merge needs window >= 1")
     from .sketch_build import _merge_blobs
 
     g = list(group_cols)
@@ -90,6 +128,8 @@ def rolling_sketch_union(sketches: DataFrame, period_col: str, window: int,
     names = [f.name for f in out_schema.fields]
 
     def merge_group(pdf):
+        if sort_by_period:
+            pdf = pdf.sort_values("_src_p", kind="stable")
         blob = _merge_blobs(kind, [bytes(b) for b in pdf["_sk"]])
         head = pdf.iloc[:1].copy()
         head["sketch"] = [blob]

@@ -6,7 +6,8 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from grenier_spark.operators.rolling import rolling_sketch_union
+from grenier_spark.operators.rolling import (rolling_sketch_merge_ordered,
+                                             rolling_sketch_union)
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
 
 
@@ -86,3 +87,46 @@ def test_rolling_union_rejects_order_sensitive_and_bad_window(spark):
         rolling_sketch_union(per_day, "day", 3, "kll")
     with pytest.raises(ValueError, match="window >= 1"):
         rolling_sketch_union(per_day, "day", 0, "hll")
+
+
+def test_rolling_ordered_kll_rank_bound_and_determinism(spark):
+    """The ordered trailing merge keeps KLL's published rank guarantee on
+    every anchor window (two-sided condition vs the window's raw rows) and
+    is byte-deterministic given the per-period blobs."""
+    from grenier_spark.core.kll import KLL
+
+    pdf = _events(seed=9, n=6000, days=10)
+    per_day, df, _ = _per_day(spark, pdf, kind="kll", k=200)
+    per_day = per_day.persist()
+    try:
+        rolls = [
+            {r["day"]: (bytes(r["sketch"]), r["n_periods"]) for r in
+             rolling_sketch_merge_ordered(per_day, "day", 3, "kll")
+             .collect()}
+            for _ in range(2)]
+        assert rolls[0] == rolls[1]  # deterministic given per-day blobs
+        qs = np.array([0.1, 0.5, 0.9])
+        for anchor in range(10):
+            vals = np.sort(pdf.loc[(pdf["day"] >= anchor - 2)
+                                   & (pdf["day"] <= anchor), "uid"]
+                           .to_numpy(dtype="float64"))
+            blob, n_periods = rolls[0][anchor]
+            assert n_periods == min(anchor + 1, 3)
+            est = KLL.from_bytes(blob).quantiles(qs)
+            n = len(vals)
+            for q, e in zip(qs, est):
+                cnt_lt = int(np.searchsorted(vals, e, side="left"))
+                cnt_le = int(np.searchsorted(vals, e, side="right"))
+                assert cnt_lt <= (q + 0.04) * n, (anchor, q)
+                assert cnt_le >= (q - 0.04) * n, (anchor, q)
+    finally:
+        per_day.unpersist()
+
+
+def test_rolling_ordered_rejects_order_insensitive_kind(spark):
+    pdf = _events(n=500, days=3)
+    per_day, _, _ = _per_day(spark, pdf, kind="kll", k=200)
+    with pytest.raises(ValueError, match="order-sensitive"):
+        rolling_sketch_merge_ordered(per_day, "day", 3, "hll")
+    with pytest.raises(ValueError, match="window >= 1"):
+        rolling_sketch_merge_ordered(per_day, "day", 0, "kll")
