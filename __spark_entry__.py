@@ -60,6 +60,7 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  md5_low64_expr,
                                                  md5_low64_signed_expr,
                                                  minhash_neardup_sql,
+                                                 minhash_sig_pairs_sql,
                                                  semdedup_sql,
                                                  simhash_pairs_sql)
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
@@ -2445,6 +2446,57 @@ def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("var_chars")))
 
 
+def q_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mergeable MinHash SIGNATURE (core/minhash.py, kind 'mh':
+    k independent wang64/splitmix64 permutations, component-wise min —
+    order-insensitive, so the two-level build is byte-identical to a
+    single stream) through the full distributed build, then the pairwise
+    source-similarity matrix: n_eq equal components, the n_eq/k Jaccard
+    estimate, and the EXACT Jaccard of the distinct-token sets. Every
+    signature component is recomputed exactly by the DuckDB twin
+    (sql_oracles.minhash_sig_pairs_sql) — a full value oracle, no bound
+    gating. Sketch rows are KB-sized so the pair matrix is a broadcast
+    self-join; tokens never shuffle for the signatures (the exact-Jaccard
+    mirror is gate-only verification)."""
+    from grenier_spark.functions import minhash_sig_col
+
+    K = 32
+    docs = _tokenized_docs(spark, sf_dir)
+    res = build_sketches(docs, [SketchSpec.of("mh", "mh", "tokens",
+                                              k=K, seed=7)],
+                         group_cols=["source"])
+    sig = res.select("source", minhash_sig_col("sketch").alias("sig"))
+    a = sig.select(F.col("source").alias("source_a"),
+                   F.col("sig").alias("_sa"))
+    b = sig.select(F.col("source").alias("source_b"),
+                   F.col("sig").alias("_sb"))
+    n_eq = F.size(F.filter(
+        F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda z: z))
+    toks = docs.select("source", F.explode("tokens").alias("tok")).distinct()
+    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (toks.select(F.col("source").alias("source_a"), "tok")
+             .join(toks.select(F.col("source").alias("source_b"), "tok"),
+                   "tok")
+             .where(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("_raw_inter")))
+    return (a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+            .withColumn("n_eq", n_eq.cast("long"))
+            .join(sizes.select(F.col("source").alias("source_a"),
+                               F.col("n").alias("_na")), "source_a")
+            .join(sizes.select(F.col("source").alias("source_b"),
+                               F.col("n").alias("_nb")), "source_b")
+            .join(inter, ["source_a", "source_b"], "left")
+            .withColumn("_ni", F.coalesce("_raw_inter", F.lit(0)))
+            .select("source_a", "source_b", "n_eq",
+                    F.round(F.col("n_eq").cast("double")
+                            / F.lit(float(K)), 6).alias("est_jaccard"),
+                    F.round(F.col("_ni").cast("double")
+                            / (F.col("_na") + F.col("_nb") - F.col("_ni"))
+                            .cast("double"), 6).alias("exact_jaccard"))
+            .orderBy("source_a", "source_b"))
+
+
 def q_csk_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-zero count-sketch cells over events.user_id (d=5, w=512,
     seed=7) — exact signed +-merge makes the full matrix SQL-checkable
@@ -3062,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_card_by_type": q_hll_card_by_type,
         "rolling_distinct_users": q_rolling_distinct_users,
         "rolling_value_quantiles": q_rolling_value_quantiles,
+        "source_minhash_jaccard": q_source_minhash_jaccard,
         "cuckoo_membership": q_cuckoo_membership,
         "hll_card_orig_by_type": q_hll_card_orig_by_type,
         "value_quantiles_tdigest": q_value_quantiles_tdigest,
@@ -3705,6 +3758,11 @@ ORDER BY day, q""",
             "SELECT source, unnest(string_split(text, ' ')) AS token "
             "FROM documents)",
             "tk", 256, group_cols=["source"]),
+        "source_minhash_jaccard": minhash_sig_pairs_sql(
+            "SELECT source, " + md5_low64_expr("token") + " AS tk FROM ("
+            "SELECT source, unnest(string_split(text, ' ')) AS token "
+            "FROM documents)",
+            "tk", 32, 7, group_col="source"),
         "source_token_kmv_jaccard": kmv_pairs_sql(
             "SELECT source, " + md5_low64_expr("token") + " AS tk FROM ("
             "SELECT source, unnest(string_split(text, ' ')) AS token "

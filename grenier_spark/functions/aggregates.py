@@ -42,7 +42,7 @@ from pyspark.sql.functions import pandas_udf
 from ..core import hll
 from ..operators.sketch_build import SketchSpec, _new_state, _update
 
-_ARRAY_KINDS = ("hll", "cms", "csk", "bloom", "kmv", "mg")  # token arrays
+_ARRAY_KINDS = ("hll", "cms", "csk", "bloom", "kmv", "mh", "mg")  # token arrays
 _VALUE_KINDS = ("kll", "tdigest", "ddsum", "mom")  # scalar double columns
 _MATRIX_KINDS = ("fd",)  # array<float*> vector rows (flattened, fixed dim)
 

@@ -296,6 +296,22 @@ def kmv_a_not_b_col(a: "Column | str", b: "Column | str") -> Column:
     return _d(_col(a), _col(b))
 
 
+def minhash_sig_col(col: "Column | str") -> Column:
+    """The k signature components of a serialized MinHashSig as
+    array<bigint> (signed int64 view of the uint64 mins — the suite's
+    cross-engine convention, so DuckDB recomputes every component exactly
+    via the wang64/splitmix64 UHUGEINT twin). Never-updated components
+    surface as the sentinel -1 (signed view of 2^64-1)."""
+    @pandas_udf("array<long>")
+    def _s(blobs: pd.Series) -> pd.Series:
+        from ..core.minhash import MinHashSig
+
+        return blobs.map(lambda b: MinHashSig.from_bytes(bytes(b))
+                         .values.view(np.int64).tolist())
+
+    return _s(_col(col))
+
+
 def csk_f2_col(col: "Column | str") -> Column:
     """AMS second-moment estimate of a serialized CountSketch: median
     over rows of sum_j cell^2 — exact int64 (core/countsketch.py)."""

@@ -900,6 +900,51 @@ _SIGNED64 = ("(CASE WHEN {h} >= 9223372036854775808::UHUGEINT "
 _TWO64_D = "18446744073709551616.0"
 
 
+def minhash_sig_pairs_sql(keys_sql: str, key_col: str, k: int, seed: int,
+                          group_col: str) -> str:
+    """DuckDB twin of a grouped MinHashSig build + the pairwise Jaccard
+    surface (core/minhash.py): per group pair (a < b), the count of EQUAL
+    signature components (``n_eq``, each component recomputed exactly as
+    ``MIN(wang64(key XOR splitmix64(seed + i + 1)))`` over the group's
+    distinct keys — the identical UHUGEINT chain as the kernel), the
+    estimator ``n_eq / k`` and the EXACT Jaccard of the distinct key sets;
+    pairs with empty intersection included. ``keys_sql`` yields
+    ``group_col`` + UHUGEINT ``key_col`` pre-hash (hll_card_sql
+    contract)."""
+    salts = chain_selects(
+        f"SELECT (i + {seed + 1})::UHUGEINT AS si, i AS comp "
+        f"FROM generate_series(0, {k - 1}) AS t(i)",
+        splitmix64_stages("si", "salt"))
+    hashed = chain_selects(
+        f"SELECT d.{group_col}, s.comp, xor(d.{key_col}, s.salt) AS kx "
+        f"FROM (SELECT DISTINCT {group_col}, {key_col} FROM ({keys_sql})) d "
+        f"CROSS JOIN ({salts}) s",
+        wang64_stages("kx", "h"))
+    return f"""
+WITH dk AS (SELECT DISTINCT {group_col} AS g, {key_col} AS key
+            FROM ({keys_sql})),
+sig AS (SELECT {group_col} AS g, comp, MIN(h) AS sig FROM ({hashed})
+        GROUP BY 1, 2),
+eq AS (SELECT a.g AS ga, b.g AS gb,
+              SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)::BIGINT AS n_eq
+       FROM sig a JOIN sig b ON a.comp = b.comp AND a.g < b.g
+       GROUP BY 1, 2),
+sizes AS (SELECT g, COUNT(*)::BIGINT AS n FROM dk GROUP BY 1),
+inter AS (SELECT a.g AS ga, b.g AS gb, COUNT(*)::BIGINT AS n_inter
+          FROM dk a JOIN dk b ON a.key = b.key AND a.g < b.g
+          GROUP BY 1, 2)
+SELECT eq.ga AS source_a, eq.gb AS source_b, eq.n_eq,
+       round(eq.n_eq::DOUBLE / {k}::DOUBLE, 6) AS est_jaccard,
+       round(COALESCE(i.n_inter, 0)::DOUBLE
+             / (sa.n + sb.n - COALESCE(i.n_inter, 0))::DOUBLE, 6)
+           AS exact_jaccard
+FROM eq
+JOIN sizes sa ON sa.g = eq.ga
+JOIN sizes sb ON sb.g = eq.gb
+LEFT JOIN inter i ON i.ga = eq.ga AND i.gb = eq.gb
+ORDER BY source_a, source_b"""
+
+
 def _kmv_kept_cte(keys_sql: str, key_col: str, k: int,
                   group_cols: "list[str]") -> str:
     """Per-group bottom-``k`` DISTINCT wang64 hashes with their rank —

@@ -49,6 +49,7 @@ from ..core.doubledouble import DDSum, Moments
 from ..core.kll import KLL
 from ..core.freqdirs import FrequentDirections
 from ..core.kmv import KMV
+from ..core.minhash import MinHashSig
 from ..core.misragries import MisraGries
 from ..core.tdigest import TDigest
 
@@ -57,8 +58,8 @@ from ..core.tdigest import TDigest
 class SketchSpec:
     """One sketch to build.
 
-    kind: 'hll' | 'cms' | 'csk' | 'bloom' | 'ckf' | 'kmv' | 'mg' | 'kll'
-          | 'tdigest' | 'ddsum' | 'mom' | 'fd'
+    kind: 'hll' | 'cms' | 'csk' | 'bloom' | 'ckf' | 'kmv' | 'mh' | 'mg'
+          | 'kll' | 'tdigest' | 'ddsum' | 'mom' | 'fd'
     column: source column — array<int*> token sequences (hll/cms/bloom/kmv
             hash each token; mg counts the raw integer keys; kll/tdigest
             sketch the token values), a numeric scalar column, or for 'fd'
@@ -66,7 +67,8 @@ class SketchSpec:
             fixed dim, non-null, NaN-free by contract).
     params: kind-specific, via ``SketchSpec.of(name, kind, column, p=14)``:
             hll {'p'}, cms {'depth','width','seed'}, bloom {'m','k','seed'},
-            csk {'depth','width','seed'}, kmv {'k'}, mg {'k'},
+            csk {'depth','width','seed'}, kmv {'k'}, mh {'k','seed'},
+            mg {'k'},
             kll {'k','seed'}, tdigest {'delta'}, fd {'ell','dim'},
             ckf {'n_buckets','fp_bits','seed'} (deletable membership —
             MULTISET semantics, size n_buckets for TOTAL insertions via
@@ -105,6 +107,8 @@ def _new_state(spec: SketchSpec):
                       p.get("seed", 7))
     if spec.kind == "kmv":
         return KMV(p.get("k", 256))
+    if spec.kind == "mh":
+        return MinHashSig(p.get("k", 64), p.get("seed", 7))
     if spec.kind == "mg":
         return MisraGries(p.get("k", 256))
     if spec.kind == "kll":
@@ -262,7 +266,7 @@ def _update(state, spec: SketchSpec, values: np.ndarray) -> None:
         # no dictionarize: duplicates occupy slots by the multiset contract
         state.update_batch(values.astype(np.int64, copy=False).view(U64))
         return
-    if spec.kind in ("hll", "cms", "csk", "bloom", "kmv"):
+    if spec.kind in ("hll", "cms", "csk", "bloom", "kmv", "mh"):
         dic = _dictionarize(values)
         if dic is not None:
             keys, counts = dic
@@ -305,7 +309,8 @@ def _merge_blobs(kind: str, blobs: "list[bytes]") -> bytes:
         return hll.to_bytes(
             hll.merge_many([hll.from_bytes_any(b) for b in blobs]))
     cls = {"cms": CountMin, "csk": CountSketch, "bloom": Bloom,
-           "ckf": Cuckoo, "kmv": KMV, "mg": MisraGries, "kll": KLL,
+           "ckf": Cuckoo, "kmv": KMV, "mh": MinHashSig, "mg": MisraGries,
+           "kll": KLL,
            "tdigest": TDigest, "ddsum": DDSum, "mom": Moments,
            "fd": FrequentDirections}[kind]
     acc = cls.from_bytes(blobs[0])
@@ -413,7 +418,8 @@ class _Accumulator:
         # columns consumed ONLY by count-sketches can ride the composite-
         # bincount fast path (quantile/sum sketches need the raw stream)
         self.countable = {
-            c: all(s.kind in ("hll", "cms", "csk", "bloom", "kmv", "mg")
+            c: all(s.kind in ("hll", "cms", "csk", "bloom", "kmv", "mh",
+                              "mg")
                    for s in specs if s.column == c)
             for c in value_cols}
         self.states: dict = {}   # (gkey, spec_name) -> state
@@ -577,8 +583,8 @@ def build_sketches_deterministic(df: DataFrame, specs: "list[SketchSpec]",
     use it when per-group data fits a task (or for golden-file tests); the
     production path stays :func:`build_sketches`, whose order-sensitive
     results are deterministic per partitioning and estimate-bound-gated.
-    Order-insensitive kinds (hll/cms/bloom/kmv) produce the same bytes on both
-    paths.
+    Order-insensitive kinds (hll/cms/bloom/kmv/mh) produce the same bytes
+    on both paths.
     """
     group_cols = list(group_cols or [])
     order_cols = list(order_cols or [])

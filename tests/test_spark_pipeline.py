@@ -40,6 +40,7 @@ SPECS = [
     SketchSpec.of("tok_cms", "cms", "tokens", depth=4, width=2048, seed=7),
     SketchSpec.of("tok_bloom", "bloom", "tokens", m=1 << 18, k=5, seed=7),
     SketchSpec.of("tok_kmv", "kmv", "tokens", k=128),
+    SketchSpec.of("tok_mh", "mh", "tokens", k=48, seed=7),
     SketchSpec.of("tok_csk", "csk", "tokens", depth=5, width=512, seed=7),
     SketchSpec.of("tok_kll", "kll", "tokens", k=200),
     SketchSpec.of("ntok_td", "tdigest", "n_tok", delta=200),
@@ -99,6 +100,16 @@ def test_kmv_byte_parity_per_group(grouped_result, local_rows):
         km.update_batch(local_tokens(local_rows, src))
         got = bytes(grouped_result[(src, "tok_kmv")].sketch)
         assert got == km.to_bytes(), src
+
+
+def test_minhash_sig_byte_parity_per_group(grouped_result, local_rows):
+    from grenier_spark.core.minhash import MinHashSig
+
+    for src in ["web", "books", "code", "wiki"]:
+        mh = MinHashSig(48, seed=7)
+        mh.update_batch(local_tokens(local_rows, src).view(np.int64))
+        got = bytes(grouped_result[(src, "tok_mh")].sketch)
+        assert got == mh.to_bytes(), src
 
 
 def test_mg_guarantees_per_group(spark, docs_df, local_rows):
