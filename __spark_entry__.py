@@ -46,6 +46,8 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  bloom_membership_sql,
                                                  cms_cells_sql,
                                                  cms_point_sql,
+                                                 dd_buckets_sql,
+                                                 dd_quantile_sql,
                                                  csk_cells_sql,
                                                  csk_f2_sql,
                                                  csk_inner_sql,
@@ -2405,6 +2407,59 @@ def q_nchars_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         kll_quantiles_col, [0.1, 0.5, 0.9], eps=0.04)
 
 
+def q_dd_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch (core/ddsketch.py, Masson et al. VLDB 2019) STATE surface
+    through the full distributed build: per event_type, the complete
+    log-bucket histogram ``(bucket, cnt)`` read back from the serialized
+    wire bytes. DDSketch is the order-INsensitive quantile kind — merge is
+    bucket-wise count addition — so unlike kll/tdigest the distributed
+    state is byte-identical under ANY partitioning and DuckDB recomputes
+    every bucket exactly: ``bucket = ceil(ln(v)/ln(gamma))`` on the same
+    libm doubles (sql_oracles.dd_bucket_expr; parity fuzzed over the full
+    2-decimal value grid in test_ddsketch.py)."""
+    from grenier_spark.functions import dd_buckets_col
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_type", "value"))
+    res = build_sketches(
+        ev, [SketchSpec.of("d", "dd", "value", alpha=0.01)],
+        group_cols=["event_type"])
+    return (res.select("event_type",
+                       F.explode(dd_buckets_col("sketch")).alias("b"))
+            .select("event_type", F.col("b.bucket").alias("bucket"),
+                    F.col("b.cnt").alias("cnt"))
+            .orderBy("event_type", "bucket"))
+
+
+def q_value_quantiles_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles with the FULL ESTIMATOR ORACLE — the only
+    quantile sketch in the suite whose estimate itself is value-exact in
+    SQL (kll/tdigest get rank-bound boolean gates; DDSketch's rank walk +
+    ``2*gamma^b/(gamma+1)`` is plain double arithmetic DuckDB reproduces
+    bit-for-bit, sql_oracles.dd_quantile_sql). Each estimate is within
+    relative error alpha=1% of the exact rank element (asserted in
+    test_ddsketch.py; the gate here checks estimator parity, which is
+    strictly stronger than the bound)."""
+    from grenier_spark.functions import dd_quantiles_col
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_type", "value"))
+    res = build_sketches(
+        ev, [SketchSpec.of("d", "dd", "value", alpha=0.01)],
+        group_cols=["event_type"])
+    qarr = F.array(*[F.lit(q) for q in qs])
+    return (res.select("event_type", F.col("n_values").alias("n"),
+                       F.posexplode(dd_quantiles_col("sketch", qs))
+                       .alias("i", "est"))
+            .select("event_type",
+                    F.element_at(qarr, F.col("i") + 1).alias("q"),
+                    F.round("est", 6).alias("est_value"), "n")
+            .orderBy("event_type", "q"))
+
+
 def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tokenized_docs(spark, sf_dir)
     res = build_sketches(docs, [SketchSpec.of("h", "hll", "tokens", p=12)],
@@ -3119,6 +3174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_card_orig_by_type": q_hll_card_orig_by_type,
         "value_quantiles_tdigest": q_value_quantiles_tdigest,
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
+        "dd_bucket_counts": q_dd_bucket_counts,
+        "value_quantiles_dd": q_value_quantiles_dd,
         "token_hll_by_source": q_token_hll_by_source,
         "source_profile": q_source_profile,
         "cms_point_queries": q_cms_point_queries,
@@ -3517,6 +3574,19 @@ def oracle_sql() -> dict[str, str]:
             "events", "value", "event_type", [0.25, 0.5, 0.75, 0.95]),
         "nchars_quantiles_kll": _quantile_bound_oracle(
             "documents", "n_chars", "source", [0.1, 0.5, 0.9]),
+        # DDSketch: state AND estimator are fully SQL-expressible (unlike
+        # kll/tdigest) — bucket = ceil(ln(v)/ln(gamma)) on the same libm
+        # doubles both engines, estimate = 2*gamma^b/(gamma+1)
+        "dd_bucket_counts": dd_buckets_sql(
+            "SELECT event_type, value FROM events WHERE value IS NOT NULL",
+            "value", 0.01, ["event_type"]),
+        "value_quantiles_dd": (
+            "SELECT event_type, q, round(est_value, 6) AS est_value, n "
+            "FROM (" + dd_quantile_sql(
+                "SELECT event_type, value FROM events "
+                "WHERE value IS NOT NULL",
+                "value", 0.01, [0.01, 0.25, 0.5, 0.75, 0.99],
+                ["event_type"]) + ")"),
         # exact high-frequency set + guarantee booleans (lossy counting can
         # never miss a token with exact_freq >= support, nor report an
         # est_freq below the exact frequency) — the booleans are literals

@@ -17,6 +17,7 @@ from ..core import hll
 from ..core.bloom import Bloom
 from ..core.cuckoo import Cuckoo
 from ..core.countmin import CountMin
+from ..core.ddsketch import DDSketch
 from ..core.kll import KLL
 from ..core.tdigest import TDigest
 
@@ -178,6 +179,52 @@ def tdigest_quantiles_col(sketch: "Column | str", qs: "list[float]") -> Column:
         return blobs.map(lambda b: TDigest.from_bytes(bytes(b)).quantiles(qs).tolist())
 
     return _q(_col(sketch))
+
+
+def dd_quantiles_col(sketch: "Column | str", qs: "list[float]") -> Column:
+    """DDSketch quantile estimates (core/ddsketch.py): each within
+    relative error alpha of the exact rank element — and, uniquely among
+    the quantile kinds, reproducible value-exactly in SQL
+    (sql_oracles.dd_quantile_sql)."""
+
+    @pandas_udf("array<double>")
+    def _q(blobs: pd.Series) -> pd.Series:
+        return blobs.map(
+            lambda b: DDSketch.from_bytes(bytes(b)).quantiles(qs))
+
+    return _q(_col(sketch))
+
+
+def dd_buckets_col(sketch: "Column | str") -> Column:
+    """Serialized DDSketch state as (bucket, cnt) struct rows — the raw
+    log-histogram, byte-level surface for the cross-engine gate (DuckDB
+    recomputes each bucket as ceil(ln(x)/ln(gamma)))."""
+
+    @pandas_udf("array<struct<bucket: int, cnt: long>>")
+    def _b(blobs: pd.Series) -> pd.Series:
+        def one(b):
+            s = DDSketch.from_bytes(bytes(b))
+            return [{"bucket": int(i), "cnt": int(c)}
+                    for i, c in zip(s.idx, s.counts)]
+        return blobs.map(one)
+
+    return _b(_col(sketch))
+
+
+def dd_stats_col(sketch: "Column | str") -> Column:
+    """DDSketch state summary: total count, zero-bucket count, number of
+    log buckets."""
+
+    @pandas_udf("struct<n: long, zero_count: long, n_buckets: long>")
+    def _s(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            s = DDSketch.from_bytes(bytes(b))
+            rows.append({"n": s.n, "zero_count": s.zero_count,
+                         "n_buckets": len(s.idx)})
+        return pd.DataFrame(rows)
+
+    return _s(_col(sketch))
 
 
 def ddsum_col(col: "Column | str") -> Column:

@@ -1061,3 +1061,80 @@ def cms_point_sql(stream_sql: str, key_col: str, depth: int, width: int,
 SELECT u.{key_col}, MIN(c.cnt)::BIGINT AS est_count
 FROM ({upos}) u JOIN ({cells}) c ON u.row = c.row AND u.col = c.col
 GROUP BY u.{key_col}"""
+
+
+def dd_bucket_expr(value: str, alpha: float) -> str:
+    """DDSketch log-bucket index of a positive DOUBLE value —
+    ``ceil(ln(x) / ln(gamma))`` with gamma = (1+alpha)/(1-alpha)
+    (core/ddsketch.py update_batch). Both engines evaluate the two logs,
+    the divide and the ceil in IEEE float64 through the same platform
+    libm, so indices agree bit-for-bit (fuzzed in test_cross_engine)."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    return (f"CAST(ceil(ln(({value})::DOUBLE) / ln({gamma!r}::DOUBLE)) "
+            f"AS INTEGER)")
+
+
+def dd_buckets_sql(values_sql: str, value_col: str, alpha: float,
+                   group_cols: "list[str] | None" = None) -> str:
+    """Per-group DDSketch bucket histogram of positive values — the exact
+    serialized state the distributed build emits (order-insensitive:
+    bucket-wise count addition commutes with any merge tree)."""
+    g = list(group_cols or [])
+    gsel = "".join(f"{c}, " for c in g)
+    return f"""
+SELECT {gsel}{dd_bucket_expr(value_col, alpha)} AS bucket,
+       COUNT(*)::BIGINT AS cnt
+FROM ({values_sql}) WHERE {value_col} > 0
+GROUP BY {", ".join(g + ['bucket'])}"""
+
+
+def dd_quantile_sql(values_sql: str, value_col: str, alpha: float,
+                    qs: "list[float]",
+                    group_cols: "list[str] | None" = None,
+                    alias: str = "est_value") -> str:
+    """FULL DDSketch quantile estimator in pure DuckDB SQL — the complete
+    pipeline of ``core.ddsketch.DDSketch.quantile``: log-bucket histogram,
+    zero counter, rank = floor(q*(n-1)), first bucket whose cumulative
+    count exceeds the rank, estimate 2*gamma^b/(gamma+1). Every step is
+    the same IEEE double arithmetic the numpy kernel runs, so the estimate
+    matches value-exactly (the only quantile sketch in the suite where the
+    ESTIMATOR ITSELF is SQL-reproducible — kll/tdigest get rank-bound
+    gates instead). NULL values must be filtered by the caller on both
+    engines."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    g = list(group_cols or [])
+    gsel = "".join(f"{c}, " for c in g)
+    gby = ("GROUP BY " + ", ".join(g)) if g else ""
+    part = ("PARTITION BY " + ", ".join(g)) if g else ""
+    on = (" AND ".join(f"c.{c} = r.{c}" for c in g)) or "TRUE"
+    qvals = ", ".join(f"({q!r}::DOUBLE)" for q in qs)
+    rsel = "".join(f"r.{c}, " for c in g)
+    return f"""
+WITH vals AS (
+  SELECT {gsel}({value_col})::DOUBLE AS v FROM ({values_sql})
+), hist AS (
+  SELECT {gsel}{dd_bucket_expr('v', alpha)} AS bucket,
+         COUNT(*)::BIGINT AS cnt
+  FROM vals WHERE v > 0 GROUP BY {", ".join(g + ['bucket'])}
+), cum AS (
+  SELECT {gsel}bucket,
+         SUM(cnt) OVER ({part} ORDER BY bucket) AS cum
+  FROM hist
+), tot AS (
+  SELECT {gsel}COUNT(*)::BIGINT AS n,
+         COUNT(*) FILTER (WHERE v = 0)::BIGINT AS zero
+  FROM vals {gby}
+), ranks AS (
+  SELECT {gsel}qq.q, n, zero,
+         CAST(floor(qq.q * (n - 1)::DOUBLE) AS BIGINT) AS rank
+  FROM tot CROSS JOIN (SELECT unnest([{qvals}]) AS q) qq
+)
+SELECT {rsel}r.q AS q,
+       CASE WHEN r.rank < r.zero THEN 0.0
+            ELSE 2.0 * power({gamma!r}::DOUBLE,
+                             (SELECT MIN(c.bucket) FROM cum c
+                              WHERE {on} AND r.zero + c.cum > r.rank))
+                 / ({gamma!r}::DOUBLE + 1.0)
+       END AS {alias},
+       r.n AS n
+FROM ranks r"""

@@ -48,6 +48,7 @@ from ..core.countsketch import CountSketch
 from ..core.doubledouble import DDSum, Moments
 from ..core.kll import KLL
 from ..core.freqdirs import FrequentDirections
+from ..core.ddsketch import DDSketch
 from ..core.kmv import KMV
 from ..core.minhash import MinHashSig
 from ..core.misragries import MisraGries
@@ -59,7 +60,7 @@ class SketchSpec:
     """One sketch to build.
 
     kind: 'hll' | 'cms' | 'csk' | 'bloom' | 'ckf' | 'kmv' | 'mh' | 'mg'
-          | 'kll' | 'tdigest' | 'ddsum' | 'mom' | 'fd'
+          | 'kll' | 'tdigest' | 'dd' | 'ddsum' | 'mom' | 'fd'
     column: source column — array<int*> token sequences (hll/cms/bloom/kmv
             hash each token; mg counts the raw integer keys; kll/tdigest
             sketch the token values), a numeric scalar column, or for 'fd'
@@ -69,7 +70,10 @@ class SketchSpec:
             hll {'p'}, cms {'depth','width','seed'}, bloom {'m','k','seed'},
             csk {'depth','width','seed'}, kmv {'k'}, mh {'k','seed'},
             mg {'k'},
-            kll {'k','seed'}, tdigest {'delta'}, fd {'ell','dim'},
+            kll {'k','seed'}, tdigest {'delta'}, dd {'alpha'} (DDSketch —
+            bucket-histogram quantiles; order-INsensitive, so it merges
+            byte-identically like hll/cms, unlike kll/tdigest),
+            fd {'ell','dim'},
             ckf {'n_buckets','fp_bits','seed'} (deletable membership —
             MULTISET semantics, size n_buckets for TOTAL insertions via
             cuckoo.params_for; build raises loudly past capacity).
@@ -115,6 +119,8 @@ def _new_state(spec: SketchSpec):
         return KLL(p.get("k", 200), seed=p.get("seed", 42))
     if spec.kind == "tdigest":
         return TDigest(p.get("delta", 200))
+    if spec.kind == "dd":
+        return DDSketch(p.get("alpha", 0.01))
     if spec.kind == "ddsum":
         return DDSum()
     if spec.kind == "mom":
@@ -311,7 +317,8 @@ def _merge_blobs(kind: str, blobs: "list[bytes]") -> bytes:
     cls = {"cms": CountMin, "csk": CountSketch, "bloom": Bloom,
            "ckf": Cuckoo, "kmv": KMV, "mh": MinHashSig, "mg": MisraGries,
            "kll": KLL,
-           "tdigest": TDigest, "ddsum": DDSum, "mom": Moments,
+           "tdigest": TDigest, "dd": DDSketch, "ddsum": DDSum,
+           "mom": Moments,
            "fd": FrequentDirections}[kind]
     acc = cls.from_bytes(blobs[0])
     for b in blobs[1:]:
@@ -583,8 +590,8 @@ def build_sketches_deterministic(df: DataFrame, specs: "list[SketchSpec]",
     use it when per-group data fits a task (or for golden-file tests); the
     production path stays :func:`build_sketches`, whose order-sensitive
     results are deterministic per partitioning and estimate-bound-gated.
-    Order-insensitive kinds (hll/cms/bloom/kmv/mh) produce the same bytes
-    on both paths.
+    Order-insensitive kinds (hll/cms/bloom/kmv/mh/dd) produce the same
+    bytes on both paths.
     """
     group_cols = list(group_cols or [])
     order_cols = list(order_cols or [])

@@ -1,0 +1,155 @@
+"""DDSketch unit + property tests (core/ddsketch.py; Masson et al.,
+VLDB 2019): the alpha relative-error guarantee against exact rank
+elements, byte-identical merges under arbitrary partitionings (the
+order-insensitivity that separates it from KLL/t-digest), serde
+round-trips, and bit-exact cross-engine bucket/estimator parity with the
+DuckDB SQL twin (functions/sql_oracles.py dd_*_sql)."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from grenier_spark.core.ddsketch import DDSketch
+
+ALPHA = 0.01
+
+
+def _exact_rank_element(values: np.ndarray, q: float) -> float:
+    sv = np.sort(values)
+    return float(sv[int(math.floor(q * (len(sv) - 1)))])
+
+
+def test_quantile_guarantee_lognormal():
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(3.0, 2.0, 50_000)
+    s = DDSketch(ALPHA)
+    s.update_batch(vals)
+    for q in [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]:
+        x = _exact_rank_element(vals, q)
+        est = s.quantile(q)
+        assert abs(est - x) <= ALPHA * x * (1 + 1e-12), (q, est, x)
+
+
+def test_zero_values_routed_to_zero_counter():
+    s = DDSketch(0.05)
+    s.update_batch(np.array([0.0, 0.0, 1.0, 2.0, 4.0]))
+    assert s.zero_count == 2 and s.n == 5
+    assert s.quantile(0.0) == 0.0
+    assert s.quantile(0.2) == 0.0  # rank 0 < zero_count
+    # rank 2 -> first positive bucket (value 1.0, within alpha)
+    assert abs(s.quantile(0.5) - 1.0) <= 0.05 * 1.0 * (1 + 1e-12)
+
+
+def test_negative_and_nonfinite_raise():
+    s = DDSketch(ALPHA)
+    with pytest.raises(ValueError):
+        s.update_batch(np.array([1.0, -2.0]))
+    with pytest.raises(ValueError):
+        s.update_batch(np.array([1.0, np.nan]))
+    with pytest.raises(ValueError):
+        s.update_batch(np.array([np.inf]))
+
+
+def test_empty_quantile_raises():
+    with pytest.raises(ValueError):
+        DDSketch(ALPHA).quantile(0.5)
+
+
+def test_mismatched_alpha_merge_raises():
+    with pytest.raises(ValueError):
+        DDSketch(0.01).merge(DDSketch(0.02))
+
+
+def test_serde_roundtrip_and_validation():
+    rng = np.random.default_rng(3)
+    s = DDSketch(ALPHA)
+    s.update_batch(rng.uniform(1e-6, 1e6, 10_000))
+    s.update_batch(np.zeros(17))
+    blob = s.to_bytes()
+    t = DDSketch.from_bytes(blob)
+    assert t.to_bytes() == blob
+    assert t.n == s.n and t.zero_count == 17
+    assert np.array_equal(t.idx, s.idx)
+    assert np.array_equal(t.counts, s.counts)
+    with pytest.raises(ValueError):
+        DDSketch.from_bytes(b"XXXX" + blob[4:])
+
+
+@settings(max_examples=10, deadline=None)
+@given(n_parts=st.sampled_from([2, 7, 16]), seed=st.integers(0, 10_000))
+def test_merge_byte_identity_any_partitioning(n_parts, seed):
+    """Bucket-count addition is associative+commutative: splitting the
+    stream into any partitioning, building partials and merging in any
+    order yields the SAME BYTES as the single-stream build."""
+    rng = np.random.default_rng(seed)
+    vals = rng.lognormal(2.0, 1.5, 5_000)
+    vals[rng.integers(0, len(vals), 50)] = 0.0
+    whole = DDSketch(ALPHA)
+    whole.update_batch(vals)
+    parts = np.array_split(rng.permutation(vals), n_parts)
+    partials = []
+    for p in parts:
+        d = DDSketch(ALPHA)
+        d.update_batch(p)
+        partials.append(d)
+    order = rng.permutation(n_parts)
+    acc = DDSketch.from_bytes(partials[order[0]].to_bytes())
+    for i in order[1:]:
+        acc.merge(DDSketch.from_bytes(partials[i].to_bytes()))
+    assert acc.to_bytes() == whole.to_bytes()
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 10_000),
+       sigma=st.sampled_from([0.5, 1.0, 3.0]))
+def test_guarantee_fuzz(seed, sigma):
+    rng = np.random.default_rng(seed)
+    vals = rng.lognormal(0.0, sigma, 2_000)
+    s = DDSketch(ALPHA)
+    s.update_batch(vals)
+    for q in [0.1, 0.5, 0.9]:
+        x = _exact_rank_element(vals, q)
+        assert abs(s.quantile(q) - x) <= ALPHA * x * (1 + 1e-12)
+
+
+def test_state_stays_small():
+    """Bucket count is bounded by log_gamma(max/min), independent of n —
+    the property that keeps shuffle rows KB-sized at 10^12 tokens."""
+    rng = np.random.default_rng(1)
+    s = DDSketch(ALPHA)
+    for _ in range(10):
+        s.update_batch(rng.uniform(1e-3, 1e9, 100_000))
+    bound = math.log(1e9 / 1e-3) / math.log(s.gamma) + 2
+    assert len(s.idx) <= bound
+    assert len(s.to_bytes()) < 32_000
+
+
+def test_cross_engine_bucket_and_estimator_parity():
+    """Bit-exact DuckDB twin: bucket indices AND the full quantile
+    estimate agree with the numpy kernel on a dense value grid (all
+    2-decimal values in (0, 600], superset of the fixture grid) plus
+    adversarial near-boundary points."""
+    duckdb = pytest.importorskip("duckdb")
+    from grenier_spark.functions.sql_oracles import (dd_bucket_expr,
+                                                     dd_quantile_sql)
+
+    vals = np.round(np.arange(1, 60_001) * 0.01, 10)
+    s = DDSketch(ALPHA)
+    np_idx = np.ceil(np.log(vals) / s._lg).astype(np.int64)
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"v": vals}))
+    sql_idx = con.execute(
+        f"SELECT {dd_bucket_expr('v', ALPHA)} FROM t ORDER BY v"
+    ).fetchnumpy()
+    assert np.array_equal(np_idx, next(iter(sql_idx.values())).astype(np.int64))
+
+    s.update_batch(vals)
+    qs = [0.01, 0.5, 0.99]
+    rows = con.execute(
+        dd_quantile_sql("SELECT v FROM t", "v", ALPHA, qs) + " ORDER BY q"
+    ).fetchall()
+    for (q, est_sql, n), q_py in zip(rows, qs):
+        assert n == len(vals)
+        assert est_sql == s.quantile(q_py), (q, est_sql, s.quantile(q_py))

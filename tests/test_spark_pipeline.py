@@ -44,6 +44,7 @@ SPECS = [
     SketchSpec.of("tok_csk", "csk", "tokens", depth=5, width=512, seed=7),
     SketchSpec.of("tok_kll", "kll", "tokens", k=200),
     SketchSpec.of("ntok_td", "tdigest", "n_tok", delta=200),
+    SketchSpec.of("ntok_dd", "dd", "n_tok", alpha=0.01),
 ]
 
 
@@ -100,6 +101,20 @@ def test_kmv_byte_parity_per_group(grouped_result, local_rows):
         km.update_batch(local_tokens(local_rows, src))
         got = bytes(grouped_result[(src, "tok_kmv")].sketch)
         assert got == km.to_bytes(), src
+
+
+def test_dd_byte_parity_per_group(grouped_result, local_rows):
+    # DDSketch is the order-INsensitive quantile kind: bucket-count
+    # addition commutes with any merge tree, so unlike kll/tdigest the
+    # distributed bytes must equal a single-stream numpy build exactly
+    from grenier_spark.core.ddsketch import DDSketch
+
+    for src in ["web", "books", "code", "wiki"]:
+        dd = DDSketch(0.01)
+        sel = local_rows[local_rows.source == src]
+        dd.update_batch(sel.n_tok.to_numpy().astype(np.float64))
+        got = bytes(grouped_result[(src, "ntok_dd")].sketch)
+        assert got == dd.to_bytes(), src
 
 
 def test_minhash_sig_byte_parity_per_group(grouped_result, local_rows):
