@@ -1794,6 +1794,63 @@ def q_streaming_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("kurtosis", 6).alias("kurt_value"))
 
 
+def q_streaming_value_quantiles_dd(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Streaming running quantiles in the gate (streaming/stateful.py
+    ddsketch_state_stream): events arrive in two micro-batches (event_id
+    parity); one DDSketch per event_type lives in the state store across
+    triggers. Because DDSketch is order-insensitive the final state is
+    byte-identical to a batch build over all events (locked in
+    tests/test_streaming_multimodal.py), so — uniquely among the
+    streaming surfaces — the emitted estimates are VALUE-EXACT in SQL:
+    the oracle recomputes the full estimator (bucket histogram, rank
+    walk, 2*gamma^b/(gamma+1)) on the same doubles
+    (sql_oracles.dd_quantile_sql). Final-trigger rows are selected by
+    n == the exact per-type non-null count."""
+    import tempfile
+    import time as _time
+
+    from grenier_spark.streaming.stateful import ddsketch_state_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type", F.col("value").cast("double").alias("value"))
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ck"
+        ev.where("event_id % 2 = 0").coalesce(1).write.parquet(f"{src}/b1")
+        _time.sleep(0.05)
+        stream = (spark.readStream
+                  .schema("event_id long, event_type string, value double")
+                  .option("maxFilesPerTrigger", "1").parquet(f"{src}/*"))
+        out = ddsketch_state_stream(stream, "event_type", alpha=0.01,
+                                    qs=(0.25, 0.5, 0.9))
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName("g_stream_dd")
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            ev.where("event_id % 2 = 1").coalesce(1) \
+                .write.parquet(f"{src}/b2")
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM g_stream_dd").toPandas()
+        finally:
+            q.stop()
+    totals = {r.event_type: r._n for r in
+              ev.where("value IS NOT NULL").groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("_n")).collect()}
+    fin = got[got.apply(lambda r: r.n == totals.get(r.event_type),
+                        axis=1)]
+    # a key whose second slice was all-NULL emits identical rows on both
+    # triggers — keep one
+    fin = (fin.drop_duplicates(subset=["event_type", "q"])
+           .reset_index(drop=True))
+    res = spark.createDataFrame(
+        fin, "event_type string, n bigint, q double, est double")
+    return res.select("event_type", "q",
+                      F.round("est", 6).alias("est_value"),
+                      F.col("n").alias("n"))
+
+
 def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windows + watermark in the gate (streaming/stateful.py
     windowed_hll_stream): events arrive in TIME ORDER (first half, second
@@ -3219,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_docs": q_streaming_dedup_docs,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "streaming_value_moments": q_streaming_value_moments,
+        "streaming_value_quantiles_dd": q_streaming_value_quantiles_dd,
         "streaming_windowed_hll": q_streaming_windowed_hll,
         "shard_manifest_stats": q_shard_manifest_stats,
         "embedding_neardup": q_embedding_neardup,
@@ -3686,6 +3744,14 @@ FROM events GROUP BY event_type""",
         # the streaming surface must converge to the SAME batch answer:
         # identical oracle (final-trigger state == whole-corpus moments)
         "streaming_value_moments": _MOMENTS_ORACLE_SQL,
+        # streaming DDSketch converges to the batch state byte-exactly
+        # (order-insensitive), so the SAME full-estimator oracle gates it
+        "streaming_value_quantiles_dd": (
+            "SELECT event_type, q, round(est_value, 6) AS est_value, n "
+            "FROM (" + dd_quantile_sql(
+                "SELECT event_type, value FROM events "
+                "WHERE value IS NOT NULL",
+                "value", 0.01, [0.25, 0.5, 0.9], ["event_type"]) + ")"),
 
         "bpe_token_stats": f"""
 SELECT source, COUNT(*)::BIGINT AS n_docs,

@@ -174,6 +174,59 @@ def moments_state_stream(stream_df, group_col: str,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def ddsketch_state_stream(stream_df, group_col: str,
+                          value_col: str = "value", alpha: float = 0.01,
+                          qs: "tuple[float, ...]" = (0.25, 0.5, 0.9)):
+    """Streaming running quantiles: one DDSketch (core/ddsketch.py,
+    Masson et al. VLDB 2019) per group living in the state store.
+
+    DDSketch is the ORDER-INSENSITIVE quantile kind — its state is a pure
+    log-bucket histogram and merge is bucket-wise count addition — so
+    after any number of triggers the state bytes are EXACTLY the batch
+    build over the concatenated stream (asserted byte-for-byte in
+    tests/test_ddsketch.py): no order column, no Arrow-chunk sensitivity,
+    unlike the kll/tdigest kinds whose compactions are order-dependent.
+    Consequently every emitted estimate is the one
+    ``sql_oracles.dd_quantile_sql`` recomputes value-exactly — the only
+    streaming quantile surface whose numbers a SQL engine can reproduce
+    bit-for-bit.
+
+    Emission per trigger: one row per requested quantile
+    ``(group, n, q, est)``. NULL values drop (matching the batch build's
+    isNotNull filter); a group whose values so far are all NULL keeps its
+    state but emits nothing (quantiles of an empty sketch are undefined).
+    State size is bounded by log_gamma(max/min) buckets (~KB at
+    alpha=0.01) regardless of stream length."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..core.ddsketch import DDSketch
+
+    out_schema = f"{group_col} string, n bigint, q double, est double"
+    state_schema = "sketch binary"
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            s = DDSketch.from_bytes(bytes(blob))
+        else:
+            s = DDSketch(alpha)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            vals = (pd.concat(chunks, ignore_index=True)[value_col]
+                    .dropna().to_numpy(dtype=np.float64))
+            if len(vals):
+                s.update_batch(vals)
+        state.update((s.to_bytes(),))
+        if s.n:
+            yield pd.DataFrame({group_col: key[0], "n": s.n,
+                                "q": list(qs),
+                                "est": [s.quantile(q) for q in qs]})
+
+    return (stream_df.groupBy(group_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def windowed_hll_stream(stream_df, ts_col: str, group_col: str,
                         key_col: str, window: str = "1 hour",
                         watermark: str = "10 minutes", p: int = 12):

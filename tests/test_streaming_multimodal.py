@@ -578,3 +578,70 @@ def test_moments_state_stream_matches_batch_twin(spark, tmp_path):
         assert row["variance"] == pytest.approx(tvar, rel=1e-12)
         assert row["skew"] == pytest.approx(tskew, rel=1e-9)
         assert row["kurtosis"] == pytest.approx(tkurt, rel=1e-9)
+
+
+def test_ddsketch_state_stream_byte_equals_batch(spark, tmp_path):
+    """Streaming DDSketch across two triggers (split by a query RESTART on
+    one checkpoint): the final state-store sketch must be BYTE-IDENTICAL
+    to a single batch build over all rows — the order-insensitivity that
+    makes the streaming estimates SQL-value-exact (no other streaming
+    quantile surface can promise bytes). The emitted estimates are then
+    checked against the batch twin's quantile() exactly."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from grenier_spark.core.ddsketch import DDSketch
+    from grenier_spark.streaming.stateful import ddsketch_state_stream
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src_dir, exist_ok=True)
+    batches = []
+    for part in range(2):
+        vals = rng.lognormal(2.0, 1.5, 300)
+        vals[rng.integers(0, 300, 5)] = 0.0
+        df = pd.DataFrame({
+            "event_id": np.arange(part * 300, part * 300 + 300),
+            "event_type": [f"t{i % 3}" for i in range(300)],
+            "value": vals})
+        df.loc[df.index[::97], "value"] = None  # NULLs must drop
+        batches.append(df)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       f"{src_dir}/part-{part:05d}.parquet")
+
+    collected = []
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("event_id long, event_type string, value double")
+                  .option("maxFilesPerTrigger", "16").parquet(src_dir))
+        out = ddsketch_state_stream(stream, "event_type", alpha=0.01,
+                                    qs=(0.25, 0.5, 0.9))
+        q = (out.writeStream.outputMode("update")
+             .foreachBatch(lambda df, bid: collected.append(df.toPandas()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    hidden = str(tmp_path / "hidden.parquet")
+    os.replace(f"{src_dir}/part-00001.parquet", hidden)
+    run_once()
+    os.replace(hidden, f"{src_dir}/part-00001.parquet")
+    run_once()
+
+    final = pd.concat(collected, ignore_index=True)
+    final = (final.sort_values("n").groupby(["event_type", "q"]).last()
+             .reset_index())
+    allrows = pd.concat(batches, ignore_index=True)
+    for key in ["t0", "t1", "t2"]:
+        twin = DDSketch(0.01)
+        sel = allrows[allrows.event_type == key].value.dropna()
+        twin.update_batch(sel.to_numpy(dtype=np.float64))
+        for q in (0.25, 0.5, 0.9):
+            row = final[(final.event_type == key) & (final.q == q)].iloc[0]
+            assert int(row.n) == twin.n
+            assert row.est == twin.quantile(q), (key, q)
