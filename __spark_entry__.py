@@ -2517,6 +2517,51 @@ def q_value_quantiles_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "q"))
 
 
+def q_rolling_value_quantiles_dd(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling quantiles by DDSketch UNION
+    (operators/rolling.py rolling_sketch_union): one corpus pass builds a
+    per-day DDSketch over events.value; every anchor day unions <= 7
+    KB-sized blobs. Because DDSketch is order-insensitive the rolled
+    sketch is BYTE-IDENTICAL to a scratch build over the window's raw
+    rows (test_rolling.py), so — unlike the KLL rolling gate's rank-bound
+    booleans — every windowed estimate here is VALUE-EXACT in SQL
+    (sql_oracles.dd_quantile_sql over the anchor-window join). Session tz
+    pinned to UTC so both engines bucket the naive timestamps
+    identically."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        from grenier_spark.functions import dd_quantiles_col, dd_stats_col
+        from grenier_spark.operators.rolling import rolling_sketch_union
+
+        qs = [0.25, 0.5, 0.9]
+        qarr = F.array(*[F.lit(q) for q in qs])
+        ev = (_t(spark, sf_dir, "events")
+              .where(F.col("value").isNotNull())
+              .select(F.datediff(F.to_date("ts"),
+                                 F.lit("1970-01-01").cast("date"))
+                      .cast("long").alias("day"),
+                      F.col("value").cast("double").alias("v")))
+        per_day = build_sketches(
+            ev, [SketchSpec.of("d", "dd", "v", alpha=0.01)],
+            group_cols=["day"])
+        rolled = rolling_sketch_union(per_day, "day", 7, "dd")
+        return (rolled.select(
+                    "day",
+                    F.col("n_periods").cast("long").alias("n_days_merged"),
+                    dd_stats_col("sketch").alias("st"),
+                    F.posexplode(dd_quantiles_col("sketch", qs))
+                    .alias("i", "est"))
+                .select("day",
+                        F.element_at(qarr, F.col("i") + 1).alias("q"),
+                        F.round("est", 6).alias("est_value"),
+                        F.col("st.n").alias("n"), "n_days_merged")
+                .orderBy("day", "q"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tokenized_docs(spark, sf_dir)
     res = build_sketches(docs, [SketchSpec.of("h", "hll", "tokens", p=12)],
@@ -3233,6 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
         "dd_bucket_counts": q_dd_bucket_counts,
         "value_quantiles_dd": q_value_quantiles_dd,
+        "rolling_value_quantiles_dd": q_rolling_value_quantiles_dd,
         "token_hll_by_source": q_token_hll_by_source,
         "source_profile": q_source_profile,
         "cms_point_queries": q_cms_point_queries,
@@ -3645,6 +3691,28 @@ def oracle_sql() -> dict[str, str]:
                 "WHERE value IS NOT NULL",
                 "value", 0.01, [0.01, 0.25, 0.5, 0.75, 0.99],
                 ["event_type"]) + ")"),
+        # rolling dd union is byte-identical to a scratch window build,
+        # so the windowed estimator itself is SQL-exact; n_days_merged
+        # recomputed as the distinct source days in each anchor window
+        "rolling_value_quantiles_dd": ("""
+SELECT d.day, d.q, round(d.est_value, 6) AS est_value, d.n,
+       m.n_days_merged
+FROM (""" + dd_quantile_sql("""
+SELECT a.day AS day, e.v AS value
+FROM (SELECT DISTINCT (ts::DATE - DATE '1970-01-01')::BIGINT AS day
+      FROM events WHERE value IS NOT NULL) a
+JOIN (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS day, value AS v
+      FROM events WHERE value IS NOT NULL) e
+  ON e.day BETWEEN a.day - 6 AND a.day""",
+                                      "value", 0.01, [0.25, 0.5, 0.9],
+                                      ["day"]) + """) d
+JOIN (SELECT a.day, COUNT(DISTINCT e.day)::BIGINT AS n_days_merged
+      FROM (SELECT DISTINCT (ts::DATE - DATE '1970-01-01')::BIGINT AS day
+            FROM events WHERE value IS NOT NULL) a
+      JOIN (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS day
+            FROM events WHERE value IS NOT NULL) e
+        ON e.day BETWEEN a.day - 6 AND a.day
+      GROUP BY a.day) m ON d.day = m.day"""),
         # exact high-frequency set + guarantee booleans (lossy counting can
         # never miss a token with exact_freq >= support, nor report an
         # est_freq below the exact frequency) — the booleans are literals

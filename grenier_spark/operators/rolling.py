@@ -35,7 +35,7 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType,
 
 __all__ = ["rolling_sketch_union", "rolling_sketch_merge_ordered"]
 
-_ORDER_INSENSITIVE = {"hll", "cms", "csk", "bloom", "kmv", "mh"}
+_ORDER_INSENSITIVE = {"hll", "cms", "csk", "bloom", "kmv", "mh", "dd"}
 _ORDER_SENSITIVE = {"kll", "tdigest", "mom", "ddsum", "mg", "fd"}
 
 

@@ -30,7 +30,8 @@ def _per_day(spark, pdf, kind="hll", **params):
 @pytest.mark.parametrize("kind,params", [("hll", {"p": 10}),
                                          ("cms", {"depth": 3, "width": 256,
                                                   "seed": 7}),
-                                         ("kmv", {"k": 64})])
+                                         ("kmv", {"k": 64}),
+                                         ("dd", {"alpha": 0.02})])
 def test_rolling_union_byte_identical_to_scratch_build(spark, kind, params):
     """For order-insensitive kinds the trailing union must be BYTE-IDENTICAL
     to building one sketch over the window's raw rows from scratch."""
