@@ -43,7 +43,7 @@ from ..core import hll
 from ..operators.sketch_build import SketchSpec, _new_state, _update
 
 _ARRAY_KINDS = ("hll", "cms", "csk", "bloom", "kmv", "mh", "mg")  # token arrays
-_VALUE_KINDS = ("kll", "tdigest", "ddsum", "mom")  # scalar double columns
+_VALUE_KINDS = ("kll", "tdigest", "dd", "ddsum", "mom")  # scalar doubles
 _MATRIX_KINDS = ("fd",)  # array<float*> vector rows (flattened, fixed dim)
 
 
@@ -153,6 +153,13 @@ def fd_agg_col(col: "Column | str", ell: int = 16, *, dim: int) -> Column:
     return sketch_agg_col("fd", col, ell=ell, dim=dim)
 
 
+def dd_agg_col(col: "Column | str", alpha: float = 0.01) -> Column:
+    """DDSketch over a scalar double column (core/ddsketch.py) — the
+    order-insensitive quantile aggregate: byte parity with the distributed
+    build like hll/cms, not just determinism."""
+    return sketch_agg_col("dd", col, alpha=alpha)
+
+
 def ddsum_agg_col(col: "Column | str") -> Column:
     return sketch_agg_col("ddsum", col)
 
@@ -184,6 +191,7 @@ def register_sql_aggregates(spark, hll_p: int = 12, cms_depth: int = 5,
                             "seed": 0}),
         "kll_agg": ("kll", {"k": kll_k, "seed": 42}),
         "tdigest_agg": ("tdigest", {"delta": tdigest_delta}),
+        "dd_agg": ("dd", {"alpha": 0.01}),
         "ddsum_agg": ("ddsum", {}),
         "mom_agg": ("mom", {}),
     }

@@ -64,6 +64,13 @@ def register_sql_functions(spark) -> None:
                           for b, qq in zip(blobs, q)])
 
     @pandas_udf("double")
+    def _dd_q(blobs: pd.Series, q: pd.Series) -> pd.Series:
+        from ..core.ddsketch import DDSketch
+
+        return pd.Series([float(DDSketch.from_bytes(bytes(b)).quantile(qq))
+                          for b, qq in zip(blobs, q)])
+
+    @pandas_udf("double")
     def _ddsum_v(blobs: pd.Series) -> pd.Series:
         from ..core.doubledouble import DDSum
 
@@ -105,3 +112,4 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("bloom_cardinality", _bloom_card)
     spark.udf.register("kll_quantile", _kll_q)
     spark.udf.register("tdigest_quantile", _td_q)
+    spark.udf.register("dd_quantile", _dd_q)

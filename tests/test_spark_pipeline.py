@@ -539,6 +539,23 @@ def test_grouped_agg_udaf_byte_parity(spark, docs_df):
         assert bytes(r.kv) == ref[(r.source, "tok_kmv")], r.source
 
 
+def test_dd_agg_udaf_byte_parity(spark, docs_df, local_rows):
+    """dd through the GROUPED_AGG UDAF: byte parity with BOTH the
+    distributed build and a pure-numpy single-stream build (the
+    order-insensitive contract — not just determinism like kll)."""
+    from grenier_spark.core.ddsketch import DDSketch
+    from grenier_spark.functions.aggregates import dd_agg_col
+
+    got = (docs_df.repartition(11).groupBy("source")
+           .agg(dd_agg_col("n_tok", alpha=0.01).alias("d")).toPandas())
+    assert len(got) == 4
+    for r in got.itertuples():
+        dd = DDSketch(0.01)
+        sel = local_rows[local_rows.source == r.source]
+        dd.update_batch(sel.n_tok.to_numpy().astype(np.float64))
+        assert bytes(r.d) == dd.to_bytes(), r.source
+
+
 def test_sql_aggregate_surface_composes(spark, docs_df, local_rows):
     """Plain-SQL GROUP BY through registered hll_agg/ddsum_agg composes
     with the scalar estimators; HLL estimate equals the kernel's."""
@@ -577,6 +594,18 @@ def test_sql_aggregate_surface_composes(spark, docs_df, local_rows):
         mo = Moments()
         mo.update_batch(sel.n_tok.to_numpy(dtype=np.float64))
         assert out2[src][1] == pytest.approx(mo.stats()[1], rel=1e-12), src
+    # dd composes too, and its estimate is EXACT vs the kernel (order-
+    # insensitive state + deterministic double arithmetic)
+    from grenier_spark.core.ddsketch import DDSketch
+
+    out3 = {r.source: r.dq for r in spark.sql(
+        "SELECT source, dd_quantile(dd_agg(CAST(n_tok AS DOUBLE)), 0.5) "
+        "       AS dq FROM udaf_docs GROUP BY source").collect()}
+    for src in ["web", "books"]:
+        sel = local_rows[local_rows.source == src]
+        dd = DDSketch(0.01)
+        dd.update_batch(sel.n_tok.to_numpy(dtype=np.float64))
+        assert out3[src] == dd.quantile(0.5), src
 
 
 def test_udaf_kll_quantiles_within_rank_bound(spark, docs_df, local_rows):
