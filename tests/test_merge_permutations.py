@@ -101,6 +101,26 @@ def test_kmv_bit_identical_under_permutation(n_parts, seed):
     assert merged.to_bytes() == sequential.to_bytes()
 
 
+@settings(max_examples=8, deadline=None)
+@given(n_parts=st.sampled_from([2, 8, 32]), seed=st.integers(0, 10_000))
+def test_ddsketch_bit_identical_under_permutation(n_parts, seed):
+    # bucket-count addition: byte-identical under any partitioning AND
+    # any merge-tree shape (unlike kll/tdigest below)
+    from grenier_spark.core.ddsketch import DDSketch
+
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(VALUES))
+    sequential = DDSketch(0.01)
+    sequential.update_batch(VALUES)
+    states = []
+    for p in np.array_split(VALUES[perm], n_parts):
+        s = DDSketch(0.01)
+        s.update_batch(p)
+        states.append(s)
+    merged = random_tree_merge(states, rng, lambda a, b: a.merge(b))
+    assert merged.to_bytes() == sequential.to_bytes()
+
+
 @settings(max_examples=6, deadline=None)
 @given(n_parts=st.sampled_from([2, 8, 16]), seed=st.integers(0, 10_000))
 def test_bloom_bit_identical_under_permutation(n_parts, seed):
