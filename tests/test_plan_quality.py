@@ -519,3 +519,30 @@ def test_bloom_pruned_join_probe_is_scan_stage(spark):
     between = lines[probe:scan]
     assert not any("Exchange" in ln for ln in between), "\n".join(between)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rolling_merge_exchanges_only_sketch_rows(spark, docs_tiny):
+    """Trailing-window rollup (operators/rolling.py): every Exchange in
+    the rolled plan carries (group, day, sketch)-shaped KB rows — the raw
+    value column must never cross the wire (the corpus is scanned once by
+    the partial builder; the window union is pure sketch algebra)."""
+    import pandas as pd
+
+    from grenier_spark.operators.rolling import rolling_sketch_union
+
+    pdf = pd.DataFrame({
+        "day": [i % 5 for i in range(200)],
+        "uid": [float(i % 37) for i in range(200)]})
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.createDataFrame(pdf)
+        per_day = build_sketches(
+            df, [SketchSpec.of("s", "dd", "uid", alpha=0.02)],
+            group_cols=["day"])
+        rolled = rolling_sketch_union(per_day, "day", 3, "dd")
+        outs = _exchange_output_names(rolled)
+        assert outs, "expected at least one Exchange"
+        for names in outs:
+            assert "uid" not in names, outs
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
