@@ -29,11 +29,16 @@ signed data). Bucket count is bounded by ``log_gamma(max/min)`` — about
 1400 buckets across the full positive-double range at alpha = 0.01 —
 so the state stays KB-sized no matter how many values it absorbs.
 
-Cross-engine note: the bucket map divides two libm logs. numpy's
-float64 ``np.log`` and DuckDB's ``ln`` both resolve to the platform
-libm, so indices agree bit-for-bit; a boundary flip would need a value
-within 1 ULP of an exact gamma power, which test_cross_engine fuzzes
-against the fixture value grid.
+Cross-engine note: the bucket map divides two logs. numpy's vectorized
+``np.log`` (SIMD polynomial) and DuckDB's libm ``ln`` agree on every
+value fuzzed across 24 decades EXCEPT within ~1 ULP of an exact gamma
+power, where the two roundings can land on opposite sides of the
+integer and shift the bucket by exactly one — a measure-zero knife
+edge absent from the fixture grid the oracles gate on, and harmless to
+the contract either way: a boundary value's estimate from the adjacent
+bucket midpoint errs by exactly alpha (2*gamma/(gamma+1) = 1+alpha),
+still inside the bound (asserted in test_ddsketch.py::
+test_cross_engine_bucket_parity_extreme_magnitudes).
 
 Wire format: ``<4sdqI`` (magic b"DDS1", alpha, zero_count, n_buckets) +
 sorted int32 LE bucket indices + int64 LE counts.

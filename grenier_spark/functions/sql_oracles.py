@@ -1066,9 +1066,11 @@ GROUP BY u.{key_col}"""
 def dd_bucket_expr(value: str, alpha: float) -> str:
     """DDSketch log-bucket index of a positive DOUBLE value —
     ``ceil(ln(x) / ln(gamma))`` with gamma = (1+alpha)/(1-alpha)
-    (core/ddsketch.py update_batch). Both engines evaluate the two logs,
-    the divide and the ceil in IEEE float64 through the same platform
-    libm, so indices agree bit-for-bit (fuzzed in test_cross_engine)."""
+    (core/ddsketch.py update_batch). numpy's np.log and DuckDB's ln agree
+    on every value except within ~1 ULP of an exact gamma power (knife
+    edge, measure zero, absent from the fixture grid; see the
+    cross-engine note in core/ddsketch.py — fuzzed smooth + adversarial
+    in test_ddsketch.py)."""
     gamma = (1.0 + alpha) / (1.0 - alpha)
     return (f"CAST(ceil(ln(({value})::DOUBLE) / ln({gamma!r}::DOUBLE)) "
             f"AS INTEGER)")

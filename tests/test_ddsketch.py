@@ -153,3 +153,48 @@ def test_cross_engine_bucket_and_estimator_parity():
     for (q, est_sql, n), q_py in zip(rows, qs):
         assert n == len(vals)
         assert est_sql == s.quantile(q_py), (q, est_sql, s.quantile(q_py))
+
+
+def test_cross_engine_bucket_parity_extreme_magnitudes():
+    """Bucket-map parity across 24 decades (1e-12..1e12, log-uniform) plus
+    adversarial knife-edge points: exact powers of gamma and their 1-ULP
+    neighbours. Off the knife edge the engines agree exactly. ON the
+    knife edge (a value within ~1 ULP of an exact gamma power — measure
+    zero, and absent from the 2-decimal fixture grid the gates run on)
+    numpy's SIMD ``np.log`` and DuckDB's libm ``ln`` may round the ratio
+    to opposite sides of the integer, flipping the bucket by AT MOST one
+    — and either bucket's estimate still satisfies the alpha bound, since
+    a boundary value's error from the adjacent bucket midpoint is exactly
+    alpha (2*gamma/(gamma+1) = 1+alpha). Assert both facts."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from grenier_spark.functions.sql_oracles import dd_bucket_expr
+
+    s = DDSketch(ALPHA)
+    rng = np.random.default_rng(42)
+    smooth = 10.0 ** rng.uniform(-12, 12, 20_000)
+    ks = np.arange(-1200, 1201, 7).astype(np.float64)
+    gp = np.power(s.gamma, ks)
+    edge = np.concatenate([gp, np.nextafter(gp, np.inf),
+                           np.nextafter(gp, 0.0)])
+    v = np.concatenate([smooth, edge])
+    v = v[np.isfinite(v) & (v > 0)]
+    n_smooth = len(smooth)
+    np_idx = np.ceil(np.log(v) / s._lg).astype(np.int64)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": v}))
+    got = con.execute(
+        f"SELECT {dd_bucket_expr('v', ALPHA)} FROM t"
+    ).fetchnumpy()
+    sql_idx = next(iter(got.values())).astype(np.int64)
+    # smooth points: exact agreement
+    assert np.array_equal(np_idx[:n_smooth], sql_idx[:n_smooth])
+    # knife-edge points: off by at most one bucket, and both candidate
+    # estimates honor the alpha relative-error bound for the value itself
+    d = sql_idx[n_smooth:] - np_idx[n_smooth:]
+    assert np.all(np.abs(d) <= 1), np.abs(d).max()
+    ve = v[n_smooth:]
+    for b in (np_idx[n_smooth:], sql_idx[n_smooth:]):
+        est = 2.0 * np.power(s.gamma, b.astype(np.float64)) / (s.gamma + 1)
+        assert np.all(np.abs(est - ve) <= ALPHA * ve * (1 + 1e-9))
