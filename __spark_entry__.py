@@ -1526,6 +1526,37 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id"))
 
 
+def q_media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling + resize plumbing with a FULL oracle
+    (operators/multimodal.py sample_frames / resize_histogram_col):
+    every payload emits 3 deterministic byte windows (uniform integer
+    offsets), each featurized by the exact 16-bin byte histogram, plus a
+    JVM-side 16->2 resize (low-half mass). Payloads are UTF-8 bytes of
+    ASCII document text so DuckDB reconstructs every window with substr
+    and recomputes offsets in the same integer arithmetic. The payload
+    explodes to frame rows INSIDE the scan stage — media bytes never
+    shuffle."""
+    from grenier_spark.operators.multimodal import (resize_histogram_col,
+                                                    sample_frames)
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id").cast("long") % 3 + 1).cast("int"))
+        .alias("media_type"))
+    fr = sample_frames(media, n_frames=3, frame_len=64)
+    return (fr.select(
+                "media_id", "media_type", "frame_idx", "frame_offset",
+                "frame_n_bytes",
+                F.element_at("feature", 3).cast("long").alias("f2"),
+                F.element_at("feature", 7).cast("long").alias("f6"),
+                F.element_at(resize_histogram_col("feature", 2), 1)
+                .cast("long").alias("lo_half"))
+            .orderBy("media_id", "frame_idx"))
+
+
 # --------------------------------------------------------------------------
 # sketch-estimate queries (rows-only; error bounds asserted in tests/)
 # --------------------------------------------------------------------------
@@ -3348,6 +3379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "media_features": q_media_features,
+        "media_frame_features": q_media_frame_features,
         "token_hll_udaf": q_token_hll_udaf,
         "pii_redaction": q_pii_redaction,
         "token_freq_spectrum": q_token_freq_spectrum,
@@ -4284,6 +4316,37 @@ SELECT doc_id::BIGINT AS media_id,
        len(list_filter(split(text, ''), c -> unicode(c) // 16 = 6))::BIGINT AS f6,
        len(list_filter(split(text, ''), c -> unicode(c) // 16 = 7))::BIGINT AS f7
 FROM documents""",
+        # frame sampling: offsets in exact integer arithmetic, windows via
+        # substr (ASCII text => char slices == byte slices, same contract
+        # as media_features), bins via unicode//16, resize = low-half mass
+        "media_frame_features": """
+WITH d AS (
+  SELECT doc_id::BIGINT AS media_id,
+         ['image', 'audio', 'video'][(doc_id::BIGINT % 3 + 1)::INT]
+           AS media_type,
+         text, length(text)::BIGINT AS L
+  FROM documents
+), f AS (
+  SELECT media_id, media_type, text, L,
+         unnest(range(3))::INT AS frame_idx
+  FROM d
+), w AS (
+  SELECT media_id, media_type, frame_idx,
+         (frame_idx::BIGINT * greatest(L - 64, 0)) // 2 AS frame_offset,
+         substr(text, ((frame_idx::BIGINT * greatest(L - 64, 0)) // 2
+                       + 1)::INT, 64) AS win
+  FROM f
+)
+SELECT media_id, media_type, frame_idx,
+       frame_offset::BIGINT AS frame_offset,
+       length(win)::BIGINT AS frame_n_bytes,
+       len(list_filter(split(win, ''), c -> unicode(c) // 16 = 2))::BIGINT
+         AS f2,
+       len(list_filter(split(win, ''), c -> unicode(c) // 16 = 6))::BIGINT
+         AS f6,
+       len(list_filter(split(win, ''), c -> unicode(c) // 16 < 8))::BIGINT
+         AS lo_half
+FROM w""",
         "pii_redaction": _pii_redaction_oracle(),
         "token_freq_spectrum": _freq_spectrum_oracle(),
         "token_hll_udaf": (

@@ -83,6 +83,85 @@ def extract_features(df: DataFrame, decoder: "Callable | None" = fake_decoder,
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = ("media_id long, media_type string, frame_idx int, "
+                "frame_offset long, frame_n_bytes long, "
+                "feature array<float>")
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, frame_len: int = 256,
+                  frame_featurizer: "Callable | None" = byte_histogram_decoder,
+                  payload_col: str = "payload",
+                  type_col: str = "media_type") -> DataFrame:
+    """Frame-sampling plumbing for video/audio payloads: emit ``n_frames``
+    rows per media row, each featurizing one deterministic byte window of
+    the payload.
+
+    Offsets are uniform over the payload in EXACT integer arithmetic —
+    ``offset_i = i * max(0, L - frame_len) // (n_frames - 1)`` — so a SQL
+    engine reproduces them bit-for-bit (the gate oracle does). A real
+    container-aware frame decoder (keyframe extraction via PyAV etc.) is
+    STUBBED in this environment: pass ``frame_featurizer=None`` to get the
+    loud ``NotImplementedError`` at the decode callsite; the default is
+    the exact 16-bin byte histogram of each window, so the plumbing —
+    1->n_frames row explosion in the SCAN stage (the payload itself never
+    shuffles; only feature-sized frame rows leave the stage), Arrow batch
+    shape, NULL-payload tolerance — is fully real and oracle-tested.
+
+    A payload shorter than ``frame_len`` yields ``n_frames`` identical
+    offset-0 windows (deterministic, SQL-reproducible) rather than a
+    data-dependent row count."""
+    if n_frames < 1:
+        raise ValueError("sample_frames needs n_frames >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if frame_featurizer is None:
+                raise NotImplementedError(
+                    "no media frame decoder available in this environment; "
+                    "pass frame_featurizer= (e.g. a PyAV keyframe-histogram "
+                    "callable) or keep the default byte-window featurizer "
+                    "for plumbing tests")
+            out = {"media_id": [], "media_type": [], "frame_idx": [],
+                   "frame_offset": [], "frame_n_bytes": [], "feature": []}
+            for mid, p, t in zip(pdf["media_id"], pdf[payload_col],
+                                 pdf[type_col]):
+                pb = None if p is None else bytes(p)
+                L = 0 if pb is None else len(pb)
+                span = max(0, L - frame_len)
+                for i in range(n_frames):
+                    off = (i * span // (n_frames - 1)) if n_frames > 1 else 0
+                    window = b"" if pb is None else pb[off:off + frame_len]
+                    out["media_id"].append(mid)
+                    out["media_type"].append(t)
+                    out["frame_idx"].append(np.int32(i))
+                    out["frame_offset"].append(np.int64(off))
+                    out["frame_n_bytes"].append(np.int64(len(window)))
+                    out["feature"].append(
+                        None if pb is None else
+                        frame_featurizer(window, t)
+                        .astype(np.float32).tolist())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_histogram_col(feature: "str", out_bins: int):
+    """JVM-side histogram RESIZE: pairwise-sum a ``k``-bin feature array
+    down to ``out_bins`` (k must be a multiple of out_bins — bins are
+    grouped contiguously). Pure built-in expressions (transform +
+    aggregate over slices): no Python in the plan, exact float addition of
+    exact small integers, so the resized bins stay SQL-recomputable."""
+    from pyspark.sql import functions as F
+
+    f = F.col(feature) if isinstance(feature, str) else feature
+    factor = (F.size(f) / out_bins).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(out_bins - 1)),
+        lambda i: F.aggregate(
+            F.slice(f, i * factor + 1, factor),
+            F.lit(0.0).cast("float"), lambda acc, x: acc + x))
+
+
 def synthesize_media_table(spark, n_rows: int = 200, seed: int = 42):
     """Deterministic fake media table for plumbing tests: payload bytes are
     a seeded function of media_id, so any partitioning yields equal rows."""

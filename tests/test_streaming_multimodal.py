@@ -91,6 +91,77 @@ def test_fake_decoder_deterministic():
     assert a.dtype == np.float32 and len(a) == 16
 
 
+def test_frame_sampling_plumbing(spark):
+    """sample_frames: n_frames rows per payload with deterministic
+    integer offsets, partition-independent, exact byte-window histograms;
+    a short payload yields n_frames identical offset-0 windows; NULL
+    payloads yield null-feature rows; the real-decoder stub raises."""
+    from grenier_spark.operators.multimodal import sample_frames
+
+    media = synthesize_media_table(spark, 60)
+    fr = sample_frames(media, n_frames=4, frame_len=128).toPandas()
+    assert len(fr) == 240
+    one = fr[fr.media_id == 7].sort_values("frame_idx")
+    assert list(one.frame_idx) == [0, 1, 2, 3]
+    # recompute the expected windows locally from the same seeded payload
+    rng = np.random.Generator(np.random.PCG64(42 + 7))
+    # generator draw order: size -> payload (id 7 is 'audio': no w/h draws)
+    size = int(rng.integers(64, 2048))
+    payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+    span = max(0, size - 128)
+    for i, row in enumerate(one.itertuples()):
+        off = i * span // 3
+        win = np.frombuffer(payload[off:off + 128], dtype=np.uint8)
+        assert row.frame_offset == off
+        assert row.frame_n_bytes == len(win)
+        exp = np.bincount(win >> 4, minlength=16).astype(np.float32)
+        assert np.array_equal(np.asarray(row.feature), exp)
+    # partition independence
+    fr2 = (sample_frames(synthesize_media_table(spark, 60).repartition(7),
+                         n_frames=4, frame_len=128).toPandas()
+           .sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+    fr1 = fr.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert fr1.frame_offset.equals(fr2.frame_offset)
+    for a, b in zip(fr1.feature, fr2.feature):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # short payload: all windows at offset 0, full payload
+    import pandas as pd
+    tiny = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2],
+                      "payload": [b"abc", None],
+                      "media_type": ["image", "video"]}),
+        "media_id long, payload binary, media_type string")
+    out = (sample_frames(tiny, n_frames=3, frame_len=64).toPandas()
+           .sort_values(["media_id", "frame_idx"]))
+    short = out[out.media_id == 1]
+    assert list(short.frame_offset) == [0, 0, 0]
+    assert list(short.frame_n_bytes) == [3, 3, 3]
+    nulls = out[out.media_id == 2]
+    assert len(nulls) == 3 and all(f is None for f in nulls.feature)
+    with pytest.raises(Exception) as exc:
+        sample_frames(tiny, frame_featurizer=None).collect()
+    assert "NotImplementedError" in str(exc.value) or \
+        "no media frame decoder" in str(exc.value)
+
+
+def test_resize_histogram_col_is_jvm_side(spark):
+    """resize_histogram_col: exact pairwise grouping, and the resize adds
+    NO Python stage to the plan (pure transform/aggregate expressions)."""
+    import pandas as pd
+
+    from grenier_spark.operators.multimodal import resize_histogram_col
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"feature": [[float(i) for i in range(16)]]}),
+        "feature array<float>")
+    out = df.select(resize_histogram_col("feature", 4).alias("r"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan
+    r = out.first().r
+    assert r == [sum(range(0, 4)), sum(range(4, 8)),
+                 sum(range(8, 12)), sum(range(12, 16))]
+
+
 def test_stateful_hll_stream_matches_batch(spark, tmp_path):
     """applyInPandasWithState per-source HLL: the LAST emitted estimate per
     key must equal a batch build over all rows."""
