@@ -1548,8 +1548,9 @@ def q_media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("media_type"))
     fr = sample_frames(media, n_frames=3, frame_len=64)
     return (fr.select(
-                "media_id", "media_type", "frame_idx", "frame_offset",
-                "frame_n_bytes",
+                "media_id", "media_type",
+                F.col("frame_idx").cast("long").alias("frame_idx"),
+                "frame_offset", "frame_n_bytes",
                 F.element_at("feature", 3).cast("long").alias("f2"),
                 F.element_at("feature", 7).cast("long").alias("f6"),
                 F.element_at(resize_histogram_col("feature", 2), 1)
@@ -2515,7 +2516,8 @@ def q_dd_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"])
     return (res.select("event_type",
                        F.explode(dd_buckets_col("sketch")).alias("b"))
-            .select("event_type", F.col("b.bucket").alias("bucket"),
+            .select("event_type",
+                    F.col("b.bucket").cast("long").alias("bucket"),
                     F.col("b.cnt").alias("cnt"))
             .orderBy("event_type", "bucket"))
 
@@ -4328,7 +4330,7 @@ WITH d AS (
   FROM documents
 ), f AS (
   SELECT media_id, media_type, text, L,
-         unnest(range(3))::INT AS frame_idx
+         unnest(range(3))::BIGINT AS frame_idx
   FROM d
 ), w AS (
   SELECT media_id, media_type, frame_idx,

@@ -89,6 +89,15 @@ class DDSketch:
         if not len(pos):
             return
         i = np.ceil(np.log(pos) / self._lg).astype(np.int64)
+        # the wire format stores int32 buckets: at sane alphas the full
+        # positive-double range spans ~±3.5e4 buckets, but a pathological
+        # alpha (1e-8) with extreme values would overflow — fail loudly
+        # instead of letting astype(int32) wrap to a wrong bucket
+        if len(i) and (i.min() < np.iinfo(np.int32).min
+                       or i.max() > np.iinfo(np.int32).max):
+            raise ValueError(
+                "ddsketch: bucket index exceeds int32 range (alpha too "
+                "small for this value range)")
         new_idx, inv = np.unique(i, return_inverse=True)
         new_counts = np.bincount(inv, minlength=len(new_idx))
         self._absorb(new_idx.astype(np.int32), new_counts.astype(np.int64))

@@ -1084,7 +1084,7 @@ def dd_buckets_sql(values_sql: str, value_col: str, alpha: float,
     g = list(group_cols or [])
     gsel = "".join(f"{c}, " for c in g)
     return f"""
-SELECT {gsel}{dd_bucket_expr(value_col, alpha)} AS bucket,
+SELECT {gsel}{dd_bucket_expr(value_col, alpha)}::BIGINT AS bucket,
        COUNT(*)::BIGINT AS cnt
 FROM ({values_sql}) WHERE {value_col} > 0
 GROUP BY {", ".join(g + ['bucket'])}"""

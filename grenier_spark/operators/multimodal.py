@@ -148,13 +148,21 @@ def sample_frames(df: DataFrame, n_frames: int = 4, frame_len: int = 256,
 def resize_histogram_col(feature: "str", out_bins: int):
     """JVM-side histogram RESIZE: pairwise-sum a ``k``-bin feature array
     down to ``out_bins`` (k must be a multiple of out_bins — bins are
-    grouped contiguously). Pure built-in expressions (transform +
-    aggregate over slices): no Python in the plan, exact float addition of
-    exact small integers, so the resized bins stay SQL-recomputable."""
+    grouped contiguously; a non-multiple length raises at runtime rather
+    than silently dropping trailing bins). Pure built-in expressions
+    (transform + aggregate over slices): no Python in the plan, exact
+    float addition of exact small integers, so the resized bins stay
+    SQL-recomputable."""
     from pyspark.sql import functions as F
 
     f = F.col(feature) if isinstance(feature, str) else feature
-    factor = (F.size(f) / out_bins).cast("int")
+    n = F.size(f)
+    factor = F.when(
+        n % out_bins == 0, (n / out_bins).cast("int")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("resize_histogram_col: feature length "),
+        n.cast("string"),
+        F.lit(f" is not a multiple of out_bins={out_bins}"))).cast("int"))
     return F.transform(
         F.sequence(F.lit(0), F.lit(out_bins - 1)),
         lambda i: F.aggregate(

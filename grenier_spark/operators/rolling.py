@@ -52,11 +52,12 @@ def rolling_sketch_union(sketches: DataFrame, period_col: str, window: int,
     bucket): the window is by VALUE — ``period - window + 1 .. period`` —
     so gaps in the data narrow the union rather than stretching it.
 
-    ``kind`` must be an order-insensitive sketch (hll/cms/csk/bloom/kmv):
-    only for those is the trailing union byte-identical to a scratch
-    build over the window's raw rows. Order-sensitive kinds (kll,
-    tdigest) still merge associatively but not byte-stably — reject them
-    here rather than hand back a weaker guarantee under the same name.
+    ``kind`` must be an order-insensitive sketch
+    (hll/cms/csk/bloom/kmv/mh/dd): only for those is the trailing union
+    byte-identical to a scratch build over the window's raw rows.
+    Order-sensitive kinds (kll, tdigest) still merge associatively but
+    not byte-stably — reject them here rather than hand back a weaker
+    guarantee under the same name.
     """
     if kind not in _ORDER_INSENSITIVE:
         raise ValueError(

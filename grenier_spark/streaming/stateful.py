@@ -176,7 +176,8 @@ def moments_state_stream(stream_df, group_col: str,
 
 def ddsketch_state_stream(stream_df, group_col: str,
                           value_col: str = "value", alpha: float = 0.01,
-                          qs: "tuple[float, ...]" = (0.25, 0.5, 0.9)):
+                          qs: "tuple[float, ...]" = (0.25, 0.5, 0.9),
+                          emit_state: bool = False):
     """Streaming running quantiles: one DDSketch (core/ddsketch.py,
     Masson et al. VLDB 2019) per group living in the state store.
 
@@ -196,12 +197,17 @@ def ddsketch_state_stream(stream_df, group_col: str,
     isNotNull filter); a group whose values so far are all NULL keeps its
     state but emits nothing (quantiles of an empty sketch are undefined).
     State size is bounded by log_gamma(max/min) buckets (~KB at
-    alpha=0.01) regardless of stream length."""
+    alpha=0.01) regardless of stream length. ``emit_state=True``
+    additionally emits the serialized sketch bytes on every row — the
+    byte-identity claim is asserted against the batch build through this
+    surface in tests."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..core.ddsketch import DDSketch
 
     out_schema = f"{group_col} string, n bigint, q double, est double"
+    if emit_state:
+        out_schema += ", sketch binary"
     state_schema = "sketch binary"
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -216,11 +222,14 @@ def ddsketch_state_stream(stream_df, group_col: str,
                     .dropna().to_numpy(dtype=np.float64))
             if len(vals):
                 s.update_batch(vals)
-        state.update((s.to_bytes(),))
+        wire = s.to_bytes()
+        state.update((wire,))
         if s.n:
-            yield pd.DataFrame({group_col: key[0], "n": s.n,
-                                "q": list(qs),
-                                "est": [s.quantile(q) for q in qs]})
+            out = {group_col: key[0], "n": s.n, "q": list(qs),
+                   "est": [s.quantile(q) for q in qs]}
+            if emit_state:
+                out["sketch"] = [wire] * len(qs)
+            yield pd.DataFrame(out)
 
     return (stream_df.groupBy(group_col)
             .applyInPandasWithState(update, out_schema, state_schema,

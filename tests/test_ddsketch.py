@@ -198,3 +198,11 @@ def test_cross_engine_bucket_parity_extreme_magnitudes():
     for b in (np_idx[n_smooth:], sql_idx[n_smooth:]):
         est = 2.0 * np.power(s.gamma, b.astype(np.float64)) / (s.gamma + 1)
         assert np.all(np.abs(est - ve) <= ALPHA * ve * (1 + 1e-9))
+
+
+def test_int32_bucket_overflow_raises():
+    """A pathological alpha whose bucket indices exceed the int32 wire
+    range must fail loudly, never wrap to a wrong bucket."""
+    s = DDSketch(1e-8)
+    with pytest.raises(ValueError, match="int32"):
+        s.update_batch(np.array([1e-300]))

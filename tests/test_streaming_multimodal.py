@@ -691,7 +691,7 @@ def test_ddsketch_state_stream_byte_equals_batch(spark, tmp_path):
                   .schema("event_id long, event_type string, value double")
                   .option("maxFilesPerTrigger", "16").parquet(src_dir))
         out = ddsketch_state_stream(stream, "event_type", alpha=0.01,
-                                    qs=(0.25, 0.5, 0.9))
+                                    qs=(0.25, 0.5, 0.9), emit_state=True)
         q = (out.writeStream.outputMode("update")
              .foreachBatch(lambda df, bid: collected.append(df.toPandas()))
              .option("checkpointLocation", ckpt)
@@ -716,3 +716,17 @@ def test_ddsketch_state_stream_byte_equals_batch(spark, tmp_path):
             row = final[(final.event_type == key) & (final.q == q)].iloc[0]
             assert int(row.n) == twin.n
             assert row.est == twin.quantile(q), (key, q)
+            # the actual claim: state bytes == batch build bytes
+            assert bytes(row.sketch) == twin.to_bytes(), (key, q)
+
+
+def test_resize_histogram_col_rejects_non_multiple(spark):
+    import pandas as pd
+
+    from grenier_spark.operators.multimodal import resize_histogram_col
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"feature": [[1.0] * 16]}), "feature array<float>")
+    with pytest.raises(Exception) as exc:
+        df.select(resize_histogram_col("feature", 3).alias("r")).collect()
+    assert "not a multiple" in str(exc.value)
