@@ -2429,7 +2429,8 @@ def q_hll_card_orig_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _quantile_bound_gate(spark: SparkSession, sf_dir: str, table: str,
                          value_col: str, group_col: str, spec: SketchSpec,
                          quantile_col_fn, qs: "list[float]",
-                         eps: float) -> DataFrame:
+                         eps: "float | list[float]",
+                         floor_rows: int = 0) -> DataFrame:
     """Value-gate a quantile SKETCH through the driver's hash compare.
 
     The sketch estimates themselves are partitioning-dependent (compaction
@@ -2449,7 +2450,15 @@ def _quantile_bound_gate(spark: SparkSession, sf_dir: str, table: str,
     FOCS'16; t-digest delta=200 rank error << 0.01, Dunning-Ertl; eps=0.04
     adds the small-n interpolation granularity margin the unit tests also
     use.)
+
+    ``eps`` may be per-q (a list aligned with ``qs``) — the REQ gate uses
+    a MULTIPLICATIVE tail band eps_q = eps_rel * (1 - q) (PODS'21
+    guarantee shape) — and ``floor_rows`` adds a small absolute rank
+    slack for tiny groups.
     """
+    eps_list = ([float(eps)] * len(qs) if isinstance(eps, (int, float))
+                else [float(e) for e in eps])
+    assert len(eps_list) == len(qs)
     src = _t(spark, sf_dir, table)
     res = build_sketches(src, [spec], group_cols=[group_col])
     qarr = F.array(*[F.lit(q) for q in qs])
@@ -2468,14 +2477,37 @@ def _quantile_bound_gate(spark: SparkSession, sf_dir: str, table: str,
     exact = (src.groupBy(group_col)
              .agg(F.percentile(value_col, qarr).alias("p"))
              .select(group_col, F.posexplode("p").alias("i", "exact_v")))
-    within = ((F.col("cnt_lt") <= (F.col("q") + eps) * F.col("n"))
-              & (F.col("cnt_le") >= (F.col("q") - eps) * F.col("n")))
+    eps_arr = F.array(*[F.lit(e) for e in eps_list])
+    eps_col = F.element_at(eps_arr, F.col("i") + 1)
+    within = ((F.col("cnt_lt")
+               <= (F.col("q") + eps_col) * F.col("n") + floor_rows)
+              & (F.col("cnt_le")
+                 >= (F.col("q") - eps_col) * F.col("n") - floor_rows))
     return (ranks.join(exact, [group_col, "i"])
             .withColumn("q", F.element_at(qarr, F.col("i") + 1))
             .select(group_col, "q",
                     F.round("exact_v", 6).alias("exact_q"),
                     within.alias("within_bound"))
             .orderBy(group_col, "q"))
+
+
+def q_tail_quantiles_req(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REQ (core/req.py; CKLTV PODS 2021 'Relative Error Streaming
+    Quantiles' — the paper SURVEY.md §2.3 cites) through the FULL
+    distributed build, value-gated at the TAIL: exact per-type tail
+    quantiles + rank-band booleans where the band is MULTIPLICATIVE in
+    the tail mass — eps_q = eps_rel * (1 - q) (+ a small absolute floor
+    for tiny groups) — the guarantee shape that distinguishes REQ from
+    uniform-eps KLL. Bands carry >= 3x margin over the worst measured
+    rank error across all fixture scales."""
+    from grenier_spark.functions import req_quantiles_col
+
+    qs = [0.9, 0.99, 0.999]
+    return _quantile_bound_gate(
+        spark, sf_dir, "events", "value", "event_type",
+        SketchSpec.of("r", "req", "value", k=32),
+        req_quantiles_col, qs,
+        eps=[0.5 * (1 - q) for q in qs], floor_rows=4)
 
 
 def q_value_quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3308,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_membership": q_cuckoo_membership,
         "hll_card_orig_by_type": q_hll_card_orig_by_type,
         "value_quantiles_tdigest": q_value_quantiles_tdigest,
+        "tail_quantiles_req": q_tail_quantiles_req,
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
         "dd_bucket_counts": q_dd_bucket_counts,
         "value_quantiles_dd": q_value_quantiles_dd,
@@ -3710,6 +3743,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "value_quantiles_tdigest": _quantile_bound_oracle(
             "events", "value", "event_type", [0.25, 0.5, 0.75, 0.95]),
+        "tail_quantiles_req": _quantile_bound_oracle(
+            "events", "value", "event_type", [0.9, 0.99, 0.999]),
         "nchars_quantiles_kll": _quantile_bound_oracle(
             "documents", "n_chars", "source", [0.1, 0.5, 0.9]),
         # DDSketch: state AND estimator are fully SQL-expressible (unlike

@@ -43,7 +43,7 @@ from ..core import hll
 from ..operators.sketch_build import SketchSpec, _new_state, _update
 
 _ARRAY_KINDS = ("hll", "cms", "csk", "bloom", "kmv", "mh", "mg")  # token arrays
-_VALUE_KINDS = ("kll", "tdigest", "dd", "ddsum", "mom")  # scalar doubles
+_VALUE_KINDS = ("kll", "tdigest", "dd", "req", "ddsum", "mom")  # doubles
 _MATRIX_KINDS = ("fd",)  # array<float*> vector rows (flattened, fixed dim)
 
 
@@ -153,6 +153,14 @@ def fd_agg_col(col: "Column | str", ell: int = 16, *, dim: int) -> Column:
     return sketch_agg_col("fd", col, ell=ell, dim=dim)
 
 
+def req_agg_col(col: "Column | str", k: int = 32,
+                seed: int = 42) -> Column:
+    """REQ (PODS'21 relative-error quantiles) over a scalar double column
+    — tail-accurate rank estimates; order-sensitive like kll (deterministic
+    for a given group row order)."""
+    return sketch_agg_col("req", col, k=k, seed=seed)
+
+
 def dd_agg_col(col: "Column | str", alpha: float = 0.01) -> Column:
     """DDSketch over a scalar double column (core/ddsketch.py) — the
     order-insensitive quantile aggregate: byte parity with the distributed
@@ -193,6 +201,7 @@ def register_sql_aggregates(spark, hll_p: int = 12, cms_depth: int = 5,
         "kll_agg": ("kll", {"k": kll_k, "seed": 42}),
         "tdigest_agg": ("tdigest", {"delta": tdigest_delta}),
         "dd_agg": ("dd", {"alpha": dd_alpha}),
+        "req_agg": ("req", {"k": 32, "seed": 42}),
         "ddsum_agg": ("ddsum", {}),
         "mom_agg": ("mom", {}),
     }

@@ -19,6 +19,7 @@ from ..core.cuckoo import Cuckoo
 from ..core.countmin import CountMin
 from ..core.ddsketch import DDSketch
 from ..core.kll import KLL
+from ..core.req import REQ
 from ..core.tdigest import TDigest
 
 
@@ -177,6 +178,18 @@ def tdigest_quantiles_col(sketch: "Column | str", qs: "list[float]") -> Column:
     @pandas_udf("array<double>")
     def _q(blobs: pd.Series) -> pd.Series:
         return blobs.map(lambda b: TDigest.from_bytes(bytes(b)).quantiles(qs).tolist())
+
+    return _q(_col(sketch))
+
+
+def req_quantiles_col(sketch: "Column | str", qs: "list[float]") -> Column:
+    """REQ quantile estimates (core/req.py, PODS'21): rank error shrinks
+    multiplicatively toward the upper tail — the p99/p999 surface."""
+
+    @pandas_udf("array<double>")
+    def _q(blobs: pd.Series) -> pd.Series:
+        return blobs.map(
+            lambda b: REQ.from_bytes(bytes(b)).quantiles(qs).tolist())
 
     return _q(_col(sketch))
 

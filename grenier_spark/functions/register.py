@@ -64,6 +64,13 @@ def register_sql_functions(spark) -> None:
                           for b, qq in zip(blobs, q)])
 
     @pandas_udf("double")
+    def _req_q(blobs: pd.Series, q: pd.Series) -> pd.Series:
+        from ..core.req import REQ
+
+        return pd.Series([float(REQ.from_bytes(bytes(b)).quantiles([qq])[0])
+                          for b, qq in zip(blobs, q)])
+
+    @pandas_udf("double")
     def _dd_q(blobs: pd.Series, q: pd.Series) -> pd.Series:
         from ..core.ddsketch import DDSketch
 
@@ -113,3 +120,4 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("kll_quantile", _kll_q)
     spark.udf.register("tdigest_quantile", _td_q)
     spark.udf.register("dd_quantile", _dd_q)
+    spark.udf.register("req_quantile", _req_q)

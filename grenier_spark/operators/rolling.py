@@ -36,7 +36,7 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType,
 __all__ = ["rolling_sketch_union", "rolling_sketch_merge_ordered"]
 
 _ORDER_INSENSITIVE = {"hll", "cms", "csk", "bloom", "kmv", "mh", "dd"}
-_ORDER_SENSITIVE = {"kll", "tdigest", "mom", "ddsum", "mg", "fd"}
+_ORDER_SENSITIVE = {"kll", "tdigest", "req", "mom", "ddsum", "mg", "fd"}
 
 
 def rolling_sketch_union(sketches: DataFrame, period_col: str, window: int,

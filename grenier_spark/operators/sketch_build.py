@@ -47,6 +47,7 @@ from ..core.countmin import CountMin
 from ..core.countsketch import CountSketch
 from ..core.doubledouble import DDSum, Moments
 from ..core.kll import KLL
+from ..core.req import REQ
 from ..core.freqdirs import FrequentDirections
 from ..core.ddsketch import DDSketch
 from ..core.kmv import KMV
@@ -60,7 +61,7 @@ class SketchSpec:
     """One sketch to build.
 
     kind: 'hll' | 'cms' | 'csk' | 'bloom' | 'ckf' | 'kmv' | 'mh' | 'mg'
-          | 'kll' | 'tdigest' | 'dd' | 'ddsum' | 'mom' | 'fd'
+          | 'kll' | 'tdigest' | 'dd' | 'req' | 'ddsum' | 'mom' | 'fd'
     column: source column — array<int*> token sequences (hll/cms/bloom/kmv
             hash each token; mg counts the raw integer keys; kll/tdigest
             sketch the token values), a numeric scalar column, or for 'fd'
@@ -70,7 +71,9 @@ class SketchSpec:
             hll {'p'}, cms {'depth','width','seed'}, bloom {'m','k','seed'},
             csk {'depth','width','seed'}, kmv {'k'}, mh {'k','seed'},
             mg {'k'},
-            kll {'k','seed'}, tdigest {'delta'}, dd {'alpha'} (DDSketch —
+            kll {'k','seed'}, tdigest {'delta'},
+            req {'k','seed'} (REQ PODS'21 — relative TAIL rank error,
+            order-sensitive like kll), dd {'alpha'} (DDSketch —
             bucket-histogram quantiles; order-INsensitive, so it merges
             byte-identically like hll/cms, unlike kll/tdigest),
             fd {'ell','dim'},
@@ -121,6 +124,8 @@ def _new_state(spec: SketchSpec):
         return TDigest(p.get("delta", 200))
     if spec.kind == "dd":
         return DDSketch(p.get("alpha", 0.01))
+    if spec.kind == "req":
+        return REQ(p.get("k", 32), seed=p.get("seed", 42))
     if spec.kind == "ddsum":
         return DDSum()
     if spec.kind == "mom":
@@ -317,8 +322,8 @@ def _merge_blobs(kind: str, blobs: "list[bytes]") -> bytes:
     cls = {"cms": CountMin, "csk": CountSketch, "bloom": Bloom,
            "ckf": Cuckoo, "kmv": KMV, "mh": MinHashSig, "mg": MisraGries,
            "kll": KLL,
-           "tdigest": TDigest, "dd": DDSketch, "ddsum": DDSum,
-           "mom": Moments,
+           "tdigest": TDigest, "dd": DDSketch, "req": REQ,
+           "ddsum": DDSum, "mom": Moments,
            "fd": FrequentDirections}[kind]
     acc = cls.from_bytes(blobs[0])
     for b in blobs[1:]:

@@ -237,7 +237,8 @@ def test_deterministic_stream_build_byte_stable(spark, docs_df):
         build_sketches_deterministic
 
     specs = [SketchSpec.of("k", "kll", "n_tok", k=64),
-             SketchSpec.of("t", "tdigest", "n_tok", delta=100)]
+             SketchSpec.of("t", "tdigest", "n_tok", delta=100),
+             SketchSpec.of("r", "req", "n_tok", k=16)]
 
     def run(df):
         pdf = build_sketches_deterministic(
@@ -250,13 +251,16 @@ def test_deterministic_stream_build_byte_stable(spark, docs_df):
     b = run(docs_df.repartition(3, "doc_id"))
     c = run(docs_df.coalesce(1))
     assert a == b == c
-    assert len(a) == 8  # 4 sources x 2 specs, non-vacuous
+    assert len(a) == 12  # 4 sources x 3 specs, non-vacuous
 
     # and the estimates coming out of the deterministic path are sane
     from grenier_spark.core.kll import KLL
+    from grenier_spark.core.req import REQ
     for src in ["web", "books"]:
         sk = KLL.from_bytes(a[(src, "k")])
         assert sk.n > 0
+        rq = REQ.from_bytes(a[(src, "r")])
+        assert rq.n == sk.n
 
 
 def _vec_df(spark, n=240, dim=12, seed=21):
@@ -606,6 +610,17 @@ def test_sql_aggregate_surface_composes(spark, docs_df, local_rows):
         dd = DDSketch(0.01)
         dd.update_batch(sel.n_tok.to_numpy(dtype=np.float64))
         assert out3[src] == dd.quantile(0.5), src
+    # req composes in plain SQL too; the tail estimate must sit within
+    # the multiplicative rank band of the exact per-group quantile
+    out4 = {r.source: r.rq for r in spark.sql(
+        "SELECT source, req_quantile(req_agg(CAST(n_tok AS DOUBLE)), 0.9)"
+        "       AS rq FROM udaf_docs GROUP BY source").collect()}
+    for src in ["web", "books"]:
+        vals = np.sort(local_rows[local_rows.source == src]
+                       .n_tok.to_numpy(dtype=np.float64))
+        n = len(vals)
+        rank = int(np.searchsorted(vals, out4[src], side="right"))
+        assert abs(rank - 0.9 * n) <= 0.5 * 0.1 * n + 4, (src, rank, n)
 
 
 def test_udaf_kll_quantiles_within_rank_bound(spark, docs_df, local_rows):
