@@ -331,7 +331,8 @@ def run_default():
                  "top_tokens", "knn_topk", "hll_card_by_type",
                  "token_hll_by_source", "value_quantiles_tdigest",
                  "exact_value_sums", "user_sessions",
-                 "value_moments_by_type", "token_seq_dups"]:
+                 "value_moments_by_type", "token_seq_dups",
+                 "value_quantiles_dd", "tail_quantiles_req"]:
         best = float("inf")
         for _ in range(2):  # best-of-2: queries are 1-7 s, noise is 2-10x
             t0 = time.perf_counter()
