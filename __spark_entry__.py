@@ -1883,6 +1883,82 @@ def q_streaming_value_quantiles_dd(spark: SparkSession,
                       F.col("n").alias("n"))
 
 
+def q_streaming_tail_quantiles_req(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Streaming LIVE TAIL quantiles in the gate (streaming/stateful.py
+    req_state_stream): events arrive in two micro-batches (event_id
+    parity); one REQ sketch (PODS'21) per event_type lives in the state
+    store. Final-trigger estimates (n == exact per-type non-null count)
+    are gated by the same multiplicative rank band as the batch
+    `tail_quantiles_req` query — eps_q = 0.5*(1-q) (+4-row floor),
+    computed Spark-side against the raw events; the oracle emits exact
+    quantiles + literal TRUE (a streaming-state regression past the tail
+    bound flips a boolean)."""
+    import tempfile
+    import time as _time
+
+    from grenier_spark.streaming.stateful import req_state_stream
+
+    qs = [0.9, 0.99, 0.999]
+    floor_rows = 4
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type", F.col("value").cast("double").alias("value"))
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ck"
+        ev.where("event_id % 2 = 0").coalesce(1).write.parquet(f"{src}/b1")
+        _time.sleep(0.05)
+        stream = (spark.readStream
+                  .schema("event_id long, event_type string, value double")
+                  .option("maxFilesPerTrigger", "1").parquet(f"{src}/*"))
+        out = req_state_stream(stream, "event_type", k=32, qs=tuple(qs))
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName("g_stream_req")
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            ev.where("event_id % 2 = 1").coalesce(1) \
+                .write.parquet(f"{src}/b2")
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM g_stream_req").toPandas()
+        finally:
+            q.stop()
+    totals = {r.event_type: r._n for r in
+              ev.where("value IS NOT NULL").groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("_n")).collect()}
+    fin = got[got.apply(lambda r: r.n == totals.get(r.event_type),
+                        axis=1)]
+    fin = (fin.drop_duplicates(subset=["event_type", "q"])
+           .reset_index(drop=True))
+    est = spark.createDataFrame(
+        fin[["event_type", "q", "est", "n"]],
+        "event_type string, q double, est double, n long")
+    raw = (ev.select("event_type", F.col("value").alias("v"))
+           .where(F.col("v").isNotNull()))
+    ranks = (raw.join(F.broadcast(est), "event_type")
+             .groupBy("event_type", "q", "est", "n")
+             .agg(F.sum(F.when(F.col("v") < F.col("est"), 1).otherwise(0))
+                  .alias("cnt_lt"),
+                  F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
+                  .alias("cnt_le")))
+    qarr = F.array(*[F.lit(q) for q in qs])
+    exact = (raw.groupBy("event_type")
+             .agg(F.percentile("v", qarr).alias("p"))
+             .select("event_type", F.posexplode("p").alias("i", "exact_v"))
+             .withColumn("q", F.element_at(qarr, F.col("i") + 1))
+             .drop("i"))
+    eps_col = F.lit(0.5) * (F.lit(1.0) - F.col("q"))
+    within = ((F.col("cnt_lt")
+               <= (F.col("q") + eps_col) * F.col("n") + floor_rows)
+              & (F.col("cnt_le")
+                 >= (F.col("q") - eps_col) * F.col("n") - floor_rows))
+    return (ranks.join(exact, ["event_type", "q"])
+            .select("event_type", "q",
+                    F.round("exact_v", 6).alias("exact_q"),
+                    within.alias("within_bound"))
+            .orderBy("event_type", "q"))
+
+
 def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windows + watermark in the gate (streaming/stateful.py
     windowed_hll_stream): events arrive in TIME ORDER (first half, second
@@ -3389,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "streaming_value_moments": q_streaming_value_moments,
         "streaming_value_quantiles_dd": q_streaming_value_quantiles_dd,
+        "streaming_tail_quantiles_req": q_streaming_tail_quantiles_req,
         "streaming_windowed_hll": q_streaming_windowed_hll,
         "shard_manifest_stats": q_shard_manifest_stats,
         "embedding_neardup": q_embedding_neardup,
@@ -3744,6 +3821,10 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles_tdigest": _quantile_bound_oracle(
             "events", "value", "event_type", [0.25, 0.5, 0.75, 0.95]),
         "tail_quantiles_req": _quantile_bound_oracle(
+            "events", "value", "event_type", [0.9, 0.99, 0.999]),
+        # the streaming REQ surface converges to the same tail contract:
+        # identical oracle shape (exact quantiles + literal TRUE bands)
+        "streaming_tail_quantiles_req": _quantile_bound_oracle(
             "events", "value", "event_type", [0.9, 0.99, 0.999]),
         "nchars_quantiles_kll": _quantile_bound_oracle(
             "documents", "n_chars", "source", [0.1, 0.5, 0.9]),

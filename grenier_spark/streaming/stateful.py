@@ -236,6 +236,54 @@ def ddsketch_state_stream(stream_df, group_col: str,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def req_state_stream(stream_df, group_col: str, value_col: str = "value",
+                     k: int = 32, qs: "tuple[float, ...]" = (0.9, 0.99),
+                     order_col: str = "event_id"):
+    """Streaming TAIL quantiles: one REQ sketch (core/req.py, PODS 2021)
+    per group in the state store — the live p99/p999 surface whose rank
+    error shrinks multiplicatively toward the tail and whose running
+    maximum is EXACT.
+
+    REQ compaction is order-sensitive (like kll, unlike dd), so
+    ``order_col`` sorts rows within each trigger to pin the update order
+    under Arrow chunking; the result is deterministic given the trigger
+    split, and the PODS'21 rank guarantee holds for the concatenated
+    stream regardless (gated in the driver query by multiplicative
+    rank-band booleans against the exact batch quantiles). NULL values
+    drop, matching the batch build. Emission per trigger: one row per
+    requested quantile ``(group, n, q, est)``."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..core.req import REQ
+
+    out_schema = f"{group_col} string, n bigint, q double, est double"
+    state_schema = "sketch binary"
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            s = REQ.from_bytes(bytes(blob))
+        else:
+            s = REQ(k)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True)
+            if order_col in rows.columns:
+                rows = rows.sort_values(order_col, kind="stable")
+            vals = rows[value_col].dropna().to_numpy(dtype=np.float64)
+            if len(vals):
+                s.update_batch(vals)
+        state.update((s.to_bytes(),))
+        if s.n:
+            yield pd.DataFrame({group_col: key[0], "n": s.n,
+                                "q": list(qs),
+                                "est": s.quantiles(list(qs))})
+
+    return (stream_df.groupBy(group_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def windowed_hll_stream(stream_df, ts_col: str, group_col: str,
                         key_col: str, window: str = "1 hour",
                         watermark: str = "10 minutes", p: int = 12):

@@ -730,3 +730,66 @@ def test_resize_histogram_col_rejects_non_multiple(spark):
     with pytest.raises(Exception) as exc:
         df.select(resize_histogram_col("feature", 3).alias("r")).collect()
     assert "not a multiple" in str(exc.value)
+
+
+def test_req_state_stream_matches_batch_twin(spark, tmp_path):
+    """Streaming REQ across two triggers (split by a query RESTART on one
+    checkpoint): the final state must BYTE-equal a local REQ twin fed the
+    same two per-key batches in event_id order — order-sensitive kind, so
+    the order_col sort inside the trigger is what makes this exact."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from grenier_spark.core.req import REQ
+    from grenier_spark.streaming.stateful import req_state_stream
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src_dir, exist_ok=True)
+    batches = []
+    for part in range(2):
+        df = pd.DataFrame({
+            "event_id": np.arange(part * 400, part * 400 + 400),
+            "event_type": [f"t{i % 3}" for i in range(400)],
+            "value": rng.lognormal(2.0, 1.5, 400)})
+        df.loc[df.index[::83], "value"] = None
+        batches.append(df)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       f"{src_dir}/part-{part:05d}.parquet")
+
+    collected = []
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("event_id long, event_type string, value double")
+                  .option("maxFilesPerTrigger", "16").parquet(src_dir))
+        out = req_state_stream(stream, "event_type", k=16, qs=(0.9, 0.99))
+        q = (out.writeStream.outputMode("update")
+             .foreachBatch(lambda df, bid: collected.append(df.toPandas()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    hidden = str(tmp_path / "hidden.parquet")
+    os.replace(f"{src_dir}/part-00001.parquet", hidden)
+    run_once()
+    os.replace(hidden, f"{src_dir}/part-00001.parquet")
+    run_once()
+
+    final = pd.concat(collected, ignore_index=True)
+    final = (final.sort_values("n").groupby(["event_type", "q"]).last()
+             .reset_index())
+    for key in ["t0", "t1", "t2"]:
+        twin = REQ(k=16)
+        for b in batches:
+            sel = b[b.event_type == key].sort_values("event_id")
+            twin.update_batch(sel.value.dropna()
+                              .to_numpy(dtype=np.float64))
+        for q in (0.9, 0.99):
+            row = final[(final.event_type == key) & (final.q == q)].iloc[0]
+            assert int(row.n) == twin.n
+            assert row.est == float(twin.quantiles([q])[0]), (key, q)
