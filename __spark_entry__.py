@@ -2474,6 +2474,72 @@ def q_rolling_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_rolling_tail_quantiles_req(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling TAIL quantiles by ordered REQ merge
+    (operators/rolling.py rolling_sketch_merge_ordered): one corpus pass
+    builds a per-day REQ over events.value; every anchor day merges <= 7
+    KB-sized blobs in ascending-day order. The PODS'21 multiplicative
+    tail guarantee survives any merge tree, so the gate emits per
+    (day, q) the EXACT windowed tail quantile + a within_bound boolean
+    with eps_q = 0.5*(1-q) (+4-row floor) computed from the REAL rolled
+    estimate. Session tz pinned to UTC (naive-timestamp bucketing)."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        from grenier_spark.functions import req_quantiles_col
+        from grenier_spark.operators.rolling import \
+            rolling_sketch_merge_ordered
+
+        qs = [0.9, 0.99]
+        floor_rows = 4
+        qarr = F.array(*[F.lit(q) for q in qs])
+        ev = (_t(spark, sf_dir, "events")
+              .where(F.col("value").isNotNull())
+              .select(F.datediff(F.to_date("ts"),
+                                 F.lit("1970-01-01").cast("date"))
+                      .cast("long").alias("day"),
+                      F.col("value").cast("double").alias("v")))
+        per_day = build_sketches(
+            ev, [SketchSpec.of("r", "req", "v", k=32)], group_cols=["day"])
+        rolled = rolling_sketch_merge_ordered(per_day, "day", 7, "req")
+        est = rolled.select(
+            F.col("day").alias("aday"),
+            F.col("n_periods").cast("long").alias("n_days_merged"),
+            F.posexplode(req_quantiles_col("sketch", qs)).alias("i", "est"))
+        anchors = ev.select(F.col("day").alias("aday")).distinct()
+        win = (ev.withColumn("aday",
+                             F.explode(F.sequence(F.col("day"),
+                                                  F.col("day") + F.lit(6))))
+               .join(anchors, "aday", "semi")
+               .select("aday", "v"))
+        ranks = (win.join(F.broadcast(est), "aday")
+                 .groupBy("aday", "i", "est", "n_days_merged")
+                 .agg(F.sum(F.when(F.col("v") < F.col("est"), 1)
+                            .otherwise(0)).alias("cnt_lt"),
+                      F.sum(F.when(F.col("v") <= F.col("est"), 1)
+                            .otherwise(0)).alias("cnt_le"),
+                      F.count(F.lit(1)).alias("n")))
+        exact = (win.groupBy("aday")
+                 .agg(F.percentile("v", qarr).alias("p"))
+                 .select("aday", F.posexplode("p").alias("i", "exact_v")))
+        eps_col = F.lit(0.5) * (F.lit(1.0) - F.col("q"))
+        within = ((F.col("cnt_lt")
+                   <= (F.col("q") + eps_col) * F.col("n") + floor_rows)
+                  & (F.col("cnt_le")
+                     >= (F.col("q") - eps_col) * F.col("n") - floor_rows))
+        return (ranks.join(exact, ["aday", "i"])
+                .withColumn("q", F.element_at(qarr, F.col("i") + 1))
+                .select(F.col("aday").alias("day"), "q",
+                        F.col("n").cast("long").alias("n"),
+                        "n_days_merged",
+                        F.round("exact_v", 6).alias("exact_q"),
+                        within.alias("within_bound"))
+                .orderBy("day", "q"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_hll_card_orig_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both reference estimators side by side (H6 + H12): the HLL++
     estimate (hll.ml:142-153) AND the original-paper 32-bit-range
@@ -3412,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_card_by_type": q_hll_card_by_type,
         "rolling_distinct_users": q_rolling_distinct_users,
         "rolling_value_quantiles": q_rolling_value_quantiles,
+        "rolling_tail_quantiles_req": q_rolling_tail_quantiles_req,
         "source_minhash_jaccard": q_source_minhash_jaccard,
         "cuckoo_membership": q_cuckoo_membership,
         "hll_card_orig_by_type": q_hll_card_orig_by_type,
@@ -4051,6 +4118,24 @@ FROM ks WHERE k % 10 != 0 ORDER BY k""",
             "JOIN (SELECT DISTINCT (ts::DATE - DATE '1970-01-01')::BIGINT "
             "AS day FROM events) e ON e.day BETWEEN a.day - 6 AND a.day "
             "GROUP BY a.day) n USING (day) ORDER BY day"),
+        # trailing 7-day REQ merge: same window twin, tail qs, the
+        # multiplicative rank-band boolean is REAL Spark-side
+        "rolling_tail_quantiles_req": """
+WITH ev AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS day,
+                   value AS v
+            FROM events WHERE value IS NOT NULL),
+a AS (SELECT DISTINCT day FROM ev),
+w AS (SELECT a.day AS day, e.v, e.day AS src_day
+      FROM a JOIN ev e ON e.day BETWEEN a.day - 6 AND a.day)
+SELECT day, unnest([0.9, 0.99]) AS q, n, n_days_merged,
+       unnest(ex) AS exact_q, TRUE AS within_bound
+FROM (SELECT day,
+             [round(quantile_cont(v, 0.9), 6),
+              round(quantile_cont(v, 0.99), 6)] AS ex,
+             COUNT(*)::BIGINT AS n,
+             COUNT(DISTINCT src_day)::BIGINT AS n_days_merged
+      FROM w GROUP BY day)
+ORDER BY day, q""",
         # trailing 7-day KLL merge: exact windowed quantiles + window row
         # count + days merged recomputed by replicating each event onto the
         # anchor days whose window covers it; the rank-bound boolean is the
