@@ -152,3 +152,26 @@ def test_nan_filtered_empty_noop():
     assert np.isnan(s.quantiles([0.5])[0])
     s.update_batch(np.array([]))
     assert s.n == 0
+
+
+def test_heavy_ties_and_constant_streams():
+    """Degenerate distributions: all-equal values must return that value
+    at every q; two-valued streams must return one of the two values with
+    the rank band intact (ties never strand the estimator between
+    values)."""
+    s = REQ(k=16)
+    s.update_batch(np.full(50_000, 7.25))
+    for q in [0.0, 0.5, 0.99, 1.0]:
+        assert float(s.quantiles([q])[0]) == 7.25
+    t = REQ(k=16)
+    rng = np.random.default_rng(9)
+    vals = np.where(rng.random(80_000) < 0.9, 1.0, 2.0)
+    t.update_batch(vals)
+    n1 = int((vals == 1.0).sum())
+    for q in [0.5, 0.99, 0.999]:
+        est = float(t.quantiles([q])[0])
+        assert est in (1.0, 2.0)
+        # the returned value's rank interval must overlap the band
+        lo, hi = (0, n1) if est == 1.0 else (n1, len(vals))
+        band = 0.5 * (1 - q) * len(vals) + 4
+        assert lo - band <= q * len(vals) <= hi + band, (q, est)
