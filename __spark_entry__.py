@@ -32,7 +32,7 @@ from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -1774,21 +1774,16 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, token long, f long, n long")
 
 
-def q_streaming_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming running moments in the gate (streaming/stateful.py
-    moments_state_stream): events arrive in two micro-batches (event_id
-    parity); the per-event_type Moments summary lives in the state store
-    across triggers. Final-trigger rows (n == the exact per-type non-null
-    count) carry mean/variance/skew/kurtosis that match the batch oracle
-    (the same fsum SQL as value_moments_by_type) to round-6."""
+def _run_two_batch_event_stream(spark: SparkSession, ev: DataFrame,
+                                make_stream, query_name: str):
+    """Shared harness for the stateful streaming gates: write the events
+    frame as two micro-batch files (event_id parity), run the stateful
+    stream built by ``make_stream`` over them on one checkpoint, and
+    return (all update-mode emissions as pandas, per-type exact non-null
+    value counts) — the totals select the final-trigger rows."""
     import tempfile
     import time as _time
 
-    from grenier_spark.streaming.stateful import moments_state_stream
-
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("event_id").cast("long").alias("event_id"),
-        "event_type", F.col("value").cast("double").alias("value"))
     with tempfile.TemporaryDirectory() as d:
         src, ckpt = f"{d}/in", f"{d}/ck"
         ev.where("event_id % 2 = 0").coalesce(1).write.parquet(f"{src}/b1")
@@ -1796,21 +1791,54 @@ def q_streaming_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = (spark.readStream
                   .schema("event_id long, event_type string, value double")
                   .option("maxFilesPerTrigger", "1").parquet(f"{src}/*"))
-        out = moments_state_stream(stream, "event_type")
-        q = (out.writeStream.outputMode("update").format("memory")
-             .queryName("g_stream_mom")
+        q = (make_stream(stream).writeStream.outputMode("update")
+             .format("memory").queryName(query_name)
              .option("checkpointLocation", ckpt).start())
         try:
             q.processAllAvailable()
             ev.where("event_id % 2 = 1").coalesce(1) \
                 .write.parquet(f"{src}/b2")
             q.processAllAvailable()
-            got = spark.sql("SELECT * FROM g_stream_mom").toPandas()
+            got = spark.sql(f"SELECT * FROM {query_name}").toPandas()
         finally:
             q.stop()
     totals = {r.event_type: r._n for r in
               ev.where("value IS NOT NULL").groupBy("event_type")
               .agg(F.count(F.lit(1)).alias("_n")).collect()}
+    return got, totals
+
+
+def _gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type", F.col("value").cast("double").alias("value"))
+
+
+def _req_tail_within(floor_rows: int = 4) -> Column:
+    """Multiplicative REQ tail band over (cnt_lt, cnt_le, q, n) columns:
+    eps_q = 0.5 * (1 - q) — the PODS'21 guarantee shape, the SAME band
+    the batch `tail_quantiles_req` gate passes to _quantile_bound_gate
+    (keep the three surfaces' bands in lockstep here)."""
+    eps_col = F.lit(0.5) * (F.lit(1.0) - F.col("q"))
+    return ((F.col("cnt_lt")
+             <= (F.col("q") + eps_col) * F.col("n") + floor_rows)
+            & (F.col("cnt_le")
+               >= (F.col("q") - eps_col) * F.col("n") - floor_rows))
+
+
+def q_streaming_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming running moments in the gate (streaming/stateful.py
+    moments_state_stream): events arrive in two micro-batches (event_id
+    parity); the per-event_type Moments summary lives in the state store
+    across triggers. Final-trigger rows (n == the exact per-type non-null
+    count) carry mean/variance/skew/kurtosis that match the batch oracle
+    (the same fsum SQL as value_moments_by_type) to round-6."""
+    from grenier_spark.streaming.stateful import moments_state_stream
+
+    ev = _gate_events(spark, sf_dir)
+    got, totals = _run_two_batch_event_stream(
+        spark, ev, lambda s: moments_state_stream(s, "event_type"),
+        "g_stream_mom")
     fin = got[got.apply(lambda r: r.n == totals.get(r.event_type),
                         axis=1)]
     # a key whose second slice was all-NULL emits the same (n, stats) row
@@ -1839,37 +1867,14 @@ def q_streaming_value_quantiles_dd(spark: SparkSession,
     walk, 2*gamma^b/(gamma+1)) on the same doubles
     (sql_oracles.dd_quantile_sql). Final-trigger rows are selected by
     n == the exact per-type non-null count."""
-    import tempfile
-    import time as _time
-
     from grenier_spark.streaming.stateful import ddsketch_state_stream
 
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("event_id").cast("long").alias("event_id"),
-        "event_type", F.col("value").cast("double").alias("value"))
-    with tempfile.TemporaryDirectory() as d:
-        src, ckpt = f"{d}/in", f"{d}/ck"
-        ev.where("event_id % 2 = 0").coalesce(1).write.parquet(f"{src}/b1")
-        _time.sleep(0.05)
-        stream = (spark.readStream
-                  .schema("event_id long, event_type string, value double")
-                  .option("maxFilesPerTrigger", "1").parquet(f"{src}/*"))
-        out = ddsketch_state_stream(stream, "event_type", alpha=0.01,
-                                    qs=(0.25, 0.5, 0.9))
-        q = (out.writeStream.outputMode("update").format("memory")
-             .queryName("g_stream_dd")
-             .option("checkpointLocation", ckpt).start())
-        try:
-            q.processAllAvailable()
-            ev.where("event_id % 2 = 1").coalesce(1) \
-                .write.parquet(f"{src}/b2")
-            q.processAllAvailable()
-            got = spark.sql("SELECT * FROM g_stream_dd").toPandas()
-        finally:
-            q.stop()
-    totals = {r.event_type: r._n for r in
-              ev.where("value IS NOT NULL").groupBy("event_type")
-              .agg(F.count(F.lit(1)).alias("_n")).collect()}
+    ev = _gate_events(spark, sf_dir)
+    got, totals = _run_two_batch_event_stream(
+        spark, ev,
+        lambda s: ddsketch_state_stream(s, "event_type", alpha=0.01,
+                                        qs=(0.25, 0.5, 0.9)),
+        "g_stream_dd")
     fin = got[got.apply(lambda r: r.n == totals.get(r.event_type),
                         axis=1)]
     # a key whose second slice was all-NULL emits identical rows on both
@@ -1894,38 +1899,15 @@ def q_streaming_tail_quantiles_req(spark: SparkSession,
     computed Spark-side against the raw events; the oracle emits exact
     quantiles + literal TRUE (a streaming-state regression past the tail
     bound flips a boolean)."""
-    import tempfile
-    import time as _time
-
     from grenier_spark.streaming.stateful import req_state_stream
 
     qs = [0.9, 0.99, 0.999]
     floor_rows = 4
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("event_id").cast("long").alias("event_id"),
-        "event_type", F.col("value").cast("double").alias("value"))
-    with tempfile.TemporaryDirectory() as d:
-        src, ckpt = f"{d}/in", f"{d}/ck"
-        ev.where("event_id % 2 = 0").coalesce(1).write.parquet(f"{src}/b1")
-        _time.sleep(0.05)
-        stream = (spark.readStream
-                  .schema("event_id long, event_type string, value double")
-                  .option("maxFilesPerTrigger", "1").parquet(f"{src}/*"))
-        out = req_state_stream(stream, "event_type", k=32, qs=tuple(qs))
-        q = (out.writeStream.outputMode("update").format("memory")
-             .queryName("g_stream_req")
-             .option("checkpointLocation", ckpt).start())
-        try:
-            q.processAllAvailable()
-            ev.where("event_id % 2 = 1").coalesce(1) \
-                .write.parquet(f"{src}/b2")
-            q.processAllAvailable()
-            got = spark.sql("SELECT * FROM g_stream_req").toPandas()
-        finally:
-            q.stop()
-    totals = {r.event_type: r._n for r in
-              ev.where("value IS NOT NULL").groupBy("event_type")
-              .agg(F.count(F.lit(1)).alias("_n")).collect()}
+    ev = _gate_events(spark, sf_dir)
+    got, totals = _run_two_batch_event_stream(
+        spark, ev,
+        lambda s: req_state_stream(s, "event_type", k=32, qs=tuple(qs)),
+        "g_stream_req")
     fin = got[got.apply(lambda r: r.n == totals.get(r.event_type),
                         axis=1)]
     fin = (fin.drop_duplicates(subset=["event_type", "q"])
@@ -1947,11 +1929,7 @@ def q_streaming_tail_quantiles_req(spark: SparkSession,
              .select("event_type", F.posexplode("p").alias("i", "exact_v"))
              .withColumn("q", F.element_at(qarr, F.col("i") + 1))
              .drop("i"))
-    eps_col = F.lit(0.5) * (F.lit(1.0) - F.col("q"))
-    within = ((F.col("cnt_lt")
-               <= (F.col("q") + eps_col) * F.col("n") + floor_rows)
-              & (F.col("cnt_le")
-                 >= (F.col("q") - eps_col) * F.col("n") - floor_rows))
+    within = _req_tail_within(floor_rows)
     return (ranks.join(exact, ["event_type", "q"])
             .select("event_type", "q",
                     F.round("exact_v", 6).alias("exact_q"),
@@ -2523,11 +2501,7 @@ def q_rolling_tail_quantiles_req(spark: SparkSession,
         exact = (win.groupBy("aday")
                  .agg(F.percentile("v", qarr).alias("p"))
                  .select("aday", F.posexplode("p").alias("i", "exact_v")))
-        eps_col = F.lit(0.5) * (F.lit(1.0) - F.col("q"))
-        within = ((F.col("cnt_lt")
-                   <= (F.col("q") + eps_col) * F.col("n") + floor_rows)
-                  & (F.col("cnt_le")
-                     >= (F.col("q") - eps_col) * F.col("n") - floor_rows))
+        within = _req_tail_within(floor_rows)
         return (ranks.join(exact, ["aday", "i"])
                 .withColumn("q", F.element_at(qarr, F.col("i") + 1))
                 .select(F.col("aday").alias("day"), "q",
@@ -2600,7 +2574,9 @@ def _quantile_bound_gate(spark: SparkSession, sf_dir: str, table: str,
     """
     eps_list = ([float(eps)] * len(qs) if isinstance(eps, (int, float))
                 else [float(e) for e in eps])
-    assert len(eps_list) == len(qs)
+    if len(eps_list) != len(qs):
+        raise ValueError(f"eps list has {len(eps_list)} entries for "
+                         f"{len(qs)} quantiles")
     src = _t(spark, sf_dir, table)
     res = build_sketches(src, [spec], group_cols=[group_col])
     qarr = F.array(*[F.lit(q) for q in qs])

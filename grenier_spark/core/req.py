@@ -178,14 +178,14 @@ class REQ:
         return v[order], w[order]
 
     def rank(self, values: "np.ndarray | list[float]") -> np.ndarray:
-        """Estimated number of items <= value (absolute, not fraction)."""
+        """Estimated number of items <= value (absolute, not fraction).
+        Always returns a 1-d array, scalar input included."""
+        vv = np.atleast_1d(np.asarray(values, dtype=np.float64))
         v, w = self._weighted_items()
-        out_len = len(np.atleast_1d(values))
         if not len(v):
-            return np.full(out_len, np.nan)
+            return np.full(len(vv), np.nan)
         cum = np.cumsum(w)
-        idx = np.searchsorted(v, np.asarray(values, dtype=np.float64),
-                              side="right")
+        idx = np.searchsorted(v, vv, side="right")
         return np.where(idx > 0, cum[np.maximum(idx - 1, 0)], 0.0)
 
     def quantiles(self, qs: "np.ndarray | list[float]") -> np.ndarray:

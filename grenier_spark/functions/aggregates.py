@@ -181,7 +181,8 @@ def register_sql_aggregates(spark, hll_p: int = 12, cms_depth: int = 5,
                             bloom_k: int = 5, kmv_k: int = 256,
                             mg_k: int = 256, kll_k: int = 200,
                             tdigest_delta: int = 200,
-                            dd_alpha: float = 0.01) -> None:
+                            dd_alpha: float = 0.01,
+                            req_k: int = 32) -> None:
     """Register the aggregates for ``spark.sql`` string queries
     (``hll_agg``, ``cms_agg``, ``bloom_agg``, ``kmv_agg``, ``mg_agg``,
     ``kll_agg``, ``tdigest_agg``, ``ddsum_agg``). SQL cannot pass constructor params,
@@ -201,7 +202,7 @@ def register_sql_aggregates(spark, hll_p: int = 12, cms_depth: int = 5,
         "kll_agg": ("kll", {"k": kll_k, "seed": 42}),
         "tdigest_agg": ("tdigest", {"delta": tdigest_delta}),
         "dd_agg": ("dd", {"alpha": dd_alpha}),
-        "req_agg": ("req", {"k": 32, "seed": 42}),
+        "req_agg": ("req", {"k": req_k, "seed": 42}),
         "ddsum_agg": ("ddsum", {}),
         "mom_agg": ("mom", {}),
     }

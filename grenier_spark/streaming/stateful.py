@@ -146,6 +146,11 @@ def moments_state_stream(stream_df, group_col: str,
 
     from ..core.doubledouble import Moments
 
+    if order_col not in stream_df.columns:
+        raise ValueError(
+            f"moments_state_stream: order_col {order_col!r} not in the "
+            f"stream ({stream_df.columns}) — the dd reduction order would "
+            f"silently depend on Arrow chunking")
     out_schema = (f"{group_col} string, n bigint, mean double, "
                   "variance double, skew double, kurtosis double")
     state_schema = "n bigint, s array<double>"
@@ -256,6 +261,11 @@ def req_state_stream(stream_df, group_col: str, value_col: str = "value",
 
     from ..core.req import REQ
 
+    if order_col not in stream_df.columns:
+        raise ValueError(
+            f"req_state_stream: order_col {order_col!r} not in the stream "
+            f"({stream_df.columns}) — the compaction order would silently "
+            f"depend on Arrow chunking, breaking the batch-twin contract")
     out_schema = f"{group_col} string, n bigint, q double, est double"
     state_schema = "sketch binary"
 
