@@ -58,6 +58,7 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  hrw_buckets_sql,
                                                  jump_buckets_sql,
                                                  kmv_by_source_sql,
+                                                 kmv_diff_sql,
                                                  kmv_pairs_sql,
                                                  md5_low64_expr,
                                                  md5_low64_signed_expr,
@@ -1524,6 +1525,43 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.element_at("feature", 7).cast("long").alias("f6"),
                      F.element_at("feature", 8).cast("long").alias("f7"))
             .orderBy("media_id"))
+
+
+def q_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff (operators/versiondiff.py corpus_doc_diff +
+    the KMV theta difference): two corpus versions are derived
+    deterministically from documents (old drops doc_id%10==0, new drops
+    doc_id%10==5 — so the refresh both adds and removes), and the gate
+    emits per source the exact content-level doc diff (multiset md5
+    semantics), exact word-count movement, and the `new \\ old`
+    vocabulary estimate (KMV.a_not_b, k=256) — ALL value-exact in SQL
+    including the sketch estimate (sql_oracles.kmv_diff_sql mirrors the
+    kernel's float chain)."""
+    from grenier_spark.functions import kmv_a_not_b_col
+    from grenier_spark.functions.hashing import md5_tokens_col
+    from grenier_spark.operators.versiondiff import corpus_doc_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 != 5)
+    base = corpus_doc_diff(old, new)
+
+    def kmv_of(df, alias):
+        t = df.withColumn("tokens", md5_tokens_col("text"))
+        return (build_sketches(
+                    t, [SketchSpec.of("kmv", "kmv", "tokens", k=256)],
+                    group_cols=["source"])
+                .select("source", F.col("sketch").alias(alias)))
+
+    vocab = (kmv_of(new, "_sn").join(F.broadcast(kmv_of(old, "_so")),
+                                     "source")
+             .withColumn("_d", kmv_a_not_b_col("_sn", "_so"))
+             .select("source",
+                     F.col("_d.n_only_a").alias("n_new_vocab_kept"),
+                     F.round("_d.diff_frac", 6).alias("new_vocab_frac"),
+                     F.round("_d.difference_est", 6)
+                     .alias("new_vocab_est")))
+    return base.join(vocab, "source").orderBy("source")
 
 
 def q_media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3535,6 +3573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "media_features": q_media_features,
         "media_frame_features": q_media_frame_features,
+        "corpus_version_diff": q_corpus_version_diff,
         "token_hll_udaf": q_token_hll_udaf,
         "pii_redaction": q_pii_redaction,
         "token_freq_spectrum": q_token_freq_spectrum,
@@ -4526,6 +4565,42 @@ SELECT media_id, media_type, frame_idx,
        len(list_filter(split(win, ''), c -> unicode(c) // 16 < 8))::BIGINT
          AS lo_half
 FROM w""",
+        # corpus version diff: exact multiset content diff + word counts
+        # + the KMV a_not_b estimate mirrored float-for-float
+        "corpus_version_diff": """
+WITH oldv AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
+newv AS (SELECT * FROM documents WHERE doc_id % 10 != 5),
+oh AS (SELECT source, md5(text) AS h, COUNT(*)::BIGINT AS oc
+       FROM oldv GROUP BY 1, 2),
+nh AS (SELECT source, md5(text) AS h, COUNT(*)::BIGINT AS nc
+       FROM newv GROUP BY 1, 2),
+j AS (SELECT COALESCE(oh.source, nh.source) AS source,
+             COALESCE(oc, 0) AS oc, COALESCE(nc, 0) AS nc
+      FROM oh FULL JOIN nh ON oh.source = nh.source AND oh.h = nh.h),
+d AS (SELECT source,
+             SUM(greatest(nc - oc, 0))::BIGINT AS n_docs_added,
+             SUM(greatest(oc - nc, 0))::BIGINT AS n_docs_removed,
+             SUM(least(oc, nc))::BIGINT AS n_docs_common
+      FROM j GROUP BY 1),
+w AS (SELECT o.source, o.wc AS wc_old, n.wc AS wc_new
+      FROM (SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS wc
+            FROM oldv GROUP BY 1) o
+      JOIN (SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS wc
+            FROM newv GROUP BY 1) n USING (source)),
+v AS (""" + kmv_diff_sql(
+            "SELECT source, " + md5_low64_expr("token") + " AS tk FROM ("
+            "SELECT source, unnest(string_split(text, ' ')) AS token "
+            "FROM documents WHERE doc_id % 10 != 5)",
+            "SELECT source, " + md5_low64_expr("token") + " AS tk FROM ("
+            "SELECT source, unnest(string_split(text, ' ')) AS token "
+            "FROM documents WHERE doc_id % 10 != 0)",
+            "tk", 256, ["source"]) + """)
+SELECT d.source, n_docs_added, n_docs_removed, n_docs_common,
+       wc_old, wc_new,
+       v.n_only_a AS n_new_vocab_kept,
+       v.diff_frac AS new_vocab_frac,
+       v.difference_est AS new_vocab_est
+FROM d JOIN w USING (source) JOIN v ON v.source = d.source""",
         "pii_redaction": _pii_redaction_oracle(),
         "token_freq_spectrum": _freq_spectrum_oracle(),
         "token_hll_udaf": (

@@ -1033,6 +1033,47 @@ SELECT ga AS source_a, gb AS source_b, n_matched, n_only_a, n_only_b,
 FROM m"""
 
 
+def kmv_diff_sql(keys_a_sql: str, keys_b_sql: str, key_col: str, k: int,
+                 group_cols: "list[str]") -> str:
+    """DuckDB twin of ``KMV.a_not_b`` across TWO keyed tables sharing the
+    same group columns (core/kmv.py:104): per group, the bottom-k' of the
+    union of A's and B's kept sets, ``n_only_a`` counted over that union,
+    diff_frac = n_only_a/|L| and difference_est = diff_frac * union_est —
+    the identical float chain as the kernel (ratio first, then the
+    product; union_est exact below k). Used by the corpus-version-diff
+    gate where A = new corpus vocabulary, B = old."""
+    g = list(group_cols)
+    gl = ", ".join(g)
+    ugl = ", ".join(f"u.{c}" for c in g)
+    on_a = " AND ".join([f"a.{c} = u.{c}" for c in g] + ["a.h = u.h"])
+    on_b = " AND ".join([f"b.{c} = u.{c}" for c in g] + ["b.h = u.h"])
+    return f"""
+WITH ka AS ({_kmv_kept_cte(keys_a_sql, key_col, k, g)}),
+kb AS ({_kmv_kept_cte(keys_b_sql, key_col, k, g)}),
+uni AS (
+  SELECT {gl}, h, rn FROM (
+    SELECT {gl}, h, row_number() OVER (
+             PARTITION BY {gl} ORDER BY h ASC) AS rn
+    FROM (SELECT DISTINCT {gl}, h FROM (
+            SELECT {gl}, h FROM ka
+            UNION ALL SELECT {gl}, h FROM kb)))
+  WHERE rn <= {k}),
+m AS (
+  SELECT {ugl}, COUNT(*)::BIGINT AS n_union, MAX(u.h) AS maxh,
+         SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS n_only_a
+  FROM uni u
+  LEFT JOIN ka a ON {on_a}
+  LEFT JOIN kb b ON {on_b}
+  GROUP BY {ugl})
+SELECT {gl}, n_only_a,
+       round(n_only_a::DOUBLE / n_union::DOUBLE, 6) AS diff_frac,
+       round((n_only_a::DOUBLE / n_union::DOUBLE)
+             * {_kmv_est_expr('n_union', 'maxh', k)}, 6)
+         AS difference_est
+FROM m"""
+
+
 def md5_low64_expr(col: str) -> str:
     """UHUGEINT from the first 16 hex chars of md5 — DuckDB twin of Spark
     ``conv(substring(md5(col), 1, 16), 16, -10)`` (same bits, unsigned)."""

@@ -1162,3 +1162,26 @@ def test_ivfpq_topk_planted_copy_is_top1(spark, embeddings):
     for qid in queries.toPandas().query_id:
         top = got[(got.query_id == qid) & (got["rank"] == 1)]
         assert int(top.vec_id.iloc[0]) == int(qid)
+
+
+def test_corpus_doc_diff_multiset_semantics(spark):
+    """corpus_doc_diff: an edited doc counts as one add + one remove;
+    within-version duplicate content diffs by multiset counts; word
+    counts use string_split semantics (empty tokens included)."""
+    import pandas as pd
+
+    from grenier_spark.operators.versiondiff import corpus_doc_diff
+
+    old = spark.createDataFrame(pd.DataFrame({
+        "source": ["w"] * 4,
+        "text": ["a b", "a b", "c", "edited v1"]}))
+    new = spark.createDataFrame(pd.DataFrame({
+        "source": ["w"] * 4,
+        "text": ["a b", "c", "edited v2", "brand  new"]}))
+    r = corpus_doc_diff(old, new).collect()[0]
+    # "a b" 2->1: one removed, one common; "c" kept; edit: 1 add + 1 rm;
+    # "brand  new" added
+    assert r.n_docs_added == 2 and r.n_docs_removed == 2
+    assert r.n_docs_common == 2
+    assert r.wc_old == 2 + 2 + 1 + 2
+    assert r.wc_new == 2 + 1 + 2 + 3  # double space -> empty token
