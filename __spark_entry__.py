@@ -1553,8 +1553,14 @@ def q_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     group_cols=["source"])
                 .select("source", F.col("sketch").alias(alias)))
 
+    # full outer + empty-sketch substitution: a source present in only
+    # one version still reports (new \ old = everything or nothing)
+    from grenier_spark.core.kmv import KMV
+    empty = F.lit(KMV(256).to_bytes())
     vocab = (kmv_of(new, "_sn").join(F.broadcast(kmv_of(old, "_so")),
-                                     "source")
+                                     "source", "full")
+             .withColumn("_sn", F.coalesce("_sn", empty))
+             .withColumn("_so", F.coalesce("_so", empty))
              .withColumn("_d", kmv_a_not_b_col("_sn", "_so"))
              .select("source",
                      F.col("_d.n_only_a").alias("n_new_vocab_kept"),
@@ -4582,11 +4588,13 @@ d AS (SELECT source,
              SUM(greatest(oc - nc, 0))::BIGINT AS n_docs_removed,
              SUM(least(oc, nc))::BIGINT AS n_docs_common
       FROM j GROUP BY 1),
-w AS (SELECT o.source, o.wc AS wc_old, n.wc AS wc_new
+w AS (SELECT COALESCE(o.source, n.source) AS source,
+             COALESCE(o.wc, 0) AS wc_old, COALESCE(n.wc, 0) AS wc_new
       FROM (SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS wc
             FROM oldv GROUP BY 1) o
-      JOIN (SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS wc
-            FROM newv GROUP BY 1) n USING (source)),
+      FULL JOIN (SELECT source,
+                        SUM(len(string_split(text, ' ')))::BIGINT AS wc
+                 FROM newv GROUP BY 1) n ON o.source = n.source),
 v AS (""" + kmv_diff_sql(
             "SELECT source, " + md5_low64_expr("token") + " AS tk FROM ("
             "SELECT source, unnest(string_split(text, ' ')) AS token "

@@ -134,6 +134,8 @@ class DDSketch:
         n = self.n
         if n == 0:
             raise ValueError("quantile of an empty ddsketch")
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile q must be in [0, 1], got {q!r}")
         rank = int(math.floor(q * (n - 1)))
         if rank < self.zero_count:
             return 0.0

@@ -207,7 +207,7 @@ class REQ:
         metas = b"".join(
             _LVL.pack(len(c.buf), c.section_size, c.n_sections,
                       c.n_compactions) for c in self.levels)
-        payload = b"".join(np.ascontiguousarray(c.buf).tobytes()
+        payload = b"".join(c.buf.astype("<f8").tobytes()
                            for c in self.levels)
         return head + metas + payload
 
@@ -227,8 +227,8 @@ class REQ:
             off += _LVL.size
         total_w = 0
         for h, (ln, ss, ns, nc) in enumerate(metas):
-            buf = np.frombuffer(b, dtype=np.float64, count=ln,
-                                offset=off).copy()
+            buf = np.frombuffer(b, dtype="<f8", count=ln,
+                                offset=off).astype(np.float64)
             off += 8 * ln
             if ss < 4 or ns < 1:
                 raise ValueError("REQ.from_bytes: corrupt level meta")

@@ -235,7 +235,7 @@ def dd_stats_col(sketch: "Column | str") -> Column:
             s = DDSketch.from_bytes(bytes(b))
             rows.append({"n": s.n, "zero_count": s.zero_count,
                          "n_buckets": len(s.idx)})
-        return pd.DataFrame(rows)
+        return pd.DataFrame(rows, columns=["n", "zero_count", "n_buckets"])
 
     return _s(_col(sketch))
 

@@ -64,5 +64,9 @@ def corpus_doc_diff(old_docs: DataFrame, new_docs: DataFrame,
                 .agg(F.sum(F.size(F.split(text_col, " ")))
                      .cast("long").alias(name)))
 
-    return (diff.join(wc(old_docs, "wc_old"), g)
-            .join(wc(new_docs, "wc_new"), g))
+    # outer joins: a group present in only ONE version (fully added or
+    # fully removed source) must still get a report row — its word count
+    # on the absent side is 0, not a dropped row
+    return (diff.join(wc(old_docs, "wc_old"), g, "left")
+            .join(wc(new_docs, "wc_new"), g, "left")
+            .fillna(0, subset=["wc_old", "wc_new"]))

@@ -243,7 +243,8 @@ def ddsketch_state_stream(stream_df, group_col: str,
 
 def req_state_stream(stream_df, group_col: str, value_col: str = "value",
                      k: int = 32, qs: "tuple[float, ...]" = (0.9, 0.99),
-                     order_col: str = "event_id"):
+                     order_col: str = "event_id",
+                     emit_state: bool = False):
     """Streaming TAIL quantiles: one REQ sketch (core/req.py, PODS 2021)
     per group in the state store — the live p99/p999 surface whose rank
     error shrinks multiplicatively toward the tail and whose running
@@ -256,7 +257,9 @@ def req_state_stream(stream_df, group_col: str, value_col: str = "value",
     stream regardless (gated in the driver query by multiplicative
     rank-band booleans against the exact batch quantiles). NULL values
     drop, matching the batch build. Emission per trigger: one row per
-    requested quantile ``(group, n, q, est)``."""
+    requested quantile ``(group, n, q, est)``; ``emit_state=True`` adds
+    the serialized sketch bytes per row so tests can assert the
+    state == order-pinned batch twin byte contract directly."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..core.req import REQ
@@ -267,6 +270,8 @@ def req_state_stream(stream_df, group_col: str, value_col: str = "value",
             f"({stream_df.columns}) — the compaction order would silently "
             f"depend on Arrow chunking, breaking the batch-twin contract")
     out_schema = f"{group_col} string, n bigint, q double, est double"
+    if emit_state:
+        out_schema += ", sketch binary"
     state_schema = "sketch binary"
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -283,11 +288,14 @@ def req_state_stream(stream_df, group_col: str, value_col: str = "value",
             vals = rows[value_col].dropna().to_numpy(dtype=np.float64)
             if len(vals):
                 s.update_batch(vals)
-        state.update((s.to_bytes(),))
+        wire = s.to_bytes()
+        state.update((wire,))
         if s.n:
-            yield pd.DataFrame({group_col: key[0], "n": s.n,
-                                "q": list(qs),
-                                "est": s.quantiles(list(qs))})
+            out = {group_col: key[0], "n": s.n, "q": list(qs),
+                   "est": s.quantiles(list(qs))}
+            if emit_state:
+                out["sketch"] = [wire] * len(qs)
+            yield pd.DataFrame(out)
 
     return (stream_df.groupBy(group_col)
             .applyInPandasWithState(update, out_schema, state_schema,

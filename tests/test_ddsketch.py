@@ -206,3 +206,11 @@ def test_int32_bucket_overflow_raises():
     s = DDSketch(1e-8)
     with pytest.raises(ValueError, match="int32"):
         s.update_batch(np.array([1e-300]))
+
+
+def test_quantile_rejects_out_of_range_q():
+    s = DDSketch(ALPHA)
+    s.update_batch(np.array([1.0, 2.0, 3.0]))
+    for bad in (-0.1, 1.5):
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            s.quantile(bad)

@@ -1185,3 +1185,22 @@ def test_corpus_doc_diff_multiset_semantics(spark):
     assert r.n_docs_common == 2
     assert r.wc_old == 2 + 2 + 1 + 2
     assert r.wc_new == 2 + 1 + 2 + 3  # double space -> empty token
+
+
+def test_corpus_doc_diff_one_sided_sources(spark):
+    """A source present in only one version must still get a report row
+    (fully-added source: wc_old == 0; fully-removed: wc_new == 0)."""
+    import pandas as pd
+
+    from grenier_spark.operators.versiondiff import corpus_doc_diff
+
+    old = spark.createDataFrame(pd.DataFrame(
+        {"source": ["a", "gone"], "text": ["x y", "old only"]}))
+    new = spark.createDataFrame(pd.DataFrame(
+        {"source": ["a", "fresh"], "text": ["x y", "brand new src"]}))
+    rows = {r.source: r for r in corpus_doc_diff(old, new).collect()}
+    assert set(rows) == {"a", "gone", "fresh"}
+    assert rows["fresh"].n_docs_added == 1 and rows["fresh"].wc_old == 0
+    assert rows["fresh"].wc_new == 3
+    assert rows["gone"].n_docs_removed == 1 and rows["gone"].wc_new == 0
+    assert rows["gone"].wc_old == 2

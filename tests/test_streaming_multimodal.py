@@ -767,7 +767,8 @@ def test_req_state_stream_matches_batch_twin(spark, tmp_path):
         stream = (spark.readStream
                   .schema("event_id long, event_type string, value double")
                   .option("maxFilesPerTrigger", "16").parquet(src_dir))
-        out = req_state_stream(stream, "event_type", k=16, qs=(0.9, 0.99))
+        out = req_state_stream(stream, "event_type", k=16, qs=(0.9, 0.99),
+                               emit_state=True)
         q = (out.writeStream.outputMode("update")
              .foreachBatch(lambda df, bid: collected.append(df.toPandas()))
              .option("checkpointLocation", ckpt)
@@ -793,3 +794,5 @@ def test_req_state_stream_matches_batch_twin(spark, tmp_path):
             row = final[(final.event_type == key) & (final.q == q)].iloc[0]
             assert int(row.n) == twin.n
             assert row.est == float(twin.quantiles([q])[0]), (key, q)
+            # the documented contract: state bytes == order-pinned twin
+            assert bytes(row.sketch) == twin.to_bytes(), (key, q)
