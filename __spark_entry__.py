@@ -1554,11 +1554,12 @@ def q_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("source", F.col("sketch").alias(alias)))
 
     # full outer + empty-sketch substitution: a source present in only
-    # one version still reports (new \ old = everything or nothing)
+    # one version still reports (new \ old = everything or nothing).
+    # No broadcast hint: Spark ignores broadcast on FULL OUTER joins —
+    # the sort-merge over sketch-count rows (one per source) is trivial.
     from grenier_spark.core.kmv import KMV
     empty = F.lit(KMV(256).to_bytes())
-    vocab = (kmv_of(new, "_sn").join(F.broadcast(kmv_of(old, "_so")),
-                                     "source", "full")
+    vocab = (kmv_of(new, "_sn").join(kmv_of(old, "_so"), "source", "full")
              .withColumn("_sn", F.coalesce("_sn", empty))
              .withColumn("_so", F.coalesce("_so", empty))
              .withColumn("_d", kmv_a_not_b_col("_sn", "_so"))
@@ -3477,7 +3478,96 @@ def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING IS LOAD-BEARING: the driver's correctness pass certifies the
+    # FIRST 50 entries only (CORRECTNESS_r03 == the first 50 keys of the
+    # round-3 dict, key-for-key). Round 4 leads with 50 queries that have
+    # never received a driver-side CORRECTNESS row (they are green in the
+    # bitwise-identical in-suite harness, tests/test_entry_oracles.py);
+    # the rotation ledger lives in COVERAGE.md §driver-certification.
     return {
+        # -- r4 window: driver-uncertified flagship gates (1-50) ----------
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "mg_heavy_tokens": q_mg_heavy_tokens,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_dups": q_simhash_dups,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "semdedup_docs": q_semdedup_docs,
+        "embedding_neardup": q_embedding_neardup,
+        "dup_span_stats": q_dup_span_stats,
+        "dup_span_stats_cms": q_dup_span_stats_cms,
+        "dup_span_removal": q_dup_span_removal,
+        "dup_span_removal_cms": q_dup_span_removal_cms,
+        "doc_lm_scores": q_doc_lm_scores,
+        "doc_bigram_lm_scores": q_doc_bigram_lm_scores,
+        "lm_ppl_buckets": q_lm_ppl_buckets,
+        "bpe_merges": q_bpe_merges,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "corpus_version_diff": q_corpus_version_diff,
+        "streaming_dedup_docs": q_streaming_dedup_docs,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        "streaming_value_moments": q_streaming_value_moments,
+        "streaming_value_quantiles_dd": q_streaming_value_quantiles_dd,
+        "streaming_tail_quantiles_req": q_streaming_tail_quantiles_req,
+        "streaming_windowed_hll": q_streaming_windowed_hll,
+        "ingest_dedup_docs": q_ingest_dedup_docs,
+        "purchase_asof_click": q_purchase_asof_click,
+        "signup_error_overlap": q_signup_error_overlap,
+        "salted_user_join": q_salted_user_join,
+        "bloom_pruned_orders": q_bloom_pruned_orders,
+        "docs_column_profile": q_docs_column_profile,
+        "docs_constraints": q_docs_constraints,
+        "user_sessions": q_user_sessions,
+        "media_features": q_media_features,
+        "media_frame_features": q_media_frame_features,
+        "token_hll_udaf": q_token_hll_udaf,
+        "pii_redaction": q_pii_redaction,
+        "benchmark_contamination": q_benchmark_contamination,
+        "benchmark_contamination_bloom": q_benchmark_contamination_bloom,
+        "fuzzy_contamination": q_fuzzy_contamination,
+        "fd_label_covariance": q_fd_label_covariance,
+        "fd_projection_quality": q_fd_projection_quality,
+        "neardup_components": q_neardup_components,
+        "neardup_components_star": q_neardup_components_star,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_containment_pairs": q_ngram_containment,
+        "boilerplate_report": q_boilerplate_report,
+        "boilerplate_clean_docs": q_boilerplate_clean,
+        # -- uncertified remainder: r5 window candidates (51-80) ----------
+        "string_funcs_parts": q_string_funcs_parts,
+        "token_pack_chunks": q_token_pack_chunks,
+        "token_pack_greedy": q_token_pack_greedy,
+        "train_val_split": q_train_val_split,
+        "doc_sample_frac": q_doc_sample_frac,
+        "stratified_quota_docs": q_stratified_quota_docs,
+        "zorder_docs": q_zorder_docs,
+        "kll_balanced_buckets": q_kll_balanced_buckets,
+        "jsonl_ingest_docs": q_jsonl_ingest_docs,
+        "user_key_skew": q_user_key_skew,
+        "mixture_docs": q_mixture_docs,
+        "shuffle_order_docs": q_shuffle_order_docs,
+        "stride_interleave_docs": q_stride_interleave_docs,
+        "shard_manifest_stats": q_shard_manifest_stats,
+        "dsir_selection": q_dsir_selection,
+        "customers_without_orders": q_customers_without_orders,
+        "token_freq_spectrum": q_token_freq_spectrum,
+        "csk_cells": q_csk_cells,
+        "csk_f2_by_type": q_csk_f2_by_type,
+        "csk_join_size": q_csk_join_size,
+        "token_kmv_by_source": q_token_kmv_by_source,
+        "source_token_kmv_jaccard": q_source_token_kmv_jaccard,
+        "pmi_collocations": q_pmi_collocations,
+        "source_token_entropy": q_source_token_entropy,
+        "source_token_kl": q_source_token_kl,
+        "source_token_overlap": q_source_token_overlap,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_context_windows": q_doc_context_windows,
+        "embedding_label_confusion": q_embedding_label_confusion,
+        "weighted_doc_sample": q_weighted_doc_sample,
+        # -- driver-certified in r03 (81-130): keep green in-suite --------
         "hll_registers": q_hll_registers,
         "jump_buckets": q_jump_buckets,
         "cms_cells": q_cms_cells,
@@ -3528,86 +3618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_gap_window": q_order_gap_window,
         "set_ops_customers": q_set_ops_customers,
         "rollup_nation_segment": q_rollup_nation_segment,
-        "string_funcs_parts": q_string_funcs_parts,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "ngram_containment_pairs": q_ngram_containment,
-        "boilerplate_report": q_boilerplate_report,
-        "boilerplate_clean_docs": q_boilerplate_clean,
-        "neardup_components": q_neardup_components,
-        "neardup_components_star": q_neardup_components_star,
-        "token_pack_chunks": q_token_pack_chunks,
-        "token_pack_greedy": q_token_pack_greedy,
-        "train_val_split": q_train_val_split,
-        "doc_sample_frac": q_doc_sample_frac,
-        "stratified_quota_docs": q_stratified_quota_docs,
-        "zorder_docs": q_zorder_docs,
-        "kll_balanced_buckets": q_kll_balanced_buckets,
-        "jsonl_ingest_docs": q_jsonl_ingest_docs,
-        "user_key_skew": q_user_key_skew,
-        "mixture_docs": q_mixture_docs,
-        "shuffle_order_docs": q_shuffle_order_docs,
-        "stride_interleave_docs": q_stride_interleave_docs,
-        "ingest_dedup_docs": q_ingest_dedup_docs,
-        "streaming_dedup_docs": q_streaming_dedup_docs,
-        "streaming_heavy_hitters": q_streaming_heavy_hitters,
-        "streaming_value_moments": q_streaming_value_moments,
-        "streaming_value_quantiles_dd": q_streaming_value_quantiles_dd,
-        "streaming_tail_quantiles_req": q_streaming_tail_quantiles_req,
-        "streaming_windowed_hll": q_streaming_windowed_hll,
-        "shard_manifest_stats": q_shard_manifest_stats,
-        "embedding_neardup": q_embedding_neardup,
-        "semdedup_docs": q_semdedup_docs,
-        "dsir_selection": q_dsir_selection,
-        "user_sessions": q_user_sessions,
-        "purchase_asof_click": q_purchase_asof_click,
-        "signup_error_overlap": q_signup_error_overlap,
-        "salted_user_join": q_salted_user_join,
-        "bloom_pruned_orders": q_bloom_pruned_orders,
-        "docs_column_profile": q_docs_column_profile,
-        "docs_constraints": q_docs_constraints,
-        "customers_without_orders": q_customers_without_orders,
-        "heavy_hitter_tokens": q_heavy_hitter_tokens,
-        "mg_heavy_tokens": q_mg_heavy_tokens,
-        "fd_label_covariance": q_fd_label_covariance,
-        "fd_projection_quality": q_fd_projection_quality,
-        "minhash_neardup": q_minhash_neardup,
-        "simhash_dups": q_simhash_dups,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "media_features": q_media_features,
-        "media_frame_features": q_media_frame_features,
-        "corpus_version_diff": q_corpus_version_diff,
-        "token_hll_udaf": q_token_hll_udaf,
-        "pii_redaction": q_pii_redaction,
-        "token_freq_spectrum": q_token_freq_spectrum,
-        "csk_cells": q_csk_cells,
-        "csk_f2_by_type": q_csk_f2_by_type,
-        "csk_join_size": q_csk_join_size,
-        "bpe_merges": q_bpe_merges,
-        "doc_bpe_tokens": q_doc_bpe_tokens,
-        "token_kmv_by_source": q_token_kmv_by_source,
-        "source_token_kmv_jaccard": q_source_token_kmv_jaccard,
-        "pmi_collocations": q_pmi_collocations,
-        "source_token_entropy": q_source_token_entropy,
-        "source_token_kl": q_source_token_kl,
-        "source_token_overlap": q_source_token_overlap,
-        "doc_repetition_stats": q_doc_repetition_stats,
-        "doc_lm_scores": q_doc_lm_scores,
-        "doc_context_windows": q_doc_context_windows,
-        "doc_bigram_lm_scores": q_doc_bigram_lm_scores,
-        "lm_ppl_buckets": q_lm_ppl_buckets,
-        "dup_span_stats": q_dup_span_stats,
-        "dup_span_stats_cms": q_dup_span_stats_cms,
-        "dup_span_removal": q_dup_span_removal,
-        "dup_span_removal_cms": q_dup_span_removal_cms,
-        "benchmark_contamination": q_benchmark_contamination,
-        "benchmark_contamination_bloom": q_benchmark_contamination_bloom,
-        "fuzzy_contamination": q_fuzzy_contamination,
-        "embedding_label_confusion": q_embedding_label_confusion,
-        "weighted_doc_sample": q_weighted_doc_sample,
     }
 
 

@@ -136,8 +136,12 @@ class REQ:
     # -- public ------------------------------------------------------------
 
     def update_batch(self, values: np.ndarray) -> None:
+        # drop ALL non-finite input (NaN and +/-inf): an inf would poison
+        # exactly the tail quantiles REQ exists to answer (q near 1 returns
+        # inf) — same finite-only contract as DDSketch, enforced by drop
+        # rather than raise so one bad record can't wedge a stream
         values = np.asarray(values, dtype=np.float64)
-        values = values[~np.isnan(values)]
+        values = values[np.isfinite(values)]
         if not len(values):
             return
         base = self.levels[0]

@@ -142,8 +142,10 @@ def heavy_hitter_tokens(df: DataFrame, token_col: str, support: float,
              .agg(F.sum("f").alias("f"), F.sum("delta").alias("delta"),
                   F.sum("n").alias("n_seen"),
                   F.count(F.lit(1)).alias("n_parts")))
+    # ungrouped totals is ONE row — broadcast explicitly so the plan is a
+    # BroadcastNestedLoopJoin by construction, not by AQE's grace
     joined = (cands.join(totals, group_cols) if group_cols
-              else cands.crossJoin(totals))
+              else cands.crossJoin(F.broadcast(totals)))
     # COMPLETE upper bound, two terms beyond f + delta:
     #
     # * absent mass — partitions whose summaries do not contain the token

@@ -149,10 +149,12 @@ def resize_histogram_col(feature: "str", out_bins: int):
     """JVM-side histogram RESIZE: pairwise-sum a ``k``-bin feature array
     down to ``out_bins`` (k must be a multiple of out_bins — bins are
     grouped contiguously; a non-multiple length raises at runtime rather
-    than silently dropping trailing bins). Pure built-in expressions
-    (transform + aggregate over slices): no Python in the plan, exact
-    float addition of exact small integers, so the resized bins stay
-    SQL-recomputable."""
+    than silently dropping trailing bins). A NULL feature (e.g. the row
+    :func:`sample_frames` emits for a NULL payload) propagates as NULL
+    instead of tripping the length check (size(NULL) = -1). Pure built-in
+    expressions (transform + aggregate over slices): no Python in the
+    plan, exact float addition of exact small integers, so the resized
+    bins stay SQL-recomputable."""
     from pyspark.sql import functions as F
 
     f = F.col(feature) if isinstance(feature, str) else feature
@@ -163,11 +165,12 @@ def resize_histogram_col(feature: "str", out_bins: int):
         F.lit("resize_histogram_col: feature length "),
         n.cast("string"),
         F.lit(f" is not a multiple of out_bins={out_bins}"))).cast("int"))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(out_bins - 1)),
-        lambda i: F.aggregate(
-            F.slice(f, i * factor + 1, factor),
-            F.lit(0.0).cast("float"), lambda acc, x: acc + x))
+    return F.when(f.isNull(), F.lit(None).cast("array<float>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(out_bins - 1)),
+            lambda i: F.aggregate(
+                F.slice(f, i * factor + 1, factor),
+                F.lit(0.0).cast("float"), lambda acc, x: acc + x)))
 
 
 def synthesize_media_table(spark, n_rows: int = 200, seed: int = 42):

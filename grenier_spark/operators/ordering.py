@@ -155,11 +155,17 @@ def stride_interleave(df: DataFrame, weights: "dict[str, float]",
             "pos",
             (F.row_number().over(w).cast("long") * stride_c.cast("long")))
 
-    if not 1 <= rank_buckets <= (1 << 31):
-        # hi32 (< 2^32) * rank_buckets must fit int64: beyond 2^31 the
-        # product wraps negative and bucket order silently diverges from
-        # hash order (same bound shuffle_order enforces for n_shards)
-        raise ValueError("rank_buckets must be in [1, 2^31]")
+    if not 1 <= rank_buckets <= (1 << 20):
+        # two constraints: hi32 * rank_buckets must fit int64 (wraps
+        # negative past 2^31, silently diverging bucket order from hash
+        # order), and pass 1 collects n_sources * rank_buckets occupancy
+        # rows to the driver — 2^20 buckets * ~100 sources is ~10^8 rows,
+        # already the practical driver-memory ceiling. 2^20-way
+        # parallelism per source covers the 10^12-row design point
+        # (~10^6 rows/bucket); beyond that, shard the source upstream.
+        raise ValueError(
+            "rank_buckets must be in [1, 2^20] (pass 1 collects "
+            "n_sources * rank_buckets occupancy rows to the driver)")
     hi32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     bucketed = df.withColumn(
         "_rbkt", F.shiftright(hi32 * F.lit(rank_buckets), 32).cast("long"))

@@ -138,7 +138,9 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
 
 def cosine_neardup_pairs(vectors: DataFrame, tau: float = 0.9,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         allow_all_pairs: bool = False,
+                         max_rows: int = 100_000) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (``id_a < id_b``,
     ``cos_sim >= tau``).
 
@@ -149,10 +151,24 @@ def cosine_neardup_pairs(vectors: DataFrame, tau: float = 0.9,
     fold sequentially in float64 on both engines, so doubles agree
     bit-for-bit.
 
+    GUARDED against accidental corpus-wide calls: inputs above ``max_rows``
+    raise unless ``allow_all_pairs=True`` — a 10^8-row corpus here is a
+    10^16-pair cartesian no cluster survives; :func:`semdedup` /
+    :func:`lsh_topk` are the scale paths. The guard costs one count over
+    the (possibly filtered/pruned) input, negligible next to the join.
+
     The caller's id type is preserved (casting to long would silently null
     non-numeric ids and return zero pairs — the pitfall
     :func:`..dedup.ngram_word_jaccard_pairs` documents).
     """
+    if not allow_all_pairs:
+        n = vectors.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_neardup_pairs is an ALL-PAIRS exact verify stage "
+                f"({n} rows -> ~{n * (n - 1) // 2:.2g} pairs); pass "
+                f"allow_all_pairs=True to override, or block candidates "
+                f"first with lsh_topk/semdedup")
     dv = vectors.select(F.col(id_col).alias("id"),
                         F.transform(vec_col,
                                     lambda x: x.cast("double")).alias("v"))

@@ -225,6 +225,11 @@ def ddsketch_state_stream(stream_df, group_col: str,
         if chunks:
             vals = (pd.concat(chunks, ignore_index=True)[value_col]
                     .dropna().to_numpy(dtype=np.float64))
+            # DDSketch.update_batch raises on negative / non-finite input;
+            # in a stream that would wedge the query forever (the
+            # checkpointed batch retries and re-fails), so drop those
+            # records here instead — the batch path keeps the loud raise
+            vals = vals[np.isfinite(vals) & (vals >= 0)]
             if len(vals):
                 s.update_batch(vals)
         wire = s.to_bytes()

@@ -289,6 +289,20 @@ def test_cosine_neardup_pairs_exact_values(spark):
     assert np.allclose(forty5.cos_sim, round(1 / np.sqrt(2), 6))
 
 
+def test_cosine_neardup_pairs_guards_corpus_wide_calls(spark):
+    """The all-pairs exact verify stage must refuse an accidental
+    corpus-wide call (N^2 pairs is the one scale-killer in the suite) —
+    explicit allow_all_pairs=True overrides (VERDICT r3 #3)."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="ALL-PAIRS"):
+        similarity.cosine_neardup_pairs(df, tau=0.9, max_rows=5)
+    out = similarity.cosine_neardup_pairs(
+        df, tau=0.9, max_rows=5, allow_all_pairs=True).toPandas()
+    assert len(out) > 0  # override really runs the join
+
+
 def test_lsh_topk_rademacher_recall_and_determinism(spark, embeddings):
     """The SQL-oracle-able Rademacher variant must hit the same recall bar
     as the gaussian one and be partitioning-invariant."""

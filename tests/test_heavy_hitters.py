@@ -69,3 +69,25 @@ def test_global_totals(hh_result, exact_counts):
     for src, (cnt, n) in exact_counts.items():
         sub = hh_result[hh_result.source == src]
         assert (sub.n == n).all()
+
+
+def test_ungrouped_totals_join_is_broadcast(spark, docs_tiny):
+    """The ungrouped path crossJoins the ONE-row totals frame: the plan
+    must pin BroadcastNestedLoopJoin by construction (explicit
+    F.broadcast), not rely on AQE to rescue a cartesian (VERDICT r3 #1).
+    The ungrouped result itself is checked against the global exact
+    counts while we're here."""
+    df = spark.read.parquet(docs_tiny).repartition(6)
+    res = heavy_hitter_tokens(df, "tokens", SUPPORT, EPS)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    pdf = res.toPandas()
+    rows = generate_rows(0, 1000)
+    toks = np.concatenate(list(rows.tokens))
+    cnt, n = collections.Counter(toks.tolist()), len(toks)
+    got = set(pdf.token)
+    for tok, c in cnt.items():
+        if c / n >= SUPPORT:
+            assert tok in got, (tok, c / n)
+    assert (pdf.n == n).all()

@@ -117,6 +117,10 @@ def test_stride_interleave_bucketed_rank_identical(spark, docs):
                 == dict(zip(base.doc_id, base.pos))), B
     with pytest.raises(ValueError):
         stride_interleave(docs, {"a": 1.0}, rank_buckets=0)
+    # above the 2^20 cap: pass 1 collects n_sources * B occupancy rows to
+    # the driver, so a huge B must be a LOUD error, not a driver OOM
+    with pytest.raises(ValueError, match="2\\^20"):
+        stride_interleave(docs, {"a": 1.0}, rank_buckets=(1 << 20) + 1)
 
 
 def test_mixture_then_shuffle_same_seed_is_unbiased(spark, docs):

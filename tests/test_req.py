@@ -154,6 +154,22 @@ def test_nan_filtered_empty_noop():
     assert s.n == 0
 
 
+def test_nonfinite_dropped_matches_ddsketch_contract():
+    """+/-inf are DROPPED (not kept, not raised): an inf would poison
+    exactly the tail quantiles REQ answers (q near 1 would return inf),
+    and the finite-only input contract matches DDSketch — asserted here
+    so the cross-kind contract can't silently drift again (ADVICE r3)."""
+    s = REQ(k=16)
+    vals = np.arange(1.0, 1001.0)
+    s.update_batch(np.concatenate([vals, [np.inf, -np.inf, np.nan]]))
+    assert s.n == len(vals)
+    assert np.isfinite(s.quantiles([0.999, 1.0])).all()
+    assert float(s.quantiles([1.0])[0]) == 1000.0
+    t = REQ(k=16)
+    t.update_batch(np.array([np.inf, -np.inf]))
+    assert t.n == 0
+
+
 def test_heavy_ties_and_constant_streams():
     """Degenerate distributions: all-equal values must return that value
     at every q; two-valued streams must return one of the two values with

@@ -680,6 +680,11 @@ def test_ddsketch_state_stream_byte_equals_batch(spark, tmp_path):
             "event_type": [f"t{i % 3}" for i in range(300)],
             "value": vals})
         df.loc[df.index[::97], "value"] = None  # NULLs must drop
+        # bad records (negative / inf) must ALSO drop in the streaming
+        # path instead of raising — a raise would wedge the checkpointed
+        # query forever (ADVICE r3); the batch build keeps the loud raise
+        df.loc[df.index[7], "value"] = -3.5
+        df.loc[df.index[13], "value"] = np.inf
         batches.append(df)
         pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
                        f"{src_dir}/part-{part:05d}.parquet")
@@ -710,8 +715,10 @@ def test_ddsketch_state_stream_byte_equals_batch(spark, tmp_path):
     allrows = pd.concat(batches, ignore_index=True)
     for key in ["t0", "t1", "t2"]:
         twin = DDSketch(0.01)
-        sel = allrows[allrows.event_type == key].value.dropna()
-        twin.update_batch(sel.to_numpy(dtype=np.float64))
+        sel = (allrows[allrows.event_type == key].value.dropna()
+               .to_numpy(dtype=np.float64))
+        sel = sel[np.isfinite(sel) & (sel >= 0)]
+        twin.update_batch(sel)
         for q in (0.25, 0.5, 0.9):
             row = final[(final.event_type == key) & (final.q == q)].iloc[0]
             assert int(row.n) == twin.n
@@ -730,6 +737,27 @@ def test_resize_histogram_col_rejects_non_multiple(spark):
     with pytest.raises(Exception) as exc:
         df.select(resize_histogram_col("feature", 3).alias("r")).collect()
     assert "not a multiple" in str(exc.value)
+
+
+def test_resize_histogram_col_null_feature_propagates(spark):
+    """A NULL feature (what sample_frames emits for a NULL payload) must
+    resize to NULL, not trip the length check on size(NULL) = -1 — the
+    composition sample_frames |> resize over data with failed downloads
+    must not fail the job (ADVICE r3)."""
+    from grenier_spark.operators.multimodal import (resize_histogram_col,
+                                                    sample_frames)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefgh" * 8), "image"), (2, None, "image")],
+        "media_id long, payload binary, media_type string")
+    out = (sample_frames(df, n_frames=2, frame_len=16)
+           .select("media_id",
+                   resize_histogram_col("feature", 4).alias("r"))
+           .toPandas())
+    ok = out[out.media_id == 1]
+    assert all(r is not None and len(r) == 4 for r in ok.r)
+    nulls = out[out.media_id == 2]
+    assert len(nulls) == 2 and all(r is None for r in nulls.r)
 
 
 def test_req_state_stream_matches_batch_twin(spark, tmp_path):
