@@ -1527,6 +1527,59 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id"))
 
 
+def q_media_features_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end (operators/media_codecs.py): valid BMP
+    (even doc_id: 24-bit DIB with bottom-up rows, BGR, 4-byte padding —
+    widths cycle every padding residue) and WAV (odd doc_id: RIFF PCM16)
+    payloads are synthesized from deterministic integer pixel/sample
+    formulas, then ``extract_features``'s DEFAULT decoder parses the
+    actual container bytes back and emits histogram bins + a
+    position-weighted checksum over the decoded order. DuckDB recomputes
+    every number from the generative formulas alone — a decode bug
+    (padding leak, row-flip miss, BGR/RGB swap, bad header math) shifts
+    values or positions and flips the gate. Retires the round-3 'media
+    decode is stubbed' partial for these formats."""
+    from grenier_spark.operators.media_codecs import encode_bmp, encode_wav
+    from grenier_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"))
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy()
+            payloads, types = [], []
+            for i in ids:
+                i = int(i)
+                if i % 2 == 0:
+                    h, w = 3 + i % 5, 5 + i % 7
+                    v = (i * 37 + np.arange(h * w * 3, dtype=np.int64) * 11) \
+                        % 256
+                    payloads.append(
+                        encode_bmp(v.astype(np.uint8).reshape(h, w, 3)))
+                    types.append("image/bmp")
+                else:
+                    n = 64 + i % 32
+                    s = ((i * 131 + np.arange(n, dtype=np.int64) * 17)
+                         % 65536) - 32768
+                    payloads.append(encode_wav(s.astype(np.int16)))
+                    types.append("audio/wav")
+            yield pd.DataFrame({"media_id": ids, "payload": payloads,
+                                "media_type": types})
+
+    media = docs.mapInPandas(
+        build, "media_id long, payload binary, media_type string")
+    f = extract_features(media)  # default_decoder -> real container parse
+    return (f.select("media_id", "media_type", "n_bytes",
+                     F.element_at("feature", 1).cast("long").alias("bin0"),
+                     F.element_at("feature", 6).cast("long").alias("bin5"),
+                     F.element_at("feature", 16).cast("long").alias("bin15"),
+                     F.element_at("feature", 17).cast("long").alias("n_vals"),
+                     F.element_at("feature", 18).cast("long")
+                     .alias("checksum"))
+            .orderBy("media_id"))
+
+
 def q_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus version diff (operators/versiondiff.py corpus_doc_diff +
     the KMV theta difference): two corpus versions are derived
@@ -3523,6 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "media_features": q_media_features,
         "media_frame_features": q_media_frame_features,
+        "media_features_decoded": q_media_features_decoded,
         "token_hll_udaf": q_token_hll_udaf,
         "pii_redaction": q_pii_redaction,
         "benchmark_contamination": q_benchmark_contamination,
@@ -3535,8 +3589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_containment_pairs": q_ngram_containment,
         "boilerplate_report": q_boilerplate_report,
+        # -- uncertified remainder: r5 window candidates (51+) ------------
         "boilerplate_clean_docs": q_boilerplate_clean,
-        # -- uncertified remainder: r5 window candidates (51-80) ----------
         "string_funcs_parts": q_string_funcs_parts,
         "token_pack_chunks": q_token_pack_chunks,
         "token_pack_greedy": q_token_pack_greedy,
@@ -4550,6 +4604,40 @@ SELECT doc_id::BIGINT AS media_id,
        len(list_filter(split(text, ''), c -> unicode(c) // 16 = 6))::BIGINT AS f6,
        len(list_filter(split(text, ''), c -> unicode(c) // 16 = 7))::BIGINT AS f7
 FROM documents""",
+        # real container decode: DuckDB never sees the BMP/WAV bytes — it
+        # recomputes bins/count/checksum from the generative pixel/sample
+        # formulas, so the Spark side only matches if the pure-numpy
+        # decoders (media_codecs.py) parse the real layout correctly.
+        # n_bytes IS header math: 54 + h*stride for BMP, 44 + 2n for WAV.
+        "media_features_decoded": """
+WITH d AS (SELECT doc_id::BIGINT AS id FROM documents),
+bmp AS (SELECT id, 3 + id % 5 AS h, 5 + id % 7 AS w FROM d WHERE id % 2 = 0),
+bv AS (SELECT id, h, w, unnest(range(0, h * w * 3)) AS j FROM bmp),
+bvals AS (SELECT id, h, w, j, (id * 37 + j * 11) % 256 AS v FROM bv),
+bagg AS (
+  SELECT id, 'image/bmp' AS media_type,
+         (54 + MAX(h) * (((3 * MAX(w) + 3) // 4) * 4))::BIGINT AS n_bytes,
+         SUM(CASE WHEN v // 16 = 0 THEN 1 ELSE 0 END)::BIGINT AS bin0,
+         SUM(CASE WHEN v // 16 = 5 THEN 1 ELSE 0 END)::BIGINT AS bin5,
+         SUM(CASE WHEN v // 16 = 15 THEN 1 ELSE 0 END)::BIGINT AS bin15,
+         COUNT(*)::BIGINT AS n_vals,
+         (SUM((j % 97 + 1) * v) % 16777216)::BIGINT AS checksum
+  FROM bvals GROUP BY id),
+wav AS (SELECT id, 64 + id % 32 AS n FROM d WHERE id % 2 = 1),
+wv AS (SELECT id, n, unnest(range(0, n)) AS i FROM wav),
+wvals AS (SELECT id, n, i, (id * 131 + i * 17) % 65536 AS u FROM wv),
+wagg AS (
+  SELECT id, 'audio/wav' AS media_type,
+         (44 + 2 * MAX(n))::BIGINT AS n_bytes,
+         SUM(CASE WHEN u // 4096 = 0 THEN 1 ELSE 0 END)::BIGINT AS bin0,
+         SUM(CASE WHEN u // 4096 = 5 THEN 1 ELSE 0 END)::BIGINT AS bin5,
+         SUM(CASE WHEN u // 4096 = 15 THEN 1 ELSE 0 END)::BIGINT AS bin15,
+         COUNT(*)::BIGINT AS n_vals,
+         (SUM((i % 97 + 1) * u) % 16777216)::BIGINT AS checksum
+  FROM wvals GROUP BY id)
+SELECT id AS media_id, media_type, n_bytes, bin0, bin5, bin15, n_vals,
+       checksum
+FROM (SELECT * FROM bagg UNION ALL SELECT * FROM wagg)""",
         # frame sampling: offsets in exact integer arithmetic, windows via
         # substr (ASCII text => char slices == byte slices, same contract
         # as media_features), bins via unicode//16, resize = low-half mass

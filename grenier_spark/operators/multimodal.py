@@ -2,12 +2,16 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extraction run as Arrow-batched
-``mapInPandas`` stages. The media decode itself is STUBBED in this
-container (no image/audio libraries available — SURVEY.md environment
-facts): ``decoder=None`` raises ``NotImplementedError`` at the decode
-callsite, while ``fake_decoder`` provides a deterministic stand-in so the
-Spark-side plumbing — schema, batch shape, partition independence, UDF
-signature — is fully real and tested (tests/test_multimodal.py).
+``mapInPandas`` stages. Decode is REAL for the dependency-free container
+formats — ``image/bmp`` and ``audio/wav`` parse in pure numpy
+(:mod:`.media_codecs`, oracle-gated end-to-end) — and STUBBED for formats
+that need external libraries (none available in this container —
+SURVEY.md environment facts): ``decoder=None`` (or an undecodable
+media_type under :func:`default_decoder`) raises ``NotImplementedError``
+at the decode callsite, while ``fake_decoder`` provides a deterministic
+stand-in so the Spark-side plumbing — schema, batch shape, partition
+independence, UDF signature — stays testable for any format
+(tests/test_multimodal.py, tests/test_media_codecs.py).
 
 Scale notes: media bytes never shuffle (feature extraction happens in the
 scan stage); per-batch memory is bounded by
@@ -52,7 +56,25 @@ def byte_histogram_decoder(payload: bytes, media_type: str) -> np.ndarray:
     return np.bincount(arr >> 4, minlength=16).astype(np.float32)
 
 
-def extract_features(df: DataFrame, decoder: "Callable | None" = fake_decoder,
+def default_decoder(payload: bytes, media_type: str) -> np.ndarray:
+    """The default ``extract_features`` decoder: REAL container decode for
+    the dependency-free formats (``image/bmp``, ``audio/wav`` — pure-numpy
+    parsers in :mod:`.media_codecs`, oracle-gated end-to-end), the
+    deterministic :func:`fake_decoder` stand-in for the generic plumbing
+    types (``image``/``audio``/``video``), and the honest loud
+    ``NotImplementedError`` for any other container (no media libraries in
+    this environment — pass ``decoder=`` to supply one)."""
+    from .media_codecs import DECODABLE_TYPES, format_decoder
+
+    if media_type in DECODABLE_TYPES:
+        return format_decoder(payload, media_type)
+    if media_type in ("image", "audio", "video"):
+        return fake_decoder(payload, media_type)
+    return format_decoder(payload, media_type)  # loud NotImplementedError
+
+
+def extract_features(df: DataFrame,
+                     decoder: "Callable | None" = default_decoder,
                      payload_col: str = "payload",
                      type_col: str = "media_type") -> DataFrame:
     """binary payload -> fixed-width feature vector, Arrow-batched."""
