@@ -2798,6 +2798,95 @@ def q_value_quantiles_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "q"))
 
 
+def q_quantile_kinds_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation of ALL FOUR quantile kinds (kll, tdigest, dd, req —
+    X3/X4/X13 + CKLTV'21) built over the SAME column in ONE
+    ``build_sketches`` pass: per (event_type, q) every kind's estimate must
+    sit within ITS OWN published bound of the same exact quantile, so a
+    kernel drift in any one kind flips a boolean in this single row set.
+
+    Gate surface (engine-independent): the exact quantile (both engines
+    compute it), the DDSketch estimate as a VALUE (dd's rank walk is
+    SQL-exact — the strongest leg), and per-kind rank-condition booleans
+    computed Spark-side from the real distributed sketches:
+
+      kll/tdigest: two-sided rank band eps = 0.04 (C/k + interpolation
+      margin, same as their individual gates);
+      req: multiplicative tail band eps_q = 0.5*(1-q) + 4-row floor
+      (PODS'21 guarantee shape);
+      dd: relative VALUE band — some value in [est/1.025, est*1.025]
+      (alpha=0.01, 2a/(1-a) ~ 0.0202 + margin) must straddle rank q*n
+      (+2-row tie floor).
+
+    ``all_kinds_ok`` conjoins them: the one-row-set drift detector."""
+    from grenier_spark.functions import (dd_quantiles_col,
+                                         req_quantiles_col)
+
+    qs = [0.5, 0.9, 0.99]
+    src = (_t(spark, sf_dir, "events")
+           .where(F.col("value").isNotNull())
+           .select("event_type", F.col("value").cast("double").alias("v")))
+    specs = [SketchSpec.of("kll", "kll", "v", k=200),
+             SketchSpec.of("td", "tdigest", "v", delta=200),
+             SketchSpec.of("dd", "dd", "v", alpha=0.01),
+             SketchSpec.of("req", "req", "v", k=32)]
+    res = build_sketches(src, specs, group_cols=["event_type"])
+    qarr = F.array(*[F.lit(q) for q in qs])
+
+    col_fns = {"kll": kll_quantiles_col, "td": tdigest_quantiles_col,
+               "dd": dd_quantiles_col, "req": req_quantiles_col}
+    ests = None
+    for kind, fn in col_fns.items():
+        e = (res.where(F.col("sketch_name") == kind)
+             .select("event_type", F.lit(kind).alias("kind"),
+                     F.posexplode(fn("sketch", qs)).alias("i", "est")))
+        ests = e if ests is None else ests.unionByName(e)
+    # per-kind threshold band: point band for rank-gated kinds, relative
+    # value band for dd (its guarantee is value-relative, not rank-eps)
+    ests = ests.select(
+        "event_type", "kind", "i", "est",
+        F.when(F.col("kind") == "dd", F.col("est") / 1.025)
+        .otherwise(F.col("est")).alias("lo"),
+        F.when(F.col("kind") == "dd", F.col("est") * 1.025)
+        .otherwise(F.col("est")).alias("hi"))
+
+    ranks = (src.join(F.broadcast(ests), "event_type")
+             .groupBy("event_type", "kind", "i", "est")
+             .agg(F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+                  .alias("cnt_lt_lo"),
+                  F.sum(F.when(F.col("v") <= F.col("hi"), 1).otherwise(0))
+                  .alias("cnt_le_hi"),
+                  F.count(F.lit(1)).alias("n")))
+    q_col = F.element_at(qarr, F.col("i") + 1)
+    eps = (F.when(F.col("kind") == "req", 0.5 * (1 - q_col))
+           .when(F.col("kind") == "dd", F.lit(0.0))
+           .otherwise(F.lit(0.04)))
+    floor = (F.when(F.col("kind") == "req", F.lit(4))
+             .when(F.col("kind") == "dd", F.lit(2))
+             .otherwise(F.lit(0)))
+    ok = ((F.col("cnt_lt_lo") <= (q_col + eps) * F.col("n") + floor)
+          & (F.col("cnt_le_hi") >= (q_col - eps) * F.col("n") - floor))
+    flags = (ranks.withColumn("ok", ok)
+             .groupBy("event_type", "i")
+             .pivot("kind", ["kll", "td", "req", "dd"])
+             .agg(F.first("ok")))
+    dd_est = (ests.where(F.col("kind") == "dd")
+              .select("event_type", "i", F.round("est", 6).alias("dd_est")))
+    exact = (src.groupBy("event_type")
+             .agg(F.percentile("v", qarr).alias("p"))
+             .select("event_type", F.posexplode("p").alias("i", "exact_v")))
+    return (flags.join(dd_est, ["event_type", "i"])
+            .join(exact, ["event_type", "i"])
+            .select("event_type",
+                    F.element_at(qarr, F.col("i") + 1).alias("q"),
+                    F.round("exact_v", 6).alias("exact_q"), "dd_est",
+                    F.col("kll").alias("kll_ok"), F.col("td").alias("td_ok"),
+                    F.col("req").alias("req_ok"), F.col("dd").alias("dd_ok"),
+                    (F.col("kll") & F.col("td") & F.col("req")
+                     & F.col("dd")).alias("all_kinds_ok"))
+            .orderBy("event_type", "q"))
+
+
 def q_rolling_value_quantiles_dd(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Trailing-7-day rolling quantiles by DDSketch UNION
@@ -3651,6 +3740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
         "dd_bucket_counts": q_dd_bucket_counts,
         "value_quantiles_dd": q_value_quantiles_dd,
+        "quantile_kinds_cross": q_quantile_kinds_cross,
         "rolling_value_quantiles_dd": q_rolling_value_quantiles_dd,
         "token_hll_by_source": q_token_hll_by_source,
         "source_profile": q_source_profile,
@@ -3993,6 +4083,27 @@ def oracle_sql() -> dict[str, str]:
                 "WHERE value IS NOT NULL",
                 "value", 0.01, [0.01, 0.25, 0.5, 0.75, 0.99],
                 ["event_type"]) + ")"),
+        # cross-kind drift detector: exact quantiles + SQL-exact dd
+        # estimate are real on both engines; the per-kind rank/value-band
+        # booleans are the published guarantees (Spark computes them from
+        # the real sketches, a kernel drift flips one and fails hash_match)
+        "quantile_kinds_cross": ("""
+WITH ex AS (SELECT event_type,
+                   [round(quantile_cont(value, 0.5), 6),
+                    round(quantile_cont(value, 0.9), 6),
+                    round(quantile_cont(value, 0.99), 6)] AS e
+            FROM events WHERE value IS NOT NULL GROUP BY event_type),
+exq AS (SELECT event_type, unnest([0.5, 0.9, 0.99]) AS q,
+               unnest(e) AS exact_q FROM ex),
+dd AS (SELECT event_type, q, round(est_value, 6) AS dd_est
+       FROM (""" + dd_quantile_sql(
+            "SELECT event_type, value FROM events WHERE value IS NOT NULL",
+            "value", 0.01, [0.5, 0.9, 0.99], ["event_type"]) + """))
+SELECT exq.event_type, exq.q, exq.exact_q, dd.dd_est,
+       TRUE AS kll_ok, TRUE AS td_ok, TRUE AS req_ok, TRUE AS dd_ok,
+       TRUE AS all_kinds_ok
+FROM exq JOIN dd ON dd.event_type = exq.event_type AND dd.q = exq.q
+ORDER BY exq.event_type, exq.q"""),
         # rolling dd union is byte-identical to a scratch window build,
         # so the windowed estimator itself is SQL-exact; n_days_merged
         # recomputed as the distinct source days in each anchor window
