@@ -688,6 +688,149 @@ SELECT shard, COUNT(*)::BIGINT AS n_rows,
 FROM o GROUP BY shard"""
 
 
+def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as ONE gate — operator interop,
+    not operators in isolation: documents (+5 planted exact dups) ->
+    exact dedup (dedup.dedup_keep_first, lowest-id keep rule) ->
+    benchmark decontamination (decontam.contamination_report anti-join,
+    eval = the doc_id %% 25 == 0 slice) -> epoch mixture
+    (splits.mixture_resample, the _MIX_WEIGHTS literals) -> global
+    deterministic shuffle (ordering.shuffle_order, 8 shards) -> sharded
+    manifest-verified WRITE + verified read-back
+    (ordering.write_training_shards / read_training_shards) -> greedy
+    512-token sequence packing per shard (packing.pack_greedy_contiguous
+    over the read-back bytes).
+
+    Output: one row per shard with the manifest stats computed FROM THE
+    BYTES ON DISK (n_rows, n_tokens, min/max order_key) joined to the
+    packing summary (n_batches, max final batch fill). Every upstream
+    stage is membership- or order-sensitive here — a dedup keep-rule
+    drift, a decontam miss, a mixture threshold flip, an order_key or
+    shard-boundary change, a writer row loss, or a packing recursion bug
+    each moves at least one of these values — and the DuckDB oracle
+    replays the ENTIRE chain (md5 keep-min join, shingle anti-join,
+    mixture CASE literals, order-hex arithmetic, per-shard recursive
+    greedy CTE) from the raw table."""
+    import os
+    import tempfile
+
+    from grenier_spark.operators.decontam import contamination_report
+    from grenier_spark.operators.dedup import dedup_keep_first
+    from grenier_spark.operators.ordering import (read_training_shards,
+                                                  shuffle_order,
+                                                  write_training_shards)
+    from grenier_spark.operators.packing import pack_greedy_contiguous
+    from grenier_spark.operators.splits import mixture_resample
+    from grenier_spark.operators.textstats import word_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "text")
+    plants = (docs.orderBy("doc_id").limit(5)
+              .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                      "source", "text"))
+    corpus = docs.unionByName(plants)
+
+    deduped = dedup_keep_first(corpus)
+    eval_set = docs.where(F.col("doc_id") % 25 == 0)
+    dirty = contamination_report(deduped, eval_set, n=4)
+    clean = (deduped.join(dirty.select("doc_id"), "doc_id", "left_anti")
+             .select("source", "doc_id", word_count("text").alias("n_tok")))
+
+    mixed = mixture_resample(clean, _MIX_WEIGHTS, default_weight=0.5,
+                             seed=5)
+    ordered = shuffle_order(mixed, 8, rep_col="rep", seed=17)
+    with tempfile.TemporaryDirectory() as d:
+        manifest = write_training_shards(ordered, os.path.join(d, "c"), 8,
+                                         token_col="n_tok")
+        back = read_training_shards(spark, os.path.join(d, "c"))
+        packed = pack_greedy_contiguous(back, budget=512,
+                                        group_col="shard",
+                                        order_col="order_key")
+        pack_stats = (packed.groupBy("shard", "batch_id")
+                      .agg(F.max("fill_after").alias("batch_fill"))
+                      .groupBy("shard")
+                      .agg((F.max("batch_id") + 1).alias("n_batches"),
+                           F.max("batch_fill").alias("max_batch_fill"))
+                      .localCheckpoint())  # materialize before dir cleanup
+    mrows = [(int(s["shard"]), int(s["n_rows"]), int(s["n_tokens"]),
+              s["min_key"], s["max_key"]) for s in manifest["shards"]]
+    mdf = spark.createDataFrame(
+        mrows, "shard long, n_rows long, n_tokens long, "
+               "min_key string, max_key string")
+    return (mdf.join(pack_stats.withColumn(
+                "shard", F.col("shard").cast("long")), "shard")
+            .select("shard", "n_rows", "n_tokens", "min_key", "max_key",
+                    F.col("n_batches").cast("long").alias("n_batches"),
+                    F.col("max_batch_fill").cast("long")
+                    .alias("max_batch_fill"))
+            .orderBy("shard"))
+
+
+def _training_pipeline_e2e_oracle() -> str:
+    from grenier_spark.operators.decontam import contamination_report_sql
+    from grenier_spark.operators.ordering import shuffle_order_sql
+    from grenier_spark.operators.splits import mixture_resample_sql
+
+    corpus = """
+SELECT doc_id::BIGINT AS doc_id, source, text FROM documents
+UNION ALL
+SELECT doc_id::BIGINT + 10000000, source, text
+FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 5)"""
+    # exact dedup: lowest-id survivor per content hash (dedup_keep_first)
+    deduped = f"""
+SELECT c.doc_id, c.source, c.text
+FROM ({corpus}) c
+JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+      FROM ({corpus}) GROUP BY 1) k
+  ON md5(c.text) = k.h AND c.doc_id = k.keep_id"""
+    contam = contamination_report_sql(
+        deduped,
+        "SELECT doc_id::BIGINT AS doc_id, text FROM documents "
+        "WHERE doc_id % 25 = 0", n=4)
+    clean = f"""
+SELECT source, doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+         AS n_tok
+FROM ({deduped}) d
+WHERE NOT EXISTS (SELECT 1 FROM contam x WHERE x.doc_id = d.doc_id)"""
+    mixed = mixture_resample_sql(clean, _MIX_WEIGHTS, default_weight=0.5,
+                                 seed=5, cols="doc_id, rep, n_tok")
+    okey, shard = shuffle_order_sql("doc_id", 8, seed=17, rep_expr="rep")
+    return f"""
+WITH RECURSIVE contam AS (SELECT doc_id FROM ({contam})),
+o AS (SELECT doc_id, n_tok, {okey} AS order_key,
+             ({shard})::BIGINT AS shard
+      FROM ({mixed}) m),
+r AS (SELECT shard, order_key, n_tok,
+             row_number() OVER (PARTITION BY shard ORDER BY order_key)
+               AS rn
+      FROM o),
+g AS (
+  SELECT shard, order_key, n_tok, rn, 0::BIGINT AS batch_id,
+         n_tok AS fill_after
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT nx.shard, nx.order_key, nx.n_tok, nx.rn,
+         CASE WHEN g.fill_after + nx.n_tok <= 512 THEN g.batch_id
+              ELSE g.batch_id + 1 END,
+         CASE WHEN g.fill_after + nx.n_tok <= 512
+              THEN g.fill_after + nx.n_tok ELSE nx.n_tok END
+  FROM g JOIN r nx ON nx.shard = g.shard AND nx.rn = g.rn + 1
+),
+p AS (SELECT shard, MAX(batch_id) + 1 AS n_batches,
+             MAX(batch_fill) AS max_batch_fill
+      FROM (SELECT shard, batch_id, MAX(fill_after) AS batch_fill
+            FROM g GROUP BY 1, 2) GROUP BY 1),
+m AS (SELECT shard, COUNT(*)::BIGINT AS n_rows,
+             SUM(n_tok)::BIGINT AS n_tokens,
+             MIN(order_key) AS min_key, MAX(order_key) AS max_key
+      FROM o GROUP BY 1)
+SELECT m.shard, m.n_rows, m.n_tokens, m.min_key, m.max_key,
+       p.n_batches::BIGINT AS n_batches,
+       p.max_batch_fill::BIGINT AS max_batch_fill
+FROM m JOIN p USING (shard) ORDER BY m.shard"""
+
+
 def q_ingest_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-gated incremental ingest dedup (operators/dedup.py
     incremental_ingest_dedup): 'is this newly ingested doc already in the
@@ -3694,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order_docs": q_shuffle_order_docs,
         "stride_interleave_docs": q_stride_interleave_docs,
         "shard_manifest_stats": q_shard_manifest_stats,
+        "training_pipeline_e2e": q_training_pipeline_e2e,
         "dsir_selection": q_dsir_selection,
         "customers_without_orders": q_customers_without_orders,
         "token_freq_spectrum": q_token_freq_spectrum,
@@ -5065,6 +5209,10 @@ SELECT event_type,
        COUNT(*)::BIGINT AS n_rows, TRUE AS est_ok
 FROM events GROUP BY 1, 2""",
         "shard_manifest_stats": _shard_manifest_stats_oracle(),
+        # the full pipeline chain replayed from the raw table: md5
+        # keep-min dedup, shingle anti-join decontam, mixture CASE
+        # literals, order-hex arithmetic, per-shard recursive greedy CTE
+        "training_pipeline_e2e": _training_pipeline_e2e_oracle(),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
            FROM embeddings),
