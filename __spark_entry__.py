@@ -3526,6 +3526,42 @@ FROM (SELECT w FROM (
       WHERE len(w) >= 80 ORDER BY doc_id LIMIT 1)"""
 
 
+def q_exact_substr_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup at SUFFIX granularity (Lee et al. 2022 §3,
+    dedup.exact_substr_spans — round 4): maximal duplicated word spans
+    with TRUE match-length boundaries, no fixed-k window quantization.
+    Corpus = the planted span corpus (whole-doc copies + the two-region
+    frankendoc) PLUS an 11-word slice of a >= 20-word doc at word offset
+    5 — a min_len+3 duplicate at a non-aligned offset that must come back
+    as ONE span with exact boundaries in both its docs. FULL row-level
+    oracle: dedup.exact_substr_spans_sql is deliberately the BRUTE
+    all-pairs-in-anchor-bucket formulation, so the gate also proves the
+    adjacent-in-suffix-order shortcut equals the all-pairs maximum."""
+    from grenier_spark.operators.dedup import exact_substr_spans
+
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    base = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    words.alias("w"))
+            .where(F.size("w") >= 20).orderBy("doc_id").limit(1))
+    plant11 = base.select(
+        F.lit(30_000_000).cast("long").alias("doc_id"),
+        F.concat_ws(" ", F.slice("w", 5, 11)).alias("text"))
+    corpus = _span_gate_corpus(spark, sf_dir).unionByName(plant11)
+    return (exact_substr_spans(corpus, min_len=8, ext_cap=16)
+            .orderBy("doc_id", "span_start"))
+
+
+_PLANT11_SQL = """
+SELECT 30000000::BIGINT AS doc_id,
+       array_to_string(list_slice(w, 5, 15), ' ') AS text
+FROM (SELECT w FROM (
+        SELECT doc_id::BIGINT AS doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents)
+      WHERE len(w) >= 20 ORDER BY doc_id LIMIT 1)"""
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span dedup (Lee et al. 2022 ExactSubstr at word
     granularity, dedup.duplicated_span_stats): per-doc maximal spans of
@@ -3783,6 +3819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_docs": q_semdedup_docs,
         "embedding_neardup": q_embedding_neardup,
         "dup_span_stats": q_dup_span_stats,
+        "exact_substr_spans_docs": q_exact_substr_spans_docs,
         "dup_span_stats_cms": q_dup_span_stats_cms,
         "dup_span_removal": q_dup_span_removal,
         "dup_span_removal_cms": q_dup_span_removal_cms,
@@ -3989,6 +4026,14 @@ def _dup_span_oracle() -> str:
     from grenier_spark.operators.dedup import duplicated_span_stats_sql
 
     return duplicated_span_stats_sql(_SPAN_GATE_CORPUS_SQL, k=6)
+
+
+def _exact_substr_spans_oracle() -> str:
+    from grenier_spark.operators.dedup import exact_substr_spans_sql
+
+    return exact_substr_spans_sql(
+        _SPAN_GATE_CORPUS_SQL + "\nUNION ALL" + _PLANT11_SQL,
+        min_len=8, ext_cap=16)
 
 
 def _dup_span_removal_oracle() -> str:
@@ -4978,6 +5023,9 @@ FROM d JOIN w USING (source) JOIN v ON v.source = d.source""",
         "doc_context_windows": _context_windows_oracle(),
         "lm_ppl_buckets": _lm_ppl_buckets_oracle(),
         "dup_span_stats": _dup_span_oracle(),
+        # suffix-granularity ExactSubstr: brute all-pairs max-LCP twin
+        # over the same planted corpus + the non-aligned 11-word plant
+        "exact_substr_spans_docs": _exact_substr_spans_oracle(),
         # the prefiltered path must produce the IDENTICAL answer: same
         # oracle SQL verbatim (see q_dup_span_stats_cms docstring)
         "dup_span_stats_cms": _dup_span_oracle(),

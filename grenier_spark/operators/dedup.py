@@ -1418,3 +1418,257 @@ def _prefiltered_occ(df: DataFrame, text_col: str, id_col: str, k: int,
                     F.md5(F.concat_ws(" ", F.slice(
                         "_w", F.col("pos32"), k))).alias("sh"))
             .persist())
+
+
+# -- exact substring dedup at SUFFIX granularity -----------------------------
+
+
+def suffix_match_lengths(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", min_len: int = 8,
+                         ext_cap: "int | None" = None) -> DataFrame:
+    """Per word position, the length of the LONGEST exact word-sequence
+    match starting there that occurs anywhere else in the corpus (another
+    doc OR another position of the same doc) — the suffix-array primitive
+    of ExactSubstr dedup (Lee et al. 2022 §3: the paper builds one
+    single-machine suffix array; this is the distributed equivalent).
+    Returns (id, n_words, pos, matchlen) for every position whose longest
+    match is >= ``min_len`` — UNLIKE the k-word-window family above, the
+    reported length is the TRUE maximal match length at word granularity
+    (capped at ``ext_cap``), not a union of fixed-k windows.
+
+    Method — anchor-bucketed generalized suffix sorting:
+
+    1. Per doc, the word array is hashed once to fixed-width 16-hex word
+       ids (scan stage). A match of length >= ``min_len`` starting at p
+       must agree on its first ``min_len`` words, so the md5 of that
+       prefix slice is an exact routing key (the ANCHOR): suffixes with
+       different anchors can never realize a qualifying match.
+    2. Anchor occurrence counting (one key-only Exchange, map-side
+       combined) keeps only positions whose anchor occurs >= 2 times —
+       duplicated text is the exception, so the expensive stage below
+       runs at candidate scale, the same prefilter-first discipline as
+       the CMS span path.
+    3. Candidate positions rejoin their doc's hash array and slice out a
+       bounded SUFFIX EXTENSION of ``ext_cap`` words (fixed-width hex, so
+       lexicographic string order == word-wise order). One Exchange on
+       anchor + a partition-local sort gives the generalized suffix-array
+       order within each anchor bucket; by the classic suffix-array
+       property, each suffix's best match is an ADJACENT row, so one
+       streaming pass (mapInPandas, vectorized numpy byte-prefix compare,
+       zero per-row Python) yields max(LCP with prev, LCP with next).
+
+    ``matchlen`` is exact for matches up to ``ext_cap`` words (default
+    ``4 * min_len``) and clamps at the cap beyond it; the cap never
+    affects COVERAGE (a longer duplicate's every position still reports
+    >= min(cap, remaining), so :func:`exact_substr_spans` unions to the
+    exact boundaries regardless — only the per-position length saturates).
+
+    Scale: suffix extensions are ``16 * ext_cap`` bytes and ship ONLY for
+    candidate positions; raw text never shuffles. A pathological anchor
+    (a corpus-wide boilerplate k-gram) concentrates its bucket in one
+    task: the sort is partition-local over ALL anchors hashed there, so
+    skew means a large sorted run, not a window over one key — and the
+    LCP pass is O(rows * ext_cap) streaming. Positions with fewer than
+    ``min_len`` words remaining start no suffix (they cannot begin a
+    qualifying match; they are still COVERED via earlier positions in
+    span assembly).
+    """
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    cap = ext_cap if ext_cap is not None else 4 * min_len
+    if cap < min_len:
+        raise ValueError("ext_cap must be >= min_len")
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    hashes = F.transform(words, lambda w: F.substring(F.md5(w), 1, 16))
+    docs = (df.select(F.col(id_col).alias("_id"), hashes.alias("_h"))
+            .where(F.size("_h") >= min_len))
+    n_pos = F.size("_h") - min_len + 1
+    anchors = F.transform(
+        F.sequence(F.lit(1), n_pos),
+        lambda i: F.md5(F.concat_ws("", F.slice("_h", i, min_len))))
+    occ = (docs.select("_id", F.size("_h").cast("long").alias("n_words"),
+                       F.posexplode(anchors).alias("_p", "anchor"))
+           .select("_id", "n_words",
+                   (F.col("_p") + 1).cast("long").alias("pos"), "anchor"))
+    dup = (occ.groupBy("anchor").agg(F.count(F.lit(1)).alias("_c"))
+           .where(F.col("_c") >= 2).select("anchor"))
+    cand = occ.join(dup, "anchor")
+    ext = F.concat_ws("", F.slice(
+        "_h", F.col("pos").cast("int"), cap))
+    cand_ext = (cand.join(docs, "_id")
+                .select("_id", "n_words", "pos", "anchor",
+                        ext.alias("_ext")))
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = (f"`{id_col}` {id_t}, n_words long, pos long, "
+                  f"matchlen long")
+    w16 = 16 * cap
+
+    def lcp_pass(batches):
+        import numpy as np
+        import pandas as pd
+
+        # one pending row waits for its RIGHT neighbor's LCP
+        pend = None  # (id, n_words, pos, lcp_with_prev)
+        prev_anchor = None
+        prev_ext = None
+
+        def scalar_lcp(a: str, b: str) -> int:
+            m = min(len(a), len(b))
+            i = 0
+            while i < m and a[i] == b[i]:
+                i += 1
+            return i // 16
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            exts = pdf["_ext"].to_numpy(dtype=object)
+            anch = pdf["anchor"].to_numpy(dtype=object)
+            lens = np.fromiter((len(e) for e in exts), dtype=np.int64,
+                               count=len(exts)) // 16
+            # numpy 'S' dtype zero-pads; pads mismatch real hex chars so
+            # prefix equality never extends past either true end
+            m = np.frombuffer(
+                np.array(exts, dtype=f"S{w16}").tobytes(),
+                dtype=np.uint8).reshape(len(exts), w16)
+            neq = m[1:] != m[:-1]
+            any_neq = neq.any(axis=1)
+            lcp_chars = np.where(any_neq, neq.argmax(axis=1), w16)
+            lcp = np.minimum(lcp_chars // 16,
+                             np.minimum(lens[1:], lens[:-1]))
+            lcp = np.where(anch[1:] == anch[:-1], lcp, 0)
+
+            ids = pdf["_id"].to_numpy(dtype=object)
+            nw = pdf["n_words"].to_numpy(dtype=np.int64)
+            poss = pdf["pos"].to_numpy(dtype=np.int64)
+
+            # carry LCP between the previous batch's last row and this
+            # batch's first row
+            # left[i] = LCP(row i, its LEFT neighbor); row i's matchlen =
+            # max(left[i], left[i+1]) — emitted once its right LCP exists
+            left = np.empty(len(exts), dtype=np.int64)
+            left[1:] = lcp
+            if pend is not None:
+                left[0] = (scalar_lcp(prev_ext, exts[0])
+                           if prev_anchor == anch[0] else 0)
+                out_ids = np.concatenate(([pend[0]], ids[:-1]))
+                out_nw = np.concatenate(([pend[1]], nw[:-1]))
+                out_pos = np.concatenate(([pend[2]], poss[:-1]))
+                out_ml = np.concatenate(
+                    ([max(pend[3], left[0])],
+                     np.maximum(left[:-1], left[1:])))
+            else:
+                left[0] = 0
+                out_ids, out_nw, out_pos = ids[:-1], nw[:-1], poss[:-1]
+                out_ml = np.maximum(left[:-1], left[1:])
+            pend = (ids[-1], int(nw[-1]), int(poss[-1]), int(left[-1]))
+            prev_anchor = anch[-1]
+            prev_ext = exts[-1]
+            if len(out_ids):
+                yield pd.DataFrame({id_col: out_ids, "n_words": out_nw,
+                                    "pos": out_pos, "matchlen": out_ml})
+        if pend is not None:
+            yield pd.DataFrame({id_col: [pend[0]], "n_words": [pend[1]],
+                                "pos": [pend[2]], "matchlen": [pend[3]]})
+
+    sorted_cand = (cand_ext.repartition("anchor")
+                   .sortWithinPartitions("anchor", "_ext", "_id", "pos"))
+    ml = sorted_cand.mapInPandas(lcp_pass, out_schema)
+    return ml.where(F.col("matchlen") >= min_len)
+
+
+def exact_substr_spans(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", min_len: int = 8,
+                       ext_cap: "int | None" = None) -> DataFrame:
+    """Maximal duplicated word spans at SUFFIX granularity: per doc, the
+    maximal contiguous word ranges covered by some exact duplicate of
+    length >= ``min_len`` (Lee et al. 2022 ExactSubstr semantics). A
+    planted duplicate of length ``min_len + 3`` at an arbitrary offset
+    comes back as ONE span of length exactly ``min_len + 3`` — no fixed-k
+    window quantization (contrast :func:`duplicated_span_stats`, whose
+    island-merge adjacency rule ``p' <= p + k`` can fuse abutting distinct
+    spans and whose window family reports window counts, not true match
+    lengths).
+
+    Built on :func:`suffix_match_lengths`: each qualifying position
+    contributes the interval ``[pos, pos + matchlen - 1]``; intervals
+    union by the running-max-end rule (a new span starts when ``pos >
+    max_end_so_far + 1``). Because every position inside a duplicate of
+    ANY length reports at least ``min(ext_cap, remaining)``, the union is
+    exact even past the extension cap. One doc-keyed Exchange for the
+    interval merge. Returns (id, n_words, span_start, span_end,
+    span_len) rows, one per maximal span."""
+    ml = suffix_match_lengths(df, text_col, id_col, min_len, ext_cap)
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    end = (F.col("pos") + F.col("matchlen") - 1).alias("_e")
+    rows = ml.select(id_col, "n_words", "pos", end)
+    prev_max = F.max("_e").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_max.isNull() | (F.col("pos") > prev_max + 1),
+                 F.lit(1)).otherwise(F.lit(0))
+    islands = (rows.withColumn("_brk", brk)
+               .withColumn("_island", F.sum("_brk").over(
+                   w_doc.rowsBetween(Window.unboundedPreceding,
+                                     Window.currentRow))))
+    return (islands.groupBy(id_col, "n_words", "_island")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 F.max("_e").cast("long").alias("span_end"))
+            .select(id_col, "n_words", "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .alias("span_len")))
+
+
+def exact_substr_spans_sql(table_sql: str, text_col: str = "text",
+                           id_col: str = "doc_id", min_len: int = 8,
+                           ext_cap: "int | None" = None) -> str:
+    """DuckDB twin of :func:`exact_substr_spans` — deliberately the BRUTE
+    formulation (all pairs within an anchor bucket, max LCP per position)
+    so the oracle proves the adjacent-in-suffix-order shortcut equals the
+    all-pairs maximum: same 16-hex word ids, same md5 anchor, same capped
+    extension, prefix-equality LCP, same running-max-end interval union."""
+    cap = ext_cap if ext_cap is not None else 4 * min_len
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS id,
+         list_transform(list_filter(string_split({text_col}, ' '),
+                                    x -> x <> ''),
+                        x -> substr(md5(x), 1, 16)) AS h
+  FROM ({table_sql})),
+occ AS (
+  SELECT id, len(h)::BIGINT AS n_words, pos::BIGINT AS pos,
+         md5(array_to_string(h[pos:pos + {min_len} - 1], '')) AS anchor,
+         array_to_string(h[pos:pos + {cap} - 1], '') AS ext
+  FROM (SELECT id, h, unnest(range(1, len(h) - {min_len} + 2)) AS pos
+        FROM w WHERE len(h) >= {min_len})),
+ml AS (
+  SELECT a.id, a.n_words, a.pos,
+         MAX(len(list_filter(
+             range(1, (least(length(a.ext), length(b.ext)) // 16)::BIGINT
+                      + 1),
+             i -> substr(a.ext, 1, (i * 16)::INT)
+                  = substr(b.ext, 1, (i * 16)::INT))))::BIGINT AS matchlen
+  FROM occ a JOIN occ b USING (anchor)
+  WHERE a.id <> b.id OR a.pos <> b.pos
+  GROUP BY 1, 2, 3
+  HAVING MAX(len(list_filter(
+             range(1, (least(length(a.ext), length(b.ext)) // 16)::BIGINT
+                      + 1),
+             i -> substr(a.ext, 1, (i * 16)::INT)
+                  = substr(b.ext, 1, (i * 16)::INT)))) >= {min_len}),
+isl AS (
+  SELECT id, n_words, pos, pos + matchlen - 1 AS e,
+         SUM(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM (SELECT *,
+               MAX(pos + matchlen - 1) OVER (
+                 PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM ml))
+SELECT id AS {id_col}, n_words,
+       MIN(pos)::BIGINT AS span_start, MAX(e)::BIGINT AS span_end,
+       (MAX(e) - MIN(pos) + 1)::BIGINT AS span_len
+FROM isl GROUP BY id, n_words, island"""
