@@ -3857,8 +3857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components_star": q_neardup_components_star,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_containment_pairs": q_ngram_containment,
-        "boilerplate_report": q_boilerplate_report,
         # -- uncertified remainder: r5 window candidates (51+) ------------
+        # (boilerplate_report was displaced to r5 by the round-4 flagship
+        # exact_substr_spans_docs taking its window slot)
+        "boilerplate_report": q_boilerplate_report,
         "boilerplate_clean_docs": q_boilerplate_clean,
         "string_funcs_parts": q_string_funcs_parts,
         "token_pack_chunks": q_token_pack_chunks,
