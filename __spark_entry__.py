@@ -831,6 +831,129 @@ SELECT m.shard, m.n_rows, m.n_tokens, m.min_key, m.max_key,
 FROM m JOIN p USING (shard) ORDER BY m.shard"""
 
 
+def q_tokenized_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INPUT-HINT table shape (doc_id, tokens:array, n_tok, source)
+    end to end, finishing in a distributed sketch build — the
+    north-rule pipeline as ONE gate: tokenize (md5-low64 word ids,
+    DuckDB-identical) -> token-sequence exact dedup keep-first (5 planted
+    copies lose) -> epoch mixture -> global deterministic shuffle into 4
+    shards -> greedy 512-token packing per shard -> two-level HLL(p=12)
+    build over the FINAL stream's tokens per shard.
+
+    Output per shard: n_rows / n_tokens of the surviving stream,
+    n_batches from the packing recursion, the EXACT distinct-token count
+    and the HLL++ estimate. The DuckDB oracle replays everything from the
+    raw table — the token-id chain, the seq-hash keep-min join, the
+    mixture CASE literals, the order-hex arithmetic, the per-shard
+    recursive greedy CTE, and the FULL 0-ULP HLL++ estimator
+    (sql_oracles.hll_card_sql) over the same per-shard token multisets —
+    so the driver certifies that the sketch library composes with the
+    pipeline operators over the exact table shape the north rule names."""
+    from grenier_spark.functions.hashing import md5_tokens_col
+    from grenier_spark.operators.dedup import token_seq_dedup_keep_first
+    from grenier_spark.operators.ordering import shuffle_order
+    from grenier_spark.operators.packing import pack_greedy_contiguous
+    from grenier_spark.operators.splits import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "text")
+    plants = (docs.orderBy("doc_id").limit(5)
+              .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                      "source", "text"))
+    corpus = (docs.unionByName(plants)
+              .select("doc_id", "source",
+                      md5_tokens_col("text").alias("tokens"))
+              .withColumn("n_tok", F.size("tokens").cast("long")))
+    deduped = token_seq_dedup_keep_first(corpus)
+    mixed = mixture_resample(deduped, _MIX_WEIGHTS, default_weight=0.5,
+                             seed=5)
+    ordered = shuffle_order(mixed, 4, rep_col="rep", seed=29).persist()
+    packed = pack_greedy_contiguous(ordered, budget=512,
+                                    group_col="shard",
+                                    order_col="order_key")
+    pstats = (packed.groupBy("shard")
+              .agg((F.max("batch_id") + 1).cast("long").alias("n_batches")))
+    mstats = (ordered.groupBy("shard")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                   F.sum("n_tok").cast("long").alias("n_tokens")))
+    sk = build_sketches(ordered.select("shard", "tokens"),
+                        [SketchSpec.of("h", "hll", "tokens", p=12)],
+                        group_cols=["shard"])
+    est = sk.select("shard",
+                    F.round(hll_card_col("sketch"), 6).alias("hll_est"))
+    exact = (ordered.select("shard", F.explode("tokens").alias("t"))
+             .groupBy("shard")
+             .agg(F.countDistinct("t").cast("long")
+                  .alias("n_distinct_exact")))
+    return (mstats.join(pstats, "shard").join(exact, "shard")
+            .join(est, "shard")
+            .select("shard", "n_rows", "n_tokens", "n_batches",
+                    "n_distinct_exact", "hll_est")
+            .orderBy("shard"))
+
+
+def _tokenized_pipeline_e2e_oracle() -> str:
+    from grenier_spark.operators.ordering import shuffle_order_sql
+    from grenier_spark.operators.splits import mixture_resample_sql
+
+    keyed = f"""
+SELECT doc_id, source, text,
+       md5(array_to_string(list_transform(string_split(text, ' '),
+           w -> ({md5_low64_signed_expr('w')})::VARCHAR), ',')) AS seq_hash,
+       len(string_split(text, ' '))::BIGINT AS n_tok
+FROM (SELECT doc_id::BIGINT AS doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id::BIGINT + 10000000, source, text
+      FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 5))"""
+    dedup = f"""
+SELECT k.doc_id, k.source, k.text, k.n_tok
+FROM ({keyed}) k
+JOIN (SELECT seq_hash, MIN(doc_id) AS keep FROM ({keyed}) GROUP BY 1) m
+  ON k.seq_hash = m.seq_hash AND k.doc_id = m.keep"""
+    mixed = mixture_resample_sql(dedup, _MIX_WEIGHTS, default_weight=0.5,
+                                 seed=5, cols="doc_id, rep, text, n_tok")
+    okey, shard = shuffle_order_sql("doc_id", 4, seed=29, rep_expr="rep")
+    hll = hll_card_sql(
+        f"SELECT shard, {md5_low64_expr('token')} AS k FROM ("
+        f"SELECT shard, unnest(string_split(text, ' ')) AS token FROM o)",
+        "k", 12, group_cols=["shard"])
+    return f"""
+WITH RECURSIVE o AS (
+  SELECT doc_id, text, n_tok, {okey} AS order_key,
+         ({shard})::BIGINT AS shard
+  FROM ({mixed}) m),
+r AS (SELECT shard, order_key, n_tok,
+             row_number() OVER (PARTITION BY shard ORDER BY order_key)
+               AS rn
+      FROM o),
+g AS (
+  SELECT shard, order_key, n_tok, rn, 0::BIGINT AS batch_id,
+         n_tok AS fill_after
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT nx.shard, nx.order_key, nx.n_tok, nx.rn,
+         CASE WHEN g.fill_after + nx.n_tok <= 512 THEN g.batch_id
+              ELSE g.batch_id + 1 END,
+         CASE WHEN g.fill_after + nx.n_tok <= 512
+              THEN g.fill_after + nx.n_tok ELSE nx.n_tok END
+  FROM g JOIN r nx ON nx.shard = g.shard AND nx.rn = g.rn + 1),
+p AS (SELECT shard, (MAX(batch_id) + 1)::BIGINT AS n_batches
+      FROM g GROUP BY 1),
+m AS (SELECT shard, COUNT(*)::BIGINT AS n_rows,
+             SUM(n_tok)::BIGINT AS n_tokens
+      FROM o GROUP BY 1),
+d AS (SELECT shard,
+             COUNT(DISTINCT {md5_low64_expr('token')})::BIGINT
+               AS n_distinct_exact
+      FROM (SELECT shard, unnest(string_split(text, ' ')) AS token
+            FROM o) GROUP BY 1),
+c AS ({hll})
+SELECT m.shard, m.n_rows, m.n_tokens, p.n_batches, d.n_distinct_exact,
+       round(c.est, 6) AS hll_est
+FROM m JOIN p USING (shard) JOIN d USING (shard) JOIN c USING (shard)
+ORDER BY m.shard"""
+
+
 def q_ingest_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-gated incremental ingest dedup (operators/dedup.py
     incremental_ingest_dedup): 'is this newly ingested doc already in the
@@ -3877,6 +4000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stride_interleave_docs": q_stride_interleave_docs,
         "shard_manifest_stats": q_shard_manifest_stats,
         "training_pipeline_e2e": q_training_pipeline_e2e,
+        "tokenized_pipeline_e2e": q_tokenized_pipeline_e2e,
         "dsir_selection": q_dsir_selection,
         "customers_without_orders": q_customers_without_orders,
         "token_freq_spectrum": q_token_freq_spectrum,
@@ -5263,6 +5387,9 @@ FROM events GROUP BY 1, 2""",
         # keep-min dedup, shingle anti-join decontam, mixture CASE
         # literals, order-hex arithmetic, per-shard recursive greedy CTE
         "training_pipeline_e2e": _training_pipeline_e2e_oracle(),
+        # the input-hint-shaped pipeline incl. the 0-ULP HLL++ estimator
+        # replayed over the per-shard token multisets of the final stream
+        "tokenized_pipeline_e2e": _tokenized_pipeline_e2e_oracle(),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
            FROM embeddings),

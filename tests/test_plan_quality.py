@@ -546,3 +546,34 @@ def test_rolling_merge_exchanges_only_sketch_rows(spark, docs_tiny):
             assert "uid" not in names, outs
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_exact_substr_no_text_on_any_exchange(spark):
+    """suffix_match_lengths: raw `text` must never cross an Exchange — the
+    scan stage reduces it to 16-hex word-id arrays, the anchor-count
+    Exchange carries keys only, and the only array-bearing Exchange is the
+    doc-keyed candidate join moving the per-doc hash arrays (`_h`,
+    <= text-sized) exactly once. The candidate-scale suffix-order Exchange
+    carries bounded `_ext` strings (16 * ext_cap bytes), never unbounded
+    payloads. No Window operator anywhere: a corpus-wide boilerplate
+    anchor becomes a partition-local sorted run, not a one-task window."""
+    from grenier_spark.operators.dedup import suffix_match_lengths
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        docs = spark.createDataFrame(
+            [(i, "w%d " % i + "a b c d e f g h i j") for i in range(20)],
+            "doc_id long, text string")
+        df = suffix_match_lengths(docs, min_len=6, ext_cap=12)
+        assert "Window" not in plan_of(df)
+        outs = _exchange_output_names(df)
+        assert outs, "expected at least one Exchange"
+        for names in outs:
+            assert "text" not in names, outs
+        # the anchor-count aggregation exchange is key-only
+        assert any(set(names) <= {"anchor", "_c", "count", "count(1)"}
+                   or all(n in ("anchor", "_c") or n.startswith("count")
+                          for n in names)
+                   for names in outs), outs
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
