@@ -4047,6 +4047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
         "dd_bucket_counts": q_dd_bucket_counts,
         "value_quantiles_dd": q_value_quantiles_dd,
+        # NOT r03-certified (added round 4, lives here next to its
+        # quantile siblings): r5-window candidate like the other round-4
+        # additions — see COVERAGE.md's rotation ledger
         "quantile_kinds_cross": q_quantile_kinds_cross,
         "rolling_value_quantiles_dd": q_rolling_value_quantiles_dd,
         "token_hll_by_source": q_token_hll_by_source,

@@ -1481,16 +1481,25 @@ def suffix_match_lengths(df: DataFrame, text_col: str = "text",
 
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     hashes = F.transform(words, lambda w: F.substring(F.md5(w), 1, 16))
+    # persisted: consumed by BOTH the anchor explode below and the ext
+    # slicing join — without the cache the corpus-wide split+md5 scan
+    # (the most expensive stage) would run twice; same discipline as
+    # _prefiltered_occ. Doc-scale rows (id + hash array).
     docs = (df.select(F.col(id_col).alias("_id"), hashes.alias("_h"))
-            .where(F.size("_h") >= min_len))
+            .where(F.size("_h") >= min_len)
+            .persist())
     n_pos = F.size("_h") - min_len + 1
     anchors = F.transform(
         F.sequence(F.lit(1), n_pos),
         lambda i: F.md5(F.concat_ws("", F.slice("_h", i, min_len))))
+    # persisted: feeds the count aggregate AND the candidate join; the
+    # per-position anchor md5 is token-scale work that must run once.
+    # Position-scale rows (~60 B each, MEMORY_AND_DISK spills at scale).
     occ = (docs.select("_id", F.size("_h").cast("long").alias("n_words"),
                        F.posexplode(anchors).alias("_p", "anchor"))
            .select("_id", "n_words",
-                   (F.col("_p") + 1).cast("long").alias("pos"), "anchor"))
+                   (F.col("_p") + 1).cast("long").alias("pos"), "anchor")
+           .persist())
     dup = (occ.groupBy("anchor").agg(F.count(F.lit(1)).alias("_c"))
            .where(F.col("_c") >= 2).select("anchor"))
     cand = occ.join(dup, "anchor")

@@ -109,6 +109,13 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
     while pos + 8 <= end:
         cid = payload[pos:pos + 4]
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + clen > len(payload):
+            # a chunk whose declared length runs past the bytes present is
+            # a cut file: slicing would SILENTLY shorten the sample stream
+            # (slice clamps), so fail loudly like decode_bmp's stride check
+            raise ValueError(
+                f"wav: truncated {cid!r} chunk (declares {clen} bytes, "
+                f"{len(payload) - pos - 8} present)")
         body = payload[pos + 8: pos + 8 + clen]
         if cid == b"fmt ":
             if clen < 16:

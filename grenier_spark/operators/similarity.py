@@ -154,21 +154,24 @@ def cosine_neardup_pairs(vectors: DataFrame, tau: float = 0.9,
     GUARDED against accidental corpus-wide calls: inputs above ``max_rows``
     raise unless ``allow_all_pairs=True`` — a 10^8-row corpus here is a
     10^16-pair cartesian no cluster survives; :func:`semdedup` /
-    :func:`lsh_topk` are the scale paths. The guard costs one count over
-    the (possibly filtered/pruned) input, negligible next to the join.
+    :func:`lsh_topk` are the scale paths. The guard counts a
+    ``limit(max_rows + 1)`` slice, so its work is bounded at max_rows+1
+    rows even when the input is the very corpus it exists to refuse (a
+    plain count() would fully materialize an expensive upstream lineage
+    before raising).
 
     The caller's id type is preserved (casting to long would silently null
     non-numeric ids and return zero pairs — the pitfall
     :func:`..dedup.ngram_word_jaccard_pairs` documents).
     """
     if not allow_all_pairs:
-        n = vectors.count()
+        n = vectors.limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
                 f"cosine_neardup_pairs is an ALL-PAIRS exact verify stage "
-                f"({n} rows -> ~{n * (n - 1) // 2:.2g} pairs); pass "
-                f"allow_all_pairs=True to override, or block candidates "
-                f"first with lsh_topk/semdedup")
+                f"(> {max_rows} rows -> >~{max_rows**2 // 2:.2g} pairs); "
+                f"pass allow_all_pairs=True to override, or block "
+                f"candidates first with lsh_topk/semdedup")
     dv = vectors.select(F.col(id_col).alias("id"),
                         F.transform(vec_col,
                                     lambda x: x.cast("double")).alias("v"))

@@ -100,6 +100,14 @@ def test_wav_rejects_bad_inputs():
     struct.pack_into("<H", nonpcm, 12 + 8, 3)
     with pytest.raises(ValueError, match="PCM"):
         decode_wav(bytes(nonpcm))
+    # a file cut mid-data must fail LOUDLY, not silently return fewer
+    # samples (the chunk still declares its full length)
+    with pytest.raises(ValueError, match="truncated b'data'"):
+        decode_wav(raw[:-2])
+    # a fmt chunk whose declared length runs past the bytes present must
+    # raise ValueError too (not struct.error escaping the contract)
+    with pytest.raises(ValueError, match="truncated b'fmt '"):
+        decode_wav(raw[:12 + 8 + 10])
 
 
 def test_features_match_hand_arithmetic():

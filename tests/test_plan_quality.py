@@ -553,7 +553,10 @@ def test_exact_substr_no_text_on_any_exchange(spark):
     scan stage reduces it to 16-hex word-id arrays, the anchor-count
     Exchange carries keys only, and the only array-bearing Exchange is the
     doc-keyed candidate join moving the per-doc hash arrays (`_h`,
-    <= text-sized) exactly once. The candidate-scale suffix-order Exchange
+    16 B/word — ~2-3x raw text volume, the one heavy exchange to size
+    for at the 10^12-token design point) exactly once; shrinking the id
+    width (8-hex) halves it at higher collision odds if that exchange
+    ever binds. The candidate-scale suffix-order Exchange
     carries bounded `_ext` strings (16 * ext_cap bytes), never unbounded
     payloads. No Window operator anywhere: a corpus-wide boilerplate
     anchor becomes a partition-local sorted run, not a one-task window."""
