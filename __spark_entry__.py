@@ -831,6 +831,59 @@ SELECT m.shard, m.n_rows, m.n_tokens, m.min_key, m.max_key,
 FROM m JOIN p USING (shard) ORDER BY m.shard"""
 
 
+def q_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift detection (operators/drift.py — round 4):
+    events split into two sides by md5(event_id) parity (the same-engine
+    deterministic split), with a PLANTED x3 value drift on side 1 of
+    event_type 'click'. Per type: exact KS (value-exact on both engines
+    — identical count pivot + cumsum + double-division chain), the KLL
+    sketch estimate's guarantee boolean |ks_sketch - ks_exact| <= 0.09
+    (eps_a + eps_b + margin at k=200, computed Spark-side from the real
+    distributed sketches; DuckDB emits the literal), and the drift
+    verdict ks >= 0.2 — the planted type must flip it, the A/B-split
+    types (KS ~ sqrt(1/n) ~ 0.04) must not."""
+    from grenier_spark.operators.drift import ks_exact, ks_sketch_report
+
+    ev = _t(spark, sf_dir, "events").where("value IS NOT NULL")
+    side = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                               1, 15), 16, 10).cast("long") % 2)
+    src = (ev.select("event_type", "event_id", "value")
+           .withColumn("_side", side)
+           .withColumn("v", F.when((F.col("_side") == 1)
+                                   & (F.col("event_type") == "click"),
+                                   F.col("value") * 3.0)
+                       .otherwise(F.col("value")).cast("double")))
+    ex = ks_exact(src, "v", "_side", ["event_type"])
+    sk = ks_sketch_report(src, "v", "_side", ["event_type"], k=200)
+    return (ex.join(sk.select("event_type", "ks_sketch"), "event_type")
+            .select("event_type", "n_a", "n_b",
+                    F.round("ks", 6).alias("ks_exact"),
+                    (F.abs(F.col("ks_sketch") - F.col("ks")) <= 0.09)
+                    .alias("sketch_within_bound"),
+                    (F.col("ks") >= 0.2).alias("drifted"))
+            .orderBy("event_type"))
+
+
+def _value_ks_drift_oracle() -> str:
+    from grenier_spark.operators.drift import ks_exact_sql
+
+    src = """
+SELECT event_type,
+       CASE WHEN s = 1 AND event_type = 'click'
+            THEN value * (3.0::DOUBLE) ELSE value END AS v,
+       s AS _side
+FROM (SELECT event_type, value,
+             ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 2
+               AS s
+      FROM events WHERE value IS NOT NULL)"""
+    return f"""
+SELECT event_type, n_a, n_b, round(ks, 6) AS ks_exact,
+       TRUE AS sketch_within_bound,
+       ks >= (0.2::DOUBLE) AS drifted
+FROM ({ks_exact_sql(src, "v", "_side", ["event_type"])})
+ORDER BY event_type"""
+
+
 def q_tokenized_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INPUT-HINT table shape (doc_id, tokens:array, n_tok, source)
     end to end, finishing in a distributed sketch build — the
@@ -4001,6 +4054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest_stats": q_shard_manifest_stats,
         "training_pipeline_e2e": q_training_pipeline_e2e,
         "tokenized_pipeline_e2e": q_tokenized_pipeline_e2e,
+        "value_ks_drift": q_value_ks_drift,
         "dsir_selection": q_dsir_selection,
         "customers_without_orders": q_customers_without_orders,
         "token_freq_spectrum": q_token_freq_spectrum,
@@ -5393,6 +5447,9 @@ FROM events GROUP BY 1, 2""",
         # the input-hint-shaped pipeline incl. the 0-ULP HLL++ estimator
         # replayed over the per-shard token multisets of the final stream
         "tokenized_pipeline_e2e": _tokenized_pipeline_e2e_oracle(),
+        # exact KS is value-exact on both engines; the sketch bound is
+        # the KLL rank guarantee (Spark computes it for real)
+        "value_ks_drift": _value_ks_drift_oracle(),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
            FROM embeddings),

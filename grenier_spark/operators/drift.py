@@ -1,0 +1,157 @@
+"""Distribution-drift detection: two-sample Kolmogorov-Smirnov over KLL
+quantile sketches.
+
+The pipeline question is "did this column's distribution move between two
+slices" (corpus versions, time windows, A/B sides, sources) at a scale
+where sorting both slices is off the table. The sketch path builds one
+KLL per (group, side) — KB state through the standard two-level
+mergeable-sketch pipeline, values never shuffle — and evaluates the KS
+statistic between the two sketch ECDFs. Each sketch rank is within its
+eps of the true ECDF (KLL rank guarantee), so
+
+    |KS_sketch - KS_exact| <= eps_a + eps_b
+
+— a drift verdict with an explicit error budget, the same
+guarantee-boolean gating discipline as the quantile kinds.
+
+:func:`ks_exact` is the exact twin (per-value counts + one window
+cumsum — a distinct-values-scale shuffle) used by oracles and for
+moderate data; the sketch path is the 10^12-row regime.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..core.kll import KLL
+
+
+def kll_ks(blob_a: bytes, blob_b: bytes) -> float:
+    """KS statistic between two serialized KLL sketches: the maximum
+    |rank_a(x) - rank_b(x)| over the union of both sketches' retained
+    items. Both sketch ECDFs are step functions whose steps sit at
+    retained items, so the union grid attains the exact supremum OF THE
+    SKETCH ECDFs; the distance to the true KS is bounded by the two rank
+    guarantees."""
+    a, b = KLL.from_bytes(bytes(blob_a)), KLL.from_bytes(bytes(blob_b))
+    va, _ = a._weighted_items()
+    vb, _ = b._weighted_items()
+    if not len(va) or not len(vb):
+        return float("nan")
+    grid = np.unique(np.concatenate([va, vb]))
+    return float(np.max(np.abs(a.rank(grid) - b.rank(grid))))
+
+
+def ks_sketch_report(df: DataFrame, value_col: str, side_col: str,
+                     group_cols: "list[str] | None" = None,
+                     k: int = 200) -> DataFrame:
+    """Per group: (side_a, side_b, n_a, n_b, ks_sketch) from one
+    ``build_sketches`` pass over (group, side) — the drift scan for
+    tables too large to sort. ``side_col`` must take exactly two values
+    per group (a group seen on only one side is dropped — there is no
+    pair to compare); side_a is the smaller label. NULL values are
+    excluded (KLL skips NaN; a NULL side would silently form a third
+    side, so it raises)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .sketch_build import SketchSpec, build_sketches
+
+    group_cols = list(group_cols or [])
+    if df.where(F.col(side_col).isNull()).limit(1).count():
+        raise ValueError(f"{side_col} must be non-null (two sides only)")
+    src = df.where(F.col(value_col).isNotNull())
+    res = build_sketches(src, [SketchSpec.of("d", "kll", value_col, k=k)],
+                         group_cols=group_cols + [side_col])
+
+    @pandas_udf("double")
+    def _ks(a, b):
+        import pandas as pd
+        return pd.Series([kll_ks(x, y) for x, y in zip(a, b)])
+
+    w = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    sides = (res.select(*group_cols, side_col, "sketch", "n_values")
+             .withColumn("_rk", F.row_number().over(
+                 w.orderBy(F.col(side_col).cast("string")))))
+    a = (sides.where("_rk = 1")
+         .select(*group_cols, F.col(side_col).alias("side_a"),
+                 F.col("sketch").alias("_ska"),
+                 F.col("n_values").alias("n_a")))
+    b = (sides.where("_rk = 2")
+         .select(*group_cols, F.col(side_col).alias("side_b"),
+                 F.col("sketch").alias("_skb"),
+                 F.col("n_values").alias("n_b")))
+    j = a.join(b, group_cols) if group_cols else a.crossJoin(b)
+    return (j.select(*group_cols, "side_a", "side_b", "n_a", "n_b",
+                     _ks("_ska", "_skb").alias("ks_sketch")))
+
+
+def ks_exact(df: DataFrame, value_col: str, side_col: str,
+             group_cols: "list[str] | None" = None) -> DataFrame:
+    """Exact two-sample KS per group: per-(group, value) side counts,
+    one window cumsum in value order, max |ECDF_a - ECDF_b|. The shuffle
+    is distinct-values scale (the count groupBy is map-side combined);
+    the window runs inside the same group partitioning. side_a is the
+    smaller side label, mirroring :func:`ks_sketch_report`."""
+    group_cols = list(group_cols or [])
+    src = df.where(F.col(value_col).isNotNull())
+    lo = F.min(F.col(side_col).cast("string")).over(
+        Window.partitionBy(*group_cols) if group_cols
+        else Window.partitionBy())
+    cnt = (src.withColumn("_lo", lo)
+           .groupBy(*group_cols, "_lo", value_col)
+           .agg(F.sum(F.when(F.col(side_col).cast("string") == F.col("_lo"),
+                             1).otherwise(0)).alias("_ca"),
+                F.sum(F.when(F.col(side_col).cast("string") != F.col("_lo"),
+                             1).otherwise(0)).alias("_cb")))
+    w = (Window.partitionBy(*group_cols) if group_cols
+         else Window.partitionBy())
+    wv = w.orderBy(value_col).rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    tot = w.rowsBetween(Window.unboundedPreceding,
+                        Window.unboundedFollowing)
+    ecdf = (cnt
+            .withColumn("_cuma", F.sum("_ca").over(wv))
+            .withColumn("_cumb", F.sum("_cb").over(wv))
+            .withColumn("_na", F.sum("_ca").over(tot))
+            .withColumn("_nb", F.sum("_cb").over(tot)))
+    d = F.abs(F.col("_cuma") / F.col("_na")
+              - F.col("_cumb") / F.col("_nb"))
+    return (ecdf.groupBy(*group_cols)
+            .agg(F.max(d).alias("ks"),
+                 F.max("_na").cast("long").alias("n_a"),
+                 F.max("_nb").cast("long").alias("n_b")))
+
+
+def ks_exact_sql(table_sql: str, value_col: str, side_col: str,
+                 group_cols: "list[str] | None" = None) -> str:
+    """DuckDB twin of :func:`ks_exact`: identical count pivot, cumsum
+    window and double-division chain (BIGINT/BIGINT is double division
+    on both engines), so round-6 KS values match bit-for-bit."""
+    group_cols = list(group_cols or [])
+    g = ", ".join(group_cols)
+    gp = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    return f"""
+SELECT {gp}MAX(abs(cuma / na - cumb / nb)) AS ks,
+       MAX(na)::BIGINT AS n_a, MAX(nb)::BIGINT AS n_b
+FROM (
+  SELECT {gp}
+         SUM(ca) OVER ({part} ORDER BY {value_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cuma,
+         SUM(cb) OVER ({part} ORDER BY {value_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumb,
+         SUM(ca) OVER ({part}) AS na,
+         SUM(cb) OVER ({part}) AS nb
+  FROM (
+    SELECT {gp}{value_col},
+           SUM(CASE WHEN {side_col}::VARCHAR = lo THEN 1 ELSE 0 END) AS ca,
+           SUM(CASE WHEN {side_col}::VARCHAR <> lo THEN 1 ELSE 0 END) AS cb
+    FROM (SELECT t.*, MIN({side_col}::VARCHAR) OVER ({part}) AS lo
+          FROM ({table_sql}) t
+          WHERE {value_col} IS NOT NULL)
+    GROUP BY {gp}lo, {value_col}))
+{("GROUP BY " + g) if g else ""}"""

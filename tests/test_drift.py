@@ -1,0 +1,104 @@
+"""Two-sample KS drift detection (operators/drift.py): sketch-vs-exact
+error bound, exact-KS brute parity, group handling, edge cases."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from grenier_spark.core.kll import KLL
+from grenier_spark.operators.drift import (kll_ks, ks_exact,
+                                           ks_sketch_report)
+
+
+def brute_ks(a: np.ndarray, b: np.ndarray) -> float:
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    return float(np.max(np.abs(fa - fb)))
+
+
+def _sk(vals, k=200, seed=1):
+    s = KLL(k=k, seed=seed)
+    s.update_batch(np.asarray(vals, dtype=np.float64))
+    return s.to_bytes()
+
+
+def test_kll_ks_tracks_exact_within_bound():
+    rng = np.random.default_rng(3)
+    a = rng.exponential(50, size=20000)
+    for shift, label in ((0.0, "same"), (30.0, "shifted")):
+        b = rng.exponential(50, size=20000) + shift
+        est, exact = kll_ks(_sk(a), _sk(b, seed=2)), brute_ks(a, b)
+        # KLL k=200 rank eps ~ 0.04 per side
+        assert abs(est - exact) <= 0.08, (label, est, exact)
+    # disjoint supports: KS = 1 exactly, sketch sees it exactly too
+    assert kll_ks(_sk(np.arange(1000.0)),
+                  _sk(np.arange(5000.0, 6000.0))) == 1.0
+
+
+def test_kll_ks_empty_side_is_nan():
+    assert np.isnan(kll_ks(_sk([]), _sk([1.0])))
+
+
+def test_ks_exact_matches_brute_and_is_partitioning_invariant(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, shift in (("x", 0.0), ("y", 25.0)):
+        for side in (0, 1):
+            for v in rng.exponential(40, size=400) + shift * side:
+                rows.append((g, side, float(v)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g", "side", "v"]))
+    got = {r.g: (r.ks, r.n_a, r.n_b) for r in
+           ks_exact(df, "v", "side", ["g"]).collect()}
+    pdf = pd.DataFrame(rows, columns=["g", "side", "v"])
+    for g in ("x", "y"):
+        a = pdf[(pdf.g == g) & (pdf.side == 0)].v.to_numpy()
+        b = pdf[(pdf.g == g) & (pdf.side == 1)].v.to_numpy()
+        assert got[g][1:] == (len(a), len(b))
+        assert abs(got[g][0] - brute_ks(a, b)) < 1e-12
+    again = {r.g: r.ks for r in
+             ks_exact(df.repartition(7), "v", "side", ["g"]).collect()}
+    assert again == {g: v[0] for g, v in got.items()}
+
+
+def test_sketch_report_groups_sides_and_bound(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for side in ("A", "B"):
+        for v in rng.exponential(40, size=3000):
+            rows.append(("same", side, float(v)))
+        for v in rng.exponential(40, size=3000) * (3 if side == "B" else 1):
+            rows.append(("drift", side, float(v)))
+    rows.append(("lonely", "A", 1.0))  # one-sided group must drop
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g", "side", "v"]))
+    rep = {r.g: r for r in
+           ks_sketch_report(df, "v", "side", ["g"]).collect()}
+    assert set(rep) == {"same", "drift"}
+    assert rep["same"].side_a == "A" and rep["same"].side_b == "B"
+    assert rep["same"].n_a == 3000 and rep["same"].n_b == 3000
+    pdf = pd.DataFrame(rows, columns=["g", "side", "v"])
+    for g in ("same", "drift"):
+        a = pdf[(pdf.g == g) & (pdf.side == "A")].v.to_numpy()
+        b = pdf[(pdf.g == g) & (pdf.side == "B")].v.to_numpy()
+        assert abs(rep[g].ks_sketch - brute_ks(a, b)) <= 0.08
+    assert rep["drift"].ks_sketch > 0.25 > 0.1 > rep["same"].ks_sketch
+
+
+def test_sketch_report_null_side_raises(spark):
+    df = spark.createDataFrame(
+        [("A", 1.0), (None, 2.0)], "side string, v double")
+    with pytest.raises(ValueError, match="non-null"):
+        ks_sketch_report(df, "v", "side")
+
+
+def test_sketch_report_ungrouped(spark):
+    rng = np.random.default_rng(13)
+    rows = ([(0, float(v)) for v in rng.exponential(9, 2000)]
+            + [(1, float(v + 40)) for v in rng.exponential(9, 2000)])
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["side", "v"]))
+    r = ks_sketch_report(df, "v", "side").collect()
+    assert len(r) == 1 and r[0].ks_sketch > 0.5
