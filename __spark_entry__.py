@@ -831,6 +831,20 @@ SELECT m.shard, m.n_rows, m.n_tokens, m.min_key, m.max_key,
 FROM m JOIN p USING (shard) ORDER BY m.shard"""
 
 
+def q_tfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per source by smoothed TF-IDF
+    (textstats.tfidf_top_terms — round 4): numpy-side idf over the
+    distinct-df frame (the lm-gate-asserted numpy==DuckDB ln parity),
+    salt-split bounded min-K ranking (no per-group window). FULL
+    row-level oracle replays tf/df/N, the smooth-idf double chain and
+    the (score DESC, term ASC) rank rule."""
+    from grenier_spark.operators.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    return (tfidf_top_terms(docs, k=3)
+            .orderBy("source", "rank"))
+
+
 def q_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS drift detection (operators/drift.py — round 4):
     events split into two sides by md5(event_id) parity (the same-engine
@@ -882,6 +896,14 @@ SELECT event_type, n_a, n_b, round(ks, 6) AS ks_exact,
        ks >= (0.2::DOUBLE) AS drifted
 FROM ({ks_exact_sql(src, "v", "_side", ["event_type"])})
 ORDER BY event_type"""
+
+
+def _tfidf_source_terms_oracle() -> str:
+    from grenier_spark.operators.textstats import tfidf_top_terms_sql
+
+    return ("SELECT * FROM (" + tfidf_top_terms_sql(
+        "SELECT source, doc_id, text FROM documents", k=3)
+        + ") ORDER BY source, rank")
 
 
 def q_tokenized_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4055,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_e2e": q_training_pipeline_e2e,
         "tokenized_pipeline_e2e": q_tokenized_pipeline_e2e,
         "value_ks_drift": q_value_ks_drift,
+        "tfidf_source_terms": q_tfidf_source_terms,
         "dsir_selection": q_dsir_selection,
         "customers_without_orders": q_customers_without_orders,
         "token_freq_spectrum": q_token_freq_spectrum,
@@ -5450,6 +5473,7 @@ FROM events GROUP BY 1, 2""",
         # exact KS is value-exact on both engines; the sketch bound is
         # the KLL rank guarantee (Spark computes it for real)
         "value_ks_drift": _value_ks_drift_oracle(),
+        "tfidf_source_terms": _tfidf_source_terms_oracle(),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
            FROM embeddings),

@@ -790,3 +790,100 @@ cand AS (
 SELECT w1, w2, c_xy, c_w1, c_w2, round(ln(ratio), 6) AS pmi
 FROM (SELECT * FROM cand
       ORDER BY ratio DESC, md5(w1) ASC, md5(w2) ASC LIMIT {top_k})"""
+
+
+def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
+                    group_col: str = "source", k: int = 5):
+    """Top-``k`` characteristic terms per group by smoothed TF-IDF — the
+    keyword-extraction staple of corpus curation (what does this source
+    talk about that the corpus at large does not):
+
+        score(g, w) = tf(g, w) * (ln((N + 1) / (df(w) + 1)) + 1)
+
+    with ``tf`` = occurrences of ``w`` in group ``g``, ``df`` = distinct
+    docs corpus-wide containing ``w``, ``N`` = distinct docs (the
+    sklearn-style smooth idf: never zero, no div-by-zero on corpus-wide
+    terms).
+
+    Exactness/scale shape: the word explode feeds TWO map-side-combined
+    aggregates sharing one persisted token frame — (group, term) tf rows
+    and per-term df rows — both vocab-scale exchanges (the corpus
+    word-count class, same as :func:`token_freq_spectrum`). idf values
+    are computed NUMPY-SIDE over the DISTINCT df values (a bounded
+    <=N-row frame through the driver, the established lm-scores
+    discipline: numpy's libm == DuckDB's, asserted by the lm gates) and
+    broadcast back, so both engines rank identical round-6 doubles.
+    Ranking is the salt-split bounded min-K (similarity._bounded_topk) —
+    NO per-group window, so a group whose vocabulary is half the corpus
+    ranks across n_salts reducers, not one task. Ties (equal rounded
+    score) break by term ascending; term ordering assumes ASCII-ish
+    terms (Spark UTF-16 vs DuckDB UTF-8 collation diverges beyond the
+    BMP — the remove_dup_spans caveat).
+
+    Returns (group, rank, term, tf, df, score) rows, rank 1..k."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _bounded_topk
+
+    spark = df.sparkSession
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    tok = (df.where(F.col(text_col).isNotNull())
+           .select(F.col(group_col).alias("g"), F.col(id_col).alias("_id"),
+                   F.explode(words).alias("w"))
+           .persist())
+    tf = tok.groupBy("g", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("w").agg(F.countDistinct("_id").alias("df"))
+    n_docs = tok.select("_id").distinct().count()
+    dfs = sorted(r.df for r in dfreq.select("df").distinct().collect())
+    if not dfs:  # empty/whitespace-only corpus: no terms, typed empty out
+        return spark.createDataFrame(
+            [], f"{group_col} string, rank long, term string, tf long, "
+                f"df long, score double")
+    idf = pd.DataFrame({
+        "df": np.asarray(dfs, dtype=np.int64),
+        "idf": np.log((n_docs + 1.0) / (np.asarray(dfs, dtype=np.float64)
+                                        + 1.0)) + 1.0})
+    idf_df = spark.createDataFrame(idf)
+    scored = (tf.join(dfreq, "w").join(F.broadcast(idf_df), "df")
+              .select("g", "w", "tf", "df",
+                      F.round(F.col("tf") * F.col("idf"), 6)
+                      .alias("score"))
+              .withColumn("_neg", -F.col("score")))
+    top = _bounded_topk(scored.select("g", "w", "_neg"),
+                        "g", "w", "_neg", k)
+    return (top.join(scored.select("g", "w", "tf", "df", "score"),
+                     ["g", "w"])
+            .select(F.col("g").alias(group_col),
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("w").alias("term"),
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"), "score"))
+
+
+def tfidf_top_terms_sql(table_sql: str, text_col: str = "text",
+                        id_col: str = "doc_id", group_col: str = "source",
+                        k: int = 5) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms`: same explode/filter, same
+    smooth idf (DuckDB ln == numpy, the lm-gate-asserted parity), same
+    round-6 score and the (score DESC, term ASC) rank rule the salt-split
+    min-K realizes."""
+    return f"""
+WITH tok AS (
+  SELECT {group_col} AS g, {id_col} AS id, unnest(
+           list_filter(string_split({text_col}, ' '), x -> x <> '')) AS w
+  FROM ({table_sql}) WHERE {text_col} IS NOT NULL),
+tf AS (SELECT g, w, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT w, COUNT(DISTINCT id)::BIGINT AS df FROM tok GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT id)::BIGINT AS n_docs FROM tok),
+scored AS (
+  SELECT g, w, tf, df,
+         round(tf::DOUBLE * (ln((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE)
+                             + 1.0), 6) AS score
+  FROM tf JOIN dfq USING (w) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY g
+                               ORDER BY score DESC, w ASC) AS rank
+  FROM scored)
+SELECT g AS {group_col}, rank::BIGINT AS rank, w AS term, tf, df, score
+FROM ranked WHERE rank <= {k}"""
