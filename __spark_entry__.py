@@ -831,6 +831,78 @@ SELECT m.shard, m.n_rows, m.n_tokens, m.min_key, m.max_key,
 FROM m JOIN p USING (shard) ORDER BY m.shard"""
 
 
+def q_streaming_value_ks_drift(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Live drift monitoring in the gate — the EIGHTH oracle-gated
+    streaming surface (streaming/stateful.py kll_drift_stream): a KLL
+    baseline per event_type is pinned from the ORIGINAL events values
+    (one build_sketches pass), then the PLANTED stream (value x3 on
+    'click') arrives in two micro-batches; one live KLL per type in the
+    state store emits KS-vs-baseline every trigger. Final-trigger rows
+    (n == exact per-type count) are gated by the KLL rank-guarantee band
+    |ks_stream - ks_exact| <= 0.09 computed Spark-side against the exact
+    original-vs-planted KS (value-exact on both engines via
+    drift.ks_exact / ks_exact_sql); the drift verdict ks_exact >= 0.2
+    must flip for 'click' only."""
+    from grenier_spark.operators.drift import ks_exact
+    from grenier_spark.streaming.stateful import kll_drift_stream
+
+    ev = _gate_events(spark, sf_dir).where("value IS NOT NULL")
+    base_rows = (build_sketches(
+        ev.select("event_type", F.col("value").alias("v")),
+        [SketchSpec.of("b", "kll", "v", k=200)],
+        group_cols=["event_type"])
+        .select("event_type", "sketch").collect())
+    baseline = {r.event_type: bytes(r.sketch) for r in base_rows}
+    planted = ev.select(
+        "event_id", "event_type",
+        F.when(F.col("event_type") == "click", F.col("value") * 3.0)
+        .otherwise(F.col("value")).alias("value"))
+    got, totals = _run_two_batch_event_stream(
+        spark, planted,
+        lambda s: kll_drift_stream(s, "event_type", baseline, k=200),
+        "g_stream_ks")
+    fin = got[got.apply(lambda r: r.n == totals.get(r.event_type),
+                        axis=1)]
+    fin = fin.drop_duplicates(subset=["event_type"]).reset_index(drop=True)
+    sk = spark.createDataFrame(
+        fin, "event_type string, n bigint, ks double")
+    two = (ev.select("event_type", F.lit(0).alias("side"),
+                     F.col("value").alias("v"))
+           .unionByName(planted.select(
+               "event_type", F.lit(1).alias("side"),
+               F.col("value").alias("v"))))
+    ex = ks_exact(two, "v", "side", ["event_type"])
+    return (sk.join(ex.select("event_type",
+                              F.col("ks").alias("ks_exact_raw")),
+                    "event_type")
+            .select("event_type", "n",
+                    F.round(F.col("ks_exact_raw"), 6).alias("ks_exact"),
+                    (F.abs(F.col("ks") - F.col("ks_exact_raw")) <= 0.09)
+                    .alias("stream_within_bound"),
+                    (F.col("ks_exact_raw") >= 0.2).alias("drifted"))
+            .orderBy("event_type"))
+
+
+def _streaming_value_ks_drift_oracle() -> str:
+    from grenier_spark.operators.drift import ks_exact_sql
+
+    src = """
+SELECT event_type, 0 AS side, value AS v
+FROM events WHERE value IS NOT NULL
+UNION ALL
+SELECT event_type, 1 AS side,
+       CASE WHEN event_type = 'click' THEN value * (3.0::DOUBLE)
+            ELSE value END AS v
+FROM events WHERE value IS NOT NULL"""
+    return f"""
+SELECT event_type, n_a AS n, round(ks, 6) AS ks_exact,
+       TRUE AS stream_within_bound,
+       ks >= (0.2::DOUBLE) AS drifted
+FROM ({ks_exact_sql(src, "v", "side", ["event_type"])})
+ORDER BY event_type"""
+
+
 def q_tfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per source by smoothed TF-IDF
     (textstats.tfidf_top_terms — round 4): numpy-side idf over the
@@ -4077,6 +4149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_e2e": q_training_pipeline_e2e,
         "tokenized_pipeline_e2e": q_tokenized_pipeline_e2e,
         "value_ks_drift": q_value_ks_drift,
+        "streaming_value_ks_drift": q_streaming_value_ks_drift,
         "tfidf_source_terms": q_tfidf_source_terms,
         "dsir_selection": q_dsir_selection,
         "customers_without_orders": q_customers_without_orders,
@@ -5474,6 +5547,9 @@ FROM events GROUP BY 1, 2""",
         # the KLL rank guarantee (Spark computes it for real)
         "value_ks_drift": _value_ks_drift_oracle(),
         "tfidf_source_terms": _tfidf_source_terms_oracle(),
+        # the 8th streaming surface: exact original-vs-planted KS on both
+        # engines; the live-sketch band is the KLL rank guarantee
+        "streaming_value_ks_drift": _streaming_value_ks_drift_oracle(),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
            FROM embeddings),

@@ -429,3 +429,62 @@ def windowed_hll_stream(stream_df, ts_col: str, group_col: str,
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "append",
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def kll_drift_stream(stream_df, group_col: str, baseline: "dict[str, bytes]",
+                     value_col: str = "value", k: int = 200):
+    """Live distribution-drift monitor — the streaming face of
+    ``operators/drift.py``: one KLL per group lives in the state store;
+    every trigger emits the two-sample KS statistic between the group's
+    LIVE sketch and a pinned BASELINE sketch (``baseline``: group key ->
+    serialized KLL blob, e.g. a ``build_sketches`` pass over the
+    reference corpus). The ingest-monitoring question "has this source's
+    value distribution moved off the reference" answered per micro-batch
+    with the KLL rank-guarantee error budget
+    ``|ks - ks_exact| <= eps_live + eps_baseline``.
+
+    Emission per trigger: ``(group, n, ks)`` for groups present in the
+    baseline (a group with no baseline accumulates state silently — it
+    has nothing to compare against; pin a baseline and the next trigger
+    starts emitting). NULL/NaN values drop (KLL skips NaN); +/-inf drops
+    here too — in a stream a poisoned tail quantile would wedge every
+    subsequent KS, the same loud-batch/quiet-stream split as
+    ``ddsketch_state_stream``. The baseline dict rides the task closure:
+    KB per group, so bound the group count (~10^4 keys = ~10 MB) — for
+    larger keyspaces broadcast a map-side join table instead.
+
+    KLL compaction is order-sensitive, so the state bytes are
+    deterministic per trigger schedule, not byte-stable across replans —
+    the emitted KS is ESTIMATE-level gated (the guarantee band), exactly
+    like the batch ``ks_sketch_report``."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..core.kll import KLL
+    from ..operators.drift import kll_ks
+
+    out_schema = f"{group_col} string, n bigint, ks double"
+    state_schema = "sketch binary"
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            s = KLL.from_bytes(bytes(blob))
+        else:
+            s = KLL(k=k, seed=7)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            vals = (pd.concat(chunks, ignore_index=True)[value_col]
+                    .dropna().to_numpy(dtype=np.float64))
+            vals = vals[np.isfinite(vals)]
+            if len(vals):
+                s.update_batch(vals)
+        wire = s.to_bytes()
+        state.update((wire,))
+        base = baseline.get(key[0])
+        if s.n and base is not None:
+            yield pd.DataFrame({group_col: [key[0]], "n": [s.n],
+                                "ks": [kll_ks(wire, base)]})
+
+    return (stream_df.groupBy(group_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

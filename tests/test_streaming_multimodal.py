@@ -824,3 +824,83 @@ def test_req_state_stream_matches_batch_twin(spark, tmp_path):
             assert row.est == float(twin.quantiles([q])[0]), (key, q)
             # the documented contract: state bytes == order-pinned twin
             assert bytes(row.sketch) == twin.to_bytes(), (key, q)
+
+
+def test_kll_drift_stream_tracks_exact_ks_across_restart(spark, tmp_path):
+    """Live drift monitor (stateful.kll_drift_stream): two micro-batches
+    split by a query RESTART on one checkpoint; the final KS-vs-baseline
+    must sit within the KLL guarantee band of the brute exact KS — near 0
+    for the undrifted key, large for the shifted key. A key absent from
+    the baseline accumulates state but never emits; +/-inf records drop
+    instead of wedging the stream."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from grenier_spark.core.kll import KLL
+    from grenier_spark.streaming.stateful import kll_drift_stream
+
+    rng = np.random.Generator(np.random.PCG64(41))
+    ref = {k: rng.exponential(40, 4000) for k in ("same", "drift")}
+    baseline = {}
+    for k, v in ref.items():
+        s = KLL(k=200, seed=3)
+        s.update_batch(v)
+        baseline[k] = s.to_bytes()
+    # stream: 'same' ~ ref; 'drift' shifted; 'orphan' has no baseline
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src_dir, exist_ok=True)
+    stream_vals = {"same": rng.exponential(40, 3000),
+                   "drift": rng.exponential(40, 3000) + 60.0,
+                   "orphan": rng.exponential(40, 100)}
+    for part in range(2):
+        rows = []
+        for k, v in stream_vals.items():
+            half = v[part::2]
+            for x in half:
+                rows.append((len(rows) + part * 10**6, k, float(x)))
+        rows.append((part * 10**6 + 999_999, "same", float("inf")))
+        pq.write_table(pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["event_id", "event_type", "value"]),
+            preserve_index=False), f"{src_dir}/part-{part:05d}.parquet")
+
+    collected = []
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("event_id long, event_type string, value double")
+                  .option("maxFilesPerTrigger", "16").parquet(src_dir))
+        out = kll_drift_stream(stream, "event_type", baseline, k=200)
+        q = (out.writeStream.outputMode("update")
+             .foreachBatch(lambda df, bid: collected.append(df.toPandas()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    hidden = str(tmp_path / "hidden.parquet")
+    os.replace(f"{src_dir}/part-00001.parquet", hidden)
+    run_once()
+    os.replace(hidden, f"{src_dir}/part-00001.parquet")
+    run_once()
+
+    final = pd.concat(collected, ignore_index=True)
+    assert "orphan" not in set(final.event_type)  # no baseline, no row
+    final = (final.sort_values("n").groupby("event_type").last()
+             .reset_index())
+
+    def brute_ks(a, b):
+        grid = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+        return float(np.max(np.abs(fa - fb)))
+
+    for k in ("same", "drift"):
+        row = final[final.event_type == k].iloc[0]
+        assert int(row.n) == len(stream_vals[k])  # inf rows dropped
+        exact = brute_ks(ref[k], stream_vals[k])
+        assert abs(row.ks - exact) <= 0.09, (k, row.ks, exact)
+    assert final[final.event_type == "drift"].ks.iloc[0] > 0.3
+    assert final[final.event_type == "same"].ks.iloc[0] < 0.12
