@@ -3345,6 +3345,62 @@ def q_rolling_value_quantiles_dd(spark: SparkSession,
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_value_histogram_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram surface (operators/profile.py
+    equidepth_histogram): B=8 buckets over events.value per event_type,
+    boundaries and bucket masses read off ONE KLL(200) distributed build —
+    the optimizer-stats / dashboard surface for columns too large to sort.
+
+    Engine-independent gate surface: (event_type, bucket, n, exact_edge)
+    are real on both engines (exact_edge = exact percentile at bucket/B —
+    quantile_cont parity with F.percentile is the established
+    exact_value_percentiles leg), plus two booleans computed Spark-side
+    from the REAL histogram (DuckDB emits literal TRUE):
+
+      depth_ok — the sketch boundary's TRUE rank is within eps of
+      bucket/B (two-sided tie-robust rank condition, eps=0.04 + 4-row
+      floor, the nchars_quantiles_kll band);
+      share_ok — the sketch's est_count is within 2*eps*n + floor of the
+      ideal n/B (two rank evaluations, each within the KLL guarantee).
+
+    A kernel drift in quantiles() OR rank() (they share _weighted_items
+    but not interpolation paths) flips a boolean and fails hash_match."""
+    from grenier_spark.operators.profile import equidepth_histogram
+
+    B, eps, floor = 8, 0.04, 4
+    src = (_t(spark, sf_dir, "events")
+           .where(F.col("value").isNotNull())
+           .select("event_type", F.col("value").cast("double").alias("v")))
+    hist = equidepth_histogram(src, "v", B, group_cols=["event_type"],
+                               k=200)
+    share_ok = (F.abs(F.col("est_count") - F.col("n") / B)
+                <= 2 * eps * F.col("n") + floor)
+    h = hist.select("event_type", "bucket", "est_count", "n",
+                    F.col("hi").alias("edge"), share_ok.alias("share_ok"))
+    ranks = (src.join(F.broadcast(h.select("event_type", "bucket", "edge")),
+                      "event_type")
+             .groupBy("event_type", "bucket")
+             .agg(F.sum(F.when(F.col("v") < F.col("edge"), 1).otherwise(0))
+                  .alias("cnt_lt"),
+                  F.sum(F.when(F.col("v") <= F.col("edge"), 1).otherwise(0))
+                  .alias("cnt_le")))
+    qfrac = F.col("bucket") / F.lit(float(B))
+    qarr = F.array(*[F.lit(i / B) for i in range(1, B + 1)])
+    exact = (src.groupBy("event_type")
+             .agg(F.percentile("v", qarr).alias("p"))
+             .select("event_type", F.posexplode("p").alias("i", "exact_v"))
+             .select("event_type", (F.col("i") + 1).alias("bucket"),
+                     F.round("exact_v", 6).alias("exact_edge")))
+    depth_ok = ((F.col("cnt_lt") <= (qfrac + eps) * F.col("n") + floor)
+                & (F.col("cnt_le") >= (qfrac - eps) * F.col("n") - floor))
+    return (h.join(ranks, ["event_type", "bucket"])
+            .join(exact, ["event_type", "bucket"])
+            .select("event_type", F.col("bucket").cast("long").alias("bucket"),
+                    F.col("n").cast("long").alias("n"), "exact_edge",
+                    depth_ok.alias("depth_ok"), "share_ok")
+            .orderBy("event_type", "bucket"))
+
+
 def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tokenized_docs(spark, sf_dir)
     res = build_sketches(docs, [SketchSpec.of("h", "hll", "tokens", p=12)],
@@ -4201,6 +4257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantile siblings): r5-window candidate like the other round-4
         # additions — see COVERAGE.md's rotation ledger
         "quantile_kinds_cross": q_quantile_kinds_cross,
+        "value_histogram_kll": q_value_histogram_kll,
         "rolling_value_quantiles_dd": q_rolling_value_quantiles_dd,
         "token_hll_by_source": q_token_hll_by_source,
         "source_profile": q_source_profile,
@@ -4572,6 +4629,26 @@ SELECT exq.event_type, exq.q, exq.exact_q, dd.dd_est,
        TRUE AS all_kinds_ok
 FROM exq JOIN dd ON dd.event_type = exq.event_type AND dd.q = exq.q
 ORDER BY exq.event_type, exq.q"""),
+        # equi-depth histogram: n and the exact bucket/B percentile edges
+        # are real on both engines; depth_ok/share_ok are the KLL rank
+        # guarantee, computed Spark-side from the real histogram
+        "value_histogram_kll": """
+WITH src AS (SELECT event_type, value::DOUBLE AS v
+             FROM events WHERE value IS NOT NULL),
+g AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+             [round(quantile_cont(v, 0.125), 6),
+              round(quantile_cont(v, 0.25), 6),
+              round(quantile_cont(v, 0.375), 6),
+              round(quantile_cont(v, 0.5), 6),
+              round(quantile_cont(v, 0.625), 6),
+              round(quantile_cont(v, 0.75), 6),
+              round(quantile_cont(v, 0.875), 6),
+              round(quantile_cont(v, 1.0), 6)] AS e
+      FROM src GROUP BY 1)
+SELECT event_type, b::BIGINT AS bucket, n, e[b] AS exact_edge,
+       TRUE AS depth_ok, TRUE AS share_ok
+FROM g CROSS JOIN (SELECT unnest(range(1, 9)) AS b)
+ORDER BY event_type, bucket""",
         # rolling dd union is byte-identical to a scratch window build,
         # so the windowed estimator itself is SQL-exact; n_days_merged
         # recomputed as the distinct source days in each anchor window

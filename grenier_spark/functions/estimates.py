@@ -174,6 +174,40 @@ def kll_quantiles_col(sketch: "Column | str", qs: "list[float]") -> Column:
     return _q(_col(sketch))
 
 
+def kll_histogram_col(sketch: "Column | str", n_buckets: int) -> Column:
+    """Equi-depth histogram read off ONE serialized KLL state: ``n_buckets``
+    struct rows ``(bucket, lo, hi, est_count)`` where the boundaries are the
+    sketch's quantiles at i/B and ``est_count`` is the rank-mass the sketch
+    assigns to (lo, hi] scaled by the true item count (``n`` is tracked
+    exactly). Every bucket's est_count is within ~2*eps*n of n/B (two rank
+    evaluations, each within the KLL eps rank guarantee of the boundary's
+    true rank, which itself is within eps of i/B) — the optimizer-stats /
+    data-viz surface at 10^12 rows: one sketch pass, no sort, no second
+    scan. Duplicate-heavy columns can yield lo == hi (an honest point
+    bucket)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    @pandas_udf("array<struct<bucket:long,lo:double,hi:double,"
+                "est_count:double>>")
+    def _h(blobs: pd.Series) -> pd.Series:
+        bs = np.linspace(0.0, 1.0, n_buckets + 1)
+
+        def one(b):
+            s = KLL.from_bytes(bytes(b))
+            if not s.n:
+                return []
+            edges = s.quantiles(bs)
+            r = s.rank(edges)
+            r[0], r[-1] = 0.0, 1.0  # full mass inside the outer edges
+            return [(i + 1, float(edges[i]), float(edges[i + 1]),
+                     float((r[i + 1] - r[i]) * s.n))
+                    for i in range(n_buckets)]
+        return blobs.map(one)
+
+    return _h(_col(sketch))
+
+
 def tdigest_quantiles_col(sketch: "Column | str", qs: "list[float]") -> Column:
     @pandas_udf("array<double>")
     def _q(blobs: pd.Series) -> pd.Series:

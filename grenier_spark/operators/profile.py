@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["column_profile", "approx_distinct_profile",
+           "equidepth_histogram",
            "Check", "completeness", "uniqueness", "in_range", "in_set",
            "min_rows", "run_checks"]
 
@@ -131,6 +132,44 @@ def approx_distinct_profile(df: DataFrame,
     return est.select(name_map[F.col("sketch_name")].alias("column"),
                       F.col("n_rows").cast("long"),
                       F.col("approx_distinct").cast("double"))
+
+
+def equidepth_histogram(df: DataFrame, value_col: str, n_buckets: int,
+                        group_cols: Optional[Sequence[str]] = None,
+                        k: int = 200) -> DataFrame:
+    """Equi-depth (equal-height) histogram per group from ONE KLL pass —
+    the optimizer-statistics / dashboard surface for columns too large to
+    sort: boundaries at the sketch's i/B quantiles, per-bucket counts from
+    the sketch's own rank mass scaled by the EXACT row count. NULLs drop
+    (they have no place on the value axis).
+
+    Scale shape: values never shuffle (sketch partials are built in the
+    scan stage, operators/sketch_build.py); the exchange carries one KB
+    blob per group and the histogram explode touches B rows per group.
+    Guarantee: each bucket's ``est_count`` is within ~2*eps*n of n/B and
+    each boundary's true rank is within eps of i/B (eps ~ 2/k, FOCS'16) —
+    gate-asserted in the `value_histogram_kll` driver query.
+
+    Returns (group_cols..., bucket 1..B, lo, hi, est_count, n) rows.
+    KLL compaction is order-sensitive: boundaries are deterministic per
+    partitioning, estimate-level gated (same contract as the quantile
+    surfaces)."""
+    from grenier_spark.functions.estimates import kll_histogram_col
+    from grenier_spark.operators.sketch_build import (SketchSpec,
+                                                      build_sketches)
+
+    gcols = list(group_cols or [])
+    src = df.where(F.col(value_col).isNotNull())
+    res = build_sketches(src, [SketchSpec.of("h", "kll", value_col, k=k)],
+                         group_cols=gcols)
+    return (res.select(*gcols, F.col("n_values").alias("n"),
+                       F.explode(kll_histogram_col("sketch", n_buckets))
+                       .alias("b"))
+            .select(*gcols,
+                    F.col("b.bucket").alias("bucket"),
+                    F.col("b.lo").alias("lo"), F.col("b.hi").alias("hi"),
+                    F.col("b.est_count").alias("est_count"),
+                    F.col("n").cast("long").alias("n")))
 
 
 def key_skew_profile(df: DataFrame, col: str, top: int = 20) -> DataFrame:

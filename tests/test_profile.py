@@ -170,3 +170,60 @@ def test_key_skew_profile_tie_break_is_string_order(spark):
     # string order: "10" < "2" < "3"
     assert got.key.tolist() == ["10", "2", "3"]
     assert (got.skew_factor == 1.0).all()
+
+
+# ---------------------------------------------------------------- histogram
+
+def test_equidepth_histogram_uniform(spark):
+    """Uniform 0..9999: boundaries near i/B * 10000, every bucket mass near
+    n/B, masses conserve n exactly (outer edges pinned to rank 0 and 1)."""
+    from grenier_spark.operators.profile import equidepth_histogram
+
+    n, B = 10_000, 8
+    rng = np.random.default_rng(11)
+    vals = rng.permutation(n).astype(float)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    h = (equidepth_histogram(df, "v", B).toPandas()
+         .sort_values("bucket").reset_index(drop=True))
+    assert list(h.bucket) == list(range(1, B + 1))
+    assert (h.n == n).all()
+    eps = 2.0 / 200  # KLL k=200 rank guarantee
+    assert np.isclose(h.est_count.sum(), n)
+    assert (np.abs(h.est_count - n / B) <= 2 * eps * n + 4).all()
+    # interior boundaries land within eps of their target rank
+    for i in range(B - 1):
+        target = (i + 1) / B * n
+        assert abs(h.hi[i] - target) <= 2 * eps * n + 4
+    # buckets tile the axis: hi[i] == lo[i+1]
+    assert np.allclose(h.hi[: B - 1].to_numpy(), h.lo[1:].to_numpy())
+
+
+def test_equidepth_histogram_grouped_and_nulls(spark):
+    from grenier_spark.operators.profile import equidepth_histogram
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 1000 + ["b"] * 500,
+        "v": list(np.arange(1000.0)) + list(np.arange(500.0) * 10)})
+    pdf.loc[3, "v"] = None  # NULL drops
+    df = spark.createDataFrame(pdf)
+    h = equidepth_histogram(df, "v", 4, group_cols=["g"]).toPandas()
+    na = h[h.g == "a"]
+    assert set(na.bucket) == {1, 2, 3, 4} and (na.n == 999).all()
+    nb = h[h.g == "b"]
+    assert (nb.n == 500).all()
+    assert np.isclose(nb.est_count.sum(), 500)
+
+
+def test_equidepth_histogram_single_bucket_exact(spark):
+    from grenier_spark.operators.profile import equidepth_histogram
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [1.0, 2.0, 5.0]}))
+    h = equidepth_histogram(df, "v", 1).toPandas()
+    assert len(h) == 1 and h.est_count[0] == 3.0 and h.n[0] == 3
+
+
+def test_equidepth_histogram_bad_buckets_raises(spark):
+    from grenier_spark.functions.estimates import kll_histogram_col
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        kll_histogram_col("sketch", 0)
