@@ -65,7 +65,8 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  minhash_neardup_sql,
                                                  minhash_sig_pairs_sql,
                                                  semdedup_sql,
-                                                 simhash_pairs_sql)
+                                                 simhash_pairs_sql,
+                                                 token_minhash_neardup_sql)
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
 from grenier_spark.operators.textstats import BPE_ISH_PATTERN as _BPE_PATTERN
 from grenier_spark.operators.textstats import (pmi_collocations_sql,
@@ -1788,6 +1789,32 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ver = dedup.exact_jaccard_for_pairs(full, pairs, word_hash="md5")
     return (ver.where("jaccard >= 0.7")
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
+def q_token_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup over the PRE-TOKENIZED payload — the
+    north-rule input shape (doc_id, tokens array<int>): token w-gram
+    shingles via the shared wang64 fold (no text stage), banded raw-band
+    candidates, exact distinct-shingle Jaccard verify. Planted near-dups =
+    12 docs re-appended with their first 3 tokens dropped (ids +10^7), so
+    recall is checkable on the dup-free fixture. Whole chain value-exact
+    in DuckDB (sql_oracles.token_minhash_neardup_sql — the token ids are
+    md5-low64 word ids both engines compute)."""
+    from grenier_spark.operators.dedup import token_minhash_neardup
+
+    docs = (_tokenized_docs(spark, sf_dir)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "tokens")
+            .where(F.size("tokens") >= 20).orderBy("doc_id").limit(60))
+    plants = (docs.orderBy("doc_id").limit(12)
+              .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                      F.slice("tokens", 4, F.size("tokens") - 3)
+                      .alias("tokens")))
+    full = docs.unionByName(plants)
+    res = token_minhash_neardup(full, w=3, n_hashes=64, seed=42, bands=16,
+                                min_est_jaccard=0.5, tau=0.7)
+    return (res.select("id_a", "id_b",
+                       F.round("jaccard", 6).alias("jaccard"))
             .orderBy("id_a", "id_b"))
 
 
@@ -4274,6 +4301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dup_members": q_exact_dup_members,
         "token_seq_dups": q_token_seq_dups,
+        "token_neardup": q_token_neardup,
         "doc_quality_scores": q_doc_quality_scores,
         "orders_by_month": q_orders_by_month,
         "order_gap_window": q_order_gap_window,
@@ -5251,6 +5279,20 @@ GROUP BY ROLLUP (n_name, c_mktsegment)""",
             "length(string_split(text, ' ')[-1]) - 1) AS text "
             "FROM (SELECT * FROM b0 ORDER BY id LIMIT 10)",
             "id", "text", w=3, n_hashes=64, seed=42, bands=16,
+            min_est=0.5, tau=0.7),
+        # the pre-tokenized-payload twin: token ids = md5-low64 word ids
+        # both engines compute; plants drop the first 3 tokens
+        "token_neardup": token_minhash_neardup_sql(
+            "WITH b0 AS (SELECT doc_id::BIGINT AS doc_id, "
+            "list_transform(string_split(text, ' '), t -> "
+            + md5_low64_expr("t") + ") AS tokens FROM documents), "
+            "elig AS (SELECT * FROM b0 WHERE len(tokens) >= 20 "
+            "ORDER BY doc_id LIMIT 60) "
+            "SELECT doc_id, tokens FROM elig UNION ALL "
+            "SELECT doc_id + 10000000 AS doc_id, "
+            "tokens[4:len(tokens)] AS tokens "
+            "FROM (SELECT * FROM elig ORDER BY doc_id LIMIT 12)",
+            "doc_id", "tokens", w=3, n_hashes=64, seed=42, bands=16,
             min_est=0.5, tau=0.7),
         "media_features": """
 SELECT doc_id::BIGINT AS media_id,

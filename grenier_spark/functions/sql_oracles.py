@@ -365,19 +365,30 @@ def _minhash_chain_sql(docs_sql: str, id_col: str, text_col: str,
     oracle so the two can never drift. Ids must be UNIQUE (doc identity):
     the per-id MIN would merge duplicate-id rows' shingle sets that Spark
     signs separately."""
+    hw = md5_low64_expr("t")
+    wh_sql = (f"SELECT {id_col} AS id, list_transform("
+              f"string_split({text_col}, ' '), t -> {hw}) AS wh "
+              f"FROM ({docs_sql})")
+    return _minhash_chain_from_wh_sql(wh_sql, w, n_hashes, seed)
+
+
+def _minhash_chain_from_wh_sql(wh_sql: str, w: int, n_hashes: int,
+                               seed: int) -> "tuple[str, str]":
+    """MinHash chain over pre-hashed element lists: ``wh_sql`` yields
+    ``(id, wh)`` rows where ``wh`` is a list of non-negative 64-bit element
+    hashes (md5-low64 words for the text chain, the token ids themselves
+    for the pre-tokenized chain). Returns the same (shingles, sigrows)
+    pair as :func:`_minhash_chain_sql`."""
     from grenier_spark.core.bits import splitmix64_scalar
 
     salts = ", ".join(
         f"({i}, {splitmix64_scalar(seed + i + 1)}::UHUGEINT)"
         for i in range(n_hashes))
-    hw = md5_low64_expr("t")
     # window rows: one row per shingle start, columns h1..hw
-    hcols = ", ".join(f"wh[i + {k}] AS h{k + 1}" for k in range(w))
+    hcols = ", ".join(f"wh[i + {k}]::UHUGEINT AS h{k + 1}" for k in range(w))
     winrows = (f"SELECT id, {hcols} FROM ("
                f"SELECT id, wh, unnest(range(1, len(wh) - {w - 2})) AS i "
-               f"FROM (SELECT {id_col} AS id, list_transform("
-               f"string_split({text_col}, ' '), t -> {hw}) AS wh "
-               f"FROM ({docs_sql})))")
+               f"FROM ({wh_sql}))")
     # fold: acc = h1; acc = wang64(acc ^ h_k) for k = 2..w
     sql = winrows
     acc = "h1"
@@ -409,14 +420,37 @@ def minhash_neardup_sql(docs_sql: str, id_col: str = "id",
     kernels (core/bits.py), so the whole chain is deterministic and
     engine-independent.
     """
+    shingles, sigrows = _minhash_chain_sql(docs_sql, id_col, text_col,
+                                           w, n_hashes, seed)
+    return _neardup_from_chain_sql(shingles, sigrows, n_hashes, bands,
+                                   min_est, tau)
+
+
+def token_minhash_neardup_sql(tokens_sql: str, id_col: str = "doc_id",
+                              tokens_col: str = "tokens", w: int = 3,
+                              n_hashes: int = 64, seed: int = 42,
+                              bands: int = 16, min_est: float = 0.5,
+                              tau: float = 0.7) -> str:
+    """The pre-tokenized-payload twin of :func:`minhash_neardup_sql`,
+    matching ``dedup.token_minhash_neardup`` value-for-value: the token
+    ids (non-negative 64-bit values, e.g. md5-low64 word ids or BPE ids)
+    feed the shared window-fold directly — no text stage."""
+    wh_sql = (f"SELECT {id_col} AS id, {tokens_col} AS wh "
+              f"FROM ({tokens_sql})")
+    shingles, sigrows = _minhash_chain_from_wh_sql(wh_sql, w, n_hashes,
+                                                   seed)
+    return _neardup_from_chain_sql(shingles, sigrows, n_hashes, bands,
+                                   min_est, tau)
+
+
+def _neardup_from_chain_sql(shingles: str, sigrows: str, n_hashes: int,
+                            bands: int, min_est: float, tau: float) -> str:
     if n_hashes % bands:
         # Spark's lsh_candidate_pairs slices only bands*width positions;
         # perm // width here would invent an extra band from the leftover
         # positions and diverge from the Spark candidate set
         raise ValueError("minhash_neardup_sql requires bands | n_hashes")
     width = n_hashes // bands
-    shingles, sigrows = _minhash_chain_sql(docs_sql, id_col, text_col,
-                                           w, n_hashes, seed)
     return f"""
 WITH sigs AS (
   SELECT id, perm, MIN(h) AS sigv FROM ({sigrows}) GROUP BY 1, 2

@@ -214,14 +214,13 @@ def _md5_word_hash_col(text_col: str):
     return md5_tokens_col(text_col)
 
 
-def _md5_shingle_rows(df: DataFrame, text_col: str, id_col: str,
-                      w: int = 3) -> DataFrame:
-    """(id, shingle) rows via the SQL-expressible chain: md5-low64 word
-    hashes folded per window with ``acc = wang64(acc ^ next)`` (numpy;
-    identical wang64 stages run in the DuckDB oracle). Docs with fewer than
-    ``w`` words yield no shingles (dropped, same as the oracle's range())."""
-    id_type = df.schema[id_col].dataType.simpleString()
-    src = df.select(id_col, _md5_word_hash_col(text_col).alias("wh"))
+def _fold_shingle_rows(src: DataFrame, id_col: str, id_type: str,
+                       w: int) -> DataFrame:
+    """(id, shingle) rows from pre-hashed ``(id, wh array<long>)`` rows:
+    each w-window folds with ``acc = wang64(acc ^ next)`` (numpy; identical
+    wang64 stages run in the DuckDB oracles). Rows with NULL ``wh`` or
+    fewer than ``w`` elements yield no shingles. Shared by the md5 text
+    chain and the pre-tokenized payload chain — one fold, one oracle twin."""
 
     def gen(it):
         for pdf in it:
@@ -248,6 +247,31 @@ def _md5_shingle_rows(df: DataFrame, text_col: str, id_col: str,
     return src.mapInPandas(gen, f"{id_col} {id_type}, shingle long")
 
 
+def _md5_shingle_rows(df: DataFrame, text_col: str, id_col: str,
+                      w: int = 3) -> DataFrame:
+    """(id, shingle) rows via the SQL-expressible chain: md5-low64 word
+    hashes folded per window (:func:`_fold_shingle_rows`). Docs with fewer
+    than ``w`` words yield no shingles (same as the oracle's range())."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(id_col, _md5_word_hash_col(text_col).alias("wh"))
+    return _fold_shingle_rows(src, id_col, id_type, w)
+
+
+def token_shingle_rows(df: DataFrame, tokens_col: str = "tokens",
+                       id_col: str = "doc_id", w: int = 3) -> DataFrame:
+    """(id, shingle) rows over a PRE-TOKENIZED payload (the north-rule
+    input shape: ``tokens array<int32|int64>``): the token ids ARE the
+    element hashes, so the chain is just the shared w-window wang64 fold —
+    no text stage, no Python string handling, and every stage reproducible
+    in DuckDB (sql_oracles.token_minhash_neardup_sql). int32 token ids
+    widen to int64 (non-negative ids keep their bit pattern in the U64
+    view, matching the oracle's ``::UHUGEINT``)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(id_col,
+                    F.col(tokens_col).cast("array<bigint>").alias("wh"))
+    return _fold_shingle_rows(src, id_col, id_type, w)
+
+
 def _shingle_rows(df: DataFrame, text_col: str, id_col: str, w: int,
                   word_hash: str) -> DataFrame:
     if word_hash == "md5":
@@ -270,9 +294,17 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     md5 word hashes + wang64 shingle folds — every stage reproducible in
     DuckDB SQL, used by the value-gated oracle).
     """
+    sh = _shingle_rows(df, text_col, id_col, w, word_hash)
+    id_type = df.schema[id_col].dataType.simpleString()
+    return _sign_shingle_rows(sh, id_col, id_type, n_hashes, seed)
+
+
+def _sign_shingle_rows(sh: DataFrame, id_col: str, id_type: str,
+                       n_hashes: int, seed: int) -> DataFrame:
+    """(id, sig) signatures from (id, shingle) rows — the signing stage
+    shared by the text chain and the pre-tokenized payload chain."""
     salts = np.array([splitmix64_scalar(seed + i + 1) for i in range(n_hashes)],
                      dtype=U64)
-    sh = _shingle_rows(df, text_col, id_col, w, word_hash)
 
     def sign(pdf: pd.DataFrame) -> pd.DataFrame:
         # all docs of the bucket at once: group-sort the shingles, then per
@@ -292,7 +324,6 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     # bucket docs (not one pandas group per doc: per-group overhead would
     # dominate); shuffle volume is identical — shingle rows keyed by doc
-    id_type = df.schema[id_col].dataType.simpleString()
     return (sh.withColumn("_b", F.pmod(F.xxhash64(F.col(id_col)),
                                        F.lit(256)))
             .groupBy("_b")
@@ -396,6 +427,40 @@ def exact_jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
     b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
     return (pairs.join(a, "id_a").join(b, "id_b")
             .withColumn("jaccard", set_jaccard_col("sh_a", "sh_b"))
+            .select("id_a", "id_b", "est_jaccard", "jaccard"))
+
+
+def token_minhash_neardup(df: DataFrame, tokens_col: str = "tokens",
+                          id_col: str = "doc_id", w: int = 3,
+                          n_hashes: int = 64, seed: int = 42,
+                          bands: int = 16, min_est_jaccard: float = 0.5,
+                          tau: float = 0.7) -> DataFrame:
+    """MinHash+LSH near-dup detection over a PRE-TOKENIZED corpus — the
+    north-rule input shape (``doc_id, tokens array<int32>``): token
+    w-gram shingles (shared wang64 fold), per-salt min signatures, banded
+    raw-sub-signature candidates, matching-position estimate filter, exact
+    distinct-shingle Jaccard >= ``tau`` verify. Every stage is the same
+    kernel the text chain uses, so the whole pipeline carries a value-exact
+    DuckDB oracle (sql_oracles.token_minhash_neardup_sql).
+
+    Scale shape identical to the text pipeline: token arrays are consumed
+    in the scan stage (the fold emits (id, shingle) longs); the only
+    exchanges carry shingle/signature rows, candidates come from the
+    banded bucket self-join — never all-pairs. Returns
+    (id_a, id_b, est_jaccard, jaccard) for verified pairs."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    sh = token_shingle_rows(df, tokens_col, id_col, w)
+    sigs = _sign_shingle_rows(sh, id_col, id_type, n_hashes, seed)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, min_est_jaccard,
+                                hash_buckets=False, sig_len=n_hashes)
+    sets_ = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+    a = (sets_.withColumnRenamed(id_col, "id_a")
+         .withColumnRenamed("sh", "sh_a"))
+    b = (sets_.withColumnRenamed(id_col, "id_b")
+         .withColumnRenamed("sh", "sh_b"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("jaccard", set_jaccard_col("sh_a", "sh_b"))
+            .where(F.col("jaccard") >= tau)
             .select("id_a", "id_b", "est_jaccard", "jaccard"))
 
 

@@ -1218,3 +1218,53 @@ def test_corpus_doc_diff_one_sided_sources(spark):
     assert rows["fresh"].wc_new == 3
     assert rows["gone"].n_docs_removed == 1 and rows["gone"].wc_new == 0
     assert rows["gone"].wc_old == 2
+
+
+# --------------------------------------------- pre-tokenized payload chain
+
+def test_token_minhash_neardup_finds_planted_pairs(spark):
+    """North-rule payload: near-dup over (doc_id, tokens array<int>) — a
+    planted copy with the first 3 tokens dropped must be recovered with
+    the expected exact Jaccard (windows (n-2) vs (n-5), intersection
+    n-5 on distinct shingles of a repeat-free token stream)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(30):
+        toks = rng.choice(50_000, size=40, replace=False).astype("int64")
+        rows.append((i, toks.tolist()))
+        if i < 6:
+            rows.append((i + 10_000_000, toks[3:].tolist()))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id",
+                                                           "tokens"]))
+    res = dedup.token_minhash_neardup(df, w=3, tau=0.7).toPandas()
+    planted = res[(res.id_b - res.id_a) == 10_000_000]
+    assert set(planted.id_a) == set(range(6))
+    # repeat-free stream: 38 vs 35 distinct shingles, all 35 shared
+    assert np.allclose(planted.jaccard, 35 / 38)
+    # no spurious cross pairs between unrelated random docs
+    assert len(res) == len(planted)
+
+
+def test_token_shingle_rows_match_md5_text_chain(spark):
+    """Feeding md5-low64 word ids as the token array must reproduce the
+    text chain's shingles exactly — the two paths share one fold."""
+    import pandas as pd
+
+    from grenier_spark.operators.dedup import (_md5_shingle_rows,
+                                               token_shingle_rows)
+    from grenier_spark.functions.hashing import md5_tokens_col
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e f", "one two three four", "x y"]}))
+    via_text = (_md5_shingle_rows(docs, "text", "doc_id", 3)
+                .orderBy("doc_id", "shingle").toPandas())
+    tok = docs.select("doc_id", md5_tokens_col("text").alias("tokens"))
+    via_tokens = (token_shingle_rows(tok, "tokens", "doc_id", 3)
+                  .orderBy("doc_id", "shingle").toPandas())
+    pd.testing.assert_frame_equal(via_text, via_tokens)
+    # doc 3 has < w words: no shingles from either path
+    assert 3 not in set(via_tokens.doc_id)
