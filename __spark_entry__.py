@@ -971,6 +971,90 @@ FROM ({ks_exact_sql(src, "v", "_side", ["event_type"])})
 ORDER BY event_type"""
 
 
+def q_rolling_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period drift monitor (operators/drift.py
+    ks_window_shift_report): per anchor day, KS between the trailing
+    7-day window and the 7 days before it, from ONE per-day KLL build +
+    KB-blob trailing merges — with a PLANTED x3 value drift starting at
+    min_day + 10, so anchors whose windows straddle the cutoff must
+    flip the verdict and early anchors must not. Gate surface: exact
+    window KS + exact n_a/n_b (value-exact both engines: same 14-day
+    band expansion, count pivot, cumsum, double division), plus
+    Spark-real booleans (DuckDB literals): n_match (the merged sketches'
+    tracked n equals the exact window counts) and sketch_within_bound
+    (|ks_sketch - ks_exact| <= 0.12 — eps_a + eps_b + small-window
+    interpolation margin at k=200; KLL's eps survives any merge tree)."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        from grenier_spark.operators.drift import (ks_exact,
+                                                   ks_window_shift_report)
+
+        ev = _t(spark, sf_dir, "events").where("value IS NOT NULL")
+        day = F.datediff(F.to_date("ts"),
+                         F.lit("1970-01-01").cast("date")).cast("long")
+        base = ev.select(day.alias("day"),
+                         F.col("value").cast("double").alias("v0"))
+        mn = (base.agg(F.min("day").alias("_mn"))
+              .withColumn("_one", F.lit(0)))
+        src = (base.withColumn("_one", F.lit(0))
+               .join(F.broadcast(mn), "_one")
+               .withColumn("v", F.when(F.col("day") >= F.col("_mn") + 10,
+                                       F.col("v0") * 3.0)
+                           .otherwise(F.col("v0")))
+               .select("day", "v"))
+        rep = ks_window_shift_report(src, "v", "day", 7, k=200)
+        days = src.select("day").distinct()
+        anchors = (days.join(days.select((F.col("day") + 7).alias("day")),
+                             "day")
+                   .select(F.col("day").alias("anchor")))
+        expanded = (src.join(F.broadcast(anchors),
+                             (F.col("day") >= F.col("anchor") - 13)
+                             & (F.col("day") <= F.col("anchor")))
+                    .withColumn("_side",
+                                F.when(F.col("day") >= F.col("anchor") - 6,
+                                       F.lit("b")).otherwise(F.lit("a"))))
+        ex = ks_exact(expanded, "v", "_side", ["anchor"])
+        return (ex.join(rep.withColumnRenamed("day", "anchor")
+                        .withColumnRenamed("n_a", "_sna")
+                        .withColumnRenamed("n_b", "_snb"), "anchor")
+                .select(F.col("anchor").alias("day"), "n_a", "n_b",
+                        F.round("ks", 6).alias("ks_exact"),
+                        ((F.col("_sna") == F.col("n_a"))
+                         & (F.col("_snb") == F.col("n_b")))
+                        .alias("n_match"),
+                        (F.abs(F.col("ks_sketch") - F.col("ks")) <= 0.12)
+                        .alias("sketch_within_bound"),
+                        (F.col("ks") >= 0.2).alias("drifted"))
+                .orderBy("day"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def _rolling_ks_drift_oracle() -> str:
+    from grenier_spark.operators.drift import ks_exact_sql
+
+    src = """
+WITH base AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS day,
+                     value::DOUBLE AS v0
+              FROM events WHERE value IS NOT NULL),
+mn AS (SELECT MIN(day) AS m FROM base),
+src AS (SELECT day, CASE WHEN day >= m + 10 THEN v0 * (3.0::DOUBLE)
+                         ELSE v0 END AS v
+        FROM base CROSS JOIN mn),
+d AS (SELECT DISTINCT day FROM src),
+anch AS (SELECT c.day AS anchor FROM d c JOIN d p ON p.day = c.day - 7)
+SELECT a.anchor, s.v,
+       CASE WHEN s.day >= a.anchor - 6 THEN 'b' ELSE 'a' END AS _side
+FROM anch a JOIN src s ON s.day BETWEEN a.anchor - 13 AND a.anchor"""
+    return f"""
+SELECT anchor AS day, n_a, n_b, round(ks, 6) AS ks_exact,
+       TRUE AS n_match, TRUE AS sketch_within_bound,
+       ks >= (0.2::DOUBLE) AS drifted
+FROM ({ks_exact_sql(src, "v", "_side", ["anchor"])})
+ORDER BY day"""
+
+
 def _tfidf_source_terms_oracle() -> str:
     from grenier_spark.operators.textstats import tfidf_top_terms_sql
 
@@ -4232,6 +4316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_e2e": q_training_pipeline_e2e,
         "tokenized_pipeline_e2e": q_tokenized_pipeline_e2e,
         "value_ks_drift": q_value_ks_drift,
+        "rolling_ks_drift": q_rolling_ks_drift,
         "streaming_value_ks_drift": q_streaming_value_ks_drift,
         "tfidf_source_terms": q_tfidf_source_terms,
         "dsir_selection": q_dsir_selection,
@@ -5665,6 +5750,9 @@ FROM events GROUP BY 1, 2""",
         # exact KS is value-exact on both engines; the sketch bound is
         # the KLL rank guarantee (Spark computes it for real)
         "value_ks_drift": _value_ks_drift_oracle(),
+        # window KS + window counts are value-exact on both engines; the
+        # merged-sketch bound and n-tracking are Spark-real booleans
+        "rolling_ks_drift": _rolling_ks_drift_oracle(),
         "tfidf_source_terms": _tfidf_source_terms_oracle(),
         # the 8th streaming surface: exact original-vs-planted KS on both
         # engines; the live-sketch band is the KLL rank guarantee

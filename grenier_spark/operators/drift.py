@@ -87,6 +87,59 @@ def ks_sketch_report(df: DataFrame, value_col: str, side_col: str,
                      _ks("_ska", "_skb").alias("ks_sketch")))
 
 
+def ks_window_shift_report(df: DataFrame, value_col: str, period_col: str,
+                           window: int, k: int = 200) -> DataFrame:
+    """Period-over-period drift monitor: for every anchor period ``t``,
+    the KS statistic between the trailing ``window`` periods ending at
+    ``t`` (side b: ``t-window+1 .. t``) and the ``window`` periods
+    immediately before (side a: ``t-2*window+1 .. t-window``) — "did this
+    week's distribution move off last week's", per anchor, at a scale
+    where sorting any window is off the table.
+
+    ONE per-period KLL build over the raw values (values never shuffle);
+    both windows come from the same trailing merge
+    (``rolling_sketch_merge_ordered``): the previous window's sketch is
+    the trailing union ending at ``t - window``, so each anchor costs
+    <= 2*window KB-blob merges and the anchors are joined KB-row to
+    KB-row. An anchor emits iff both ``t`` and ``t - window`` are present
+    periods (a sparse-period series narrows windows by value, same
+    contract as the rolling quantile surfaces).
+
+    Returns (period, n_a, n_b, ks_sketch); n_a/n_b are EXACT window row
+    counts (KLL tracks n exactly), ks_sketch carries the merged-sketch
+    rank-guarantee budget |ks_sketch - ks_exact| <= eps_a + eps_b
+    (KLL's eps survives any merge tree, FOCS'16 Thm 1)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .rolling import rolling_sketch_merge_ordered
+    from .sketch_build import SketchSpec, build_sketches
+    from ..core.kll import KLL
+
+    src = df.where(F.col(value_col).isNotNull())
+    per = build_sketches(src, [SketchSpec.of("d", "kll", value_col, k=k)],
+                         group_cols=[period_col])
+    rolled = rolling_sketch_merge_ordered(per, period_col, window, "kll")
+
+    @pandas_udf("struct<n_a:bigint,n_b:bigint,ks:double>")
+    def _ks(a, b):
+        import pandas as pd
+        rows = []
+        for x, y in zip(a, b):
+            rows.append((int(KLL.from_bytes(bytes(x)).n),
+                         int(KLL.from_bytes(bytes(y)).n), kll_ks(x, y)))
+        return pd.DataFrame(rows, columns=["n_a", "n_b", "ks"])
+
+    prev = rolled.select(
+        (F.col(period_col) + window).alias(period_col),
+        F.col("sketch").alias("_ska"))
+    cur = rolled.select(period_col, F.col("sketch").alias("_skb"))
+    j = cur.join(prev, period_col)
+    return (j.select(period_col, _ks("_ska", "_skb").alias("r"))
+            .select(period_col, F.col("r.n_a").alias("n_a"),
+                    F.col("r.n_b").alias("n_b"),
+                    F.col("r.ks").alias("ks_sketch")))
+
+
 def ks_exact(df: DataFrame, value_col: str, side_col: str,
              group_cols: "list[str] | None" = None) -> DataFrame:
     """Exact two-sample KS per group: per-(group, value) side counts,

@@ -837,6 +837,7 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
     n_docs = tok.select("_id").distinct().count()
     dfs = sorted(r.df for r in dfreq.select("df").distinct().collect())
     if not dfs:  # empty/whitespace-only corpus: no terms, typed empty out
+        tok.unpersist()
         return spark.createDataFrame(
             [], f"{group_col} string, rank long, term string, tf long, "
                 f"df long, score double")
@@ -852,13 +853,18 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
               .withColumn("_neg", -F.col("score")))
     top = _bounded_topk(scored.select("g", "w", "_neg"),
                         "g", "w", "_neg", k)
-    return (top.join(scored.select("g", "w", "tf", "df", "score"),
-                     ["g", "w"])
-            .select(F.col("g").alias(group_col),
-                    F.col("rank").cast("long").alias("rank"),
-                    F.col("w").alias("term"),
-                    F.col("tf").cast("long").alias("tf"),
-                    F.col("df").cast("long").alias("df"), "score"))
+    out = (top.join(scored.select("g", "w", "tf", "df", "score"),
+                    ["g", "w"])
+           .select(F.col("g").alias(group_col),
+                   F.col("rank").cast("long").alias("rank"),
+                   F.col("w").alias("term"),
+                   F.col("tf").cast("long").alias("tf"),
+                   F.col("df").cast("long").alias("df"), "score"))
+    # <= groups*k rows: materialize eagerly (localCheckpoint truncates the
+    # plan) so the token-frame cache releases here, not on session GC
+    out = out.localCheckpoint()
+    tok.unpersist()
+    return out
 
 
 def tfidf_top_terms_sql(table_sql: str, text_col: str = "text",

@@ -102,3 +102,56 @@ def test_sketch_report_ungrouped(spark):
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["side", "v"]))
     r = ks_sketch_report(df, "v", "side").collect()
     assert len(r) == 1 and r[0].ks_sketch > 0.5
+
+
+def test_ks_window_shift_tracks_planted_shift(spark):
+    """20 daily periods of N(0,1), +3 location shift from day 10:
+    per-anchor window-vs-window KS must track the brute exact KS within
+    the merged rank-guarantee band, track n exactly, and the shift must
+    show only at anchors whose windows straddle day 10."""
+    from grenier_spark.operators.drift import ks_window_shift_report
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for d in range(20):
+        v = rng.normal(size=300) + (3.0 if d >= 10 else 0.0)
+        rows.append(pd.DataFrame({"day": d, "v": v}))
+    pdf = pd.concat(rows, ignore_index=True)
+    df = spark.createDataFrame(pdf)
+    rep = (ks_window_shift_report(df, "v", "day", window=5, k=200)
+           .orderBy("day").toPandas())
+    # anchors: days 5..19 (day and day-5 both present)
+    assert list(rep.day) == list(range(5, 20))
+    for r in rep.itertuples():
+        a = pdf[(pdf.day >= r.day - 9) & (pdf.day <= r.day - 5)].v.to_numpy()
+        b = pdf[(pdf.day >= r.day - 4) & (pdf.day <= r.day)].v.to_numpy()
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert abs(r.ks_sketch - brute_ks(a, b)) <= 0.05, r
+    by_day = rep.set_index("day").ks_sketch
+    # fully-straddling anchor is loud; fully-before and fully-after quiet
+    assert by_day[14] > 0.4
+    assert by_day[9] < 0.15 and by_day[19] < 0.15
+
+
+def test_ks_window_shift_sparse_periods(spark):
+    """Gaps: an anchor emits iff day and day-window are both present;
+    missing in-window days just narrow the union."""
+    from grenier_spark.operators.drift import ks_window_shift_report
+
+    pdf = pd.DataFrame({"day": [0]*50 + [1]*50 + [4]*50 + [5]*50,
+                        "v": np.arange(200, dtype=float)})
+    df = spark.createDataFrame(pdf)
+    rep = (ks_window_shift_report(df, "v", "day", window=2, k=200)
+           .orderBy("day").toPandas())
+    # present anchors with day-2 present: day 4 isn't (2 absent)... day 4-2=2 absent
+    # day 5: 3 absent -> no row either; day 1: -1 absent. Only pairs (0,?)..
+    # present days {0,1,4,5}; day-2 present only for day... none: {0-2,1-2,4-2,5-2} = {-2,-1,2,3}
+    assert len(rep) == 0
+    pdf2 = pd.DataFrame({"day": [0]*50 + [2]*50 + [3]*50,
+                         "v": np.arange(150, dtype=float)})
+    rep2 = (ks_window_shift_report(spark.createDataFrame(pdf2), "v", "day",
+                                   window=2, k=200).toPandas())
+    # day 2 (0 present): prev window = days {-1, 0} -> the 50 day-0 rows;
+    # cur window = days {1, 2} -> the 50 day-2 rows
+    assert len(rep2) == 1 and rep2.day[0] == 2
+    assert (rep2.n_a[0], rep2.n_b[0]) == (50, 50)
