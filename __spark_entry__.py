@@ -136,6 +136,33 @@ def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("reg").cast("long").alias("reg")))
 
 
+def q_hll_fold_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact HLL precision fold (core/hll.py fold_precision): ONE
+    build_sketches pass makes p=12, p=10 and p=8 sketches of
+    events.user_id; folding 12->8 and 10->8 must both be BIT-IDENTICAL
+    to the direct p=8 build (the reference refuses mixed-precision
+    merge, hll.ml:58-61 — the fold makes cross-precision fleets
+    mergeable without rescans). Gate surface: the folded-from-12
+    register dump (value-exact vs DuckDB's direct p=8 register SQL)
+    plus a Spark-real three-way agreement boolean (DuckDB literal)."""
+    ev = _t(spark, sf_dir, "events")
+    res = build_sketches(ev, [SketchSpec.of("h12", "hll", "user_id", p=12),
+                              SketchSpec.of("h10", "hll", "user_id", p=10),
+                              SketchSpec.of("h8", "hll", "user_id", p=8)])
+    from grenier_spark.core import hll as H
+    # exactly 3 KB-scale sketch rows cross the driver — same bound class
+    # as every other register-dump gate
+    blobs = {r.sketch_name: bytes(r.sketch) for r in res.collect()}
+    f12 = H.fold_precision(H.from_bytes(blobs["h12"]), 8)
+    f10 = H.fold_precision(H.from_bytes(blobs["h10"]), 8)
+    d8 = H.from_bytes(blobs["h8"])
+    agree = bool(np.array_equal(f12, d8) and np.array_equal(f10, d8))
+    pdf = pd.DataFrame({"j": np.arange(256, dtype=np.int64),
+                        "reg": f12[1:].astype(np.int64),
+                        "fold_agree": agree})
+    return spark.createDataFrame(pdf)
+
+
 def q_jump_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jump-consistent bucket of every distinct user (reference
     jmphash/jmphash.ml:1-14, integer variant, bit-exact)."""
@@ -4392,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_gap_window": q_order_gap_window,
         "set_ops_customers": q_set_ops_customers,
         "rollup_nation_segment": q_rollup_nation_segment,
+        "hll_fold_registers": q_hll_fold_registers,
     }
 
 
@@ -5325,6 +5353,13 @@ SELECT COALESCE(n_name, 'ALL') AS nation,
        SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))::BIGINT AS acctbal_cents
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, c_mktsegment)""",
+        # folded registers are value-exact vs the DIRECT p=8 register SQL
+        # (the fold theorem); the three-way agreement boolean is Spark-real
+        "hll_fold_registers": f"""
+SELECT j, reg, TRUE AS fold_agree
+FROM ({hll_registers_sql(
+            "SELECT user_id::UHUGEINT AS k FROM events", "k", 8)})
+ORDER BY j""",
         "ann_ivf_topk": ann_ivf_sql(
             "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
             "FROM embeddings",

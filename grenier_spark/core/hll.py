@@ -148,6 +148,63 @@ def merge(into: np.ndarray, other: np.ndarray) -> None:
     np.maximum(into[1:], other[1:], out=into[1:])
 
 
+def fold_precision(t: np.ndarray, p_new: int) -> np.ndarray:
+    """EXACT precision downgrade p -> p_new (p_new <= p): the returned
+    sketch is bit-identical to one built directly at ``p_new`` from the
+    same hash stream.
+
+    The reference refuses to merge mixed precisions (Q6, hll.ml:58-61);
+    this extension makes a p=14 fleet sketch mergeable with a p=10
+    archive without rescanning. Exactness: with low-p-bit bucketing
+    (hll.ml:48) and trailing-zero rho (hll.ml:40-43), a hash x in
+    high-p bucket ``j`` lands in low-p bucket ``j' = j mod 2**p_new``
+    with the split bits ``u = j >> p_new`` PREPENDED to the rho word
+    ``w' = u | (w << d)``, ``d = p - p_new``. So per source register r:
+
+    * u != 0: ctz(w') = ctz(u) regardless of w — every hash that ever
+      hit bucket j contributes the constant ``ctz(u) + 1``;
+    * u == 0: ctz(w') = ctz(w) + d, i.e. ``r + d`` (the ``rho(0) = 64``
+      sentinel maps to itself: w == 0 -> w' == 0).
+
+    Both transforms are monotone in r per bucket, so they commute with
+    the register max — folding the maxima equals the max of folds.
+    """
+    p = int(t[0])
+    if not (P_MIN <= p_new <= p):
+        raise ValueError(
+            f"fold_precision: need {P_MIN} <= p_new <= p={p}, got {p_new}")
+    if p_new == p:
+        return t.copy()
+    d = p - p_new
+    m_new = 1 << p_new
+    # rows: u = j >> p_new (C-order reshape: reg[u, j'] == reg[u*m_new + j'])
+    reg = t[1:].reshape(1 << d, m_new)
+    hit = reg > 0
+    # u == 0 row: r + d, sentinel 64 fixed (r <= 64-p+1 < 64 for real w)
+    r0 = reg[0].astype(np.int64)
+    row0 = np.where(r0 == 64, 64, r0 + d)
+    row0[~hit[0]] = 0
+    # u != 0 rows: constant ctz(u)+1 wherever the bucket was ever hit
+    u = np.arange(1, 1 << d, dtype=np.uint64)
+    const = get_rho(u).astype(np.int64)  # 1 + ctz(u) for u != 0
+    folded = np.where(hit[1:], const[:, None], 0)
+    out = make_p(p_new)
+    out[1:] = np.maximum(row0, folded.max(axis=0)).astype(np.uint8)
+    return out
+
+
+def merge_fold(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Cross-precision merge: fold the finer sketch down to the coarser
+    precision (exact, :func:`fold_precision`), then byte-max merge.
+    Returns a NEW sketch at ``min(p_a, p_b)``; inputs are untouched."""
+    pa, pb = int(a[0]), int(b[0])
+    lo = min(pa, pb)
+    out = fold_precision(a, lo) if pa > lo else a.copy()
+    other = fold_precision(b, lo) if pb > lo else b
+    merge(out, other)
+    return out
+
+
 def merge_many(sketches: "list[np.ndarray] | np.ndarray") -> np.ndarray:
     """Associative fold of :func:`merge` over a batch (columnar fast path)."""
     arr = np.asarray(sketches, dtype=np.uint8)

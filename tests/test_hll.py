@@ -216,3 +216,60 @@ def test_sparse_decode_rejects_corrupt_indices():
         hll.from_bytes_any(blob(8, [5, 5], [9, 3]))
     t = hll.from_bytes_any(blob(8, [3, 7], [2, 6]))  # canonical: fine
     assert t[1 + 3] == 2 and t[1 + 7] == 6
+
+
+def test_fold_precision_equals_direct_build():
+    """fold_precision(build_p(p), p') is BIT-IDENTICAL to building at p'
+    directly — over random (p, p') pairs, sizes incl. 0, and the
+    rho(0)=64 sentinel regime (hashes with x >> p == 0)."""
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        n = int(rng.integers(0, 4000))
+        h = bits.wang64(rng.integers(0, 1 << 63, size=n, dtype=np.uint64))
+        p = int(rng.integers(5, 16))
+        p2 = int(rng.integers(4, p + 1))
+        a = hll.make_p(p)
+        hll.add_batch(a, h)
+        direct = hll.make_p(p2)
+        hll.add_batch(direct, h)
+        assert np.array_equal(hll.fold_precision(a, p2), direct), (p, p2, n)
+    # sentinel: raw values < 2**p give w == 0 -> rho = 64; the fold must
+    # keep 64 in the u == 0 bucket and emit ctz(u)+1 elsewhere
+    xs = np.array([5, 7, 300, (1 << 12) - 1], dtype=np.uint64)
+    a = hll.make_p(12)
+    hll.add_batch(a, xs)
+    direct = hll.make_p(8)
+    hll.add_batch(direct, xs)
+    assert np.array_equal(hll.fold_precision(a, 8), direct)
+
+
+def test_fold_precision_identity_and_validation():
+    a = hll.make_p(9)
+    hll.add_batch(a, bits.wang64(np.arange(100, dtype=np.uint64)))
+    same = hll.fold_precision(a, 9)
+    assert np.array_equal(same, a) and same is not a
+    with pytest.raises(ValueError, match="fold_precision"):
+        hll.fold_precision(a, 10)  # upsampling is impossible
+    with pytest.raises(ValueError, match="fold_precision"):
+        hll.fold_precision(a, 3)   # below P_MIN
+
+
+def test_merge_fold_cross_precision_union():
+    """merge_fold folds the finer side exactly, so the cross-precision
+    merge equals a from-scratch union build at min(p_a, p_b) — in both
+    argument orders; inputs stay untouched."""
+    rng = np.random.default_rng(12)
+    h1 = bits.wang64(rng.integers(0, 1 << 63, 1500, dtype=np.uint64))
+    h2 = bits.wang64(rng.integers(0, 1 << 63, 900, dtype=np.uint64))
+    a = hll.make_p(14)
+    hll.add_batch(a, h1)
+    b = hll.make_p(9)
+    hll.add_batch(b, h2)
+    a0, b0 = a.copy(), b.copy()
+    union = hll.make_p(9)
+    hll.add_batch(union, np.concatenate([h1, h2]))
+    assert np.array_equal(hll.merge_fold(a, b), union)
+    assert np.array_equal(hll.merge_fold(b, a), union)
+    assert np.array_equal(a, a0) and np.array_equal(b, b0)
+    # equal precisions: plain merge semantics
+    assert np.array_equal(hll.merge_fold(b, union), union)
