@@ -1082,6 +1082,42 @@ FROM ({ks_exact_sql(src, "v", "_side", ["anchor"])})
 ORDER BY day"""
 
 
+def _hll_cube_tokens_oracle() -> str:
+    from grenier_spark.functions.sql_oracles import (hll_card_sql,
+                                                     md5_low64_expr)
+
+    tok = ("SELECT source, lang, " + md5_low64_expr("token") + " AS k FROM ("
+           "SELECT source, lang, unnest(string_split(text, ' ')) AS token "
+           "FROM documents)")
+    # one estimator invocation per grouping set; merge associativity makes
+    # Spark's blob-merged estimates equal these direct per-cell builds
+    e_sl = hll_card_sql(tok, "k", 12, group_cols=["source", "lang"])
+    e_s = hll_card_sql(tok, "k", 12, group_cols=["source"])
+    e_l = hll_card_sql(tok, "k", 12, group_cols=["lang"])
+    e_g = hll_card_sql(tok, "k", 12)
+    return f"""
+WITH tok AS ({tok}),
+ests AS (
+  SELECT source, lang, est FROM ({e_sl})
+  UNION ALL SELECT source, 'ALL' AS lang, est FROM ({e_s})
+  UNION ALL SELECT 'ALL' AS source, lang, est FROM ({e_l})
+  UNION ALL SELECT 'ALL' AS source, 'ALL' AS lang, est FROM ({e_g})
+),
+ex AS (
+  SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+         COUNT(DISTINCT k)::BIGINT AS n_exact
+  FROM tok GROUP BY CUBE (source, lang)
+),
+nd AS (
+  SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+         COUNT(*)::BIGINT AS n_docs
+  FROM documents GROUP BY CUBE (source, lang)
+)
+SELECT source, lang, n_docs, n_exact, round(est, 6) AS est_tokens
+FROM ests JOIN ex USING (source, lang) JOIN nd USING (source, lang)
+ORDER BY source, lang"""
+
+
 def _tfidf_source_terms_oracle() -> str:
     from grenier_spark.operators.textstats import tfidf_top_terms_sql
 
@@ -3549,6 +3585,50 @@ def q_token_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_values").alias("n_tokens"))
 
 
+def q_hll_cube_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch CUBE: distinct-token estimates for every (source, lang)
+    GROUPING SET — (s, l), (s, ALL), (ALL, l), (ALL, ALL) — from ONE
+    leaf-level build_sketches pass; every non-leaf cell is a register-max
+    merge of KB leaf blobs (merge_partials), never a rescan. At 10^12
+    rows this is the whole-cube-from-one-scan pattern: the token scan
+    happens once, the lattice is sketch algebra. Gate surface: per cell,
+    exact distinct tokens (Spark CUBE count_distinct == DuckDB CUBE),
+    exact n_docs (summed through the merge tree), and the HLL++ estimate
+    itself value-exact vs DuckDB's 0-ULP estimator SQL replayed per
+    grouping set (merge associativity makes blob-merge estimates equal
+    direct per-cell builds bit-for-bit)."""
+    from grenier_spark.operators.sketch_build import merge_partials
+
+    docs = _tokenized_docs(spark, sf_dir)
+    leaf = build_sketches(
+        docs, [SketchSpec.of("h", "hll", "tokens", p=12)],
+        group_cols=["source", "lang"]).localCheckpoint()  # <=100 KB rows
+    kind_of = {"h": "hll"}
+    lvls = [leaf]
+    for src_all, lang_all in ((False, True), (True, False), (True, True)):
+        up = leaf
+        if src_all:
+            up = up.withColumn("source", F.lit("ALL"))
+        if lang_all:
+            up = up.withColumn("lang", F.lit("ALL"))
+        lvls.append(merge_partials(up, kind_of, ["source", "lang"]))
+    cells = lvls[0]
+    for lv in lvls[1:]:
+        cells = cells.unionByName(lv)
+    est = cells.select("source", "lang",
+                       F.col("n_rows").alias("n_docs"),
+                       F.round(hll_card_col("sketch"), 6).alias("est_tokens"))
+    tok = docs.select("source", "lang", F.explode("tokens").alias("t"))
+    exact = (tok.cube("source", "lang")
+             .agg(F.count_distinct("t").alias("n_exact"))
+             .select(F.coalesce("source", F.lit("ALL")).alias("source"),
+                     F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                     F.col("n_exact").cast("long").alias("n_exact")))
+    return (est.join(exact, ["source", "lang"])
+            .select("source", "lang", "n_docs", "n_exact", "est_tokens")
+            .orderBy("source", "lang"))
+
+
 def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE-PASS multi-sketch corpus profile: a single build_sketches scan
     produces, per source, the HLL distinct-token estimate, the KMV kept-set
@@ -4420,6 +4500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": q_set_ops_customers,
         "rollup_nation_segment": q_rollup_nation_segment,
         "hll_fold_registers": q_hll_fold_registers,
+        "hll_cube_tokens": q_hll_cube_tokens,
     }
 
 
@@ -5360,6 +5441,9 @@ SELECT j, reg, TRUE AS fold_agree
 FROM ({hll_registers_sql(
             "SELECT user_id::UHUGEINT AS k FROM events", "k", 8)})
 ORDER BY j""",
+        # exact counts AND the per-cell HLL++ estimates are value-exact on
+        # both engines (merge associativity == direct per-cell build)
+        "hll_cube_tokens": _hll_cube_tokens_oracle(),
         "ann_ivf_topk": ann_ivf_sql(
             "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
             "FROM embeddings",
