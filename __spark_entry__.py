@@ -43,6 +43,7 @@ from grenier_spark.functions import (hll_card_col, hll_merge_col,
 from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  ann_pq_sql,
                                                  ann_rademacher_sql,
+                                                 bloom_bits_sql,
                                                  bloom_membership_sql,
                                                  cms_cells_sql,
                                                  cms_point_sql,
@@ -2277,6 +2278,43 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bloom_contains_col("sketch", "user_id").alias("present"))
 
 
+def q_sketch_fold_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CMS + Bloom shrinking (core/countmin.py CountMin.fold,
+    core/bloom.py Bloom.fold): ONE build pass makes CMS(4,512,7) and
+    Bloom(4096,5,7) over events.user_id plus their direct small-config
+    twins; folding (4,512)->(2,128) and m 4096->1024 must be
+    BYTE-IDENTICAL to the direct builds (depth rows keep their salts,
+    width/m divisors commute with the modulus). Gate surface: the
+    folded CMS non-zero cells and Bloom set-bit indices, value-exact vs
+    DuckDB's direct small-config SQL twins, plus a Spark-real byte-
+    equality boolean. At fleet scale this merges heterogeneous sketch
+    configs at the coarsest one without rescans."""
+    from grenier_spark.core.bloom import Bloom
+    from grenier_spark.core.countmin import CountMin
+
+    ev = _t(spark, sf_dir, "events")
+    res = build_sketches(ev, [
+        SketchSpec.of("c", "cms", "user_id", depth=4, width=512, seed=7),
+        SketchSpec.of("c2", "cms", "user_id", depth=2, width=128, seed=7),
+        SketchSpec.of("b", "bloom", "user_id", m=4096, k=5, seed=7),
+        SketchSpec.of("b2", "bloom", "user_id", m=1024, k=5, seed=7)])
+    # exactly 4 KB-scale sketch rows cross the driver (register-dump bound)
+    blobs = {r.sketch_name: bytes(r.sketch) for r in res.collect()}
+    fc = CountMin.from_bytes(blobs["c"]).fold(2, 128)
+    fb = Bloom.from_bytes(blobs["b"]).fold(1024)
+    agree = (fc.to_bytes() == blobs["c2"] and fb.to_bytes() == blobs["b2"])
+    rows, cols = np.nonzero(fc.counts)
+    pdf = pd.concat([
+        pd.DataFrame({"kind": "cms", "row": rows.astype(np.int64),
+                      "col": cols.astype(np.int64),
+                      "val": fc.counts[rows, cols].astype(np.int64)}),
+        pd.DataFrame({"kind": "bloom", "row": np.int64(0),
+                      "col": np.nonzero(fb.bits)[0].astype(np.int64),
+                      "val": np.int64(1)})], ignore_index=True)
+    pdf["fold_agree"] = agree
+    return spark.createDataFrame(pdf)
+
+
 def q_jump_relocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimal-relocation property surfaced as a query: distinct users
     bucketed at n=32 and n=33; moved count vs total
@@ -4501,6 +4539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_nation_segment": q_rollup_nation_segment,
         "hll_fold_registers": q_hll_fold_registers,
         "hll_cube_tokens": q_hll_cube_tokens,
+        "sketch_fold_cells": q_sketch_fold_cells,
     }
 
 
@@ -5444,6 +5483,15 @@ ORDER BY j""",
         # exact counts AND the per-cell HLL++ estimates are value-exact on
         # both engines (merge associativity == direct per-cell build)
         "hll_cube_tokens": _hll_cube_tokens_oracle(),
+        # folded CMS cells / Bloom bits are value-exact vs the direct
+        # small-config SQL twins; the byte-equality boolean is Spark-real
+        "sketch_fold_cells": f"""
+SELECT 'cms' AS kind, row, col, cnt AS val, TRUE AS fold_agree
+FROM ({cms_cells_sql("SELECT user_id FROM events", "user_id", 2, 128, 7)})
+UNION ALL
+SELECT 'bloom' AS kind, 0::BIGINT AS row, pos AS col, 1::BIGINT AS val, TRUE
+FROM ({bloom_bits_sql("SELECT user_id FROM events", "user_id", 1024, 5, 7)})
+ORDER BY kind, row, col""",
         "ann_ivf_topk": ann_ivf_sql(
             "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
             "FROM embeddings",

@@ -78,6 +78,21 @@ class Bloom:
             raise ValueError("merge: bloom configs must be identical")
         np.bitwise_or(self.bits, other.bits, out=self.bits)
 
+    def fold(self, m_new: int) -> "Bloom":
+        """EXACT shrink to m_new bits (``m_new | m`` required): OR-ing
+        bit groups congruent mod m_new is bit-identical to a filter
+        built directly at m_new, because every probe position
+        ``(h1 + i*h2) % m % m_new == (h1 + i*h2) % m_new``. k and seed
+        are unchanged (k cannot fold: bits from the dropped hash rows
+        are not separable). Enables merging heterogeneous Bloom fleets
+        at the coarsest size without rescans — fpr degrades exactly as
+        a native m_new filter's would, no worse."""
+        m2 = int(m_new)
+        if not (1 <= m2 <= self.m) or self.m % m2:
+            raise ValueError(f"fold: m_new must divide m={self.m}, got {m2}")
+        bits = self.bits.reshape(self.m // m2, m2).max(axis=0)
+        return Bloom(m2, self.k, self.seed, bits=bits)
+
     def fill_ratio(self) -> float:
         return float(np.count_nonzero(self.bits)) / self.m
 

@@ -103,6 +103,30 @@ class CountMin:
         self.counts += other.counts
         self.total += other.total
 
+    def fold(self, depth_new: "int | None" = None,
+             width_new: "int | None" = None) -> "CountMin":
+        """EXACT shrink to (depth_new, width_new): bit-identical to a
+        sketch built directly at the smaller config from the same stream.
+
+        Depth: row i's column hash is salted by ``seed + i + 1``
+        independent of depth, so keeping the FIRST depth_new rows equals
+        a direct depth_new build. Width: requires ``width_new | width``
+        — then ``h % width % width_new == h % width_new``, so summing
+        cells congruent mod width_new equals direct width_new counts
+        (weighted inserts included; the estimate only loosens by the
+        published eps = e/width_new). Enables merging heterogeneous
+        CMS fleets at the coarsest config without rescans."""
+        d2 = self.depth if depth_new is None else int(depth_new)
+        w2 = self.width if width_new is None else int(width_new)
+        if not (1 <= d2 <= self.depth):
+            raise ValueError(f"fold: need 1 <= depth_new <= {self.depth}")
+        if not (1 <= w2 <= self.width) or self.width % w2:
+            raise ValueError(
+                f"fold: width_new must divide width={self.width}, got {w2}")
+        counts = (self.counts[:d2]
+                  .reshape(d2, self.width // w2, w2).sum(axis=1))
+        return CountMin(d2, w2, self.seed, counts=counts, total=self.total)
+
     def to_bytes(self) -> bytes:
         return _HDR.pack(_MAGIC, self.depth, self.width, self.seed,
                          self.total) + self.counts.tobytes()

@@ -151,6 +151,27 @@ GROUP BY 1, 2
 ORDER BY row, col"""
 
 
+def bloom_bits_sql(members_sql: str, key_col: str, m: int, k: int,
+                   seed: int) -> str:
+    """Set-bit indices of a Bloom(m, k, seed) over a key stream — the
+    direct-build twin for fold gates (core/bloom.py Bloom.fold)."""
+    s1 = chain_selects(f"SELECT ({seed + 1})::UHUGEINT AS a",
+                       splitmix64_stages("a", "s1", "_x"))
+    s2 = chain_selects(f"SELECT ({seed + 2})::UHUGEINT AS b",
+                       splitmix64_stages("b", "s2", "_y"))
+    hashed = chain_selects(
+        f"SELECT t.{key_col}, xor(t.{key_col}::UHUGEINT, q1.s1) AS k1, "
+        f"xor(t.{key_col}::UHUGEINT, q2.s2) AS k2 "
+        f"FROM ({members_sql}) t, ({s1}) q1, ({s2}) q2",
+        wang64_stages("k1", "h1", "_a"))
+    hashed = chain_selects(hashed, wang64_stages("k2", "h2r", "_b"))
+    return f"""
+SELECT DISTINCT ((((h1 + i.i::UHUGEINT * (h2r | 1::UHUGEINT)) % {M})
+                 % {m}::UHUGEINT))::BIGINT AS pos
+FROM ({hashed}) CROSS JOIN generate_series(0, {k - 1}) AS i(i)
+ORDER BY pos"""
+
+
 def bloom_membership_sql(members_sql: str, cands_sql: str, key_col: str,
                          m: int, k: int, seed: int) -> str:
     """Bloom membership test per candidate key, matching core/bloom.py:

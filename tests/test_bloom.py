@@ -64,3 +64,31 @@ def test_from_bytes_rejects_truncation():
 def test_seed_must_fit_u32():
     with pytest.raises(ValueError, match="32-bit"):
         Bloom(64, 3, seed=-1)
+
+
+def test_fold_equals_direct_build():
+    """fold(m') (m' | m) is bit-identical to a filter built directly at
+    m' — every probe position folds as (h % m) % m' == h % m'."""
+    rng = np.random.default_rng(22)
+    for _ in range(15):
+        n = int(rng.integers(0, 3000))
+        keys = rng.integers(0, 1 << 63, n, dtype=np.uint64)
+        m = int(rng.choice([1024, 4096, 3000]))
+        k = int(rng.integers(1, 6))
+        seed = int(rng.integers(0, 100))
+        bf = Bloom(m, k, seed)
+        bf.update_batch(keys)
+        m2 = int(rng.choice([x for x in [8, 64, 125, 250, 256, 512, 1024]
+                             if m % x == 0]))
+        direct = Bloom(m2, k, seed)
+        direct.update_batch(keys)
+        f = bf.fold(m2)
+        assert np.array_equal(f.bits, direct.bits), (m, m2, k, seed)
+        assert f.to_bytes() == direct.to_bytes()
+        # no false negatives through the fold, same as a native m' filter
+        if n:
+            assert f.contains(keys).all()
+    bf = Bloom(1024, 3, 1)
+    for bad in (100, 2048, 0):
+        with pytest.raises(ValueError, match="fold"):
+            bf.fold(bad)

@@ -87,3 +87,34 @@ def test_seed_must_fit_u32():
 
     with pytest.raises(ValueError, match="32-bit"):
         CountMin(2, 8, seed=1 << 32)
+
+
+def test_fold_equals_direct_build():
+    """fold(depth', width') is bit-identical to building directly at the
+    smaller config — random configs, weighted and unweighted streams,
+    non-power-of-two widths; width' must divide width."""
+    rng = np.random.default_rng(21)
+    for trial in range(15):
+        n = int(rng.integers(0, 3000))
+        keys = rng.integers(0, 1 << 63, n, dtype=np.uint64)
+        w = rng.integers(1, 9, n).astype(np.int64) if trial % 2 else None
+        d = int(rng.integers(1, 6))
+        wd = int(rng.choice([64, 128, 384, 512, 1000]))
+        seed = int(rng.integers(0, 100))
+        cm = CountMin(d, wd, seed)
+        cm.update_batch(keys, w)
+        d2 = int(rng.integers(1, d + 1))
+        w2 = int(rng.choice([x for x in range(1, wd + 1) if wd % x == 0]))
+        direct = CountMin(d2, w2, seed)
+        direct.update_batch(keys, w)
+        f = cm.fold(d2, w2)
+        assert np.array_equal(f.counts, direct.counts), (d, wd, d2, w2)
+        assert f.total == direct.total
+        assert f.to_bytes() == direct.to_bytes()
+    cm = CountMin(4, 512, 7)
+    with pytest.raises(ValueError, match="fold"):
+        cm.fold(depth_new=5)
+    with pytest.raises(ValueError, match="fold"):
+        cm.fold(width_new=100)  # 100 does not divide 512
+    with pytest.raises(ValueError, match="fold"):
+        cm.fold(depth_new=0)
