@@ -68,6 +68,8 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  semdedup_sql,
                                                  simhash_pairs_sql,
                                                  token_minhash_neardup_sql)
+from grenier_spark.functions.sql_oracles import (_SIGNED64,  # fold gate
+                                                 _kmv_kept_cte)
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
 from grenier_spark.operators.textstats import BPE_ISH_PATTERN as _BPE_PATTERN
 from grenier_spark.operators.textstats import (pmi_collocations_sql,
@@ -2291,18 +2293,23 @@ def q_sketch_fold_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     configs at the coarsest one without rescans."""
     from grenier_spark.core.bloom import Bloom
     from grenier_spark.core.countmin import CountMin
+    from grenier_spark.core.kmv import KMV
 
     ev = _t(spark, sf_dir, "events")
     res = build_sketches(ev, [
         SketchSpec.of("c", "cms", "user_id", depth=4, width=512, seed=7),
         SketchSpec.of("c2", "cms", "user_id", depth=2, width=128, seed=7),
         SketchSpec.of("b", "bloom", "user_id", m=4096, k=5, seed=7),
-        SketchSpec.of("b2", "bloom", "user_id", m=1024, k=5, seed=7)])
-    # exactly 4 KB-scale sketch rows cross the driver (register-dump bound)
+        SketchSpec.of("b2", "bloom", "user_id", m=1024, k=5, seed=7),
+        SketchSpec.of("v", "kmv", "user_id", k=128),
+        SketchSpec.of("v2", "kmv", "user_id", k=32)])
+    # exactly 6 KB-scale sketch rows cross the driver (register-dump bound)
     blobs = {r.sketch_name: bytes(r.sketch) for r in res.collect()}
     fc = CountMin.from_bytes(blobs["c"]).fold(2, 128)
     fb = Bloom.from_bytes(blobs["b"]).fold(1024)
-    agree = (fc.to_bytes() == blobs["c2"] and fb.to_bytes() == blobs["b2"])
+    fv = KMV.from_bytes(blobs["v"]).fold(32)
+    agree = (fc.to_bytes() == blobs["c2"] and fb.to_bytes() == blobs["b2"]
+             and fv.to_bytes() == blobs["v2"])
     rows, cols = np.nonzero(fc.counts)
     pdf = pd.concat([
         pd.DataFrame({"kind": "cms", "row": rows.astype(np.int64),
@@ -2310,7 +2317,11 @@ def q_sketch_fold_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "val": fc.counts[rows, cols].astype(np.int64)}),
         pd.DataFrame({"kind": "bloom", "row": np.int64(0),
                       "col": np.nonzero(fb.bits)[0].astype(np.int64),
-                      "val": np.int64(1)})], ignore_index=True)
+                      "val": np.int64(1)}),
+        pd.DataFrame({"kind": "kmv", "row": np.int64(0),
+                      "col": np.arange(len(fv.values), dtype=np.int64),
+                      "val": fv.values.view(np.int64)})],
+        ignore_index=True)
     pdf["fold_agree"] = agree
     return spark.createDataFrame(pdf)
 
@@ -5491,6 +5502,11 @@ FROM ({cms_cells_sql("SELECT user_id FROM events", "user_id", 2, 128, 7)})
 UNION ALL
 SELECT 'bloom' AS kind, 0::BIGINT AS row, pos AS col, 1::BIGINT AS val, TRUE
 FROM ({bloom_bits_sql("SELECT user_id FROM events", "user_id", 1024, 5, 7)})
+UNION ALL
+SELECT 'kmv' AS kind, 0::BIGINT AS row, (rn - 1)::BIGINT AS col,
+       {_SIGNED64.format(h="h")} AS val, TRUE
+FROM ({_kmv_kept_cte("SELECT user_id::UHUGEINT AS uk FROM events",
+                     "uk", 32, [])})
 ORDER BY kind, row, col""",
         "ann_ivf_topk": ann_ivf_sql(
             "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "

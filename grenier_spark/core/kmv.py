@@ -72,6 +72,17 @@ class KMV:
         self.values = np.union1d(self.values, other.values)[:self.k]
         return self
 
+    def fold(self, k_new: int) -> "KMV":
+        """EXACT shrink to k_new <= k: the kept set is the k smallest
+        distinct hashes, so its first k_new entries ARE the k_new
+        smallest — identical to a direct k_new build over the same
+        stream. Makes mixed-k theta fleets mergeable/comparable at the
+        coarsest k without rescans (jaccard/a_not_b require equal k)."""
+        k2 = int(k_new)
+        if not (2 <= k2 <= self.k):
+            raise ValueError(f"fold: need 2 <= k_new <= k={self.k}")
+        return KMV(k2, values=self.values[:k2].copy())
+
     def estimate(self) -> float:
         """Distinct-count estimate: exact while fewer than k distinct
         hashes were kept, else the unbiased (k-1)/U_(k)."""

@@ -150,3 +150,39 @@ def test_jaccard_exact_in_small_regime():
     assert matched == 20
     assert jacc == 20 / 100
     assert inter == pytest.approx(20.0)
+
+
+def test_fold_equals_direct_build():
+    """fold(k') keeps the k' smallest of the k smallest — bit-identical
+    (bytes included) to a direct k' build; jaccard after fold matches
+    two native k' sketches."""
+    rng = np.random.default_rng(31)
+    for _ in range(10):
+        n = int(rng.integers(0, 5000))
+        keys = rng.integers(0, 1 << 62, n, dtype=np.int64)
+        k = int(rng.integers(8, 512))
+        k2 = int(rng.integers(2, k + 1))
+        a = KMV(k)
+        a.update_batch(keys)
+        direct = KMV(k2)
+        direct.update_batch(keys)
+        f = a.fold(k2)
+        assert np.array_equal(f.values, direct.values) and f.k == k2
+        assert f.to_bytes() == direct.to_bytes()
+    a = KMV(64)
+    with pytest.raises(ValueError, match="fold"):
+        a.fold(65)
+    with pytest.raises(ValueError, match="fold"):
+        a.fold(1)
+    # mixed-k fleets: fold then merge == one native coarse build
+    k1, k2 = 128, 32
+    s1 = rng.integers(0, 1 << 62, 2000, dtype=np.int64)
+    s2 = rng.integers(0, 1 << 62, 1500, dtype=np.int64)
+    a = KMV(k1)
+    a.update_batch(s1)
+    b = KMV(k2)
+    b.update_batch(s2)
+    u = KMV(k2)
+    u.update_batch(np.concatenate([s1, s2]))
+    merged = a.fold(k2).merge(b)
+    assert np.array_equal(merged.values, u.values)
