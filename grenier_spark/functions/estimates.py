@@ -56,6 +56,21 @@ def hll_merge_col(a: "Column | str", b: "Column | str") -> Column:
     return _m(_col(a), _col(b))
 
 
+def hll_fold_col(col: "Column | str", p_new: int) -> Column:
+    """Fold a column of serialized HLL states down to precision ``p_new``
+    (EXACT — bit-identical to direct p_new builds, core/hll.py
+    fold_precision). The production face of cross-precision merging: fold
+    a p=14 pipeline's sketch table to match a p=10 archive, then merge —
+    KB blobs in, KB blobs out, no rescan of the data that built them."""
+
+    @pandas_udf("binary")
+    def _f(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: hll.to_bytes(
+            hll.fold_precision(hll.from_bytes_any(bytes(b)), p_new)))
+
+    return _f(_col(col))
+
+
 def hll_card_orig_col(col: "Column | str") -> Column:
     """Original-paper 32-bit-range HLL estimate (``core.hll.card_hll``,
     hll.ml:97-112) of a serialized HLL state — kept alongside

@@ -746,3 +746,31 @@ def test_mom_distributed_build_matches_fsum(spark, docs_df):
         assert m.n == len(vals[r.source])
         for got, exp in zip(m.sums(), expect(vals[r.source])):
             assert got == pytest.approx(exp, rel=1e-15), r.source
+
+
+def test_hll_fold_col_distributed_parity(spark, docs_df):
+    """hll_fold_col over a table of serialized p=12 group sketches emits
+    bytes IDENTICAL to a direct p=9 build of the same groups, and the
+    folded blobs merge with native p=9 blobs (the cross-precision
+    archive-merge story, all on KB rows)."""
+    from grenier_spark.core import hll as H
+    from grenier_spark.functions import hll_fold_col
+
+    hi = build_sketches(docs_df, [SketchSpec.of("h", "hll", "tokens", p=12)],
+                        group_cols=["source"])
+    lo = build_sketches(docs_df, [SketchSpec.of("h", "hll", "tokens", p=9)],
+                        group_cols=["source"])
+    folded = (hi.select("source", hll_fold_col("sketch", 9).alias("f"))
+              .toPandas().set_index("source").f.map(bytes))
+    direct = {r.source: bytes(r.sketch) for r in lo.collect()}
+    assert set(folded.index) == set(direct)
+    for s, b in folded.items():
+        assert b == direct[s], s
+    # folded blob merges with a native p=9 blob: equals the union build
+    srcs = sorted(direct)
+    a, b = H.from_bytes(folded[srcs[0]]), H.from_bytes(direct[srcs[1]])
+    H.merge(a, b)
+    union = build_sketches(
+        docs_df.where(docs_df.source.isin(srcs[:2])),
+        [SketchSpec.of("h", "hll", "tokens", p=9)]).collect()[0]
+    assert H.to_bytes(a) == bytes(union.sketch)
