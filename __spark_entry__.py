@@ -3645,7 +3645,9 @@ def q_hll_cube_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact n_docs (summed through the merge tree), and the HLL++ estimate
     itself value-exact vs DuckDB's 0-ULP estimator SQL replayed per
     grouping set (merge associativity makes blob-merge estimates equal
-    direct per-cell builds bit-for-bit)."""
+    direct per-cell builds bit-for-bit). The exact count_distinct CUBE
+    branch is the fixture-scale gate check only — the production path
+    at 10^12 rows is the sketch lattice alone."""
     from grenier_spark.operators.sketch_build import merge_partials
 
     docs = _tokenized_docs(spark, sf_dir)
