@@ -95,6 +95,19 @@ class CountSketch:
         self.total += other.total
         return self
 
+    def fold(self, depth_new: int) -> "CountSketch":
+        """EXACT depth shrink: row i's (position, sign) hash is salted by
+        ``seed + i + 1`` independent of depth, so keeping the FIRST
+        depth_new rows is bit-identical to a direct depth_new build.
+        WIDTH cannot fold (unlike CountMin): the sign bit is
+        ``(h // width) & 1``, so a different width re-signs every update
+        — a congruent-column sum would mix sign conventions."""
+        d2 = int(depth_new)
+        if not (1 <= d2 <= self.depth):
+            raise ValueError(f"fold: need 1 <= depth_new <= {self.depth}")
+        return CountSketch(d2, self.width, self.seed,
+                           counts=self.counts[:d2].copy(), total=self.total)
+
     @staticmethod
     def _median_rows(vals: "list[int]") -> int:
         """Median of the per-row statistics: for odd depth the exact

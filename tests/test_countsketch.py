@@ -106,3 +106,29 @@ def test_serde_roundtrip_and_corruption():
 def test_median_rows_is_lower_middle():
     assert CountSketch._median_rows([5, 1, 9]) == 5
     assert CountSketch._median_rows([4, 1, 9, 2]) == 2  # lower middle
+
+
+def test_fold_depth_equals_direct_build():
+    """fold(depth') is bit-identical to a direct depth' build (row salts
+    are index-based); width folding is refused — the sign bit is
+    (h // width) & 1, so a narrower width re-signs every update."""
+    rng = np.random.default_rng(41)
+    for _ in range(10):
+        n = int(rng.integers(0, 3000))
+        keys = rng.integers(0, 1 << 63, n, dtype=np.uint64)
+        w = rng.integers(1, 7, n).astype(np.int64) if n % 2 else None
+        d = int(rng.integers(1, 8))
+        wd = int(rng.choice([64, 512, 1000]))
+        seed = int(rng.integers(0, 50))
+        cs = CountSketch(d, wd, seed)
+        cs.update_batch(keys, w)
+        d2 = int(rng.integers(1, d + 1))
+        direct = CountSketch(d2, wd, seed)
+        direct.update_batch(keys, w)
+        f = cs.fold(d2)
+        assert np.array_equal(f.counts, direct.counts)
+        assert f.to_bytes() == direct.to_bytes()
+    with pytest.raises(ValueError, match="fold"):
+        CountSketch(4, 512, 7).fold(5)
+    with pytest.raises(ValueError, match="fold"):
+        CountSketch(4, 512, 7).fold(0)
