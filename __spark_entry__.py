@@ -2326,6 +2326,55 @@ def q_sketch_fold_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def q_hll_precision_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-migration lifecycle: an archive built at p=12 (events before
+    min_day + 15) reconciles with a new p=10 pipeline (the rest) by
+    FOLDING the archive blobs (hll_fold_col, exact) and register-max
+    merging — no rescan of archived data. Because the fold is exact and
+    merge is associative, the migrated estimate is BIT-IDENTICAL to a
+    from-scratch p=10 build over all days — so the gate carries the
+    estimate itself value-exact vs DuckDB's 0-ULP p=10 estimator over
+    the full stream, plus exact per-type event and distinct-user
+    counts."""
+    from grenier_spark.functions import hll_fold_col
+    from grenier_spark.operators.sketch_build import merge_partials
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = _t(spark, sf_dir, "events")
+        day = F.datediff(F.to_date("ts"),
+                         F.lit("1970-01-01").cast("date")).cast("long")
+        mn = (ev.agg(F.min(day).alias("_mn")).withColumn("_one", F.lit(0)))
+        src = (ev.withColumn("day", day).withColumn("_one", F.lit(0))
+               .join(F.broadcast(mn), "_one"))
+        old = src.where(F.col("day") < F.col("_mn") + 15)
+        new = src.where(F.col("day") >= F.col("_mn") + 15)
+        a = build_sketches(old, [SketchSpec.of("h", "hll", "user_id", p=12)],
+                           group_cols=["event_type"])
+        b = build_sketches(new, [SketchSpec.of("h", "hll", "user_id", p=10)],
+                           group_cols=["event_type"])
+        af = a.withColumn("sketch", hll_fold_col("sketch", 10))
+        cells = merge_partials(af.unionByName(b), {"h": "hll"},
+                               ["event_type"])
+        est = cells.select("event_type",
+                           F.col("n_rows").alias("n_events"),
+                           F.round(hll_card_col("sketch"), 6)
+                           .alias("est_users"))
+        exact = (ev.groupBy("event_type")
+                 .agg(F.count("*").cast("long").alias("n_all"),
+                      F.count_distinct("user_id").cast("long")
+                      .alias("n_exact")))
+        return (est.join(exact, "event_type")
+                .select("event_type",
+                        (F.col("n_events") == F.col("n_all"))
+                        .alias("rows_conserved"),
+                        "n_exact", "est_users")
+                .orderBy("event_type"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_jump_relocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimal-relocation property surfaced as a query: distinct users
     bucketed at n=32 and n=33; moved count vs total
@@ -4553,6 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_fold_registers": q_hll_fold_registers,
         "hll_cube_tokens": q_hll_cube_tokens,
         "sketch_fold_cells": q_sketch_fold_cells,
+        "hll_precision_migration": q_hll_precision_migration,
     }
 
 
@@ -5510,6 +5560,17 @@ SELECT 'kmv' AS kind, 0::BIGINT AS row, (rn - 1)::BIGINT AS col,
 FROM ({_kmv_kept_cte("SELECT user_id::UHUGEINT AS uk FROM events",
                      "uk", 32, [])})
 ORDER BY kind, row, col""",
+        # the migrated (fold + merge) estimate is bit-identical to a
+        # from-scratch p=10 build, so the estimate itself is value-exact;
+        # row conservation through the merge tree is a Spark-real boolean
+        "hll_precision_migration": (
+            "SELECT c.event_type, TRUE AS rows_conserved, n.n_exact, "
+            "round(c.est, 6) AS est_users FROM (" + hll_card_sql(
+                "SELECT event_type, user_id::UHUGEINT AS k FROM events",
+                "k", 10, group_cols=["event_type"]) + ") c JOIN ("
+            "SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact "
+            "FROM events GROUP BY 1) n USING (event_type) "
+            "ORDER BY event_type"),
         "ann_ivf_topk": ann_ivf_sql(
             "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
             "FROM embeddings",
