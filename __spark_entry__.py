@@ -3697,24 +3697,11 @@ def q_hll_cube_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct per-cell builds bit-for-bit). The exact count_distinct CUBE
     branch is the fixture-scale gate check only — the production path
     at 10^12 rows is the sketch lattice alone."""
-    from grenier_spark.operators.sketch_build import merge_partials
+    from grenier_spark.operators.cube import sketch_cube
 
     docs = _tokenized_docs(spark, sf_dir)
-    leaf = build_sketches(
-        docs, [SketchSpec.of("h", "hll", "tokens", p=12)],
-        group_cols=["source", "lang"]).localCheckpoint()  # <=100 KB rows
-    kind_of = {"h": "hll"}
-    lvls = [leaf]
-    for src_all, lang_all in ((False, True), (True, False), (True, True)):
-        up = leaf
-        if src_all:
-            up = up.withColumn("source", F.lit("ALL"))
-        if lang_all:
-            up = up.withColumn("lang", F.lit("ALL"))
-        lvls.append(merge_partials(up, kind_of, ["source", "lang"]))
-    cells = lvls[0]
-    for lv in lvls[1:]:
-        cells = cells.unionByName(lv)
+    cells = sketch_cube(docs, ["source", "lang"],
+                        [SketchSpec.of("h", "hll", "tokens", p=12)])
     est = cells.select("source", "lang",
                        F.col("n_rows").alias("n_docs"),
                        F.round(hll_card_col("sketch"), 6).alias("est_tokens"))
