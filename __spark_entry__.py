@@ -3483,6 +3483,55 @@ def q_value_quantiles_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "q"))
 
 
+def q_dd_cube_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile dashboards at EVERY rollup level from ONE pass: a
+    DDSketch cube over documents.n_chars by (source, lang) — every
+    grouping-set cell is a byte-exact bucket-histogram merge of KB leaf
+    blobs (operators/cube.py; dd is order-insensitive), and DDSketch is
+    the one quantile kind whose ESTIMATOR is SQL-reproducible, so every
+    cell's p50/p95 is value-exact vs DuckDB's estimator replayed per
+    grouping set. The 10^12-row posture: one scan, the whole rollup
+    lattice of latency/size dashboards as sketch algebra."""
+    from grenier_spark.functions import dd_quantiles_col
+    from grenier_spark.operators.cube import sketch_cube
+
+    qs = [0.5, 0.95]
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("n_chars").isNotNull()))
+    cells = sketch_cube(docs, ["source", "lang"],
+                        [SketchSpec.of("d", "dd", "n_chars", alpha=0.01)])
+    qarr = F.array(*[F.lit(q) for q in qs])
+    return (cells.select("source", "lang", F.col("n_values").alias("n"),
+                         F.posexplode(dd_quantiles_col("sketch", qs))
+                         .alias("i", "est"))
+            .select("source", "lang",
+                    F.element_at(qarr, F.col("i") + 1).alias("q"),
+                    F.round("est", 6).alias("est_value"), "n")
+            .orderBy("source", "lang", "q"))
+
+
+def _dd_cube_quantiles_oracle() -> str:
+    from grenier_spark.functions.sql_oracles import dd_quantile_sql
+
+    base = ("SELECT source, lang, n_chars FROM documents "
+            "WHERE n_chars IS NOT NULL")
+    qs = [0.5, 0.95]
+    lvls = [
+        dd_quantile_sql(base, "n_chars", 0.01, qs, ["source", "lang"]),
+        dd_quantile_sql(base, "n_chars", 0.01, qs, ["source"]),
+        dd_quantile_sql(base, "n_chars", 0.01, qs, ["lang"]),
+        dd_quantile_sql(base, "n_chars", 0.01, qs, []),
+    ]
+    return f"""
+SELECT source, lang, q, round(est_value, 6) AS est_value, n FROM (
+  SELECT source, lang, q, est_value, n FROM ({lvls[0]})
+  UNION ALL SELECT source, 'ALL' AS lang, q, est_value, n FROM ({lvls[1]})
+  UNION ALL SELECT 'ALL' AS source, lang, q, est_value, n FROM ({lvls[2]})
+  UNION ALL SELECT 'ALL' AS source, 'ALL' AS lang, q, est_value, n
+  FROM ({lvls[3]})
+) ORDER BY source, lang, q"""
+
+
 def q_quantile_kinds_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-validation of ALL FOUR quantile kinds (kll, tdigest, dd, req —
     X3/X4/X13 + CKLTV'21) built over the SAME column in ONE
@@ -4590,6 +4639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cube_tokens": q_hll_cube_tokens,
         "sketch_fold_cells": q_sketch_fold_cells,
         "hll_precision_migration": q_hll_precision_migration,
+        "dd_cube_quantiles": q_dd_cube_quantiles,
     }
 
 
@@ -5558,6 +5608,9 @@ ORDER BY kind, row, col""",
             "SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact "
             "FROM events GROUP BY 1) n USING (event_type) "
             "ORDER BY event_type"),
+        # every rollup cell's dd estimate is value-exact (byte-exact
+        # histogram merges + the SQL-reproducible estimator per cell)
+        "dd_cube_quantiles": _dd_cube_quantiles_oracle(),
         "ann_ivf_topk": ann_ivf_sql(
             "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
             "FROM embeddings",
