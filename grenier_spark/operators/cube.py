@@ -54,10 +54,16 @@ def sketch_cube(df: DataFrame, dims: "list[str]", specs: "list[SketchSpec]",
     kind_of = {s.name: s.kind for s in specs}
     leaf = build_sketches(df, specs, group_cols=dims,
                           fanout=fanout).localCheckpoint()
+    # leaf rows carry part_id = -1 (already merged); merge_partials salts
+    # its first reduce wave by part_id, so re-stamp the REAL partition id
+    # or a million-leaf dimension would funnel every blob of a coarse
+    # cell into one task instead of the two bounded-fan-in waves
+    salted = leaf.withColumn("part_id",
+                             F.spark_partition_id().cast("int"))
     out = leaf
     for r in range(len(dims)):  # keep r of d dims; r == d is the leaf
         for keep in combinations(dims, r):
-            up = leaf
+            up = salted
             for dcol in dims:
                 if dcol not in keep:
                     up = up.withColumn(dcol, F.lit(all_label))
