@@ -68,8 +68,7 @@ from grenier_spark.functions.sql_oracles import (ann_ivf_sql,
                                                  semdedup_sql,
                                                  simhash_pairs_sql,
                                                  token_minhash_neardup_sql)
-from grenier_spark.functions.sql_oracles import (_SIGNED64,  # fold gate
-                                                 _kmv_kept_cte)
+from grenier_spark.functions.sql_oracles import kmv_kept_sql
 from grenier_spark.operators.sketch_build import SketchSpec, build_sketches
 from grenier_spark.operators.textstats import BPE_ISH_PATTERN as _BPE_PATTERN
 from grenier_spark.operators.textstats import (pmi_collocations_sql,
@@ -5592,10 +5591,9 @@ UNION ALL
 SELECT 'bloom' AS kind, 0::BIGINT AS row, pos AS col, 1::BIGINT AS val, TRUE
 FROM ({bloom_bits_sql("SELECT user_id FROM events", "user_id", 1024, 5, 7)})
 UNION ALL
-SELECT 'kmv' AS kind, 0::BIGINT AS row, (rn - 1)::BIGINT AS col,
-       {_SIGNED64.format(h="h")} AS val, TRUE
-FROM ({_kmv_kept_cte("SELECT user_id::UHUGEINT AS uk FROM events",
-                     "uk", 32, [])})
+SELECT 'kmv' AS kind, 0::BIGINT AS row, rank AS col, val, TRUE
+FROM ({kmv_kept_sql("SELECT user_id::UHUGEINT AS uk FROM events",
+                    "uk", 32)})
 ORDER BY kind, row, col""",
         # the migrated (fold + merge) estimate is bit-identical to a
         # from-scratch p=10 build, so the estimate itself is value-exact;

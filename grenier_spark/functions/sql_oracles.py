@@ -151,10 +151,13 @@ GROUP BY 1, 2
 ORDER BY row, col"""
 
 
-def bloom_bits_sql(members_sql: str, key_col: str, m: int, k: int,
-                   seed: int) -> str:
-    """Set-bit indices of a Bloom(m, k, seed) over a key stream — the
-    direct-build twin for fold gates (core/bloom.py Bloom.fold)."""
+def _bloom_positions_sql(src: str, key_col: str, m: int, k: int,
+                         seed: int) -> str:
+    """(key, pos) probe positions per key per hash index, matching
+    core/bloom.py: ``h1 = wang64(key ^ splitmix64(seed+1))``,
+    ``h2 = wang64(key ^ splitmix64(seed+2)) | 1``, probe bits
+    ``(h1 + i*h2) mod 2^64 mod m`` — the ONE place the Bloom probe
+    chain lives in SQL (bits dump and membership both build on it)."""
     s1 = chain_selects(f"SELECT ({seed + 1})::UHUGEINT AS a",
                        splitmix64_stages("a", "s1", "_x"))
     s2 = chain_selects(f"SELECT ({seed + 2})::UHUGEINT AS b",
@@ -162,40 +165,32 @@ def bloom_bits_sql(members_sql: str, key_col: str, m: int, k: int,
     hashed = chain_selects(
         f"SELECT t.{key_col}, xor(t.{key_col}::UHUGEINT, q1.s1) AS k1, "
         f"xor(t.{key_col}::UHUGEINT, q2.s2) AS k2 "
-        f"FROM ({members_sql}) t, ({s1}) q1, ({s2}) q2",
+        f"FROM ({src}) t, ({s1}) q1, ({s2}) q2",
         wang64_stages("k1", "h1", "_a"))
     hashed = chain_selects(hashed, wang64_stages("k2", "h2r", "_b"))
     return f"""
-SELECT DISTINCT ((((h1 + i.i::UHUGEINT * (h2r | 1::UHUGEINT)) % {M})
-                 % {m}::UHUGEINT))::BIGINT AS pos
-FROM ({hashed}) CROSS JOIN generate_series(0, {k - 1}) AS i(i)
+SELECT {key_col},
+       ((((h1 + i.i::UHUGEINT * (h2r | 1::UHUGEINT)) % {M}) % {m}::UHUGEINT))::BIGINT AS pos
+FROM ({hashed}) CROSS JOIN generate_series(0, {k - 1}) AS i(i)"""
+
+
+def bloom_bits_sql(members_sql: str, key_col: str, m: int, k: int,
+                   seed: int) -> str:
+    """Set-bit indices of a Bloom(m, k, seed) over a key stream — the
+    direct-build twin for fold gates (core/bloom.py Bloom.fold)."""
+    pos = _bloom_positions_sql(members_sql, key_col, m, k, seed)
+    return f"""
+SELECT DISTINCT pos FROM ({pos})
 ORDER BY pos"""
 
 
 def bloom_membership_sql(members_sql: str, cands_sql: str, key_col: str,
                          m: int, k: int, seed: int) -> str:
-    """Bloom membership test per candidate key, matching core/bloom.py:
-    ``h1 = wang64(key ^ splitmix64(seed+1))``, ``h2 = wang64(key ^
-    splitmix64(seed+2)) | 1``, probe bits ``(h1 + i*h2) mod 2^64 mod m``.
-    Returns (key, present boolean)."""
-    def positions(src: str) -> str:
-        s1 = chain_selects(f"SELECT ({seed + 1})::UHUGEINT AS a",
-                           splitmix64_stages("a", "s1", "_x"))
-        s2 = chain_selects(f"SELECT ({seed + 2})::UHUGEINT AS b",
-                           splitmix64_stages("b", "s2", "_y"))
-        hashed = chain_selects(
-            f"SELECT t.{key_col}, xor(t.{key_col}::UHUGEINT, q1.s1) AS k1, "
-            f"xor(t.{key_col}::UHUGEINT, q2.s2) AS k2 "
-            f"FROM ({src}) t, ({s1}) q1, ({s2}) q2",
-            wang64_stages("k1", "h1", "_a"))
-        hashed = chain_selects(hashed, wang64_stages("k2", "h2r", "_b"))
-        return f"""
-SELECT {key_col},
-       ((((h1 + i.i::UHUGEINT * (h2r | 1::UHUGEINT)) % {M}) % {m}::UHUGEINT))::BIGINT AS pos
-FROM ({hashed}) CROSS JOIN generate_series(0, {k - 1}) AS i(i)"""
-
-    bits = f"SELECT DISTINCT pos FROM ({positions(members_sql)})"
-    probes = positions(cands_sql)
+    """Bloom membership test per candidate key (probe chain:
+    :func:`_bloom_positions_sql`). Returns (key, present boolean)."""
+    bits = (f"SELECT DISTINCT pos FROM "
+            f"({_bloom_positions_sql(members_sql, key_col, m, k, seed)})")
+    probes = _bloom_positions_sql(cands_sql, key_col, m, k, seed)
     return f"""
 SELECT {key_col}, (COUNT(DISTINCT b.pos) = {k}) AS present
 FROM ({probes}) p LEFT JOIN ({bits}) b ON p.pos = b.pos
@@ -1022,6 +1017,18 @@ def _kmv_est_expr(n_kept: str, maxh: str, k: int) -> str:
     return (f"(CASE WHEN {n_kept} < {k} THEN {n_kept}::DOUBLE "
             f"ELSE {k - 1}::DOUBLE / (({maxh}::DOUBLE + 1.0) "
             f"/ {_TWO64_D}) END)")
+
+
+def kmv_kept_sql(keys_sql: str, key_col: str, k: int) -> str:
+    """(rank, val) dump of an ungrouped KMV kept set — rank 0.. ascending
+    by hash, val the signed-int64 view of the kept wang64 hash (the
+    public face of the kept-set CTE; fold gates compare it directly to
+    ``KMV.values.view(int64)``)."""
+    kth = _SIGNED64.format(h="h")
+    return f"""
+WITH kept AS ({_kmv_kept_cte(keys_sql, key_col, k, [])})
+SELECT (rn - 1)::BIGINT AS rank, {kth} AS val
+FROM kept ORDER BY rank"""
 
 
 def kmv_by_source_sql(keys_sql: str, key_col: str, k: int,

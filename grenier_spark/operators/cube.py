@@ -6,9 +6,10 @@ happens once at the leaf grouping, and every coarser cell — all 2^d
 grouping sets down to the grand total — is a register-max/+/OR merge of
 KB leaf blobs (``merge_partials``). At 10^12 rows the raw scan is the
 only data-scale stage; the lattice is sketch algebra over sketch-count
-rows. Rolled-up dimensions are labeled ``'ALL'`` (caller guarantees the
-real dimension values never collide with the label, same contract as
-SQL's COALESCE-on-ROLLUP idiom).
+rows. Rolled-up dimensions are labeled ``'ALL'`` (dimension columns are
+cast to string in the output; caller guarantees the real dimension
+values never collide with the label, same contract as SQL's
+COALESCE-on-ROLLUP idiom).
 
 Exactness: merges are associative and byte-exact for order-insensitive
 kinds (hll max / cms + / bloom OR / kmv bottom-k union), so every cell
@@ -34,14 +35,16 @@ _MERGEABLE = {"hll", "cms", "csk", "bloom", "kmv", "dd"}
 
 def sketch_cube(df: DataFrame, dims: "list[str]", specs: "list[SketchSpec]",
                 all_label: str = "ALL", fanout: int = 32) -> DataFrame:
-    """One row per (grouping set x spec): ``dims`` columns (rolled-up ones
-    = ``all_label``), sketch_name, sketch, n_rows, n_values — the same
-    row shape as :func:`build_sketches`, so every downstream estimate
-    helper applies unchanged.
+    """One row per (grouping set x spec): ``dims`` columns (strings;
+    rolled-up ones = ``all_label``), sketch_name, sketch, n_rows,
+    n_values — the same row shape as :func:`build_sketches`, so every
+    downstream estimate helper applies unchanged.
 
-    ONE leaf build pass at the finest grouping; the leaf frame is
-    localCheckpoint-ed (KB rows: the product of dimension cardinalities
-    x specs), then each coarser grouping set merges leaf blobs.
+    ONE leaf build pass at the finest grouping, then ONE lattice merge:
+    each leaf row explodes to its 2^d grouping-set label tuples and a
+    single ``merge_partials`` reduces them — two bounded-fan-in shuffle
+    waves total, independent of d (not 2^d separate merge stages). Leaf
+    cells ride the same pass (a one-blob merge is the identity).
     """
     if not dims:
         raise ValueError("sketch_cube: need at least one dimension")
@@ -52,21 +55,25 @@ def sketch_cube(df: DataFrame, dims: "list[str]", specs: "list[SketchSpec]",
             f"(their merges are not byte-exact at arbitrary grouping); "
             f"supported: {sorted(_MERGEABLE)}")
     kind_of = {s.name: s.kind for s in specs}
-    leaf = build_sketches(df, specs, group_cols=dims,
+    # output dims are uniformly string so 'ALL' labels union with leaf
+    # values for dimension columns of ANY input type
+    src = df
+    for dcol in dims:
+        src = src.withColumn(dcol, F.col(dcol).cast("string"))
+    leaf = build_sketches(src, specs, group_cols=dims,
                           fanout=fanout).localCheckpoint()
-    # leaf rows carry part_id = -1 (already merged); merge_partials salts
-    # its first reduce wave by part_id, so re-stamp the REAL partition id
-    # or a million-leaf dimension would funnel every blob of a coarse
-    # cell into one task instead of the two bounded-fan-in waves
-    salted = leaf.withColumn("part_id",
-                             F.spark_partition_id().cast("int"))
-    out = leaf
-    for r in range(len(dims)):  # keep r of d dims; r == d is the leaf
-        for keep in combinations(dims, r):
-            up = salted
-            for dcol in dims:
-                if dcol not in keep:
-                    up = up.withColumn(dcol, F.lit(all_label))
-            out = out.unionByName(merge_partials(up, kind_of, dims,
-                                                 fanout=fanout))
-    return out
+    # every grouping set as one label struct per subset of kept dims
+    labelings = F.array(*[
+        F.struct(*[(F.col(d) if d in keep else F.lit(all_label)).alias(d)
+                   for d in dims])
+        for r in range(len(dims) + 1) for keep in combinations(dims, r)])
+    rest = [f.name for f in leaf.schema.fields if f.name not in dims]
+    exploded = (leaf
+                # leaf rows carry part_id = -1 (already merged); re-stamp
+                # the REAL partition id so merge_partials' first reduce
+                # wave spreads a coarse cell's blobs over `fanout` tasks
+                # instead of funneling a million-leaf dimension into one
+                .withColumn("part_id", F.spark_partition_id().cast("int"))
+                .withColumn("_gs", F.explode(labelings))
+                .select(*[F.col(f"_gs.{d}").alias(d) for d in dims], *rest))
+    return merge_partials(exploded, kind_of, dims, fanout=fanout)

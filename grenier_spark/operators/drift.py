@@ -35,7 +35,11 @@ def kll_ks(blob_a: bytes, blob_b: bytes) -> float:
     retained items, so the union grid attains the exact supremum OF THE
     SKETCH ECDFs; the distance to the true KS is bounded by the two rank
     guarantees."""
-    a, b = KLL.from_bytes(bytes(blob_a)), KLL.from_bytes(bytes(blob_b))
+    return _kll_ks_decoded(KLL.from_bytes(bytes(blob_a)),
+                           KLL.from_bytes(bytes(blob_b)))
+
+
+def _kll_ks_decoded(a: "KLL", b: "KLL") -> float:
     va, _ = a._weighted_items()
     vb, _ = b._weighted_items()
     if not len(va) or not len(vb):
@@ -125,8 +129,8 @@ def ks_window_shift_report(df: DataFrame, value_col: str, period_col: str,
         import pandas as pd
         rows = []
         for x, y in zip(a, b):
-            rows.append((int(KLL.from_bytes(bytes(x)).n),
-                         int(KLL.from_bytes(bytes(y)).n), kll_ks(x, y)))
+            sa, sb = KLL.from_bytes(bytes(x)), KLL.from_bytes(bytes(y))
+            rows.append((int(sa.n), int(sb.n), _kll_ks_decoded(sa, sb)))
         return pd.DataFrame(rows, columns=["n_a", "n_b", "ks"])
 
     prev = rolled.select(

@@ -84,3 +84,16 @@ def test_validation(spark, ev):
         sketch_cube(df, [], SPEC)
     with pytest.raises(ValueError, match="order-sensitive"):
         sketch_cube(df, ["a"], [SketchSpec.of("q", "kll", "k", k=200)])
+
+
+def test_non_string_dims_cast_to_string(spark, ev):
+    """Dimension columns of any type cube fine: output dims are strings,
+    'ALL' labels union with cast leaf values."""
+    df, pdf = ev
+    df2 = df.withColumn("n", (F.length("a") + F.when(F.col("b") == "p", 7)
+                              .otherwise(9)).cast("long"))
+    cells = sketch_cube(df2, ["n"], [SketchSpec.of("h", "hll", "k",
+                                                   p=9)]).toPandas()
+    assert set(cells.n) == {"8", "10", "ALL"}
+    tot = cells[cells.n == "ALL"]
+    assert len(tot) == 1 and tot.n_rows.iloc[0] == len(pdf)
