@@ -1000,6 +1000,54 @@ FROM ({ks_exact_sql(src, "v", "_side", ["event_type"])})
 ORDER BY event_type"""
 
 
+def q_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift (operators/drift.py
+    psi_sketch_report — round 4): the industry model-monitoring score,
+    computed from per-(type, side) DDSketch bucket histograms built in
+    ONE pass — same md5-parity split and planted x3 'click' drift as
+    `value_ks_drift`. The PSI here is not sketch-approximate: DDSketch
+    buckets are integer-exact and merge byte-identically, so the score
+    is the exact PSI of the alpha=0.25 log-binning, replayed term-for-
+    term by DuckDB (`dd_psi_sql`) to the suite's round-6 fsum contract.
+    Verdict: round-6 PSI >= 0.25 ('significant shift') must flip for
+    the planted type only (A/B-split noise reads ~2B/n ~ 0.01)."""
+    from grenier_spark.operators.drift import psi_sketch_report
+
+    ev = _t(spark, sf_dir, "events").where("value IS NOT NULL")
+    side = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                               1, 15), 16, 10).cast("long") % 2)
+    src = (ev.select("event_type", "event_id", "value")
+           .withColumn("_side", side)
+           .withColumn("v", F.when((F.col("_side") == 1)
+                                   & (F.col("event_type") == "click"),
+                                   F.col("value") * 3.0)
+                       .otherwise(F.col("value")).cast("double")))
+    rep = psi_sketch_report(src, "v", "_side", ["event_type"], alpha=0.25)
+    return (rep.select("event_type", "n_a", "n_b", "n_bins",
+                       F.round("psi", 6).alias("psi"),
+                       (F.round("psi", 6) >= 0.25).alias("drifted"))
+            .orderBy("event_type"))
+
+
+def _value_psi_drift_oracle() -> str:
+    from grenier_spark.functions.sql_oracles import dd_psi_sql
+
+    src = """
+SELECT event_type,
+       CASE WHEN s = 1 AND event_type = 'click'
+            THEN value * (3.0::DOUBLE) ELSE value END AS v,
+       s AS _side
+FROM (SELECT event_type, value,
+             ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 2
+               AS s
+      FROM events WHERE value IS NOT NULL)"""
+    return f"""
+SELECT event_type, n_a, n_b, n_bins, round(psi, 6) AS psi,
+       round(psi, 6) >= (0.25::DOUBLE) AS drifted
+FROM ({dd_psi_sql(src, "v", "_side", 0.25, ["event_type"])})
+ORDER BY event_type"""
+
+
 def q_rolling_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period drift monitor (operators/drift.py
     ks_window_shift_report): per anchor day, KS between the trailing
@@ -4639,6 +4687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_fold_cells": q_sketch_fold_cells,
         "hll_precision_migration": q_hll_precision_migration,
         "dd_cube_quantiles": q_dd_cube_quantiles,
+        "value_psi_drift": q_value_psi_drift,
     }
 
 
@@ -5609,6 +5658,9 @@ ORDER BY kind, row, col""",
         # every rollup cell's dd estimate is value-exact (byte-exact
         # histogram merges + the SQL-reproducible estimator per cell)
         "dd_cube_quantiles": _dd_cube_quantiles_oracle(),
+        # exact integer bucket counts + bit-equal terms; the Kahan fsum
+        # rides the suite's round-6 contract on both engines
+        "value_psi_drift": _value_psi_drift_oracle(),
         "ann_ivf_topk": ann_ivf_sql(
             "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
             "FROM embeddings",

@@ -1179,6 +1179,80 @@ def dd_bucket_expr(value: str, alpha: float) -> str:
             f"AS INTEGER)")
 
 
+def dd_psi_sql(values_sql: str, value_col: str, side_col: str,
+               alpha: float, group_cols: "list[str] | None" = None,
+               smooth: float = 0.5) -> str:
+    """Population Stability Index per group between two sides, the twin
+    of ``operators.drift.psi_sketch_report``: exact integer DDSketch
+    bucket counts (zeros as their own bin below every real bucket),
+    add-``smooth`` smoothing over the union bin set, (p-q)*ln(p/q)
+    terms in IEEE doubles (libm ln both engines; terms bit-equal,
+    the Kahan fsum carries the suite's round-6 contract). Groups whose
+    values are ALL zero are out of contract (no positive bucket to
+    anchor the zero bin; the Spark operator emits psi = 0 for them).
+    ``values_sql`` yields group_cols + [side_col, value_col],
+    NULL-values already filtered; groups seen on only one side drop.
+    Emits (group..., side_a, side_b, n_a, n_b, n_bins, psi)."""
+    g = list(group_cols or [])
+    gsel = "".join(f"{c}, " for c in g)
+    gjoin = (" AND ".join(f"x.{c} = y.{c}" for c in g)) or "TRUE"
+    sm = f"({smooth!r}::DOUBLE)"
+    return f"""
+WITH vals AS (
+  SELECT {gsel}{side_col} AS s, ({value_col})::DOUBLE AS v
+  FROM ({values_sql})
+), pos AS (
+  SELECT {gsel}s, {dd_bucket_expr('v', alpha)} AS bin, COUNT(*)::BIGINT AS c
+  FROM vals WHERE v > 0 GROUP BY ALL
+), zc AS (
+  SELECT {gsel}s, COUNT(*)::BIGINT AS c
+  FROM vals WHERE v = 0 GROUP BY ALL
+), zb AS (
+  SELECT {gsel}COALESCE(MIN(bin), 0) - 1 AS zbin
+  FROM pos GROUP BY ALL
+), occ AS (
+  SELECT {gsel}s, bin, c FROM pos
+  UNION ALL
+  SELECT {"".join(f"x.{c}, " for c in g)}x.s, y.zbin AS bin, x.c
+  FROM zc x JOIN zb y ON {gjoin}
+), bins AS (
+  SELECT {gsel}bin FROM occ GROUP BY ALL
+), nbins AS (
+  SELECT {gsel}COUNT(*)::BIGINT AS n_bins FROM bins GROUP BY ALL
+), n AS (
+  SELECT {gsel}s, COUNT(*)::BIGINT AS n FROM vals GROUP BY ALL
+), two AS (
+  SELECT {gsel}MIN(s) AS side_a, MAX(s) AS side_b
+  FROM n GROUP BY ALL HAVING COUNT(DISTINCT s) = 2
+), ct AS (
+  SELECT {"".join(f"b.{c}, " for c in g)}b.bin, t.side_a, t.side_b,
+         COALESCE(ca.c, 0)::BIGINT AS c_a, COALESCE(cb.c, 0)::BIGINT AS c_b
+  FROM bins b
+  JOIN two t ON {(" AND ".join(f"b.{c} = t.{c}" for c in g)) or "TRUE"}
+  LEFT JOIN occ ca ON ({(" AND ".join(f"ca.{c} = b.{c}" for c in g)) or "TRUE"})
+       AND ca.bin = b.bin AND ca.s = t.side_a
+  LEFT JOIN occ cb ON ({(" AND ".join(f"cb.{c} = b.{c}" for c in g)) or "TRUE"})
+       AND cb.bin = b.bin AND cb.s = t.side_b
+), terms AS (
+  SELECT {"".join(f"ct.{c}, " for c in g)}ct.side_a, ct.side_b,
+         na.n AS n_a, nb2.n AS n_b, k.n_bins,
+         (((ct.c_a::DOUBLE + {sm}) / (na.n::DOUBLE + {sm} * k.n_bins::DOUBLE))
+          - ((ct.c_b::DOUBLE + {sm}) / (nb2.n::DOUBLE + {sm} * k.n_bins::DOUBLE)))
+         * ln(((ct.c_a::DOUBLE + {sm}) / (na.n::DOUBLE + {sm} * k.n_bins::DOUBLE))
+              / ((ct.c_b::DOUBLE + {sm}) / (nb2.n::DOUBLE + {sm} * k.n_bins::DOUBLE)))
+         AS term
+  FROM ct
+  JOIN nbins k ON {(" AND ".join(f"k.{c} = ct.{c}" for c in g)) or "TRUE"}
+  JOIN n na ON ({(" AND ".join(f"na.{c} = ct.{c}" for c in g)) or "TRUE"})
+       AND na.s = ct.side_a
+  JOIN n nb2 ON ({(" AND ".join(f"nb2.{c} = ct.{c}" for c in g)) or "TRUE"})
+       AND nb2.s = ct.side_b
+)
+SELECT {gsel}side_a, side_b, ANY_VALUE(n_a) AS n_a, ANY_VALUE(n_b) AS n_b,
+       ANY_VALUE(n_bins) AS n_bins, fsum(term) AS psi
+FROM terms GROUP BY ALL"""
+
+
 def dd_buckets_sql(values_sql: str, value_col: str, alpha: float,
                    group_cols: "list[str] | None" = None) -> str:
     """Per-group DDSketch bucket histogram of positive values — the exact

@@ -212,3 +212,94 @@ FROM (
           WHERE {value_col} IS NOT NULL)
     GROUP BY {gp}lo, {value_col}))
 {("GROUP BY " + g) if g else ""}"""
+
+
+def psi_sketch_report(df: DataFrame, value_col: str, side_col: str,
+                      group_cols: "list[str] | None" = None,
+                      alpha: float = 0.25,
+                      smooth: float = 0.5) -> DataFrame:
+    """Population Stability Index per group between two slices, from
+    DDSketch bucket histograms — the standard model-monitoring drift
+    score, at a scale where neither slice can be sorted or binned by
+    hand. PSI = sum_i (p_i - q_i) * ln(p_i / q_i) over the UNION of
+    occupied log-buckets (plus a zero-value bin), with add-``smooth``
+    smoothing so one-sided bins stay finite.
+
+    One ``build_sketches`` pass per (group, side); DDSketch buckets are
+    integer-exact counts and merge byte-identically, so the PSI here is
+    not an approximation of a sketch — it IS the PSI of the
+    alpha-relative log-binning, SQL-reproducible (``dd_psi_sql``): exact
+    integer bucket counts, IEEE double division, libm ln — every TERM
+    bit-equal cross-engine; the final compensated sum carries the
+    suite's standard round-6 contract (DuckDB's fsum is Kahan —
+    order-dependent in the last ULP, like every fsum surface here). Same side semantics as
+    :func:`ks_sketch_report` (exactly two non-null sides per group;
+    side_a = smaller label; NULL values excluded; one-sided groups
+    drop). ``alpha`` here is a BINNING width, not an accuracy target:
+    PSI convention wants coarse bins (the 0.25 default gives ~10-20
+    occupied buckets on decade-spread data; a quantile-grade alpha like
+    0.01 makes hundreds of micro-bins whose sampling noise inflates PSI
+    even with smoothing — the industry 0.1 / 0.25 verdict thresholds
+    assume coarse binning). Returns (group..., side_a, side_b, n_a,
+    n_b, n_bins, psi)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .sketch_build import SketchSpec, build_sketches
+    from ..core.ddsketch import DDSketch
+
+    group_cols = list(group_cols or [])
+    if df.where(F.col(side_col).isNull()).limit(1).count():
+        raise ValueError(f"{side_col} must be non-null (two sides only)")
+    src = df.where(F.col(value_col).isNotNull())
+    res = build_sketches(src, [SketchSpec.of("d", "dd", value_col,
+                                             alpha=alpha)],
+                         group_cols=group_cols + [side_col])
+
+    @pandas_udf("struct<n_a:bigint,n_b:bigint,n_bins:bigint,psi:double>")
+    def _psi(a, b):
+        import math
+
+        import pandas as pd
+        rows = []
+        for x, y in zip(a, b):
+            sa = DDSketch.from_bytes(bytes(x))
+            sb = DDSketch.from_bytes(bytes(y))
+            ca = dict(zip(sa.idx.tolist(), sa.counts.tolist()))
+            cb = dict(zip(sb.idx.tolist(), sb.counts.tolist()))
+            if sa.zero_count or sb.zero_count:
+                # zeros get their own bin, below every real log-bucket
+                zbin = min(list(ca) + list(cb), default=0) - 1
+                ca[zbin] = int(sa.zero_count)
+                cb[zbin] = int(sb.zero_count)
+            bins = sorted(set(ca) | set(cb))
+            na, nb = sa.n, sb.n
+            da = float(na) + smooth * len(bins)
+            db = float(nb) + smooth * len(bins)
+            terms = []
+            for i in bins:
+                p = (ca.get(i, 0) + smooth) / da
+                q = (cb.get(i, 0) + smooth) / db
+                terms.append((p - q) * math.log(p / q))
+            rows.append((int(na), int(nb), len(bins),
+                         float(math.fsum(terms))))
+        return pd.DataFrame(rows, columns=["n_a", "n_b", "n_bins", "psi"])
+
+    w = (Window.partitionBy(*group_cols) if group_cols
+         else Window.partitionBy())
+    sides = (res.select(*group_cols, side_col, "sketch")
+             .withColumn("_rk", F.row_number().over(
+                 w.orderBy(F.col(side_col).cast("string")))))
+    a = (sides.where("_rk = 1")
+         .select(*group_cols, F.col(side_col).alias("side_a"),
+                 F.col("sketch").alias("_ska")))
+    b = (sides.where("_rk = 2")
+         .select(*group_cols, F.col(side_col).alias("side_b"),
+                 F.col("sketch").alias("_skb")))
+    j = a.join(b, group_cols) if group_cols else a.crossJoin(b)
+    return (j.select(*group_cols, "side_a", "side_b",
+                     _psi("_ska", "_skb").alias("r"))
+            .select(*group_cols, "side_a", "side_b",
+                    F.col("r.n_a").alias("n_a"),
+                    F.col("r.n_b").alias("n_b"),
+                    F.col("r.n_bins").alias("n_bins"),
+                    F.col("r.psi").alias("psi")))

@@ -155,3 +155,75 @@ def test_ks_window_shift_sparse_periods(spark):
     # cur window = days {1, 2} -> the 50 day-2 rows
     assert len(rep2) == 1 and rep2.day[0] == 2
     assert (rep2.n_a[0], rep2.n_b[0]) == (50, 50)
+
+
+def test_psi_sketch_report_matches_numpy_twin(spark):
+    """The Spark PSI (one dd build per (group, side), union-bin
+    smoothing, fsum of (p-q)ln(p/q)) equals the pure-numpy twin to the
+    round-6 contract; a planted x3 scale shift reads >0.25 (industry
+    'significant'), the same-distribution group <0.1."""
+    import math
+
+    from grenier_spark.core.ddsketch import DDSketch
+    from grenier_spark.operators.drift import psi_sketch_report
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for g in ["stable", "shifted"]:
+        for s in ["a", "b"]:
+            n = int(rng.integers(300, 500))
+            v = rng.gamma(2.0, 30.0 if (g, s) == ("shifted", "b") else 10.0,
+                          n)
+            v[: n // 40] = 0.0
+            rows.append(pd.DataFrame({"g": g, "s": s, "v": v}))
+    pdf = pd.concat(rows, ignore_index=True)
+    rep = (psi_sketch_report(spark.createDataFrame(pdf).repartition(7),
+                             "v", "s", ["g"])
+           .toPandas().set_index("g"))
+
+    def twin(gg):
+        sk = {}
+        for s, ss in gg.groupby("s"):
+            d = DDSketch(0.25)
+            d.update_batch(ss.v.to_numpy())
+            sk[s] = d
+        sa, sb = sk["a"], sk["b"]
+        ca = dict(zip(sa.idx.tolist(), sa.counts.tolist()))
+        cb = dict(zip(sb.idx.tolist(), sb.counts.tolist()))
+        if sa.zero_count or sb.zero_count:
+            zbin = min(list(ca) + list(cb), default=0) - 1
+            ca[zbin] = int(sa.zero_count)
+            cb[zbin] = int(sb.zero_count)
+        bins = sorted(set(ca) | set(cb))
+        da = float(sa.n) + 0.5 * len(bins)
+        db = float(sb.n) + 0.5 * len(bins)
+        return math.fsum(
+            ((ca.get(i, 0) + 0.5) / da - (cb.get(i, 0) + 0.5) / db)
+            * math.log(((ca.get(i, 0) + 0.5) / da)
+                       / ((cb.get(i, 0) + 0.5) / db)) for i in bins)
+
+    for g, gg in pdf.groupby("g"):
+        r = rep.loc[g]
+        assert (r.side_a, r.side_b) == ("a", "b")
+        assert (r.n_a, r.n_b) == (len(gg[gg.s == "a"]), len(gg[gg.s == "b"]))
+        assert round(r.psi, 6) == round(twin(gg), 6), g
+    assert rep.loc["shifted"].psi > 0.25 and rep.loc["stable"].psi < 0.1
+
+
+def test_psi_report_side_contract(spark):
+    """NULL side raises; one-sided groups drop; ungrouped path works."""
+    from grenier_spark.operators.drift import psi_sketch_report
+
+    pdf = pd.DataFrame({"g": ["x"] * 40 + ["y"] * 20,
+                        "s": ["a", "b"] * 20 + ["a"] * 20,
+                        "v": np.arange(60, dtype=float) + 1})
+    rep = psi_sketch_report(spark.createDataFrame(pdf), "v", "s",
+                            ["g"]).toPandas()
+    assert list(rep.g) == ["x"]  # y is one-sided -> dropped
+    un = psi_sketch_report(
+        spark.createDataFrame(pdf[pdf.g == "x"]), "v", "s").toPandas()
+    assert len(un) == 1 and un.n_a[0] == 20
+    bad = spark.createDataFrame(
+        pd.DataFrame({"s": ["a", None], "v": [1.0, 2.0]}))
+    with pytest.raises(ValueError, match="non-null"):
+        psi_sketch_report(bad, "v", "s")
