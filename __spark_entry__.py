@@ -933,6 +933,65 @@ FROM ({ks_exact_sql(src, "v", "side", ["event_type"])})
 ORDER BY event_type"""
 
 
+def q_streaming_value_psi_drift(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Live PSI monitoring in the gate — the NINTH oracle-gated
+    streaming surface (streaming/stateful.py dd_psi_stream): a DDSketch
+    baseline per event_type is pinned from the ORIGINAL events values,
+    then the PLANTED stream (value x3 on 'click') arrives in two
+    micro-batches; one live DDSketch per type in the state store emits
+    PSI-vs-baseline every trigger. dd state is order-INsensitive, so
+    unlike the band-gated KLL/KS stream the final-trigger PSI is
+    VALUE-exact: it equals the batch original-vs-planted PSI that
+    DuckDB replays term-for-term (dd_psi_sql, round-6 fsum contract;
+    PSI is symmetric in its sides, so the side-vs-baseline orientation
+    cancels). Verdict at the industry 0.25 bar flips for 'click' only."""
+    from grenier_spark.streaming.stateful import dd_psi_stream
+
+    ev = _gate_events(spark, sf_dir).where("value IS NOT NULL")
+    base_rows = (build_sketches(
+        ev.select("event_type", F.col("value").alias("v")),
+        [SketchSpec.of("b", "dd", "v", alpha=0.25)],
+        group_cols=["event_type"])
+        .select("event_type", "sketch").collect())
+    baseline = {r.event_type: bytes(r.sketch) for r in base_rows}
+    planted = ev.select(
+        "event_id", "event_type",
+        F.when(F.col("event_type") == "click", F.col("value") * 3.0)
+        .otherwise(F.col("value")).alias("value"))
+    got, totals = _run_two_batch_event_stream(
+        spark, planted,
+        lambda s: dd_psi_stream(s, "event_type", baseline, alpha=0.25),
+        "g_stream_psi")
+    fin = got[got.apply(lambda r: r.n == totals.get(r.event_type),
+                        axis=1)]
+    fin = fin.drop_duplicates(subset=["event_type"]).reset_index(drop=True)
+    sk = spark.createDataFrame(
+        fin, "event_type string, n bigint, n_bins bigint, psi double")
+    return (sk.select("event_type", "n", "n_bins",
+                      F.round("psi", 6).alias("psi"),
+                      (F.round("psi", 6) >= 0.25).alias("drifted"))
+            .orderBy("event_type"))
+
+
+def _streaming_value_psi_drift_oracle() -> str:
+    from grenier_spark.functions.sql_oracles import dd_psi_sql
+
+    src = """
+SELECT event_type, 0 AS _side, value AS v
+FROM events WHERE value IS NOT NULL
+UNION ALL
+SELECT event_type, 1 AS _side,
+       CASE WHEN event_type = 'click' THEN value * (3.0::DOUBLE)
+            ELSE value END AS v
+FROM events WHERE value IS NOT NULL"""
+    return f"""
+SELECT event_type, n_b AS n, n_bins, round(psi, 6) AS psi,
+       round(psi, 6) >= (0.25::DOUBLE) AS drifted
+FROM ({dd_psi_sql(src, "v", "_side", 0.25, ["event_type"])})
+ORDER BY event_type"""
+
+
 def q_tfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per source by smoothed TF-IDF
     (textstats.tfidf_top_terms — round 4): numpy-side idf over the
@@ -4608,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_ks_drift": q_value_ks_drift,
         "rolling_ks_drift": q_rolling_ks_drift,
         "streaming_value_ks_drift": q_streaming_value_ks_drift,
+        "streaming_value_psi_drift": q_streaming_value_psi_drift,
         "tfidf_source_terms": q_tfidf_source_terms,
         "dsir_selection": q_dsir_selection,
         "customers_without_orders": q_customers_without_orders,
@@ -5661,6 +5721,9 @@ ORDER BY kind, row, col""",
         # exact integer bucket counts + bit-equal terms; the Kahan fsum
         # rides the suite's round-6 contract on both engines
         "value_psi_drift": _value_psi_drift_oracle(),
+        # the 9th streaming surface: dd order-insensitivity makes the
+        # final-trigger streamed PSI VALUE-exact vs the batch SQL replay
+        "streaming_value_psi_drift": _streaming_value_psi_drift_oracle(),
         "ann_ivf_topk": ann_ivf_sql(
             "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
             "FROM embeddings",

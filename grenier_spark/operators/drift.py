@@ -48,6 +48,31 @@ def _kll_ks_decoded(a: "KLL", b: "KLL") -> float:
     return float(np.max(np.abs(a.rank(grid) - b.rank(grid))))
 
 
+def dd_psi_pair(sa, sb, smooth: float = 0.5) -> "tuple[int, float]":
+    """(n_bins, PSI) between two decoded DDSketch histograms: union of
+    occupied log-buckets plus one zero-value bin (below every real
+    bucket, present iff either side saw zeros), add-``smooth``
+    smoothing, fsum of (p - q) * ln(p / q). Shared by the batch report
+    UDF and the streaming monitor so the two surfaces cannot drift."""
+    import math
+
+    ca = dict(zip(sa.idx.tolist(), sa.counts.tolist()))
+    cb = dict(zip(sb.idx.tolist(), sb.counts.tolist()))
+    if sa.zero_count or sb.zero_count:
+        zbin = min(list(ca) + list(cb), default=0) - 1
+        ca[zbin] = int(sa.zero_count)
+        cb[zbin] = int(sb.zero_count)
+    bins = sorted(set(ca) | set(cb))
+    da = float(sa.n) + smooth * len(bins)
+    db = float(sb.n) + smooth * len(bins)
+    terms = []
+    for i in bins:
+        p = (ca.get(i, 0) + smooth) / da
+        q = (cb.get(i, 0) + smooth) / db
+        terms.append((p - q) * math.log(p / q))
+    return len(bins), float(math.fsum(terms))
+
+
 def ks_sketch_report(df: DataFrame, value_col: str, side_col: str,
                      group_cols: "list[str] | None" = None,
                      k: int = 200) -> DataFrame:
@@ -257,31 +282,13 @@ def psi_sketch_report(df: DataFrame, value_col: str, side_col: str,
 
     @pandas_udf("struct<n_a:bigint,n_b:bigint,n_bins:bigint,psi:double>")
     def _psi(a, b):
-        import math
-
         import pandas as pd
         rows = []
         for x, y in zip(a, b):
             sa = DDSketch.from_bytes(bytes(x))
             sb = DDSketch.from_bytes(bytes(y))
-            ca = dict(zip(sa.idx.tolist(), sa.counts.tolist()))
-            cb = dict(zip(sb.idx.tolist(), sb.counts.tolist()))
-            if sa.zero_count or sb.zero_count:
-                # zeros get their own bin, below every real log-bucket
-                zbin = min(list(ca) + list(cb), default=0) - 1
-                ca[zbin] = int(sa.zero_count)
-                cb[zbin] = int(sb.zero_count)
-            bins = sorted(set(ca) | set(cb))
-            na, nb = sa.n, sb.n
-            da = float(na) + smooth * len(bins)
-            db = float(nb) + smooth * len(bins)
-            terms = []
-            for i in bins:
-                p = (ca.get(i, 0) + smooth) / da
-                q = (cb.get(i, 0) + smooth) / db
-                terms.append((p - q) * math.log(p / q))
-            rows.append((int(na), int(nb), len(bins),
-                         float(math.fsum(terms))))
+            n_bins, psi = dd_psi_pair(sa, sb, smooth)
+            rows.append((int(sa.n), int(sb.n), n_bins, psi))
         return pd.DataFrame(rows, columns=["n_a", "n_b", "n_bins", "psi"])
 
     w = (Window.partitionBy(*group_cols) if group_cols

@@ -488,3 +488,57 @@ def kll_drift_stream(stream_df, group_col: str, baseline: "dict[str, bytes]",
     return (stream_df.groupBy(group_col)
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def dd_psi_stream(stream_df, group_col: str, baseline: "dict[str, bytes]",
+                  value_col: str = "value", alpha: float = 0.25,
+                  smooth: float = 0.5):
+    """Live PSI monitor — the streaming face of
+    ``operators/drift.py psi_sketch_report``: one DDSketch per group in
+    the state store; every trigger emits the Population Stability Index
+    between the group's LIVE histogram and a pinned BASELINE blob
+    (group key -> serialized DDSketch at the SAME alpha). Because
+    DDSketch merges are order-insensitive and bucket counts are exact
+    integers, the live state equals a batch build over everything
+    ingested so far — the streamed PSI is the EXACT PSI of the
+    alpha-binning, not an estimate (value-gated round-6 in the driver
+    query, unlike the band-gated KLL/KS stream).
+
+    Same contracts as ``kll_drift_stream``: no-baseline groups
+    accumulate silently; NULL/NaN/±inf AND negative values drop
+    (DDSketch raises on them — in a stream that wedges the checkpointed
+    batch forever, the ddsketch_state_stream posture); the baseline
+    dict rides the task closure (KB per group — bound the keyspace).
+    Emits ``(group, n, n_bins, psi)`` per trigger."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..core.ddsketch import DDSketch
+    from ..operators.drift import dd_psi_pair
+
+    out_schema = f"{group_col} string, n bigint, n_bins bigint, psi double"
+    state_schema = "sketch binary"
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            s = DDSketch.from_bytes(bytes(blob))
+        else:
+            s = DDSketch(alpha)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            vals = (pd.concat(chunks, ignore_index=True)[value_col]
+                    .dropna().to_numpy(dtype=np.float64))
+            vals = vals[np.isfinite(vals) & (vals >= 0)]
+            if len(vals):
+                s.update_batch(vals)
+        state.update((s.to_bytes(),))
+        base = baseline.get(key[0])
+        if s.n and base is not None:
+            n_bins, psi = dd_psi_pair(s, DDSketch.from_bytes(bytes(base)),
+                                      smooth)
+            yield pd.DataFrame({group_col: [key[0]], "n": [int(s.n)],
+                                "n_bins": [n_bins], "psi": [psi]})
+
+    return (stream_df.groupBy(group_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

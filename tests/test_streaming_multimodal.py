@@ -662,6 +662,7 @@ def test_ddsketch_state_stream_byte_equals_batch(spark, tmp_path):
 
     import numpy as np
     import pandas as pd
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -904,3 +905,76 @@ def test_kll_drift_stream_tracks_exact_ks_across_restart(spark, tmp_path):
         assert abs(row.ks - exact) <= 0.09, (k, row.ks, exact)
     assert final[final.event_type == "drift"].ks.iloc[0] > 0.3
     assert final[final.event_type == "same"].ks.iloc[0] < 0.12
+
+
+def test_dd_psi_stream_exact_across_restart(spark, tmp_path):
+    """Live PSI monitor (stateful.dd_psi_stream): two micro-batches split
+    by a query RESTART on one checkpoint; dd state is order-insensitive,
+    so the final streamed PSI must EQUAL (round-6) the pure-numpy PSI of
+    a from-scratch histogram over everything ingested — large for the
+    shifted key, small for the same-distribution key. Orphan keys never
+    emit; negative and inf records drop instead of wedging the stream."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from grenier_spark.core.ddsketch import DDSketch
+    from grenier_spark.operators.drift import dd_psi_pair
+    from grenier_spark.streaming.stateful import dd_psi_stream
+
+    rng = np.random.Generator(np.random.PCG64(43))
+    ref = {k: rng.gamma(2.0, 20.0, 4000) for k in ("same", "drift")}
+    baseline = {}
+    for k, v in ref.items():
+        s = DDSketch(0.25)
+        s.update_batch(v)
+        baseline[k] = s.to_bytes()
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src_dir, exist_ok=True)
+    stream_vals = {"same": rng.gamma(2.0, 20.0, 3000),
+                   "drift": rng.gamma(2.0, 60.0, 3000),
+                   "orphan": rng.gamma(2.0, 20.0, 100)}
+    for part in range(2):
+        rows = []
+        for k, v in stream_vals.items():
+            for x in v[part::2]:
+                rows.append((len(rows) + part * 10**6, k, float(x)))
+        rows.append((part * 10**6 + 999_998, "same", float("inf")))
+        rows.append((part * 10**6 + 999_999, "same", -5.0))
+        pq.write_table(pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["event_id", "event_type", "value"]),
+            preserve_index=False), f"{src_dir}/part-{part:05d}.parquet")
+
+    collected = []
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("event_id long, event_type string, value double")
+                  .option("maxFilesPerTrigger", "16").parquet(src_dir))
+        out = dd_psi_stream(stream, "event_type", baseline, alpha=0.25)
+        q = (out.writeStream.outputMode("update")
+             .foreachBatch(lambda df, bid: collected.append(df.toPandas()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    hidden = str(tmp_path / "hidden.parquet")
+    os.replace(f"{src_dir}/part-00001.parquet", hidden)
+    run_once()
+    os.replace(hidden, f"{src_dir}/part-00001.parquet")
+    run_once()
+
+    final = pd.concat(collected, ignore_index=True)
+    assert "orphan" not in set(final.event_type)
+    final = (final.sort_values("n").groupby("event_type").last()
+             .reset_index().set_index("event_type"))
+    for k in ("same", "drift"):
+        assert final.loc[k].n == len(stream_vals[k])  # bad records dropped
+        live = DDSketch(0.25)
+        live.update_batch(stream_vals[k])
+        nb, want = dd_psi_pair(live, DDSketch.from_bytes(baseline[k]))
+        assert round(final.loc[k].psi, 6) == round(want, 6), k
+        assert final.loc[k].n_bins == nb
+    assert final.loc["drift"].psi > 0.25 and final.loc["same"].psi < 0.1
