@@ -1107,6 +1107,55 @@ FROM ({dd_psi_sql(src, "v", "_side", 0.25, ["event_type"])})
 ORDER BY event_type"""
 
 
+def q_psi_drift_attribution(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """WHICH value bands drove the drift (operators/drift.py
+    psi_attribution_report): same md5-parity split + planted x3 'click'
+    shift as `value_psi_drift`; per event_type the top-2 PSI bins by
+    |term| with their dd-estimator representative values and both
+    sides' exact counts — the ops answer "the ~3x value band gained
+    mass from nothing" instead of a bare score. Terms are bit-equal
+    cross-engine, so ranking, counts, representative values and the
+    signed terms are ALL value-exact vs dd_psi_attr_sql (round-6 on
+    the doubles)."""
+    from grenier_spark.operators.drift import psi_attribution_report
+
+    ev = _t(spark, sf_dir, "events").where("value IS NOT NULL")
+    side = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                               1, 15), 16, 10).cast("long") % 2)
+    src = (ev.select("event_type", "event_id", "value")
+           .withColumn("_side", side)
+           .withColumn("v", F.when((F.col("_side") == 1)
+                                   & (F.col("event_type") == "click"),
+                                   F.col("value") * 3.0)
+                       .otherwise(F.col("value")).cast("double")))
+    rep = psi_attribution_report(src, "v", "_side", ["event_type"],
+                                 alpha=0.25, k=2)
+    return (rep.select("event_type", "rank", "bin",
+                       F.round("rep_value", 6).alias("rep_value"),
+                       "c_a", "c_b", F.round("term", 6).alias("term"))
+            .orderBy("event_type", "rank"))
+
+
+def _psi_drift_attribution_oracle() -> str:
+    from grenier_spark.functions.sql_oracles import dd_psi_attr_sql
+
+    src = """
+SELECT event_type,
+       CASE WHEN s = 1 AND event_type = 'click'
+            THEN value * (3.0::DOUBLE) ELSE value END AS v,
+       s AS _side
+FROM (SELECT event_type, value,
+             ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 2
+               AS s
+      FROM events WHERE value IS NOT NULL)"""
+    return f"""
+SELECT event_type, rank, bin, round(rep_value, 6) AS rep_value,
+       c_a, c_b, round(term, 6) AS term
+FROM ({dd_psi_attr_sql(src, "v", "_side", 0.25, ["event_type"], k=2)})
+ORDER BY event_type, rank"""
+
+
 def q_rolling_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period drift monitor (operators/drift.py
     ks_window_shift_report): per anchor day, KS between the trailing
@@ -4748,6 +4797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_precision_migration": q_hll_precision_migration,
         "dd_cube_quantiles": q_dd_cube_quantiles,
         "value_psi_drift": q_value_psi_drift,
+        "psi_drift_attribution": q_psi_drift_attribution,
     }
 
 
@@ -5724,6 +5774,9 @@ ORDER BY kind, row, col""",
         # the 9th streaming surface: dd order-insensitivity makes the
         # final-trigger streamed PSI VALUE-exact vs the batch SQL replay
         "streaming_value_psi_drift": _streaming_value_psi_drift_oracle(),
+        # terms bit-equal -> ranking, counts, representative values and
+        # signed terms all value-exact (round-6 doubles)
+        "psi_drift_attribution": _psi_drift_attribution_oracle(),
         "ann_ivf_topk": ann_ivf_sql(
             "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
             "FROM embeddings",

@@ -1179,21 +1179,14 @@ def dd_bucket_expr(value: str, alpha: float) -> str:
             f"AS INTEGER)")
 
 
-def dd_psi_sql(values_sql: str, value_col: str, side_col: str,
-               alpha: float, group_cols: "list[str] | None" = None,
-               smooth: float = 0.5) -> str:
-    """Population Stability Index per group between two sides, the twin
-    of ``operators.drift.psi_sketch_report``: exact integer DDSketch
-    bucket counts (zeros as their own bin below every real bucket),
-    add-``smooth`` smoothing over the union bin set, (p-q)*ln(p/q)
-    terms in IEEE doubles (libm ln both engines; terms bit-equal,
-    the Kahan fsum carries the suite's round-6 contract). Groups whose
-    values are ALL zero are out of contract (no positive bucket to
-    anchor the zero bin; the Spark operator emits psi = 0 for them).
-    ``values_sql`` yields group_cols + [side_col, value_col],
-    NULL-values already filtered; groups seen on only one side drop.
-    Emits (group..., side_a, side_b, n_a, n_b, n_bins, psi)."""
-    g = list(group_cols or [])
+def _dd_psi_terms_cte(values_sql: str, value_col: str, side_col: str,
+                      alpha: float, g: "list[str]",
+                      smooth: float) -> str:
+    """The shared PSI CTE chain (vals -> buckets -> union bins ->
+    smoothed (p-q)ln(p/q) terms) ending in a ``terms`` relation with
+    (group..., side_a, side_b, bin, is_zero, c_a, c_b, n_a, n_b,
+    n_bins, term) — consumed by :func:`dd_psi_sql` (fsum) and
+    :func:`dd_psi_attr_sql` (top-|term| bins)."""
     gsel = "".join(f"{c}, " for c in g)
     gjoin = (" AND ".join(f"x.{c} = y.{c}" for c in g)) or "TRUE"
     sm = f"({smooth!r}::DOUBLE)"
@@ -1234,8 +1227,9 @@ WITH vals AS (
   LEFT JOIN occ cb ON ({(" AND ".join(f"cb.{c} = b.{c}" for c in g)) or "TRUE"})
        AND cb.bin = b.bin AND cb.s = t.side_b
 ), terms AS (
-  SELECT {"".join(f"ct.{c}, " for c in g)}ct.side_a, ct.side_b,
-         na.n AS n_a, nb2.n AS n_b, k.n_bins,
+  SELECT {"".join(f"ct.{c}, " for c in g)}ct.side_a, ct.side_b, ct.bin,
+         (ct.bin = z.zbin) AS is_zero,
+         ct.c_a, ct.c_b, na.n AS n_a, nb2.n AS n_b, k.n_bins,
          (((ct.c_a::DOUBLE + {sm}) / (na.n::DOUBLE + {sm} * k.n_bins::DOUBLE))
           - ((ct.c_b::DOUBLE + {sm}) / (nb2.n::DOUBLE + {sm} * k.n_bins::DOUBLE)))
          * ln(((ct.c_a::DOUBLE + {sm}) / (na.n::DOUBLE + {sm} * k.n_bins::DOUBLE))
@@ -1247,10 +1241,62 @@ WITH vals AS (
        AND na.s = ct.side_a
   JOIN n nb2 ON ({(" AND ".join(f"nb2.{c} = ct.{c}" for c in g)) or "TRUE"})
        AND nb2.s = ct.side_b
-)
+  JOIN zb z ON {(" AND ".join(f"z.{c} = ct.{c}" for c in g)) or "TRUE"}
+)"""
+
+
+def dd_psi_sql(values_sql: str, value_col: str, side_col: str,
+               alpha: float, group_cols: "list[str] | None" = None,
+               smooth: float = 0.5) -> str:
+    """Population Stability Index per group between two sides, the twin
+    of ``operators.drift.psi_sketch_report``: exact integer DDSketch
+    bucket counts (zeros as their own bin below every real bucket),
+    add-``smooth`` smoothing over the union bin set, (p-q)*ln(p/q)
+    terms in IEEE doubles (libm ln both engines; terms bit-equal,
+    the Kahan fsum carries the suite's round-6 contract). Groups whose
+    values are ALL zero are out of contract (no positive bucket to
+    anchor the zero bin; the Spark operator emits psi = 0 for them).
+    ``values_sql`` yields group_cols + [side_col, value_col],
+    NULL-values already filtered; groups seen on only one side drop.
+    Emits (group..., side_a, side_b, n_a, n_b, n_bins, psi)."""
+    g = list(group_cols or [])
+    gsel = "".join(f"{c}, " for c in g)
+    chain = _dd_psi_terms_cte(values_sql, value_col, side_col, alpha, g,
+                              smooth)
+    return f"""{chain}
 SELECT {gsel}side_a, side_b, ANY_VALUE(n_a) AS n_a, ANY_VALUE(n_b) AS n_b,
        ANY_VALUE(n_bins) AS n_bins, fsum(term) AS psi
 FROM terms GROUP BY ALL"""
+
+
+def dd_psi_attr_sql(values_sql: str, value_col: str, side_col: str,
+                    alpha: float, group_cols: "list[str] | None" = None,
+                    smooth: float = 0.5, k: int = 3) -> str:
+    """Drift attribution twin of ``operators.drift.
+    psi_attribution_report``: per group the top-``k`` PSI bins by
+    |term| (ties to the lower bin id), each with its dd-estimator
+    representative value (``2*gamma^b/(gamma+1)``, 0.0 for the zero
+    bin), both sides' exact counts and the signed term — every column
+    value-exact cross-engine (terms are bit-equal, ranking included).
+    Emits (group..., side_a, side_b, rank, bin, rep_value, c_a, c_b,
+    term)."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    g = list(group_cols or [])
+    gsel = "".join(f"{c}, " for c in g)
+    part = ("PARTITION BY " + ", ".join(g)) if g else ""
+    chain = _dd_psi_terms_cte(values_sql, value_col, side_col, alpha, g,
+                              smooth)
+    return f"""{chain}
+SELECT {gsel}side_a, side_b, rank, bin,
+       CASE WHEN is_zero THEN 0.0::DOUBLE
+            ELSE 2.0 * power({gamma!r}::DOUBLE, bin) /
+                 ({gamma!r}::DOUBLE + 1.0) END AS rep_value,
+       c_a, c_b, term
+FROM (
+  SELECT *, row_number() OVER ({part}
+             ORDER BY abs(term) DESC, bin ASC) AS rank
+  FROM terms
+) WHERE rank <= {k}"""
 
 
 def dd_buckets_sql(values_sql: str, value_col: str, alpha: float,

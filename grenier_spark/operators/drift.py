@@ -48,16 +48,19 @@ def _kll_ks_decoded(a: "KLL", b: "KLL") -> float:
     return float(np.max(np.abs(a.rank(grid) - b.rank(grid))))
 
 
-def dd_psi_pair(sa, sb, smooth: float = 0.5) -> "tuple[int, float]":
-    """(n_bins, PSI) between two decoded DDSketch histograms: union of
-    occupied log-buckets plus one zero-value bin (below every real
-    bucket, present iff either side saw zeros), add-``smooth``
-    smoothing, fsum of (p - q) * ln(p / q). Shared by the batch report
-    UDF and the streaming monitor so the two surfaces cannot drift."""
+def dd_psi_terms(sa, sb, smooth: float = 0.5):
+    """Per-bin PSI decomposition between two decoded DDSketch
+    histograms: rows ``(bin, is_zero_bin, c_a, c_b, term)`` over the
+    union of occupied log-buckets plus one zero-value bin (below every
+    real bucket, present iff either side saw zeros), add-``smooth``
+    smoothing, ``term = (p - q) * ln(p / q)``. The single place the
+    PSI arithmetic lives — the scalar score, the streaming monitor and
+    the attribution report all consume these rows."""
     import math
 
     ca = dict(zip(sa.idx.tolist(), sa.counts.tolist()))
     cb = dict(zip(sb.idx.tolist(), sb.counts.tolist()))
+    zbin = None
     if sa.zero_count or sb.zero_count:
         zbin = min(list(ca) + list(cb), default=0) - 1
         ca[zbin] = int(sa.zero_count)
@@ -65,12 +68,21 @@ def dd_psi_pair(sa, sb, smooth: float = 0.5) -> "tuple[int, float]":
     bins = sorted(set(ca) | set(cb))
     da = float(sa.n) + smooth * len(bins)
     db = float(sb.n) + smooth * len(bins)
-    terms = []
+    out = []
     for i in bins:
         p = (ca.get(i, 0) + smooth) / da
         q = (cb.get(i, 0) + smooth) / db
-        terms.append((p - q) * math.log(p / q))
-    return len(bins), float(math.fsum(terms))
+        out.append((i, i == zbin, ca.get(i, 0), cb.get(i, 0),
+                    (p - q) * math.log(p / q)))
+    return out
+
+
+def dd_psi_pair(sa, sb, smooth: float = 0.5) -> "tuple[int, float]":
+    """(n_bins, PSI): fsum over the :func:`dd_psi_terms` rows."""
+    import math
+
+    rows = dd_psi_terms(sa, sb, smooth)
+    return len(rows), float(math.fsum(t for *_, t in rows))
 
 
 def ks_sketch_report(df: DataFrame, value_col: str, side_col: str,
@@ -272,13 +284,8 @@ def psi_sketch_report(df: DataFrame, value_col: str, side_col: str,
     from .sketch_build import SketchSpec, build_sketches
     from ..core.ddsketch import DDSketch
 
-    group_cols = list(group_cols or [])
-    if df.where(F.col(side_col).isNull()).limit(1).count():
-        raise ValueError(f"{side_col} must be non-null (two sides only)")
-    src = df.where(F.col(value_col).isNotNull())
-    res = build_sketches(src, [SketchSpec.of("d", "dd", value_col,
-                                             alpha=alpha)],
-                         group_cols=group_cols + [side_col])
+    j, group_cols = _dd_two_sides(df, value_col, side_col, group_cols,
+                                  alpha)
 
     @pandas_udf("struct<n_a:bigint,n_b:bigint,n_bins:bigint,psi:double>")
     def _psi(a, b):
@@ -291,6 +298,28 @@ def psi_sketch_report(df: DataFrame, value_col: str, side_col: str,
             rows.append((int(sa.n), int(sb.n), n_bins, psi))
         return pd.DataFrame(rows, columns=["n_a", "n_b", "n_bins", "psi"])
 
+    return (j.select(*group_cols, "side_a", "side_b",
+                     _psi("_ska", "_skb").alias("r"))
+            .select(*group_cols, "side_a", "side_b",
+                    F.col("r.n_a").alias("n_a"),
+                    F.col("r.n_b").alias("n_b"),
+                    F.col("r.n_bins").alias("n_bins"),
+                    F.col("r.psi").alias("psi")))
+
+
+def _dd_two_sides(df, value_col, side_col, group_cols, alpha):
+    """Shared PSI scaffold: one dd build per (group, side), the two side
+    blobs joined per group as (_ska, _skb) with side_a/side_b labels —
+    same side contract as ks_sketch_report."""
+    from .sketch_build import SketchSpec, build_sketches
+
+    group_cols = list(group_cols or [])
+    if df.where(F.col(side_col).isNull()).limit(1).count():
+        raise ValueError(f"{side_col} must be non-null (two sides only)")
+    src = df.where(F.col(value_col).isNotNull())
+    res = build_sketches(src, [SketchSpec.of("d", "dd", value_col,
+                                             alpha=alpha)],
+                         group_cols=group_cols + [side_col])
     w = (Window.partitionBy(*group_cols) if group_cols
          else Window.partitionBy())
     sides = (res.select(*group_cols, side_col, "sketch")
@@ -303,10 +332,51 @@ def psi_sketch_report(df: DataFrame, value_col: str, side_col: str,
          .select(*group_cols, F.col(side_col).alias("side_b"),
                  F.col("sketch").alias("_skb")))
     j = a.join(b, group_cols) if group_cols else a.crossJoin(b)
+    return j, group_cols
+
+
+def psi_attribution_report(df: DataFrame, value_col: str, side_col: str,
+                           group_cols: "list[str] | None" = None,
+                           alpha: float = 0.25, smooth: float = 0.5,
+                           k: int = 3) -> DataFrame:
+    """WHICH value bands drove the drift: per group, the top-``k`` PSI
+    bins by |term| (ties to the lower bin id) with the bin's
+    representative value (the dd estimator point ``2*gamma^b/(gamma+1)``,
+    0.0 for the zero bin), both sides' exact counts, and the signed
+    term — "the p95+ latency band gained mass" instead of a bare score.
+    Same one-pass build and side contract as :func:`psi_sketch_report`;
+    terms are bit-equal cross-engine, so the ranking (and everything
+    emitted) is value-exact in SQL (``dd_psi_attr_sql``). Returns
+    (group..., rank, bin, rep_value, c_a, c_b, term)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..core.ddsketch import DDSketch
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    j, group_cols = _dd_two_sides(df, value_col, side_col, group_cols,
+                                  alpha)
+
+    @pandas_udf("array<struct<bin:bigint,rep_value:double,c_a:bigint,"
+                "c_b:bigint,term:double>>")
+    def _attr(a, b):
+        import pandas as pd
+        out = []
+        for x, y in zip(a, b):
+            rows = dd_psi_terms(DDSketch.from_bytes(bytes(x)),
+                                DDSketch.from_bytes(bytes(y)), smooth)
+            rows.sort(key=lambda r: (-abs(r[4]), r[0]))
+            out.append([
+                (int(i), 0.0 if zb else 2.0 * gamma ** int(i) / (gamma + 1.0),
+                 int(ca), int(cb), float(t))
+                for i, zb, ca, cb, t in rows[:k]])
+        return pd.Series(out)
+
     return (j.select(*group_cols, "side_a", "side_b",
-                     _psi("_ska", "_skb").alias("r"))
+                     F.posexplode(_attr("_ska", "_skb")).alias("i", "r"))
             .select(*group_cols, "side_a", "side_b",
-                    F.col("r.n_a").alias("n_a"),
-                    F.col("r.n_b").alias("n_b"),
-                    F.col("r.n_bins").alias("n_bins"),
-                    F.col("r.psi").alias("psi")))
+                    (F.col("i") + 1).cast("long").alias("rank"),
+                    F.col("r.bin").alias("bin"),
+                    F.col("r.rep_value").alias("rep_value"),
+                    F.col("r.c_a").alias("c_a"),
+                    F.col("r.c_b").alias("c_b"),
+                    F.col("r.term").alias("term")))

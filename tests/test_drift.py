@@ -227,3 +227,59 @@ def test_psi_report_side_contract(spark):
         pd.DataFrame({"s": ["a", None], "v": [1.0, 2.0]}))
     with pytest.raises(ValueError, match="non-null"):
         psi_sketch_report(bad, "v", "s")
+
+
+def test_psi_attribution_matches_twin_and_sql(spark):
+    """psi_attribution_report: top-k bins by |term| (ties to lower bin)
+    with representative values — bit-equal to the numpy twin and to
+    dd_psi_attr_sql on the same data."""
+    import duckdb
+
+    from grenier_spark.core.ddsketch import DDSketch
+    from grenier_spark.functions.sql_oracles import dd_psi_attr_sql
+    from grenier_spark.operators.drift import (dd_psi_terms,
+                                               psi_attribution_report)
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for g in ["stable", "shifted"]:
+        for s in ["a", "b"]:
+            n = int(rng.integers(300, 500))
+            v = rng.gamma(2.0, 30.0 if (g, s) == ("shifted", "b") else 10.0,
+                          n)
+            v[: n // 40] = 0.0
+            rows.append(pd.DataFrame({"g": g, "s": s, "v": v}))
+    pdf = pd.concat(rows, ignore_index=True)
+    rep = (psi_attribution_report(spark.createDataFrame(pdf).repartition(5),
+                                  "v", "s", ["g"], k=3)
+           .orderBy("g", "rank").toPandas())
+    gamma = 1.25 / 0.75
+    for g, gg in pdf.groupby("g"):
+        sk = {}
+        for s, ss in gg.groupby("s"):
+            d = DDSketch(0.25)
+            d.update_batch(ss.v.to_numpy())
+            sk[s] = d
+        tr = dd_psi_terms(sk["a"], sk["b"])
+        tr.sort(key=lambda r: (-abs(r[4]), r[0]))
+        sub = rep[rep.g == g].reset_index(drop=True)
+        assert list(sub["rank"]) == [1, 2, 3]
+        for rk, (i, zb, ca, cb, t) in enumerate(tr[:3]):
+            row = sub.iloc[rk]
+            assert (row.bin, row.c_a, row.c_b) == (i, ca, cb)
+            assert row.term == t
+            assert row.rep_value == (0.0 if zb
+                                     else 2.0 * gamma ** int(i)
+                                     / (gamma + 1.0))
+    con = duckdb.connect()
+    con.register("src", pdf)
+    got = con.execute(
+        "SELECT * FROM (" + dd_psi_attr_sql("SELECT g, s, v FROM src",
+                                            "v", "s", 0.25, ["g"], k=3)
+        + ") ORDER BY g, rank").df()
+    for c in ["g", "rank", "bin", "c_a", "c_b"]:
+        assert list(got[c]) == list(rep[c]), c
+    assert list(got.term) == list(rep.term)
+    # the planted scale shift's top bins are mass appearing from nothing
+    top = rep[(rep.g == "shifted") & (rep["rank"] == 1)].iloc[0]
+    assert top.c_a == 0 and top.c_b > 20
