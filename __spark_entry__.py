@@ -1156,6 +1156,90 @@ FROM ({dd_psi_attr_sql(src, "v", "_side", 0.25, ["event_type"], k=2)})
 ORDER BY event_type, rank"""
 
 
+def q_drift_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift toolkit composed — ONE dashboard row per event_type
+    from three sketch families over the same planted stream (md5-parity
+    split, x3 on 'click'): exact two-sample KS (drift.ks_exact), the
+    DDSketch-histogram PSI (psi_sketch_report), and the p50 value shift
+    ratio from the SQL-exact dd estimator (dd_quantiles_col per side).
+    Every column is value-exact cross-engine (ks_exact_sql, dd_psi_sql,
+    dd_quantile_sql); the two verdicts must agree on the planted type
+    (ks >= 0.2, psi >= 0.25) and the p50 ratio must read ~3.0 there."""
+    from grenier_spark.functions import dd_quantiles_col
+    from grenier_spark.operators.drift import ks_exact, psi_sketch_report
+
+    ev = _t(spark, sf_dir, "events").where("value IS NOT NULL")
+    side = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                               1, 15), 16, 10).cast("long") % 2)
+    src = (ev.select("event_type", "event_id", "value")
+           .withColumn("_side", side)
+           .withColumn("v", F.when((F.col("_side") == 1)
+                                   & (F.col("event_type") == "click"),
+                                   F.col("value") * 3.0)
+                       .otherwise(F.col("value")).cast("double")))
+    ex = ks_exact(src, "v", "_side", ["event_type"])
+    psi = psi_sketch_report(src, "v", "_side", ["event_type"], alpha=0.25)
+    dd = build_sketches(src.select("event_type", "_side", "v"),
+                        [SketchSpec.of("d", "dd", "v", alpha=0.01)],
+                        group_cols=["event_type", "_side"])
+    p50 = (dd.select("event_type", "_side",
+                     F.element_at(dd_quantiles_col("sketch", [0.5]), 1)
+                     .alias("m"))
+           .groupBy("event_type")
+           .agg(F.max(F.when(F.col("_side") == 0, F.col("m"))).alias("m0"),
+                F.max(F.when(F.col("_side") == 1, F.col("m"))).alias("m1")))
+    return (ex.select("event_type", "n_a", "n_b",
+                      F.round("ks", 6).alias("ks"),
+                      (F.col("ks") >= 0.2).alias("ks_drifted"))
+            .join(psi.select("event_type",
+                             F.round("psi", 6).alias("psi"),
+                             (F.round(F.col("psi"), 6) >= 0.25)
+                             .alias("psi_drifted")), "event_type")
+            .join(p50.select("event_type",
+                             F.round(F.col("m1") / F.col("m0"), 6)
+                             .alias("p50_ratio")), "event_type")
+            .select("event_type", "n_a", "n_b", "ks", "psi", "p50_ratio",
+                    "ks_drifted", "psi_drifted",
+                    (F.col("ks_drifted") == F.col("psi_drifted"))
+                    .alias("verdicts_agree"))
+            .orderBy("event_type"))
+
+
+def _drift_dashboard_oracle() -> str:
+    from grenier_spark.functions.sql_oracles import (dd_psi_sql,
+                                                     dd_quantile_sql)
+    from grenier_spark.operators.drift import ks_exact_sql
+
+    src = """
+SELECT event_type,
+       CASE WHEN s = 1 AND event_type = 'click'
+            THEN value * (3.0::DOUBLE) ELSE value END AS v,
+       s AS _side
+FROM (SELECT event_type, value,
+             ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 2
+               AS s
+      FROM events WHERE value IS NOT NULL)"""
+    q50 = dd_quantile_sql(f"SELECT event_type, _side, v FROM ({src})",
+                          "v", 0.01, [0.5],
+                          group_cols=["event_type", "_side"])
+    return f"""
+SELECT k.event_type, k.n_a, k.n_b, round(k.ks, 6) AS ks,
+       round(p.psi, 6) AS psi, round(m1.est_value / m0.est_value, 6)
+         AS p50_ratio,
+       k.ks >= (0.2::DOUBLE) AS ks_drifted,
+       round(p.psi, 6) >= (0.25::DOUBLE) AS psi_drifted,
+       (k.ks >= (0.2::DOUBLE)) = (round(p.psi, 6) >= (0.25::DOUBLE))
+         AS verdicts_agree
+FROM ({ks_exact_sql(src, "v", "_side", ["event_type"])}) k
+JOIN ({dd_psi_sql(src, "v", "_side", 0.25, ["event_type"])}) p
+  USING (event_type)
+JOIN (SELECT event_type, est_value FROM ({q50}) WHERE _side = 0) m0
+  USING (event_type)
+JOIN (SELECT event_type, est_value FROM ({q50}) WHERE _side = 1) m1
+  USING (event_type)
+ORDER BY event_type"""
+
+
 def q_rolling_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period drift monitor (operators/drift.py
     ks_window_shift_report): per anchor day, KS between the trailing
@@ -4798,6 +4882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_cube_quantiles": q_dd_cube_quantiles,
         "value_psi_drift": q_value_psi_drift,
         "psi_drift_attribution": q_psi_drift_attribution,
+        "drift_dashboard": q_drift_dashboard,
     }
 
 
@@ -5777,6 +5862,9 @@ ORDER BY kind, row, col""",
         # terms bit-equal -> ranking, counts, representative values and
         # signed terms all value-exact (round-6 doubles)
         "psi_drift_attribution": _psi_drift_attribution_oracle(),
+        # three sketch families, one dashboard row; every column
+        # value-exact via the three established SQL twins
+        "drift_dashboard": _drift_dashboard_oracle(),
         "ann_ivf_topk": ann_ivf_sql(
             "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
             "FROM embeddings",
