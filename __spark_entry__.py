@@ -1006,6 +1006,34 @@ def q_tfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source", "rank"))
 
 
+def _split_planted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift gates' shared fixture: non-null event values split into
+    two sides by md5(event_id) parity, with a PLANTED x3 value drift on
+    side 1 of event_type 'click'. ONE definition for all four drift
+    gates (KS, PSI, attribution, dashboard) — its DuckDB twin is
+    ``_SPLIT_PLANTED_SRC_SQL``; any change must land in both."""
+    ev = _t(spark, sf_dir, "events").where("value IS NOT NULL")
+    side = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                               1, 15), 16, 10).cast("long") % 2)
+    return (ev.select("event_type", "event_id", "value")
+            .withColumn("_side", side)
+            .withColumn("v", F.when((F.col("_side") == 1)
+                                    & (F.col("event_type") == "click"),
+                                    F.col("value") * 3.0)
+                        .otherwise(F.col("value")).cast("double")))
+
+
+_SPLIT_PLANTED_SRC_SQL = """
+SELECT event_type,
+       CASE WHEN s = 1 AND event_type = 'click'
+            THEN value * (3.0::DOUBLE) ELSE value END AS v,
+       s AS _side
+FROM (SELECT event_type, value,
+             ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 2
+               AS s
+      FROM events WHERE value IS NOT NULL)"""
+
+
 def q_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS drift detection (operators/drift.py — round 4):
     events split into two sides by md5(event_id) parity (the same-engine
@@ -1019,15 +1047,7 @@ def q_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     types (KS ~ sqrt(1/n) ~ 0.04) must not."""
     from grenier_spark.operators.drift import ks_exact, ks_sketch_report
 
-    ev = _t(spark, sf_dir, "events").where("value IS NOT NULL")
-    side = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
-                               1, 15), 16, 10).cast("long") % 2)
-    src = (ev.select("event_type", "event_id", "value")
-           .withColumn("_side", side)
-           .withColumn("v", F.when((F.col("_side") == 1)
-                                   & (F.col("event_type") == "click"),
-                                   F.col("value") * 3.0)
-                       .otherwise(F.col("value")).cast("double")))
+    src = _split_planted_events(spark, sf_dir)
     ex = ks_exact(src, "v", "_side", ["event_type"])
     sk = ks_sketch_report(src, "v", "_side", ["event_type"], k=200)
     return (ex.join(sk.select("event_type", "ks_sketch"), "event_type")
@@ -1042,15 +1062,7 @@ def q_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _value_ks_drift_oracle() -> str:
     from grenier_spark.operators.drift import ks_exact_sql
 
-    src = """
-SELECT event_type,
-       CASE WHEN s = 1 AND event_type = 'click'
-            THEN value * (3.0::DOUBLE) ELSE value END AS v,
-       s AS _side
-FROM (SELECT event_type, value,
-             ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 2
-               AS s
-      FROM events WHERE value IS NOT NULL)"""
+    src = _SPLIT_PLANTED_SRC_SQL
     return f"""
 SELECT event_type, n_a, n_b, round(ks, 6) AS ks_exact,
        TRUE AS sketch_within_bound,
@@ -1072,15 +1084,7 @@ def q_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planted type only (A/B-split noise reads ~2B/n ~ 0.01)."""
     from grenier_spark.operators.drift import psi_sketch_report
 
-    ev = _t(spark, sf_dir, "events").where("value IS NOT NULL")
-    side = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
-                               1, 15), 16, 10).cast("long") % 2)
-    src = (ev.select("event_type", "event_id", "value")
-           .withColumn("_side", side)
-           .withColumn("v", F.when((F.col("_side") == 1)
-                                   & (F.col("event_type") == "click"),
-                                   F.col("value") * 3.0)
-                       .otherwise(F.col("value")).cast("double")))
+    src = _split_planted_events(spark, sf_dir)
     rep = psi_sketch_report(src, "v", "_side", ["event_type"], alpha=0.25)
     return (rep.select("event_type", "n_a", "n_b", "n_bins",
                        F.round("psi", 6).alias("psi"),
@@ -1091,15 +1095,7 @@ def q_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _value_psi_drift_oracle() -> str:
     from grenier_spark.functions.sql_oracles import dd_psi_sql
 
-    src = """
-SELECT event_type,
-       CASE WHEN s = 1 AND event_type = 'click'
-            THEN value * (3.0::DOUBLE) ELSE value END AS v,
-       s AS _side
-FROM (SELECT event_type, value,
-             ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 2
-               AS s
-      FROM events WHERE value IS NOT NULL)"""
+    src = _SPLIT_PLANTED_SRC_SQL
     return f"""
 SELECT event_type, n_a, n_b, n_bins, round(psi, 6) AS psi,
        round(psi, 6) >= (0.25::DOUBLE) AS drifted
@@ -1120,15 +1116,7 @@ def q_psi_drift_attribution(spark: SparkSession,
     the doubles)."""
     from grenier_spark.operators.drift import psi_attribution_report
 
-    ev = _t(spark, sf_dir, "events").where("value IS NOT NULL")
-    side = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
-                               1, 15), 16, 10).cast("long") % 2)
-    src = (ev.select("event_type", "event_id", "value")
-           .withColumn("_side", side)
-           .withColumn("v", F.when((F.col("_side") == 1)
-                                   & (F.col("event_type") == "click"),
-                                   F.col("value") * 3.0)
-                       .otherwise(F.col("value")).cast("double")))
+    src = _split_planted_events(spark, sf_dir)
     rep = psi_attribution_report(src, "v", "_side", ["event_type"],
                                  alpha=0.25, k=2)
     return (rep.select("event_type", "rank", "bin",
@@ -1140,15 +1128,7 @@ def q_psi_drift_attribution(spark: SparkSession,
 def _psi_drift_attribution_oracle() -> str:
     from grenier_spark.functions.sql_oracles import dd_psi_attr_sql
 
-    src = """
-SELECT event_type,
-       CASE WHEN s = 1 AND event_type = 'click'
-            THEN value * (3.0::DOUBLE) ELSE value END AS v,
-       s AS _side
-FROM (SELECT event_type, value,
-             ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 2
-               AS s
-      FROM events WHERE value IS NOT NULL)"""
+    src = _SPLIT_PLANTED_SRC_SQL
     return f"""
 SELECT event_type, rank, bin, round(rep_value, 6) AS rep_value,
        c_a, c_b, round(term, 6) AS term
@@ -1168,15 +1148,9 @@ def q_drift_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grenier_spark.functions import dd_quantiles_col
     from grenier_spark.operators.drift import ks_exact, psi_sketch_report
 
-    ev = _t(spark, sf_dir, "events").where("value IS NOT NULL")
-    side = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
-                               1, 15), 16, 10).cast("long") % 2)
-    src = (ev.select("event_type", "event_id", "value")
-           .withColumn("_side", side)
-           .withColumn("v", F.when((F.col("_side") == 1)
-                                   & (F.col("event_type") == "click"),
-                                   F.col("value") * 3.0)
-                       .otherwise(F.col("value")).cast("double")))
+    # four consumers (KS, PSI incl. its null-side probe, dd build):
+    # materialize the md5-split frame once instead of four scans
+    src = _split_planted_events(spark, sf_dir).localCheckpoint()
     ex = ks_exact(src, "v", "_side", ["event_type"])
     psi = psi_sketch_report(src, "v", "_side", ["event_type"], alpha=0.25)
     dd = build_sketches(src.select("event_type", "_side", "v"),
@@ -1210,15 +1184,7 @@ def _drift_dashboard_oracle() -> str:
                                                      dd_quantile_sql)
     from grenier_spark.operators.drift import ks_exact_sql
 
-    src = """
-SELECT event_type,
-       CASE WHEN s = 1 AND event_type = 'click'
-            THEN value * (3.0::DOUBLE) ELSE value END AS v,
-       s AS _side
-FROM (SELECT event_type, value,
-             ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 2
-               AS s
-      FROM events WHERE value IS NOT NULL)"""
+    src = _SPLIT_PLANTED_SRC_SQL
     q50 = dd_quantile_sql(f"SELECT event_type, _side, v FROM ({src})",
                           "v", 0.01, [0.5],
                           group_cols=["event_type", "_side"])

@@ -1186,7 +1186,10 @@ def _dd_psi_terms_cte(values_sql: str, value_col: str, side_col: str,
     smoothed (p-q)ln(p/q) terms) ending in a ``terms`` relation with
     (group..., side_a, side_b, bin, is_zero, c_a, c_b, n_a, n_b,
     n_bins, term) — consumed by :func:`dd_psi_sql` (fsum) and
-    :func:`dd_psi_attr_sql` (top-|term| bins)."""
+    :func:`dd_psi_attr_sql` (top-|term| bins). side_a/side_b are the
+    string-cast-ordered labels (arg_min/arg_max over s::VARCHAR), the
+    SAME ordering the Spark operator uses — native MIN/MAX would flip
+    multi-digit numeric labels."""
     gsel = "".join(f"{c}, " for c in g)
     gjoin = (" AND ".join(f"x.{c} = y.{c}" for c in g)) or "TRUE"
     sm = f"({smooth!r}::DOUBLE)"
@@ -1215,7 +1218,8 @@ WITH vals AS (
 ), n AS (
   SELECT {gsel}s, COUNT(*)::BIGINT AS n FROM vals GROUP BY ALL
 ), two AS (
-  SELECT {gsel}MIN(s) AS side_a, MAX(s) AS side_b
+  SELECT {gsel}arg_min(s, s::VARCHAR) AS side_a,
+         arg_max(s, s::VARCHAR) AS side_b
   FROM n GROUP BY ALL HAVING COUNT(DISTINCT s) = 2
 ), ct AS (
   SELECT {"".join(f"b.{c}, " for c in g)}b.bin, t.side_a, t.side_b,
@@ -1287,7 +1291,7 @@ def dd_psi_attr_sql(values_sql: str, value_col: str, side_col: str,
     chain = _dd_psi_terms_cte(values_sql, value_col, side_col, alpha, g,
                               smooth)
     return f"""{chain}
-SELECT {gsel}side_a, side_b, rank, bin,
+SELECT {gsel}side_a, side_b, rank, bin::BIGINT AS bin,
        CASE WHEN is_zero THEN 0.0::DOUBLE
             ELSE 2.0 * power({gamma!r}::DOUBLE, bin) /
                  ({gamma!r}::DOUBLE + 1.0) END AS rep_value,

@@ -58,6 +58,10 @@ def dd_psi_terms(sa, sb, smooth: float = 0.5):
     the attribution report all consume these rows."""
     import math
 
+    if sa.alpha != sb.alpha:
+        raise ValueError(
+            f"dd_psi_terms: alpha mismatch ({sa.alpha} vs {sb.alpha}) — "
+            f"bucket indices from different gammas are not comparable")
     ca = dict(zip(sa.idx.tolist(), sa.counts.tolist()))
     cb = dict(zip(sb.idx.tolist(), sb.counts.tolist()))
     zbin = None
@@ -281,7 +285,6 @@ def psi_sketch_report(df: DataFrame, value_col: str, side_col: str,
     n_b, n_bins, psi)."""
     from pyspark.sql.functions import pandas_udf
 
-    from .sketch_build import SketchSpec, build_sketches
     from ..core.ddsketch import DDSketch
 
     j, group_cols = _dd_two_sides(df, value_col, side_col, group_cols,
@@ -331,6 +334,12 @@ def _dd_two_sides(df, value_col, side_col, group_cols, alpha):
     b = (sides.where("_rk = 2")
          .select(*group_cols, F.col(side_col).alias("side_b"),
                  F.col("sketch").alias("_skb")))
+    extra = sides.where("_rk = 3").limit(1)
+    if extra.count():
+        bad = extra.collect()[0][side_col]
+        raise ValueError(
+            f"{side_col} must take exactly two values per group "
+            f"(saw a third: {bad!r})")
     j = a.join(b, group_cols) if group_cols else a.crossJoin(b)
     return j, group_cols
 

@@ -283,3 +283,22 @@ def test_psi_attribution_matches_twin_and_sql(spark):
     # the planted scale shift's top bins are mass appearing from nothing
     top = rep[(rep.g == "shifted") & (rep["rank"] == 1)].iloc[0]
     assert top.c_a == 0 and top.c_b > 20
+
+
+def test_psi_guards_alpha_and_third_side(spark):
+    """dd_psi_terms refuses mismatched alphas (bucket indices from
+    different gammas are not comparable); the report raises loud on a
+    THIRD side value instead of silently comparing two of them."""
+    from grenier_spark.core.ddsketch import DDSketch
+    from grenier_spark.operators.drift import dd_psi_terms, psi_sketch_report
+
+    a = DDSketch(0.25)
+    a.update_batch(np.arange(1.0, 50.0))
+    b = DDSketch(0.01)
+    b.update_batch(np.arange(1.0, 50.0))
+    with pytest.raises(ValueError, match="alpha mismatch"):
+        dd_psi_terms(a, b)
+    pdf = pd.DataFrame({"s": ["a"] * 10 + ["b"] * 10 + ["c"] * 10,
+                        "v": np.arange(30, dtype=float) + 1})
+    with pytest.raises(Exception, match="exactly two values"):
+        psi_sketch_report(spark.createDataFrame(pdf), "v", "s").collect()

@@ -662,7 +662,6 @@ def test_ddsketch_state_stream_byte_equals_batch(spark, tmp_path):
 
     import numpy as np
     import pandas as pd
-    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
