@@ -127,6 +127,12 @@ def ks_sketch_report(df: DataFrame, value_col: str, side_col: str,
          .select(*group_cols, F.col(side_col).alias("side_b"),
                  F.col("sketch").alias("_skb"),
                  F.col("n_values").alias("n_b")))
+    extra = sides.where("_rk = 3").limit(1)
+    if extra.count():
+        bad = extra.collect()[0][side_col]
+        raise ValueError(
+            f"{side_col} must take exactly two values per group "
+            f"(saw a third: {bad!r})")
     j = a.join(b, group_cols) if group_cols else a.crossJoin(b)
     return (j.select(*group_cols, "side_a", "side_b", "n_a", "n_b",
                      _ks("_ska", "_skb").alias("ks_sketch")))

@@ -302,3 +302,14 @@ def test_psi_guards_alpha_and_third_side(spark):
                         "v": np.arange(30, dtype=float) + 1})
     with pytest.raises(Exception, match="exactly two values"):
         psi_sketch_report(spark.createDataFrame(pdf), "v", "s").collect()
+
+
+def test_ks_sketch_report_third_side_raises(spark):
+    """Same loud third-side contract as the PSI scaffold (silently
+    comparing the two smallest labels would diverge from the SQL twin)."""
+    from grenier_spark.operators.drift import ks_sketch_report
+
+    pdf = pd.DataFrame({"s": ["a"] * 10 + ["b"] * 10 + ["c"] * 10,
+                        "v": np.arange(30, dtype=float) + 1})
+    with pytest.raises(Exception, match="exactly two values"):
+        ks_sketch_report(spark.createDataFrame(pdf), "v", "s").collect()
