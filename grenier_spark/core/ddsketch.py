@@ -102,6 +102,52 @@ class DDSketch:
         new_counts = np.bincount(inv, minlength=len(new_idx))
         self._absorb(new_idx.astype(np.int32), new_counts.astype(np.int64))
 
+    def update_batch_weighted(self, values: np.ndarray,
+                              weights: np.ndarray) -> None:
+        """Fold a batch of (value, integer weight >= 0) pairs — each value
+        counts ``weight`` times. State transitions are IDENTICAL to
+        ``update_batch(np.repeat(values, weights))`` (asserted in
+        test_ddsketch.py), so the sketch answers WEIGHTED quantiles: the
+        estimate is within relative error alpha of the value at weighted
+        rank floor(q * (W - 1)) where W is the total weight — e.g. "the
+        doc length a random TOKEN lives in" with weight = token count.
+        Zero-weight pairs are dropped (no state change); negative or
+        non-integral weights raise. Same finite/non-negative value
+        contract as :meth:`update_batch`."""
+        values = np.asarray(values, dtype=np.float64)
+        w = np.asarray(weights)
+        if w.dtype.kind == "f":
+            raise ValueError("ddsketch: weights must be integers "
+                             "(counts), not floats")
+        w = w.astype(np.int64, copy=False)
+        if len(w) != len(values):
+            raise ValueError(f"ddsketch: {len(values)} values vs "
+                             f"{len(w)} weights")
+        if not len(values):
+            return
+        if np.any(w < 0):
+            raise ValueError("ddsketch: weights must be >= 0")
+        if not np.all(np.isfinite(values)) or np.any(values < 0):
+            raise ValueError("ddsketch: values must be finite and >= 0 "
+                             "(mirror two sketches for signed data)")
+        keep = w > 0
+        values, w = values[keep], w[keep]
+        pos = values > 0
+        self.zero_count += int(w[~pos].sum())
+        values, w = values[pos], w[pos]
+        if not len(values):
+            return
+        i = np.ceil(np.log(values) / self._lg).astype(np.int64)
+        if len(i) and (i.min() < np.iinfo(np.int32).min
+                       or i.max() > np.iinfo(np.int32).max):
+            raise ValueError(
+                "ddsketch: bucket index exceeds int32 range (alpha too "
+                "small for this value range)")
+        new_idx, inv = np.unique(i, return_inverse=True)
+        new_counts = np.zeros(len(new_idx), dtype=np.int64)
+        np.add.at(new_counts, inv, w)
+        self._absorb(new_idx.astype(np.int32), new_counts)
+
     def _absorb(self, idx: np.ndarray, counts: np.ndarray) -> None:
         if not len(self.idx):
             self.idx, self.counts = idx, counts

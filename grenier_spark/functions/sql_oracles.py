@@ -1320,7 +1320,8 @@ GROUP BY {", ".join(g + ['bucket'])}"""
 def dd_quantile_sql(values_sql: str, value_col: str, alpha: float,
                     qs: "list[float]",
                     group_cols: "list[str] | None" = None,
-                    alias: str = "est_value") -> str:
+                    alias: str = "est_value",
+                    weight_col: "str | None" = None) -> str:
     """FULL DDSketch quantile estimator in pure DuckDB SQL — the complete
     pipeline of ``core.ddsketch.DDSketch.quantile``: log-bucket histogram,
     zero counter, rank = floor(q*(n-1)), first bucket whose cumulative
@@ -1329,7 +1330,15 @@ def dd_quantile_sql(values_sql: str, value_col: str, alpha: float,
     matches value-exactly (the only quantile sketch in the suite where the
     ESTIMATOR ITSELF is SQL-reproducible — kll/tdigest get rank-bound
     gates instead). NULL values must be filtered by the caller on both
-    engines."""
+    engines.
+
+    ``weight_col`` (integer, >= 0) switches to the WEIGHTED estimator:
+    bucket counts become SUM(w), n becomes the total weight W, and the
+    rank walk answers floor(q*(W-1)) — the exact pipeline of
+    ``DDSketch.update_batch_weighted`` + ``quantile`` (the weighted state
+    IS a plain histogram with weighted counts, so the estimator replay is
+    unchanged arithmetic). Zero-weight rows drop on both engines; NULL
+    weights must be filtered by the caller like NULL values."""
     gamma = (1.0 + alpha) / (1.0 - alpha)
     g = list(group_cols or [])
     gsel = "".join(f"{c}, " for c in g)
@@ -1338,20 +1347,33 @@ def dd_quantile_sql(values_sql: str, value_col: str, alpha: float,
     on = (" AND ".join(f"c.{c} = r.{c}" for c in g)) or "TRUE"
     qvals = ", ".join(f"({q!r}::DOUBLE)" for q in qs)
     rsel = "".join(f"r.{c}, " for c in g)
+    if weight_col is None:
+        wsel, wcnt, wtot, wzero = \
+            "", "COUNT(*)::BIGINT", "COUNT(*)::BIGINT", \
+            "COUNT(*) FILTER (WHERE v = 0)::BIGINT"
+        wfilter = ""
+    else:
+        wsel = f", ({weight_col})::BIGINT AS w"
+        wcnt = "SUM(w)::BIGINT"
+        wtot = "COALESCE(SUM(w), 0)::BIGINT"
+        wzero = "COALESCE(SUM(w) FILTER (WHERE v = 0), 0)::BIGINT"
+        wfilter = " AND w > 0"  # zero-weight pairs are no-ops core-side
     return f"""
 WITH vals AS (
-  SELECT {gsel}({value_col})::DOUBLE AS v FROM ({values_sql})
+  SELECT * FROM (
+    SELECT {gsel}({value_col})::DOUBLE AS v{wsel} FROM ({values_sql})
+  ) WHERE TRUE{wfilter}
 ), hist AS (
   SELECT {gsel}{dd_bucket_expr('v', alpha)} AS bucket,
-         COUNT(*)::BIGINT AS cnt
+         {wcnt} AS cnt
   FROM vals WHERE v > 0 GROUP BY {", ".join(g + ['bucket'])}
 ), cum AS (
   SELECT {gsel}bucket,
          SUM(cnt) OVER ({part} ORDER BY bucket) AS cum
   FROM hist
 ), tot AS (
-  SELECT {gsel}COUNT(*)::BIGINT AS n,
-         COUNT(*) FILTER (WHERE v = 0)::BIGINT AS zero
+  SELECT {gsel}{wtot} AS n,
+         {wzero} AS zero
   FROM vals {gby}
 ), ranks AS (
   SELECT {gsel}qq.q, n, zero,

@@ -635,3 +635,108 @@ def merge_partials(partials: DataFrame, kind_of: "dict[str, str]",
                .applyInPandas(merge_group, out_schema))
     return (level2a.groupBy(*merge_keys)
             .applyInPandas(merge_group, out_schema))
+
+
+def build_dd_weighted(df: DataFrame, value_col: str, weight_col: str,
+                      group_cols: "list[str] | None" = None,
+                      alpha: float = 0.01, name: str = "dw",
+                      fanout: int = 32) -> DataFrame:
+    """Per-group WEIGHTED DDSketch build: each row's ``value_col`` counts
+    ``weight_col`` times (integer weights >= 0), answering weighted
+    quantiles — "the value a random unit of WEIGHT lives at", e.g. the
+    doc-length distribution as experienced by a random token when
+    weight = token count.
+
+    Same 10^12-row shape as :func:`build_sketches`: the (value, weight)
+    pairs fold into KB bucket histograms in the scan stage (mapInArrow,
+    narrow — the payload never shuffles) and only sketch-sized partial
+    rows ride the two-stage bounded-fan-in merge. DDSketch state is a
+    pure bucket histogram, so the result is BYTE-IDENTICAL to a
+    single-stream weighted build under any partitioning, and the weighted
+    estimator is value-exactly SQL-reproducible
+    (sql_oracles.dd_quantile_sql with ``weight_col=``).
+
+    Rows where value or weight is NULL are dropped (counted in n_rows,
+    not n_values); zero weights fold as no-ops; negative weights raise.
+    Output schema matches build_sketches: [group_cols..., sketch_name,
+    sketch, n_rows, n_values, part_id, build_us] with n_values = the
+    number of non-null (value, weight) pairs folded (the total WEIGHT is
+    the sketch's own n, read via functions.dd_total_weight_col).
+    """
+    group_cols = list(group_cols or [])
+    src = df.select(*group_cols, value_col, weight_col)
+    out_schema = StructType([src.schema[c] for c in group_cols]
+                            + _TAIL_FIELDS)
+    arrow_schema = to_arrow_schema(out_schema)
+
+    def builder(batches):
+        import pyarrow.compute as pc
+
+        t0 = time.monotonic()
+        states: dict = {}
+        counts: dict = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if len(group_cols) == 1 \
+                    and batch.column(group_cols[0]).null_count == 0:
+                enc = batch.column(group_cols[0]).dictionary_encode()
+                codes = enc.indices.to_numpy().astype(np.int64, copy=False)
+                gkeys = [(u,) for u in enc.dictionary.to_pylist()]
+            elif group_cols:
+                gdf = pd.DataFrame({c: batch.column(c).to_pandas()
+                                    for c in group_cols})
+                key_obj = (pd.MultiIndex.from_frame(gdf)
+                           if len(group_cols) > 1 else gdf[group_cols[0]])
+                codes, uniques = pd.factorize(key_obj, sort=False,
+                                              use_na_sentinel=False)
+                gkeys = [u if isinstance(u, tuple) else (u,)
+                         for u in uniques]
+            else:
+                codes = np.zeros(batch.num_rows, dtype=np.int64)
+                gkeys = [()]
+            row_counts = np.bincount(codes, minlength=len(gkeys))
+            # JOINT null filter at the Arrow level: value and weight must
+            # both be present, and int64 weights must never pass through a
+            # nullable-float pandas conversion (|w| > 2^53 would mangle)
+            varr, warr = batch.column(value_col), batch.column(weight_col)
+            ok = pc.and_(varr.is_valid(), warr.is_valid())
+            keep = np.asarray(ok)
+            vals = np.asarray(varr.to_numpy(zero_copy_only=False),
+                              dtype=np.float64)[keep]
+            w = warr.filter(ok).to_numpy(zero_copy_only=False)
+            vcodes = codes[keep]
+            # float64 NaN values filter like NULL (same contract as the
+            # unweighted quantile-kind path in _grouped_column)
+            fin = ~np.isnan(vals)
+            vals, w, vcodes = vals[fin], w[fin], vcodes[fin]
+            for g, gkey in enumerate(gkeys):
+                st = states.get(gkey)
+                if st is None:
+                    st = states.setdefault(gkey, DDSketch(alpha))
+                cnt = counts.setdefault(gkey, [0, 0])
+                cnt[0] += int(row_counts[g])
+                m = vcodes == g
+                st.update_batch_weighted(vals[m], w[m])
+                cnt[1] += int(m.sum())
+        if not states:
+            return
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        elapsed_us = int((time.monotonic() - t0) * 1e6)
+        share, rem = divmod(elapsed_us, max(len(states), 1))
+        out: dict = {f.name: [] for f in out_schema.fields}
+        for gkey, st in states.items():
+            for c, v in zip(group_cols, gkey):
+                out[c].append(v)
+            out["sketch_name"].append(name)
+            out["sketch"].append(st.to_bytes())
+            out["n_rows"].append(counts[gkey][0])
+            out["n_values"].append(counts[gkey][1])
+            out["part_id"].append(pid)
+            out["build_us"].append(share + (rem if not out["build_us"]
+                                            else 0))
+        yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
+
+    partials = src.mapInArrow(builder, out_schema)
+    return merge_partials(partials, {name: "dd"}, group_cols, fanout)

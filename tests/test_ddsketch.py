@@ -214,3 +214,73 @@ def test_quantile_rejects_out_of_range_q():
     for bad in (-0.1, 1.5):
         with pytest.raises(ValueError, match=r"\[0, 1\]"):
             s.quantile(bad)
+
+
+# -- weighted updates -------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_weighted_equals_repeat_expansion(seed):
+    """update_batch_weighted(v, w) transitions state identically to
+    update_batch(np.repeat(v, w)) — byte-identical wire blobs — and
+    zero-weight pairs are dropped without touching the state."""
+    rng = np.random.default_rng(seed)
+    vals = np.round(rng.lognormal(3.0, 1.5, 500), 3)
+    vals[::17] = 0.0  # exercise the zero counter under weights
+    w = rng.integers(0, 9, 500)  # includes zero weights
+    a = DDSketch(0.01)
+    a.update_batch_weighted(vals, w)
+    b = DDSketch(0.01)
+    b.update_batch(np.repeat(vals, w))
+    assert a.to_bytes() == b.to_bytes()
+    assert a.n == int(w.sum())
+
+
+def test_weighted_merge_any_partitioning():
+    """Weighted updates keep the order-insensitive merge contract: any
+    split of the (value, weight) stream merges byte-identically."""
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(2.0, 1.0, 900)
+    w = rng.integers(1, 20, 900)
+    whole = DDSketch(0.02)
+    whole.update_batch_weighted(vals, w)
+    for cuts in ([300, 600], [1, 899], [450]):
+        parts = np.split(np.arange(900), cuts)
+        rng.shuffle(parts)
+        acc = DDSketch(0.02)
+        for p in parts:
+            piece = DDSketch(0.02)
+            piece.update_batch_weighted(vals[p], w[p])
+            acc.merge(DDSketch.from_bytes(piece.to_bytes()))
+        assert acc.to_bytes() == whole.to_bytes()
+
+
+def test_weighted_quantile_guarantee():
+    """The alpha relative-error guarantee holds at WEIGHTED ranks: the
+    estimate is within alpha of the element at rank floor(q*(W-1)) of the
+    weight-expanded stream."""
+    rng = np.random.default_rng(3)
+    vals = rng.lognormal(4.0, 2.0, 2000)
+    w = rng.integers(1, 50, 2000)
+    s = DDSketch(0.01)
+    s.update_batch_weighted(vals, w)
+    expanded = np.sort(np.repeat(vals, w))
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        want = expanded[int(math.floor(q * (len(expanded) - 1)))]
+        got = s.quantile(q)
+        assert abs(got - want) <= 0.01 * want + 1e-12
+
+
+def test_weighted_rejects_bad_weights():
+    s = DDSketch(0.01)
+    with pytest.raises(ValueError, match="integers"):
+        s.update_batch_weighted(np.array([1.0]), np.array([1.5]))
+    with pytest.raises(ValueError, match=">= 0"):
+        s.update_batch_weighted(np.array([1.0]),
+                                np.array([-1], dtype=np.int64))
+    with pytest.raises(ValueError, match="values vs"):
+        s.update_batch_weighted(np.array([1.0, 2.0]),
+                                np.array([1], dtype=np.int64))
+    with pytest.raises(ValueError, match="finite"):
+        s.update_batch_weighted(np.array([-1.0]),
+                                np.array([1], dtype=np.int64))
+    assert s.n == 0  # every rejected call left the state untouched
