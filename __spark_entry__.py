@@ -3688,6 +3688,45 @@ def q_value_quantiles_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "q"))
 
 
+def q_token_weighted_len_quantiles(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """WEIGHTED quantiles from one sketch pass: the doc-length
+    distribution a random TOKEN lives in — per source, DDSketch over
+    n_chars where each doc counts word_count(text) times
+    (sketch_build.build_dd_weighted + DDSketch.update_batch_weighted).
+    The weighted state is still a pure bucket histogram, so the build is
+    byte-identical under any partitioning and the weighted estimator
+    replays value-exactly in SQL (dd_quantile_sql(weight_col=...)):
+    est_value AND the total weight are value-exact cross-engine, with
+    the alpha bound now holding at WEIGHTED ranks (test_weighted_dd.py).
+    The 10^12-row posture: token-weighted corpus statistics (the view
+    training actually samples from) without materializing a per-token
+    row explosion."""
+    from grenier_spark.functions import dd_quantiles_col
+    from grenier_spark.functions.estimates import dd_stats_col
+    from grenier_spark.operators.sketch_build import build_dd_weighted
+    from grenier_spark.operators.textstats import word_count
+
+    qs = [0.25, 0.5, 0.9, 0.99]
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull()
+                   & F.col("n_chars").isNotNull()))
+    src = docs.select("source",
+                      F.col("n_chars").cast("double").alias("v"),
+                      word_count("text").alias("w"))
+    res = build_dd_weighted(src, "v", "w", ["source"], alpha=0.01)
+    qarr = F.array(*[F.lit(q) for q in qs])
+    return (res.select("source",
+                       dd_stats_col("sketch").getField("n")
+                       .alias("w_total"),
+                       F.posexplode(dd_quantiles_col("sketch", qs))
+                       .alias("i", "est"))
+            .select("source",
+                    F.element_at(qarr, F.col("i") + 1).alias("q"),
+                    F.round("est", 6).alias("est_value"), "w_total")
+            .orderBy("source", "q"))
+
+
 def q_dd_cube_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile dashboards at EVERY rollup level from ONE pass: a
     DDSketch cube over documents.n_chars by (source, lang) — every
@@ -4849,6 +4888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_psi_drift": q_value_psi_drift,
         "psi_drift_attribution": q_psi_drift_attribution,
         "drift_dashboard": q_drift_dashboard,
+        "token_weighted_len_quantiles": q_token_weighted_len_quantiles,
     }
 
 
@@ -5831,6 +5871,17 @@ ORDER BY kind, row, col""",
         # three sketch families, one dashboard row; every column
         # value-exact via the three established SQL twins
         "drift_dashboard": _drift_dashboard_oracle(),
+        # weighted dd estimator: SUM(w) histogram + total-weight ranks,
+        # every est_value and w_total value-exact cross-engine
+        "token_weighted_len_quantiles": (
+            "SELECT source, q, round(est_value, 6) AS est_value, "
+            "n AS w_total FROM (" + dd_quantile_sql(
+                "SELECT source, n_chars::DOUBLE AS v, "
+                "len(list_filter(string_split(text, ' '), "
+                "w -> w <> ''))::BIGINT AS w FROM documents "
+                "WHERE text IS NOT NULL AND n_chars IS NOT NULL",
+                "v", 0.01, [0.25, 0.5, 0.9, 0.99], ["source"],
+                weight_col="w") + ")"),
         "ann_ivf_topk": ann_ivf_sql(
             "SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v "
             "FROM embeddings",
