@@ -3727,6 +3727,56 @@ def q_token_weighted_len_quantiles(spark: SparkSession,
             .orderBy("source", "q"))
 
 
+def q_priority_subset_estimate(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Subset-sum estimation from a stored k-sample (Duffield-Lund-Thorup
+    JACM'07; operators/splits.priority_sample_estimate): per source, keep
+    the k=64 highest-priority docs weighted by n_chars plus the threshold
+    tau, then answer "how many chars do the lang='en' docs hold" FROM THE
+    SAMPLE ALONE via sum(max(w, tau)) — unbiased for any subset fixed
+    independently of the hash chain (test_splits.py gates unbiasedness
+    over 60 seeds and the order-statistic merge fold). The md5-driven
+    priorities make tau, every adjusted weight, and therefore the
+    estimate itself value-exact in DuckDB; the exact subset total rides
+    along as the (integer-exact) comparison column. The 10^12-row
+    posture: one KB sample per group answers arbitrary later subset
+    questions without rescanning the corpus; the estimate aggregation is
+    a ddsum (order-robust, == DuckDB fsum at round-6)."""
+    from grenier_spark.functions import ddsum_col
+    from grenier_spark.functions.aggregates import ddsum_agg_col
+    from grenier_spark.operators.splits import priority_sample_estimate
+
+    k = 64
+    src = (_t(spark, sf_dir, "documents")
+           .where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+           .select("doc_id", "source", "lang",
+                   F.col("n_chars").alias("w")))
+    smp = priority_sample_estimate(src, k=k, weight_col="w",
+                                   group_col="source", seed=0)
+    en = F.when(F.col("lang") == "en", F.col("w_hat")).otherwise(F.lit(0.0))
+    smp = smp.withColumn("_we", en).cache()
+    # a grouped-agg pandas UDAF cannot share a groupBy with JVM
+    # aggregates — two group-scale aggs joined back (textstats posture)
+    dd = (smp.groupBy("source").agg(ddsum_agg_col("_we").alias("_dd"))
+          .select("source", F.round(ddsum_col("_dd"), 6)
+                  .alias("est_subset")))
+    plain = (smp.groupBy("source")
+             .agg(F.round(F.max("tau"), 6).alias("tau"),
+                  F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                  .cast("long").alias("n_sampled_subset")))
+    est = plain.join(dd, "source").select(
+        "source", "tau", "n_sampled_subset", "est_subset")
+    ex = (src.groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.coalesce(F.sum(F.when(F.col("lang") == "en",
+                                       F.col("w"))), F.lit(0))
+               .cast("long").alias("exact_subset")))
+    return (ex.join(est, "source")
+            .select("source", "n_docs", "tau", "est_subset",
+                    "exact_subset", "n_sampled_subset")
+            .orderBy("source"))
+
+
 def q_dd_cube_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile dashboards at EVERY rollup level from ONE pass: a
     DDSketch cube over documents.n_chars by (source, lang) — every
@@ -4889,7 +4939,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_attribution": q_psi_drift_attribution,
         "drift_dashboard": q_drift_dashboard,
         "token_weighted_len_quantiles": q_token_weighted_len_quantiles,
+        "priority_subset_estimate": q_priority_subset_estimate,
     }
+
+
+def _priority_subset_estimate_oracle() -> str:
+    from grenier_spark.operators.splits import priority_sample_estimate_sql
+
+    base = ("SELECT doc_id, source, lang, n_chars AS w FROM documents "
+            "WHERE n_chars IS NOT NULL AND n_chars > 0")
+    sample = priority_sample_estimate_sql(base, k=64, weight_col="w",
+                                          group_col="source", seed=0)
+    return f"""
+WITH sample AS ({sample}),
+est AS (
+  SELECT source, round(MAX(tau), 6) AS tau,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+           AS n_sampled_subset,
+         round(fsum(CASE WHEN lang = 'en' THEN w_hat
+                         ELSE 0.0 END), 6) AS est_subset
+  FROM sample GROUP BY source),
+ex AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs,
+         COALESCE(SUM(CASE WHEN lang = 'en' THEN w END), 0)::BIGINT
+           AS exact_subset
+  FROM ({base}) GROUP BY source)
+SELECT source, n_docs, tau, est_subset, exact_subset, n_sampled_subset
+FROM ex JOIN est USING (source) ORDER BY source"""
 
 
 def _quantile_bound_oracle(table: str, value_col: str, group_col: str,
@@ -5871,6 +5947,11 @@ ORDER BY kind, row, col""",
         # three sketch families, one dashboard row; every column
         # value-exact via the three established SQL twins
         "drift_dashboard": _drift_dashboard_oracle(),
+        # DLT subset-sum estimator: md5 priorities, (k+1)-th-order tau and
+        # max(w, tau) adjusted weights are all exact doubles, the estimate
+        # aggregation is ddsum == fsum at round-6; exact_subset is the
+        # integer truth both engines compute directly
+        "priority_subset_estimate": _priority_subset_estimate_oracle(),
         # weighted dd estimator: SUM(w) histogram + total-weight ranks,
         # every est_value and w_total value-exact cross-engine
         "token_weighted_len_quantiles": (

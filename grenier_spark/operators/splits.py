@@ -223,6 +223,93 @@ SELECT {cols} FROM (
 WHERE sample_rank <= {k}"""
 
 
+def priority_sample_estimate(df: DataFrame, k: int, weight_col: str,
+                             group_col: str = "source",
+                             id_col: str = "doc_id",
+                             seed: int = 0) -> DataFrame:
+    """The SUBSET-SUM ESTIMATOR face of :func:`priority_sample` — what
+    makes the k-sample a SKETCH rather than just a sample (Duffield-Lund-
+    Thorup, JACM 2007 Thm. 1): keep the k highest-priority items plus the
+    per-group threshold ``tau`` = the (k+1)-th largest priority (0.0 when
+    the group has <= k items, making the sample exact), and give each
+    sampled item the adjusted weight ``w_hat = max(w, tau)``. For ANY
+    item subset S fixed independently of the randomness,
+    ``sum(w_hat over sampled items in S)`` is an UNBIASED estimator of
+    the true ``sum(w over S)`` with near-optimal variance — so one stored
+    k-row sample per group answers arbitrary later "how many tokens do
+    docs like X hold" questions without rescanning the corpus.
+
+    Deterministic md5-driven priorities (see :func:`_priority_inputs`)
+    make tau, every w_hat, and therefore every subset estimate value-
+    exactly reproducible in DuckDB (:func:`priority_sample_estimate_sql`).
+    Mergeable by the order-statistic contract: the global top-(k+1) is
+    the top-(k+1) of the union of per-partition top-(k+1) lists
+    (test_splits.py asserts the fold).
+
+    Output: sampled rows (sample_rank <= k) with ``tau`` (double,
+    group-constant) and ``w_hat`` (double) appended; the per-group join
+    that attaches tau broadcasts a groups-sized frame (KB at any corpus
+    scale). Same window posture at 10^12 rows as priority_sample: pre-
+    prune per partition to k+1 survivors if one group dominates input."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    _, prio = _priority_inputs(id_col, weight_col, seed)
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.desc("_prio"), F.col(id_col).asc()))
+    top = (df.withColumn("_prio", prio)
+           .withColumn("sample_rank",
+                       F.row_number().over(w).cast("long"))
+           .where(F.col("sample_rank") <= k + 1))
+    taus = (top.groupBy(group_col)
+            .agg(F.coalesce(
+                F.max(F.when(F.col("sample_rank") == k + 1,
+                             F.col("_prio"))),
+                F.lit(0.0)).alias("tau")))
+    return (top.where(F.col("sample_rank") <= k)
+            .join(F.broadcast(taus), group_col)
+            .withColumn("w_hat",
+                        F.greatest(F.col(weight_col).cast("double"),
+                                   F.col("tau")))
+            .drop("_prio"))
+
+
+def priority_sample_estimate_sql(table_sql: str, k: int, weight_col: str,
+                                 group_col: str = "source",
+                                 id_col: str = "doc_id",
+                                 seed: int = 0,
+                                 cols: str = "ranked.* EXCLUDE (_prio)"
+                                 ) -> str:
+    """DuckDB twin of :func:`priority_sample_estimate`: identical md5
+    chain, exact-double priorities, the same (k+1)-th-order-statistic tau
+    and ``greatest(w, tau)`` adjusted weights — every subset-sum estimate
+    downstream is value-exact cross-engine. ``cols`` must select from
+    ``ranked`` (tau/w_hat are appended by this builder)."""
+    h52 = (f"('0x' || substr(md5({id_col}::VARCHAR || ':prio{seed}'), "
+           f"4, 13))::UBIGINT")
+    prio = (f"({weight_col}::DOUBLE * {_P52!r}) / "
+            f"(({h52} + 1)::DOUBLE)")
+    return f"""
+WITH ranked AS (
+  SELECT t.*, {prio} AS _prio,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY {prio} DESC, {id_col} ASC)::BIGINT
+           AS sample_rank
+  FROM ({table_sql}) t
+  QUALIFY sample_rank <= {k + 1}
+), tau AS (
+  SELECT {group_col},
+         COALESCE(MAX(CASE WHEN sample_rank = {k + 1} THEN _prio END),
+                  0.0) AS tau
+  FROM ranked GROUP BY {group_col}
+)
+SELECT {cols}, tau,
+       greatest({weight_col}::DOUBLE, tau) AS w_hat
+FROM ranked JOIN tau USING ({group_col})
+WHERE sample_rank <= {k}"""
+
+
 # -- source-mixture resampling ---------------------------------------------
 
 def _mixture_parts(weights: "dict[str, float]", default_weight: float):

@@ -236,6 +236,100 @@ def test_priority_sample_matches_pure_python(spark, weighted):
     assert got_ids == exp_ids
 
 
+def _dlt_pandas(pop: pd.DataFrame, k: int, seed: int) -> pd.DataFrame:
+    """Pure-pandas DLT twin: md5-chain priorities, per-group tau = the
+    (k+1)-th largest priority (0 when the group is small), sampled rows
+    with w_hat = max(w, tau)."""
+    import hashlib
+
+    q = np.array([
+        r.w * float(1 << 52)
+        / float(int(hashlib.md5(f"{r.doc_id}:prio{seed}".encode())
+                    .hexdigest()[3:16], 16) + 1)
+        for r in pop.itertuples()])
+    d = pop.assign(_q=q).sort_values(["_q", "doc_id"],
+                                     ascending=[False, True])
+    out = []
+    for s, g in d.groupby("source", sort=False):
+        tau = float(g["_q"].iloc[k]) if len(g) > k else 0.0
+        smp = g.head(k).copy()
+        smp["tau"] = tau
+        smp["w_hat"] = np.maximum(smp["w"].astype(float), tau)
+        out.append(smp)
+    return pd.concat(out).drop(columns="_q")
+
+
+def test_priority_estimate_exact_when_group_small(spark):
+    """A group with <= k items is fully sampled with tau = 0, so every
+    subset estimate is EXACT."""
+    from grenier_spark.operators.splits import priority_sample_estimate
+
+    pdf = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                        "source": ["a"] * 6,
+                        "w": np.int64([5, 10, 20, 40, 80, 160])})
+    got = priority_sample_estimate(spark.createDataFrame(pdf), k=10,
+                                   weight_col="w").toPandas()
+    assert len(got) == 6
+    assert (got.tau == 0.0).all()
+    assert got.w_hat.sum() == float(pdf.w.sum())
+
+
+def test_priority_estimate_spark_matches_pandas(spark, weighted):
+    """tau and every w_hat equal the pure-pandas DLT twin bit-for-bit
+    (the deterministic chain that makes the SQL oracle value-exact)."""
+    from grenier_spark.operators.splits import priority_sample_estimate
+
+    k, seed = 12, 4
+    pop = weighted.toPandas()
+    want = _dlt_pandas(pop, k, seed)
+    got = priority_sample_estimate(weighted.repartition(11), k=k,
+                                   weight_col="w", seed=seed).toPandas()
+    wmap = want.set_index("doc_id")
+    gmap = got.set_index("doc_id")
+    assert set(gmap.index) == set(wmap.index)
+    assert all(gmap.loc[i, "tau"] == wmap.loc[i, "tau"] for i in gmap.index)
+    assert all(gmap.loc[i, "w_hat"] == wmap.loc[i, "w_hat"]
+               for i in gmap.index)
+
+
+def test_priority_estimate_unbiased_over_seeds(weighted_pop=None):
+    """DLT Thm 1: E[sum(w_hat over sample ∩ S)] = sum(w over S) for any
+    fixed subset S. Seed-averaged estimates must converge to the truth
+    (pure-pandas twin — the chain is engine-identical)."""
+    rng = np.random.default_rng(13)
+    n = 900
+    pop = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": np.array(list("ab"))[np.arange(n) % 2],
+        "w": rng.integers(1, 500, n).astype(np.int64)})
+    subset = pop.doc_id % 3 == 0  # fixed independently of the hash chain
+    truth = pop[subset].groupby("source").w.sum()
+    ests = []
+    for seed in range(60):
+        s = _dlt_pandas(pop, k=40, seed=seed)
+        e = (s[s.doc_id % 3 == 0].groupby("source").w_hat.sum()
+             .reindex(truth.index, fill_value=0.0))
+        ests.append(e)
+    mean_est = pd.concat(ests, axis=1).mean(axis=1)
+    rel = (mean_est - truth.astype(float)).abs() / truth
+    # 60 seeds x k=40 per group: mean-of-estimates within a few percent
+    assert (rel < 0.06).all(), rel.to_dict()
+
+
+def test_priority_estimate_merge_fold():
+    """Mergeability: the global top-(k+1) priority list (sample + tau) is
+    recoverable from per-partition top-(k+1) lists — the order-statistic
+    fold the distributed build rides."""
+    rng = np.random.default_rng(3)
+    prios = rng.random(5000)
+    k = 25
+    direct = np.sort(prios)[::-1][:k + 1]
+    parts = np.array_split(prios, 7)
+    folded = np.concatenate([np.sort(p)[::-1][:k + 1] for p in parts])
+    fold = np.sort(folded)[::-1][:k + 1]
+    assert np.array_equal(direct, fold)
+
+
 # -- exact-quota stratified sampling ---------------------------------------
 
 @pytest.fixture(scope="module")
