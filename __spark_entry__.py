@@ -3777,6 +3777,62 @@ def q_priority_subset_estimate(spark: SparkSession,
             .orderBy("source"))
 
 
+def q_priority_subset_estimate_sketch(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """WINDOW-FREE twin of ``priority_subset_estimate`` — the same DLT
+    subset-sum answer computed from the MERGEABLE PrioritySample state
+    (core/prioritysample.py via sketch_build.build_priority_sample):
+    per-partition top-(k+1) folds tree-merge to the global sample + tau
+    with no row_number window anywhere (plan-gated in
+    test_prioritysample_build.py), so the one-giant-group regime that
+    pins a window reducer spreads across every partition of the group.
+    Sampled payload attributes (lang) come back via a broadcast join of
+    the KB sample against the corpus — the corpus itself never shuffles.
+    Same oracle as the window gate: the two implementations must agree
+    with DuckDB (and therefore each other) value-exactly."""
+    from grenier_spark.functions import ddsum_col
+    from grenier_spark.functions.aggregates import ddsum_agg_col
+    from grenier_spark.functions.estimates import ps_items_col, ps_tau_col
+    from grenier_spark.operators.sketch_build import build_priority_sample
+
+    k = 64
+    src = (_t(spark, sf_dir, "documents")
+           .where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+           .select("doc_id", "source", "lang",
+                   F.col("n_chars").alias("w")))
+    sk = build_priority_sample(src.select("doc_id", "source", "w"), k=k,
+                               weight_col="w", group_cols=["source"],
+                               id_col="doc_id", seed=0)
+    items = (sk.select("source", ps_tau_col("sketch").alias("tau"),
+                       F.explode(ps_items_col("sketch")).alias("it"))
+             .select("source", "tau", F.col("it.id").alias("doc_id"),
+                     F.col("it.w_hat").alias("w_hat")))
+    smp = (src.select("doc_id", "lang")
+           .join(F.broadcast(items), "doc_id")
+           .withColumn("_we", F.when(F.col("lang") == "en",
+                                     F.col("w_hat"))
+                       .otherwise(F.lit(0.0)))
+           .cache())
+    dd = (smp.groupBy("source").agg(ddsum_agg_col("_we").alias("_dd"))
+          .select("source", F.round(ddsum_col("_dd"), 6)
+                  .alias("est_subset")))
+    plain = (smp.groupBy("source")
+             .agg(F.round(F.max("tau"), 6).alias("tau"),
+                  F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                  .cast("long").alias("n_sampled_subset")))
+    est = plain.join(dd, "source").select(
+        "source", "tau", "n_sampled_subset", "est_subset")
+    ex = (src.groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.coalesce(F.sum(F.when(F.col("lang") == "en",
+                                       F.col("w"))), F.lit(0))
+               .cast("long").alias("exact_subset")))
+    return (ex.join(est, "source")
+            .select("source", "n_docs", "tau", "est_subset",
+                    "exact_subset", "n_sampled_subset")
+            .orderBy("source"))
+
+
 def q_dd_cube_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile dashboards at EVERY rollup level from ONE pass: a
     DDSketch cube over documents.n_chars by (source, lang) — every
@@ -4940,6 +4996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_dashboard": q_drift_dashboard,
         "token_weighted_len_quantiles": q_token_weighted_len_quantiles,
         "priority_subset_estimate": q_priority_subset_estimate,
+        "priority_subset_estimate_sketch": q_priority_subset_estimate_sketch,
     }
 
 
@@ -5952,6 +6009,11 @@ ORDER BY kind, row, col""",
         # aggregation is ddsum == fsum at round-6; exact_subset is the
         # integer truth both engines compute directly
         "priority_subset_estimate": _priority_subset_estimate_oracle(),
+        # the window-free mergeable-state build must land on the SAME
+        # answer: identical oracle — DuckDB certifies both paths, which
+        # transitively certifies window-vs-sketch equivalence
+        "priority_subset_estimate_sketch":
+            _priority_subset_estimate_oracle(),
         # weighted dd estimator: SUM(w) histogram + total-weight ranks,
         # every est_value and w_total value-exact cross-engine
         "token_weighted_len_quantiles": (

@@ -491,3 +491,34 @@ def fd_guarantees_col(small: "Column | str",
                                            "mass_ok", "fnorm2_ok"])
 
     return _g(_col(small), _col(exact))
+
+
+def ps_items_col(sketch: "Column | str") -> Column:
+    """Sampled (id, weight, w_hat) triples of a serialized PrioritySample
+    (core/prioritysample.py) — w_hat = max(w, tau) is the DLT adjusted
+    weight whose subset sums are unbiased estimates; priority-descending,
+    ties by id."""
+
+    @pandas_udf("array<struct<id: long, w: long, w_hat: double>>")
+    def _i(blobs: pd.Series) -> pd.Series:
+        from ..core.prioritysample import PrioritySample
+
+        return blobs.map(
+            lambda b: PrioritySample.from_bytes(bytes(b)).items())
+
+    return _i(_col(sketch))
+
+
+def ps_tau_col(sketch: "Column | str") -> Column:
+    """The (k+1)-th-largest-priority threshold of a serialized
+    PrioritySample — 0.0 while the population fits in k (estimates
+    exact)."""
+
+    @pandas_udf("double")
+    def _t(blobs: pd.Series) -> pd.Series:
+        from ..core.prioritysample import PrioritySample
+
+        return blobs.map(
+            lambda b: PrioritySample.from_bytes(bytes(b)).tau)
+
+    return _t(_col(sketch))

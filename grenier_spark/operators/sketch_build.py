@@ -53,6 +53,7 @@ from ..core.ddsketch import DDSketch
 from ..core.kmv import KMV
 from ..core.minhash import MinHashSig
 from ..core.misragries import MisraGries
+from ..core.prioritysample import PrioritySample
 from ..core.tdigest import TDigest
 
 
@@ -324,7 +325,7 @@ def _merge_blobs(kind: str, blobs: "list[bytes]") -> bytes:
            "kll": KLL,
            "tdigest": TDigest, "dd": DDSketch, "req": REQ,
            "ddsum": DDSum, "mom": Moments,
-           "fd": FrequentDirections}[kind]
+           "fd": FrequentDirections, "ps": PrioritySample}[kind]
     acc = cls.from_bytes(blobs[0])
     for b in blobs[1:]:
         acc.merge(cls.from_bytes(b))
@@ -740,3 +741,108 @@ def build_dd_weighted(df: DataFrame, value_col: str, weight_col: str,
 
     partials = src.mapInArrow(builder, out_schema)
     return merge_partials(partials, {name: "dd"}, group_cols, fanout)
+
+
+def build_priority_sample(df: DataFrame, k: int, weight_col: str,
+                          group_cols: "list[str] | None" = None,
+                          id_col: str = "doc_id", seed: int = 0,
+                          name: str = "ps", fanout: int = 32) -> DataFrame:
+    """WINDOW-FREE distributed priority sampling: per group, the
+    mergeable top-(k+1) state (core/prioritysample.PrioritySample) built
+    through the same two-level bounded-fan-in pipeline as every other
+    sketch kind. Each partition folds its rows into a KB-sized
+    (id, weight, priority) list; the tree merge keeps the global
+    top-(k+1) — so a group holding most of a 10^12-row corpus spreads
+    over ALL its partitions instead of pinning one row_number reducer
+    (the degenerate-group regime splits.priority_sample documents as its
+    scale limit; its two-pass pre-prune IS this operator).
+
+    Priorities are the identical JVM-side md5 chain as the window path
+    (splits._priority_inputs), so the sample, tau, and every downstream
+    DLT subset-sum estimate match splits.priority_sample_estimate
+    bit-for-bit (asserted in test_prioritysample_build.py) and stay
+    value-exact vs the DuckDB twin. Ids must be integers (the int64
+    north-rule payload contract; string ids stay on the window path).
+    Rows with NULL id/weight drop (n_rows counts them, n_values not);
+    zero weights cannot bias estimates (dropped in the core state).
+    """
+    from .splits import _priority_inputs
+
+    group_cols = list(group_cols or [])
+    _, prio = _priority_inputs(id_col, weight_col, seed)
+    src = df.select(*group_cols,
+                    F.col(id_col).alias("_id"),
+                    F.col(weight_col).alias("_w"),
+                    prio.alias("_prio"))
+    out_schema = StructType([src.schema[c] for c in group_cols]
+                            + _TAIL_FIELDS)
+    arrow_schema = to_arrow_schema(out_schema)
+
+    def builder(batches):
+        import pyarrow.compute as pc
+
+        t0 = time.monotonic()
+        states: dict = {}
+        counts: dict = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if len(group_cols) == 1 \
+                    and batch.column(group_cols[0]).null_count == 0:
+                enc = batch.column(group_cols[0]).dictionary_encode()
+                codes = enc.indices.to_numpy().astype(np.int64, copy=False)
+                gkeys = [(u,) for u in enc.dictionary.to_pylist()]
+            elif group_cols:
+                gdf = pd.DataFrame({c: batch.column(c).to_pandas()
+                                    for c in group_cols})
+                key_obj = (pd.MultiIndex.from_frame(gdf)
+                           if len(group_cols) > 1 else gdf[group_cols[0]])
+                codes, uniques = pd.factorize(key_obj, sort=False,
+                                              use_na_sentinel=False)
+                gkeys = [u if isinstance(u, tuple) else (u,)
+                         for u in uniques]
+            else:
+                codes = np.zeros(batch.num_rows, dtype=np.int64)
+                gkeys = [()]
+            row_counts = np.bincount(codes, minlength=len(gkeys))
+            iarr, warr = batch.column("_id"), batch.column("_w")
+            parr = batch.column("_prio")
+            ok = pc.and_(pc.and_(iarr.is_valid(), warr.is_valid()),
+                         parr.is_valid())
+            keep = np.asarray(ok)
+            ids = iarr.filter(ok).to_numpy(zero_copy_only=False)
+            w = warr.filter(ok).to_numpy(zero_copy_only=False)
+            prios = np.asarray(parr.filter(ok)
+                               .to_numpy(zero_copy_only=False),
+                               dtype=np.float64)
+            vcodes = codes[keep]
+            for g, gkey in enumerate(gkeys):
+                st = states.get(gkey)
+                if st is None:
+                    st = states.setdefault(gkey, PrioritySample(k))
+                cnt = counts.setdefault(gkey, [0, 0])
+                cnt[0] += int(row_counts[g])
+                m = vcodes == g
+                st.update_batch(ids[m], w[m], prios[m])
+                cnt[1] += int(m.sum())
+        if not states:
+            return
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        elapsed_us = int((time.monotonic() - t0) * 1e6)
+        share, rem = divmod(elapsed_us, max(len(states), 1))
+        out: dict = {f.name: [] for f in out_schema.fields}
+        for gkey, st in states.items():
+            for c, v in zip(group_cols, gkey):
+                out[c].append(v)
+            out["sketch_name"].append(name)
+            out["sketch"].append(st.to_bytes())
+            out["n_rows"].append(counts[gkey][0])
+            out["n_values"].append(counts[gkey][1])
+            out["part_id"].append(pid)
+            out["build_us"].append(share + (rem if not out["build_us"]
+                                            else 0))
+        yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
+
+    partials = src.mapInArrow(builder, out_schema)
+    return merge_partials(partials, {name: "ps"}, group_cols, fanout)

@@ -1,0 +1,79 @@
+"""Window-free distributed priority sampling
+(sketch_build.build_priority_sample): bit parity with the window operator,
+partitioning invariance, and the no-Window plan contract."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from grenier_spark.core.prioritysample import PrioritySample
+
+
+@pytest.fixture(scope="module")
+def pop(spark):
+    n = 4000
+    rng = np.random.default_rng(17)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": np.array(list("abcd"))[np.arange(n) % 4],
+        "w": rng.integers(1, 900, n).astype(np.int64)})
+    return spark.createDataFrame(pdf)
+
+
+def _sketch_rows(spark, pop, k, seed, n_parts=None):
+    from grenier_spark.operators.sketch_build import build_priority_sample
+
+    df = pop.repartition(n_parts) if n_parts else pop
+    rows = build_priority_sample(df, k=k, weight_col="w",
+                                 group_cols=["source"], id_col="doc_id",
+                                 seed=seed).collect()
+    return {r["source"]: PrioritySample.from_bytes(bytes(r["sketch"]))
+            for r in rows}
+
+
+def test_matches_window_operator_bitwise(spark, pop):
+    """Same md5 chain -> the sketch path reproduces the window path's
+    sample ids, tau, and every w_hat exactly."""
+    from grenier_spark.operators.splits import priority_sample_estimate
+
+    k, seed = 11, 3
+    states = _sketch_rows(spark, pop, k, seed)
+    win = priority_sample_estimate(pop, k=k, weight_col="w",
+                                   group_col="source", seed=seed).toPandas()
+    for src, g in win.groupby("source"):
+        items = states[src].items()
+        assert {i for i, _, _ in items} == set(g.doc_id)
+        assert states[src].tau == float(g.tau.iloc[0])
+        wh = dict(zip(g.doc_id, g.w_hat))
+        assert all(abs(wh[i] - w_hat) == 0.0 for i, _, w_hat in items)
+
+
+def test_partitioning_invariance_byte_exact(spark, pop):
+    a = _sketch_rows(spark, pop, 9, 1)
+    for n_parts in (1, 13):
+        b = _sketch_rows(spark, pop, 9, 1, n_parts)
+        assert {s: st.to_bytes() for s, st in a.items()} \
+            == {s: st.to_bytes() for s, st in b.items()}
+
+
+def test_null_rows_drop_and_are_counted(spark):
+    from grenier_spark.operators.sketch_build import build_priority_sample
+
+    recs = [(1, "a", 10), (2, "a", None), (None, "a", 5), (4, "a", 7)]
+    df = spark.createDataFrame(recs, "doc_id long, source string, w long")
+    r = build_priority_sample(df, k=8, weight_col="w",
+                              group_cols=["source"]).collect()[0]
+    st = PrioritySample.from_bytes(bytes(r["sketch"]))
+    assert {i for i, _, _ in st.items()} == {1, 4}
+    assert r["n_rows"] == 4 and r["n_values"] == 2
+
+
+def test_no_window_in_plan(spark, pop):
+    """The load-bearing scale property: the build plan contains no Window
+    node — the degenerate one-big-group case folds across partitions."""
+    from grenier_spark.operators.sketch_build import build_priority_sample
+
+    plan = build_priority_sample(
+        pop, k=5, weight_col="w", group_cols=["source"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
