@@ -845,3 +845,70 @@ def test_psi_chain_extreme_magnitudes(spark):
     # documented coarse-binning guidance); parity above is the target —
     # here just require the planted shift to dominate the noise floor
     assert f.loc["shifted"].psi > 2 * f.loc["flat"].psi > 0
+
+
+def test_priority_estimate_chain_match_duckdb(spark):
+    """The DLT estimator chain (md5 priorities -> (k+1)-th-order tau ->
+    greatest(w, tau)) on adversarial STRING ids and near-2^52 weights:
+    tau and every w_hat must agree bit-for-bit (the operands stay exactly
+    representable by the documented 52-bit construction)."""
+    from grenier_spark.operators.splits import (
+        priority_sample_estimate, priority_sample_estimate_sql)
+
+    big = [1, 2, (1 << 51) + 1, (1 << 52) - 1, 5, 977, 10 ** 15, 3, 7,
+           123456789, 2, (1 << 40) + 7, 11, 13]
+    rows = [(i_, "s0" if i % 2 == 0 else "s1", big[i % len(big)])
+            for i, i_ in enumerate(ADVERSARIAL_IDS)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "w"])
+    df = spark.createDataFrame(pdf, "doc_id string, source string, w long")
+    got = (priority_sample_estimate(df, k=3, weight_col="w", seed=2)
+           .select("doc_id", "source", "sample_rank", "tau", "w_hat")
+           .toPandas())
+    con = duckdb.connect()
+    con.register("iddocs2", pdf)
+    exp = con.execute(priority_sample_estimate_sql(
+        "SELECT doc_id, source, w FROM iddocs2", k=3, weight_col="w",
+        seed=2, cols="doc_id, source, sample_rank")).df()
+    _cmp(got, exp, ["source", "sample_rank"])
+    # k=3 over 7-id groups: tau must be live (not the exact-path zero)
+    assert (got.tau > 0).all()
+    # w_hat clamps at least one light item up to tau somewhere
+    assert (got.w_hat > got.set_index("doc_id").w_hat.index.map(
+        pdf.set_index("doc_id").w).astype(float).values).any()
+
+
+def test_weighted_dd_chain_extreme_magnitudes():
+    """The WEIGHTED dd estimator across a 600-decade value spread with
+    weights up to 1e9: numpy's log-bucket map + int64 weighted histogram
+    vs DuckDB's ln + SUM(w) must land on identical estimates and total
+    weights (same random-multiplier posture as the PSI extreme fuzz —
+    knife-edge gamma-power values are measure-zero and excluded by
+    construction)."""
+    import numpy as np
+
+    from grenier_spark.core.ddsketch import DDSketch
+    from grenier_spark.functions.sql_oracles import dd_quantile_sql
+
+    rng = np.random.default_rng(31)
+    mags = np.array([1e-300, 1e-30, 1e-6, 1.0, 1e6, 1e30, 1e250])
+    v = (mags[rng.integers(0, len(mags), 600)]
+         * np.exp(np.clip(rng.normal(0, 2, 600), -8, 8)))
+    v[:7] = 0.0  # zero counter under weights
+    w = rng.integers(1, 10 ** 9, 600)
+    pdf = pd.DataFrame({"g": np.where(np.arange(600) % 2 == 0,
+                                      "ga", "gb"), "v": v, "w": w})
+    sk = {}
+    for g, gg in pdf.groupby("g"):
+        s = DDSketch(0.01)
+        s.update_batch_weighted(gg.v.to_numpy(), gg.w.to_numpy("int64"))
+        sk[g] = s
+    con = duckdb.connect()
+    con.register("wv", pdf)
+    qs = [0.01, 0.5, 0.99]
+    out = con.execute(dd_quantile_sql("SELECT g, v, w FROM wv", "v",
+                                      0.01, qs, ["g"],
+                                      weight_col="w")).fetchall()
+    assert len(out) == 6
+    for g, q, est, n in out:
+        assert n == sk[g].n
+        assert est == sk[g].quantile(q), (g, q)
