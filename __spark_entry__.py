@@ -3833,6 +3833,67 @@ def q_priority_subset_estimate_sketch(spark: SparkSession,
             .orderBy("source"))
 
 
+def q_streaming_priority_sample(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Streaming live weighted sample in the gate (streaming/stateful.py
+    priority_sample_stream): documents arrive in two micro-batches
+    (doc_id parity); one PrioritySample top-(k+1) state per source lives
+    in the state store. The state is order-insensitive, so the
+    final-trigger rows (n_seen == the exact per-source count) carry the
+    SAME sample, tau and DLT total-weight estimate as a batch build —
+    both VALUE-exact in SQL via the identical md5 priority chain
+    (operators/splits.priority_sample_estimate_sql): the oracle
+    recomputes tau as the (k+1)-th order statistic and est_total as
+    fsum(max(w, tau)) over the sample. TENTH oracle-gated streaming
+    surface; restart-on-one-checkpoint + NULL-drop + plan-time
+    float-weight refusal locked in test_streaming_multimodal.py."""
+    import tempfile
+    import time as _time
+
+    from grenier_spark.streaming.stateful import priority_sample_stream
+
+    k = 48
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "source", F.col("n_chars").cast("long").alias("w")))
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ck"
+        docs.where("doc_id % 2 = 0").coalesce(1).write.parquet(f"{src}/b1")
+        _time.sleep(0.05)
+        stream = (spark.readStream
+                  .schema("doc_id long, source string, w long")
+                  .option("maxFilesPerTrigger", "1").parquet(f"{src}/*"))
+        out = priority_sample_stream(stream, "source", k=k,
+                                     weight_col="w", id_col="doc_id",
+                                     seed=0)
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName("g_stream_ps")
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            docs.where("doc_id % 2 = 1").coalesce(1) \
+                .write.parquet(f"{src}/b2")
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM g_stream_ps").toPandas()
+        finally:
+            q.stop()
+    totals = {r.source: r._n for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+              .collect()}
+    fin = got[got.apply(lambda r: r.n_seen == totals.get(r.source),
+                        axis=1)]
+    # a source fully contained in batch 1 emits its final row twice
+    fin = fin.drop_duplicates(subset=["source"]).reset_index(drop=True)
+    res = spark.createDataFrame(
+        fin, "source string, n_seen long, n_sample long, tau double, "
+             "est_total double")
+    return (res.select("source", "n_seen", "n_sample",
+                       F.round("tau", 6).alias("tau"),
+                       F.round("est_total", 6).alias("est_total"))
+            .orderBy("source"))
+
+
 def q_dd_cube_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile dashboards at EVERY rollup level from ONE pass: a
     DDSketch cube over documents.n_chars by (source, lang) — every
@@ -4997,7 +5058,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_weighted_len_quantiles": q_token_weighted_len_quantiles,
         "priority_subset_estimate": q_priority_subset_estimate,
         "priority_subset_estimate_sketch": q_priority_subset_estimate_sketch,
+        "streaming_priority_sample": q_streaming_priority_sample,
     }
+
+
+def _streaming_priority_sample_oracle() -> str:
+    from grenier_spark.operators.splits import priority_sample_estimate_sql
+
+    base = ("SELECT doc_id, source, n_chars AS w FROM documents "
+            "WHERE n_chars IS NOT NULL AND n_chars > 0")
+    sample = priority_sample_estimate_sql(base, k=48, weight_col="w",
+                                          group_col="source", seed=0)
+    return f"""
+WITH sample AS ({sample}),
+agg AS (
+  SELECT source, COUNT(*)::BIGINT AS n_sample, round(MAX(tau), 6) AS tau,
+         round(fsum(w_hat), 6) AS est_total
+  FROM sample GROUP BY source),
+tot AS (
+  SELECT source, COUNT(*)::BIGINT AS n_seen FROM ({base})
+  GROUP BY source)
+SELECT source, n_seen, n_sample, tau, est_total
+FROM tot JOIN agg USING (source) ORDER BY source"""
 
 
 def _priority_subset_estimate_oracle() -> str:
@@ -6014,6 +6096,9 @@ ORDER BY kind, row, col""",
         # transitively certifies window-vs-sketch equivalence
         "priority_subset_estimate_sketch":
             _priority_subset_estimate_oracle(),
+        # order-insensitive top-(k+1) state: the streamed final-trigger
+        # sample/tau/est_total equal the batch chain value-exactly
+        "streaming_priority_sample": _streaming_priority_sample_oracle(),
         # weighted dd estimator: SUM(w) histogram + total-weight ranks,
         # every est_value and w_total value-exact cross-engine
         "token_weighted_len_quantiles": (

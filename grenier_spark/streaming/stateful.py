@@ -542,3 +542,82 @@ def dd_psi_stream(stream_df, group_col: str, baseline: "dict[str, bytes]",
     return (stream_df.groupBy(group_col)
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def priority_sample_stream(stream_df, group_col: str, k: int,
+                           weight_col: str = "w", id_col: str = "doc_id",
+                           seed: int = 0):
+    """Live mergeable weighted sample — the streaming face of
+    ``sketch_build.build_priority_sample``: one PrioritySample top-(k+1)
+    state (core/prioritysample.py) per group in the state store.
+    Priorities are the SAME deterministic JVM-side md5 chain as every
+    batch path (splits._priority_inputs), added here as a projection
+    BEFORE the stateful groupBy. The state is order-insensitive (the
+    top-(k+1) of the multiset seen so far), so the final-trigger sample,
+    tau, and every DLT subset-sum estimate EQUAL a batch build over
+    everything ingested — the gate checks tau and the total-weight
+    estimate VALUE-exactly against the batch SQL chain (same class as
+    the dd/PSI streams, stronger than the band-gated KLL/KS stream).
+
+    Contracts: ids and weights must be INTEGER COLUMNS — checked against
+    the stream schema at construction time (plan-time fail-fast, not a
+    wedged checkpointed batch; inside a batch, NULL-promoted float64
+    values of a long column convert back exactly). NULL id/weight rows
+    drop and do not count toward n_seen; zero weights drop inside the
+    core state and cannot bias estimates. Emits ``(group, n_seen,
+    n_sample, tau, est_total)`` per trigger; est_total is the DLT
+    estimate of the TOTAL ingested weight (the subset-sum estimator at
+    S = everything).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    from ..core.prioritysample import PrioritySample
+    from ..operators.splits import _priority_inputs
+
+    int_types = (ByteType, ShortType, IntegerType, LongType)
+    for c in (id_col, weight_col):
+        if not isinstance(stream_df.schema[c].dataType, int_types):
+            raise ValueError(
+                f"priority_sample_stream: column {c!r} must be an integer "
+                f"type, got {stream_df.schema[c].dataType}")
+
+    _, prio = _priority_inputs(id_col, weight_col, seed)
+    src = stream_df.withColumn("_prio", prio)
+    out_schema = (f"{group_col} string, n_seen bigint, n_sample bigint, "
+                  "tau double, est_total double")
+    state_schema = "sketch binary, n_seen bigint"
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            blob, n_seen = state.get
+            s = PrioritySample.from_bytes(bytes(blob))
+            n_seen = int(n_seen)
+        else:
+            s, n_seen = PrioritySample(k), 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            ok = (pdf[id_col].notna() & pdf[weight_col].notna()
+                  & pdf["_prio"].notna())
+            pdf = pdf[ok]
+            if len(pdf):
+                # notna-filtered long columns may arrive float64 after
+                # pandas NULL promotion; integral values < 2^53 convert
+                # exactly
+                s.update_batch(pdf[id_col].to_numpy().astype(np.int64),
+                               pdf[weight_col].to_numpy()
+                               .astype(np.int64),
+                               pdf["_prio"].to_numpy(np.float64))
+                n_seen += len(pdf)
+        state.update((s.to_bytes(), n_seen))
+        if n_seen:
+            yield pd.DataFrame({group_col: [key[0]],
+                                "n_seen": [n_seen],
+                                "n_sample": [len(s.items())],
+                                "tau": [s.tau],
+                                "est_total": [s.estimate_total()]})
+
+    return (src.groupBy(group_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -977,3 +977,87 @@ def test_dd_psi_stream_exact_across_restart(spark, tmp_path):
         assert round(final.loc[k].psi, 6) == round(want, 6), k
         assert final.loc[k].n_bins == nb
     assert final.loc["drift"].psi > 0.25 and final.loc["same"].psi < 0.1
+
+
+def test_priority_sample_stream_exact_across_restart(spark, tmp_path):
+    """Live weighted sample (stateful.priority_sample_stream): two
+    micro-batches split by a query RESTART on one checkpoint; the
+    top-(k+1) state is order-insensitive, so the final streamed sample,
+    tau and est_total must EQUAL a from-scratch PrioritySample over
+    everything ingested, driven by the identical md5 priority chain.
+    NULL id/weight rows drop without counting; a float weight column is
+    refused at construction (plan-time, not a wedged batch)."""
+    import hashlib
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from grenier_spark.core.prioritysample import PrioritySample
+    from grenier_spark.streaming.stateful import priority_sample_stream
+
+    rng = np.random.Generator(np.random.PCG64(44))
+    n, k, seed = 3000, 17, 6
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 700, n).astype(np.int64)
+    grp = np.where(ids % 2 == 0, "ga", "gb")
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src_dir, exist_ok=True)
+    for part in range(2):
+        sel = slice(part, None, 2)
+        pdf = pd.DataFrame({"doc_id": ids[sel], "source": grp[sel],
+                            "w": w[sel]})
+        if part == 1:  # NULLs drop silently and don't count
+            pdf = pd.concat([pdf, pd.DataFrame(
+                {"doc_id": [10**7, None], "source": ["ga", "gb"],
+                 "w": [None, 5]})], ignore_index=True)
+        # nullable Int64 keeps the parquet columns BIGINT despite the
+        # None rows (plain pandas would promote to DOUBLE)
+        pdf = pdf.astype({"doc_id": "Int64", "w": "Int64"})
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       f"{src_dir}/part-{part:05d}.parquet")
+
+    collected = []
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("doc_id long, source string, w long")
+                  .option("maxFilesPerTrigger", "16").parquet(src_dir))
+        out = priority_sample_stream(stream, "source", k=k,
+                                     weight_col="w", id_col="doc_id",
+                                     seed=seed)
+        q = (out.writeStream.outputMode("update")
+             .foreachBatch(lambda df, bid: collected.append(df.toPandas()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    hidden = str(tmp_path / "hidden.parquet")
+    os.replace(f"{src_dir}/part-00001.parquet", hidden)
+    run_once()
+    os.replace(hidden, f"{src_dir}/part-00001.parquet")
+    run_once()
+
+    final = (pd.concat(collected, ignore_index=True)
+             .sort_values("n_seen").groupby("source").last())
+    for g in ("ga", "gb"):
+        sel = grp == g
+        prios = np.array([
+            float(w[i]) * float(1 << 52)
+            / float(int(hashlib.md5(f"{ids[i]}:prio{seed}".encode())
+                        .hexdigest()[3:16], 16) + 1)
+            for i in np.flatnonzero(sel)])
+        want = PrioritySample(k)
+        want.update_batch(ids[sel], w[sel], prios)
+        row = final.loc[g]
+        assert row.n_seen == int(sel.sum())  # NULL rows never counted
+        assert row.n_sample == k
+        assert row.tau == want.tau
+        assert row.est_total == want.estimate_total()
+
+    with pytest.raises(ValueError, match="integer type"):
+        stream = (spark.readStream
+                  .schema("doc_id long, source string, w double")
+                  .option("maxFilesPerTrigger", "16").parquet(src_dir))
+        priority_sample_stream(stream, "source", k=3, weight_col="w")
