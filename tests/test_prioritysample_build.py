@@ -5,6 +5,7 @@ partitioning invariance, and the no-Window plan contract."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from grenier_spark.core.prioritysample import PrioritySample
 
@@ -77,3 +78,27 @@ def test_no_window_in_plan(spark, pop):
         pop, k=5, weight_col="w", group_cols=["source"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_empty_and_ungrouped_builds(spark):
+    from grenier_spark.operators.sketch_build import (build_dd_weighted,
+                                                      build_priority_sample)
+
+    empty = spark.createDataFrame([], "doc_id long, source string, w long")
+    assert build_priority_sample(empty, k=4, weight_col="w",
+                                 group_cols=["source"]).count() == 0
+    assert build_dd_weighted(
+        empty.select("source", F.col("w").cast("double").alias("v"),
+                     F.col("doc_id").alias("wt")),
+        "v", "wt", ["source"]).count() == 0
+
+    # ungrouped (global) build: one row, state over everything
+    pdf = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                        "w": np.int64(np.arange(100) % 9 + 1)})
+    rows = build_priority_sample(spark.createDataFrame(pdf), k=6,
+                                 weight_col="w",
+                                 group_cols=[]).collect()
+    assert len(rows) == 1
+    st = PrioritySample.from_bytes(bytes(rows[0]["sketch"]))
+    assert len(st.items()) == 6 and st.tau > 0
+    assert rows[0]["n_values"] == 100
