@@ -3727,6 +3727,40 @@ def q_token_weighted_len_quantiles(spark: SparkSession,
             .orderBy("source", "q"))
 
 
+def _dlt_subset_output(smp: DataFrame, src: DataFrame) -> DataFrame:
+    """Shared output assembly for the two priority-subset gates (window
+    and mergeable-sketch paths, certified by one oracle): ``smp`` holds
+    the sampled rows with (source, lang, tau, w_hat); ``src`` the full
+    filtered corpus with (source, lang, w). persist (not unpersisted):
+    the KB-scale sample feeds TWO diverging aggregations — a grouped
+    pandas UDAF cannot share a groupBy with JVM aggregates — the
+    documented diamond-re-execution posture of doc_lm_scores /
+    fuzzy_contamination."""
+    from grenier_spark.functions import ddsum_col
+    from grenier_spark.functions.aggregates import ddsum_agg_col
+
+    en = F.when(F.col("lang") == "en", F.col("w_hat")).otherwise(F.lit(0.0))
+    smp = smp.withColumn("_we", en).persist()
+    dd = (smp.groupBy("source").agg(ddsum_agg_col("_we").alias("_dd"))
+          .select("source", F.round(ddsum_col("_dd"), 6)
+                  .alias("est_subset")))
+    plain = (smp.groupBy("source")
+             .agg(F.round(F.max("tau"), 6).alias("tau"),
+                  F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                  .cast("long").alias("n_sampled_subset")))
+    est = plain.join(dd, "source").select(
+        "source", "tau", "n_sampled_subset", "est_subset")
+    ex = (src.groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.coalesce(F.sum(F.when(F.col("lang") == "en",
+                                       F.col("w"))), F.lit(0))
+               .cast("long").alias("exact_subset")))
+    return (ex.join(est, "source")
+            .select("source", "n_docs", "tau", "est_subset",
+                    "exact_subset", "n_sampled_subset")
+            .orderBy("source"))
+
+
 def q_priority_subset_estimate(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Subset-sum estimation from a stored k-sample (Duffield-Lund-Thorup
@@ -3742,8 +3776,6 @@ def q_priority_subset_estimate(spark: SparkSession,
     posture: one KB sample per group answers arbitrary later subset
     questions without rescanning the corpus; the estimate aggregation is
     a ddsum (order-robust, == DuckDB fsum at round-6)."""
-    from grenier_spark.functions import ddsum_col
-    from grenier_spark.functions.aggregates import ddsum_agg_col
     from grenier_spark.operators.splits import priority_sample_estimate
 
     k = 64
@@ -3753,28 +3785,7 @@ def q_priority_subset_estimate(spark: SparkSession,
                    F.col("n_chars").alias("w")))
     smp = priority_sample_estimate(src, k=k, weight_col="w",
                                    group_col="source", seed=0)
-    en = F.when(F.col("lang") == "en", F.col("w_hat")).otherwise(F.lit(0.0))
-    smp = smp.withColumn("_we", en).cache()
-    # a grouped-agg pandas UDAF cannot share a groupBy with JVM
-    # aggregates — two group-scale aggs joined back (textstats posture)
-    dd = (smp.groupBy("source").agg(ddsum_agg_col("_we").alias("_dd"))
-          .select("source", F.round(ddsum_col("_dd"), 6)
-                  .alias("est_subset")))
-    plain = (smp.groupBy("source")
-             .agg(F.round(F.max("tau"), 6).alias("tau"),
-                  F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-                  .cast("long").alias("n_sampled_subset")))
-    est = plain.join(dd, "source").select(
-        "source", "tau", "n_sampled_subset", "est_subset")
-    ex = (src.groupBy("source")
-          .agg(F.count(F.lit(1)).alias("n_docs"),
-               F.coalesce(F.sum(F.when(F.col("lang") == "en",
-                                       F.col("w"))), F.lit(0))
-               .cast("long").alias("exact_subset")))
-    return (ex.join(est, "source")
-            .select("source", "n_docs", "tau", "est_subset",
-                    "exact_subset", "n_sampled_subset")
-            .orderBy("source"))
+    return _dlt_subset_output(smp, src)
 
 
 def q_priority_subset_estimate_sketch(spark: SparkSession,
@@ -3790,8 +3801,6 @@ def q_priority_subset_estimate_sketch(spark: SparkSession,
     the KB sample against the corpus — the corpus itself never shuffles.
     Same oracle as the window gate: the two implementations must agree
     with DuckDB (and therefore each other) value-exactly."""
-    from grenier_spark.functions import ddsum_col
-    from grenier_spark.functions.aggregates import ddsum_agg_col
     from grenier_spark.functions.estimates import ps_items_col, ps_tau_col
     from grenier_spark.operators.sketch_build import build_priority_sample
 
@@ -3807,30 +3816,8 @@ def q_priority_subset_estimate_sketch(spark: SparkSession,
                        F.explode(ps_items_col("sketch")).alias("it"))
              .select("source", "tau", F.col("it.id").alias("doc_id"),
                      F.col("it.w_hat").alias("w_hat")))
-    smp = (src.select("doc_id", "lang")
-           .join(F.broadcast(items), "doc_id")
-           .withColumn("_we", F.when(F.col("lang") == "en",
-                                     F.col("w_hat"))
-                       .otherwise(F.lit(0.0)))
-           .cache())
-    dd = (smp.groupBy("source").agg(ddsum_agg_col("_we").alias("_dd"))
-          .select("source", F.round(ddsum_col("_dd"), 6)
-                  .alias("est_subset")))
-    plain = (smp.groupBy("source")
-             .agg(F.round(F.max("tau"), 6).alias("tau"),
-                  F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-                  .cast("long").alias("n_sampled_subset")))
-    est = plain.join(dd, "source").select(
-        "source", "tau", "n_sampled_subset", "est_subset")
-    ex = (src.groupBy("source")
-          .agg(F.count(F.lit(1)).alias("n_docs"),
-               F.coalesce(F.sum(F.when(F.col("lang") == "en",
-                                       F.col("w"))), F.lit(0))
-               .cast("long").alias("exact_subset")))
-    return (ex.join(est, "source")
-            .select("source", "n_docs", "tau", "est_subset",
-                    "exact_subset", "n_sampled_subset")
-            .orderBy("source"))
+    smp = src.select("doc_id", "lang").join(F.broadcast(items), "doc_id")
+    return _dlt_subset_output(smp, src)
 
 
 def q_streaming_priority_sample(spark: SparkSession,

@@ -415,6 +415,73 @@ def build_sketches(df: DataFrame, specs: "list[SketchSpec]",
     return merge_partials(partials, kind_of, group_cols, fanout)
 
 
+def _batch_group_codes(batch: pa.RecordBatch, group_cols: "list[str]"):
+    """(codes, gkeys) for one Arrow batch — THE shared group encoding for
+    every per-partition builder (the _Accumulator specs path, the
+    weighted-dd and priority-sample builders). Single non-null group
+    column rides Arrow dictionary_encode C-side; the general path
+    factorizes with use_na_sentinel=False so NULL group values form a
+    REAL group, normalized NaN->None so the key is stable across batches
+    (NaN != NaN would fragment dict state AND crash the Arrow flush when
+    a float NaN lands in a string group field)."""
+    if len(group_cols) == 1 and batch.column(group_cols[0]).null_count == 0:
+        # single non-null group column: Arrow dictionary_encode gives
+        # codes + uniques C-side (pandas to_pandas + factorize on a
+        # string column costs ~0.5 us/row of pure Python-object churn)
+        enc = batch.column(group_cols[0]).dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64, copy=False)
+        return codes, [(u,) for u in enc.dictionary.to_pylist()]
+    if group_cols:
+        gdf = pd.DataFrame(
+            {c: batch.column(c).to_pandas() for c in group_cols})
+        key_obj = (pd.MultiIndex.from_frame(gdf) if len(group_cols) > 1
+                   else gdf[group_cols[0]])
+        # use_na_sentinel=False: null group values form a real group
+        # (otherwise factorize emits -1 codes and null rows vanish)
+        codes, uniques = pd.factorize(key_obj, sort=False,
+                                      use_na_sentinel=False)
+
+        def norm(v):
+            # NaN != NaN would fragment dict state across batches
+            return None if not isinstance(v, (tuple, list, np.ndarray)) \
+                and pd.isna(v) else v
+
+        gkeys = [tuple(norm(x) for x in u) if isinstance(u, tuple)
+                 else (norm(u),) for u in uniques]
+        return codes, gkeys
+    return np.zeros(batch.num_rows, dtype=np.int64), [()]
+
+
+def _flush_partials(entries, group_cols, out_schema, arrow_schema, t0):
+    """One partial-rows RecordBatch from ``entries`` =
+    [(gkey, sketch_name, blob, n_rows, n_values), ...] — the shared
+    flush for every per-partition builder. Returns None when empty.
+
+    build_us is the TASK's wall time apportioned across its emitted
+    rows (remainder on the first), so SUM(build_us) over any row set
+    equals total build wall time — stamping the full elapsed on
+    every (group, spec) row would overcount by rows-per-task once
+    the metrics table is aggregated."""
+    if not entries:
+        return None
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else -1
+    elapsed_us = int((time.monotonic() - t0) * 1e6)
+    share, rem = divmod(elapsed_us, len(entries))
+    out: dict = {f.name: [] for f in out_schema.fields}
+    for gkey, name, blob, n_rows, n_values in entries:
+        for c, v in zip(group_cols, gkey):
+            out[c].append(v)
+        out["sketch_name"].append(name)
+        out["sketch"].append(blob)
+        out["n_rows"].append(n_rows)
+        out["n_values"].append(n_values)
+        out["part_id"].append(pid)
+        out["build_us"].append(share + (rem if not out["build_us"]
+                                        else 0))
+    return pa.RecordBatch.from_pydict(out, schema=arrow_schema)
+
+
 class _Accumulator:
     """Per-task partial-sketch state shared by the DataFrame path
     (build_sketches) and the native-reader path (build_sketches_from_files):
@@ -442,34 +509,7 @@ class _Accumulator:
     def feed(self, batch: pa.RecordBatch) -> None:
         if batch.num_rows == 0:
             return
-        group_cols = self.group_cols
-        if len(group_cols) == 1 and batch.column(group_cols[0]).null_count == 0:
-            # single non-null group column: Arrow dictionary_encode gives
-            # codes + uniques C-side (pandas to_pandas + factorize on a
-            # string column costs ~0.5 us/row of pure Python-object churn)
-            enc = batch.column(group_cols[0]).dictionary_encode()
-            codes = enc.indices.to_numpy().astype(np.int64, copy=False)
-            gkeys = [(u,) for u in enc.dictionary.to_pylist()]
-        elif group_cols:
-            gdf = pd.DataFrame(
-                {c: batch.column(c).to_pandas() for c in group_cols})
-            key_obj = (pd.MultiIndex.from_frame(gdf) if len(group_cols) > 1
-                       else gdf[group_cols[0]])
-            # use_na_sentinel=False: null group values form a real group
-            # (otherwise factorize emits -1 codes and null rows vanish)
-            codes, uniques = pd.factorize(key_obj, sort=False,
-                                          use_na_sentinel=False)
-
-            def norm(v):
-                # NaN != NaN would fragment dict state across batches
-                return None if not isinstance(v, (tuple, list, np.ndarray)) \
-                    and pd.isna(v) else v
-
-            gkeys = [tuple(norm(x) for x in u) if isinstance(u, tuple)
-                     else (norm(u),) for u in uniques]
-        else:
-            codes = np.zeros(batch.num_rows, dtype=np.int64)
-            gkeys = [()]
+        codes, gkeys = _batch_group_codes(batch, self.group_cols)
         grouped: dict = {}
         counted: dict = {}
         for c in self.value_cols:
@@ -499,30 +539,12 @@ class _Accumulator:
                     cnt[1] += len(gvals)
 
     def flush(self) -> "pa.RecordBatch | None":
-        if not self.states:
-            return None
-        tc = TaskContext.get()
-        pid = tc.partitionId() if tc is not None else -1
-        # build_us is the TASK's wall time apportioned across its emitted
-        # rows (remainder on the first), so SUM(build_us) over any row set
-        # equals total build wall time — stamping the full elapsed on
-        # every (group, spec) row would overcount by rows-per-task once
-        # the metrics table is aggregated
-        elapsed_us = int((time.monotonic() - self.t0) * 1e6)
-        n_out = max(len(self.states), 1)
-        share, rem = divmod(elapsed_us, n_out)
-        out: dict = {f.name: [] for f in self.out_schema.fields}
-        for (gkey, name), st in self.states.items():
-            for c, v in zip(self.group_cols, gkey):
-                out[c].append(v)
-            out["sketch_name"].append(name)
-            out["sketch"].append(_to_bytes(st, self.kind_of[name]))
-            out["n_rows"].append(self.counts[(gkey, name)][0])
-            out["n_values"].append(self.counts[(gkey, name)][1])
-            out["part_id"].append(pid)
-            out["build_us"].append(share + (rem if not out["build_us"]
-                                            else 0))
-        return pa.RecordBatch.from_pydict(out, schema=self.arrow_schema)
+        entries = [(gkey, name, _to_bytes(st, self.kind_of[name]),
+                    self.counts[(gkey, name)][0],
+                    self.counts[(gkey, name)][1])
+                   for (gkey, name), st in self.states.items()]
+        return _flush_partials(entries, self.group_cols, self.out_schema,
+                               self.arrow_schema, self.t0)
 
 
 def build_sketches_from_files(spark, files: "list[str]",
@@ -659,10 +681,17 @@ def build_dd_weighted(df: DataFrame, value_col: str, weight_col: str,
 
     Rows where value or weight is NULL are dropped (counted in n_rows,
     not n_values); zero weights fold as no-ops; negative weights raise.
-    Output schema matches build_sketches: [group_cols..., sketch_name,
-    sketch, n_rows, n_values, part_id, build_us] with n_values = the
-    number of non-null (value, weight) pairs folded (the total WEIGHT is
-    the sketch's own n, read via functions.dd_total_weight_col).
+    NULL group values form a real group (same contract as
+    build_sketches). A group whose MERGED state is empty (every pair
+    NULL or zero-weight) emits NO result row — matching the SQL twin,
+    where the w > 0 filter leaves no group to aggregate, and keeping
+    downstream quantile reads from hitting an empty sketch; the filter
+    runs on the merged KB rows, so per-partition metrics of surviving
+    groups stay exact. Output schema matches
+    build_sketches: [group_cols..., sketch_name, sketch, n_rows,
+    n_values, part_id, build_us] with n_values = the number of non-null
+    (value, weight) pairs folded (the total WEIGHT is the sketch's own
+    n, read via ``functions.dd_stats_col(...)['n']``).
     """
     group_cols = list(group_cols or [])
     src = df.select(*group_cols, value_col, weight_col)
@@ -679,23 +708,7 @@ def build_dd_weighted(df: DataFrame, value_col: str, weight_col: str,
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            if len(group_cols) == 1 \
-                    and batch.column(group_cols[0]).null_count == 0:
-                enc = batch.column(group_cols[0]).dictionary_encode()
-                codes = enc.indices.to_numpy().astype(np.int64, copy=False)
-                gkeys = [(u,) for u in enc.dictionary.to_pylist()]
-            elif group_cols:
-                gdf = pd.DataFrame({c: batch.column(c).to_pandas()
-                                    for c in group_cols})
-                key_obj = (pd.MultiIndex.from_frame(gdf)
-                           if len(group_cols) > 1 else gdf[group_cols[0]])
-                codes, uniques = pd.factorize(key_obj, sort=False,
-                                              use_na_sentinel=False)
-                gkeys = [u if isinstance(u, tuple) else (u,)
-                         for u in uniques]
-            else:
-                codes = np.zeros(batch.num_rows, dtype=np.int64)
-                gkeys = [()]
+            codes, gkeys = _batch_group_codes(batch, group_cols)
             row_counts = np.bincount(codes, minlength=len(gkeys))
             # JOINT null filter at the Arrow level: value and weight must
             # both be present, and int64 weights must never pass through a
@@ -720,27 +733,18 @@ def build_dd_weighted(df: DataFrame, value_col: str, weight_col: str,
                 m = vcodes == g
                 st.update_batch_weighted(vals[m], w[m])
                 cnt[1] += int(m.sum())
-        if not states:
-            return
-        tc = TaskContext.get()
-        pid = tc.partitionId() if tc is not None else -1
-        elapsed_us = int((time.monotonic() - t0) * 1e6)
-        share, rem = divmod(elapsed_us, max(len(states), 1))
-        out: dict = {f.name: [] for f in out_schema.fields}
-        for gkey, st in states.items():
-            for c, v in zip(group_cols, gkey):
-                out[c].append(v)
-            out["sketch_name"].append(name)
-            out["sketch"].append(st.to_bytes())
-            out["n_rows"].append(counts[gkey][0])
-            out["n_values"].append(counts[gkey][1])
-            out["part_id"].append(pid)
-            out["build_us"].append(share + (rem if not out["build_us"]
-                                            else 0))
-        yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
+        rb = _flush_partials(
+            [(gkey, name, st.to_bytes(), counts[gkey][0], counts[gkey][1])
+             for gkey, st in states.items()],
+            group_cols, out_schema, arrow_schema, t0)
+        if rb is not None:
+            yield rb
+
+    from ..functions.estimates import dd_stats_col
 
     partials = src.mapInArrow(builder, out_schema)
-    return merge_partials(partials, {name: "dd"}, group_cols, fanout)
+    merged = merge_partials(partials, {name: "dd"}, group_cols, fanout)
+    return merged.where(dd_stats_col("sketch").getField("n") > 0)
 
 
 def build_priority_sample(df: DataFrame, k: int, weight_col: str,
@@ -765,7 +769,12 @@ def build_priority_sample(df: DataFrame, k: int, weight_col: str,
     north-rule payload contract; string ids stay on the window path).
     Rows with NULL id/weight drop (n_rows counts them, n_values not);
     zero weights cannot bias estimates (dropped in the core state).
+    NULL group values form a real group (build_sketches contract); a
+    group whose MERGED sample is empty (no positive-weight rows) emits
+    NO result row — matching the SQL twin, whose ranked CTE has no row
+    for it.
     """
+    from ..functions.estimates import ps_items_col
     from .splits import _priority_inputs
 
     group_cols = list(group_cols or [])
@@ -787,23 +796,7 @@ def build_priority_sample(df: DataFrame, k: int, weight_col: str,
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            if len(group_cols) == 1 \
-                    and batch.column(group_cols[0]).null_count == 0:
-                enc = batch.column(group_cols[0]).dictionary_encode()
-                codes = enc.indices.to_numpy().astype(np.int64, copy=False)
-                gkeys = [(u,) for u in enc.dictionary.to_pylist()]
-            elif group_cols:
-                gdf = pd.DataFrame({c: batch.column(c).to_pandas()
-                                    for c in group_cols})
-                key_obj = (pd.MultiIndex.from_frame(gdf)
-                           if len(group_cols) > 1 else gdf[group_cols[0]])
-                codes, uniques = pd.factorize(key_obj, sort=False,
-                                              use_na_sentinel=False)
-                gkeys = [u if isinstance(u, tuple) else (u,)
-                         for u in uniques]
-            else:
-                codes = np.zeros(batch.num_rows, dtype=np.int64)
-                gkeys = [()]
+            codes, gkeys = _batch_group_codes(batch, group_cols)
             row_counts = np.bincount(codes, minlength=len(gkeys))
             iarr, warr = batch.column("_id"), batch.column("_w")
             parr = batch.column("_prio")
@@ -825,24 +818,13 @@ def build_priority_sample(df: DataFrame, k: int, weight_col: str,
                 m = vcodes == g
                 st.update_batch(ids[m], w[m], prios[m])
                 cnt[1] += int(m.sum())
-        if not states:
-            return
-        tc = TaskContext.get()
-        pid = tc.partitionId() if tc is not None else -1
-        elapsed_us = int((time.monotonic() - t0) * 1e6)
-        share, rem = divmod(elapsed_us, max(len(states), 1))
-        out: dict = {f.name: [] for f in out_schema.fields}
-        for gkey, st in states.items():
-            for c, v in zip(group_cols, gkey):
-                out[c].append(v)
-            out["sketch_name"].append(name)
-            out["sketch"].append(st.to_bytes())
-            out["n_rows"].append(counts[gkey][0])
-            out["n_values"].append(counts[gkey][1])
-            out["part_id"].append(pid)
-            out["build_us"].append(share + (rem if not out["build_us"]
-                                            else 0))
-        yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
+        rb = _flush_partials(
+            [(gkey, name, st.to_bytes(), counts[gkey][0], counts[gkey][1])
+             for gkey, st in states.items()],
+            group_cols, out_schema, arrow_schema, t0)
+        if rb is not None:
+            yield rb
 
     partials = src.mapInArrow(builder, out_schema)
-    return merge_partials(partials, {name: "ps"}, group_cols, fanout)
+    merged = merge_partials(partials, {name: "ps"}, group_cols, fanout)
+    return merged.where(F.size(ps_items_col("sketch")) > 0)

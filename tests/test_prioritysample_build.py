@@ -102,3 +102,48 @@ def test_empty_and_ungrouped_builds(spark):
     st = PrioritySample.from_bytes(bytes(rows[0]["sketch"]))
     assert len(st.items()) == 6 and st.tau > 0
     assert rows[0]["n_values"] == 100
+
+
+def test_null_group_forms_a_real_group(spark):
+    """A NULL group value folds into ONE stable group across batches and
+    partitions (build_sketches contract) — no NaN-key fragmentation, no
+    Arrow flush crash."""
+    from grenier_spark.operators.sketch_build import (build_dd_weighted,
+                                                      build_priority_sample)
+
+    recs = [(1, None, 10), (2, "a", 5), (3, None, 20), (4, "a", 7),
+            (5, None, 30)]
+    df = spark.createDataFrame(
+        recs, "doc_id long, source string, w long").repartition(3)
+    rows = build_priority_sample(df, k=8, weight_col="w",
+                                 group_cols=["source"]).collect()
+    by_src = {r["source"]: r for r in rows}
+    assert set(by_src) == {None, "a"}
+    st = PrioritySample.from_bytes(bytes(by_src[None]["sketch"]))
+    assert {i for i, _, _ in st.items()} == {1, 3, 5}
+
+    ddrows = build_dd_weighted(
+        df.select("source", F.col("w").cast("double").alias("v"),
+                  F.col("doc_id").alias("wt")),
+        "v", "wt", ["source"]).collect()
+    assert {r["source"] for r in ddrows} == {None, "a"}
+
+
+def test_empty_merged_state_emits_no_row(spark):
+    """A group whose pairs are all zero-weight (or all NULL) produces NO
+    result row — matching the SQL twins, which have no group left to
+    aggregate — instead of an empty sketch that crashes readers."""
+    from grenier_spark.operators.sketch_build import (build_dd_weighted,
+                                                      build_priority_sample)
+
+    recs = [(1, "dead", 0), (2, "dead", 0), (3, "live", 9), (4, "dead", 0)]
+    df = spark.createDataFrame(recs, "doc_id long, source string, w long")
+    rows = build_priority_sample(df, k=4, weight_col="w",
+                                 group_cols=["source"]).collect()
+    assert {r["source"] for r in rows} == {"live"}
+
+    ddrows = build_dd_weighted(
+        df.select("source", F.lit(1.0).alias("v"),
+                  F.col("w").alias("wt")),
+        "v", "wt", ["source"]).collect()
+    assert {r["source"] for r in ddrows} == {"live"}

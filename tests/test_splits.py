@@ -292,7 +292,7 @@ def test_priority_estimate_spark_matches_pandas(spark, weighted):
                for i in gmap.index)
 
 
-def test_priority_estimate_unbiased_over_seeds(weighted_pop=None):
+def test_priority_estimate_unbiased_over_seeds():
     """DLT Thm 1: E[sum(w_hat over sample ∩ S)] = sum(w over S) for any
     fixed subset S. Seed-averaged estimates must converge to the truth
     (pure-pandas twin — the chain is engine-identical)."""
