@@ -117,6 +117,23 @@ class PrioritySample:
                      np.concatenate([self.prios, other.prios]))
         return self
 
+    def fold(self, k_new: int) -> "PrioritySample":
+        """EXACT shrink to a smaller k (the exact-fold family contract,
+        same class as hll precision / cms depth / kmv k folds): the
+        top-(k'+1) of the stored top-(k+1) IS the global top-(k'+1) for
+        any k' <= k, so the folded state is bit-identical to a direct
+        k' build over the same stream — heterogeneous fleets merge at
+        the smallest k. Returns a NEW state; raises on k_new > k
+        (information the state never kept)."""
+        if not (1 <= k_new <= self.k):
+            raise ValueError(
+                f"prioritysample: can only fold to 1 <= k_new <= k "
+                f"({k_new} vs k={self.k})")
+        n = min(k_new + 1, len(self.ids))
+        return PrioritySample(k_new, self.ids[:n].copy(),
+                              self.weights[:n].copy(),
+                              self.prios[:n].copy())
+
     # -- queries -----------------------------------------------------------
 
     @property

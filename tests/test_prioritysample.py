@@ -139,3 +139,39 @@ def test_roundtrip():
     t = PrioritySample.from_bytes(s.to_bytes())
     assert t.to_bytes() == s.to_bytes()
     assert t.items() == s.items() and t.tau == s.tau
+
+
+@pytest.mark.parametrize("k_new", [1, 7, 32, 64])
+def test_fold_bit_identical_to_direct_build(k_new):
+    """Exact-fold family contract: fold(k') of a k=64 state equals a
+    direct k' build byte-for-byte, and folds compose with merges in any
+    order (fold-then-merge == merge-then-fold)."""
+    rng = np.random.default_rng(21)
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 500, n)
+    prios = _prios(rng, w.astype(float))
+    big = PrioritySample(64)
+    big.update_batch(ids, w, prios)
+    direct = PrioritySample(k_new)
+    direct.update_batch(ids, w, prios)
+    assert big.fold(k_new).to_bytes() == direct.to_bytes()
+
+    halves = []
+    for sl in (slice(0, n // 2), slice(n // 2, n)):
+        h = PrioritySample(64)
+        h.update_batch(ids[sl], w[sl], prios[sl])
+        halves.append(h)
+    merged_then_folded = PrioritySample.from_bytes(
+        halves[0].to_bytes()).merge(halves[1]).fold(k_new)
+    folded_then_merged = halves[0].fold(k_new).merge(halves[1].fold(k_new))
+    assert merged_then_folded.to_bytes() == folded_then_merged.to_bytes()
+
+
+def test_fold_validation():
+    s = PrioritySample(8)
+    with pytest.raises(ValueError, match="fold"):
+        s.fold(9)
+    with pytest.raises(ValueError, match="fold"):
+        s.fold(0)
+    assert s.fold(8).to_bytes() == s.to_bytes()  # identity fold
