@@ -1034,6 +1034,89 @@ FROM (SELECT event_type, value,
       FROM events WHERE value IS NOT NULL)"""
 
 
+def _split_planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted-drift gate's fixture: documents split into two sides
+    by md5(doc_id) parity, with a PLANTED x3 length drift on side 1 of
+    lang 'en'; weight = whitespace word count. Grouping is by LANG (5
+    groups of 60-220 docs at sf0.01) rather than source (20 groups of
+    ~25) — per-doc weights are CORRELATED, so the effective sample size
+    of a weighted histogram is the DOC count, and 12-doc sides put bin
+    noise at PSI ~1-5; the lang granularity keeps noise below ~0.75 at
+    every fixture SF while the planted shift reads 7-10. DuckDB twin:
+    ``_SPLIT_PLANTED_DOCS_SQL`` — any change must land in both."""
+    from grenier_spark.operators.textstats import word_count
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where("text IS NOT NULL AND n_chars IS NOT NULL "
+                   "AND lang IS NOT NULL"))
+    side = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                               1, 15), 16, 10).cast("long") % 2)
+    return (docs.select("doc_id", "lang", "n_chars",
+                        word_count("text").alias("wt"))
+            .withColumn("_side", side)
+            .drop("doc_id")
+            .withColumn("v", F.when((F.col("_side") == 1)
+                                    & (F.col("lang") == "en"),
+                                    F.col("n_chars") * 3.0)
+                        .otherwise(F.col("n_chars")).cast("double")))
+
+
+_SPLIT_PLANTED_DOCS_SQL = """
+SELECT lang,
+       (CASE WHEN s = 1 AND lang = 'en'
+             THEN n_chars * (3.0::DOUBLE) ELSE n_chars END)::DOUBLE AS v,
+       s AS _side,
+       len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT
+         AS wt
+FROM (SELECT lang, n_chars, text,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2
+               AS s
+      FROM documents
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        AND lang IS NOT NULL)"""
+
+
+def q_token_weighted_psi_drift(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TOKEN-WEIGHTED drift: the PSI family over the distribution a
+    random TOKEN experiences, not a random doc — psi_sketch_report with
+    ``weight_col`` riding the weighted-dd build (every bucket count a
+    word-count sum, integer-exact and byte-identically mergeable), so
+    the score answers "did the doc-length mix of the TOKEN STREAM
+    shift" — the view training actually samples. Same md5-parity split
+    discipline as `value_psi_drift`, planted x3 length drift on side 1
+    of lang 'en', grouped by LANG (see _split_planted_docs for the
+    effective-sample-size reasoning). The weighted PSI is the exact PSI
+    of the alpha=0.25 log-binning of the weight-expanded stream,
+    replayed term-for-term by the weighted `dd_psi_sql`; n_a/n_b are
+    total weights (value-exact BIGINTs). Verdict bar 1.0 rather than
+    the industry 0.25: per-doc weights are correlated, so fixture-scale
+    doc counts put bin noise up to ~0.75 — planted reads 7-10, an
+    order-of-magnitude margin (at 10^12-doc production scale the
+    industry bars apply; the gate's hard contract is cross-engine
+    value-exactness of psi itself)."""
+    from grenier_spark.operators.drift import psi_sketch_report
+
+    src = _split_planted_docs(spark, sf_dir)
+    rep = psi_sketch_report(src, "v", "_side", ["lang"], alpha=0.25,
+                            weight_col="wt")
+    return (rep.select("lang", "n_a", "n_b", "n_bins",
+                       F.round("psi", 6).alias("psi"),
+                       (F.round("psi", 6) >= 1.0).alias("drifted"))
+            .orderBy("lang"))
+
+
+def _token_weighted_psi_oracle() -> str:
+    from grenier_spark.functions.sql_oracles import dd_psi_sql
+
+    return f"""
+SELECT lang, n_a, n_b, n_bins, round(psi, 6) AS psi,
+       round(psi, 6) >= (1.0::DOUBLE) AS drifted
+FROM ({dd_psi_sql(_SPLIT_PLANTED_DOCS_SQL, "v", "_side", 0.25,
+                  ["lang"], weight_col="wt")})
+ORDER BY lang"""
+
+
 def q_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS drift detection (operators/drift.py — round 4):
     events split into two sides by md5(event_id) parity (the same-engine
@@ -5046,6 +5129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_subset_estimate": q_priority_subset_estimate,
         "priority_subset_estimate_sketch": q_priority_subset_estimate_sketch,
         "streaming_priority_sample": q_streaming_priority_sample,
+        "token_weighted_psi_drift": q_token_weighted_psi_drift,
     }
 
 
@@ -6086,6 +6170,9 @@ ORDER BY kind, row, col""",
         # order-insensitive top-(k+1) state: the streamed final-trigger
         # sample/tau/est_total equal the batch chain value-exactly
         "streaming_priority_sample": _streaming_priority_sample_oracle(),
+        # weighted PSI: SUM(w) bucket counts, terms bit-equal, round-6
+        # fsum contract — token-weighted drift value-exact cross-engine
+        "token_weighted_psi_drift": _token_weighted_psi_oracle(),
         # weighted dd estimator: SUM(w) histogram + total-weight ranks,
         # every est_value and w_total value-exact cross-engine
         "token_weighted_len_quantiles": (

@@ -1181,7 +1181,8 @@ def dd_bucket_expr(value: str, alpha: float) -> str:
 
 def _dd_psi_terms_cte(values_sql: str, value_col: str, side_col: str,
                       alpha: float, g: "list[str]",
-                      smooth: float) -> str:
+                      smooth: float,
+                      weight_col: "str | None" = None) -> str:
     """The shared PSI CTE chain (vals -> buckets -> union bins ->
     smoothed (p-q)ln(p/q) terms) ending in a ``terms`` relation with
     (group..., side_a, side_b, bin, is_zero, c_a, c_b, n_a, n_b,
@@ -1189,19 +1190,31 @@ def _dd_psi_terms_cte(values_sql: str, value_col: str, side_col: str,
     :func:`dd_psi_attr_sql` (top-|term| bins). side_a/side_b are the
     string-cast-ordered labels (arg_min/arg_max over s::VARCHAR), the
     SAME ordering the Spark operator uses — native MIN/MAX would flip
-    multi-digit numeric labels."""
+    multi-digit numeric labels. ``weight_col`` (integer >= 0) switches
+    every count to SUM(w) — the WEIGHTED PSI the weighted-dd build
+    (``build_dd_weighted``) produces; zero-weight rows drop on both
+    engines."""
     gsel = "".join(f"{c}, " for c in g)
     gjoin = (" AND ".join(f"x.{c} = y.{c}" for c in g)) or "TRUE"
     sm = f"({smooth!r}::DOUBLE)"
+    if weight_col is None:
+        wsel, wcnt = "", "COUNT(*)::BIGINT"
+        wfilter = ""
+    else:
+        wsel = f", ({weight_col})::BIGINT AS wt"
+        wcnt = "SUM(wt)::BIGINT"
+        wfilter = " AND wt > 0"
     return f"""
 WITH vals AS (
-  SELECT {gsel}{side_col} AS s, ({value_col})::DOUBLE AS v
-  FROM ({values_sql})
+  SELECT * FROM (
+    SELECT {gsel}{side_col} AS s, ({value_col})::DOUBLE AS v{wsel}
+    FROM ({values_sql})
+  ) WHERE TRUE{wfilter}
 ), pos AS (
-  SELECT {gsel}s, {dd_bucket_expr('v', alpha)} AS bin, COUNT(*)::BIGINT AS c
+  SELECT {gsel}s, {dd_bucket_expr('v', alpha)} AS bin, {wcnt} AS c
   FROM vals WHERE v > 0 GROUP BY ALL
 ), zc AS (
-  SELECT {gsel}s, COUNT(*)::BIGINT AS c
+  SELECT {gsel}s, {wcnt} AS c
   FROM vals WHERE v = 0 GROUP BY ALL
 ), zb AS (
   SELECT {gsel}COALESCE(MIN(bin), 0) - 1 AS zbin
@@ -1216,7 +1229,7 @@ WITH vals AS (
 ), nbins AS (
   SELECT {gsel}COUNT(*)::BIGINT AS n_bins FROM bins GROUP BY ALL
 ), n AS (
-  SELECT {gsel}s, COUNT(*)::BIGINT AS n FROM vals GROUP BY ALL
+  SELECT {gsel}s, {wcnt} AS n FROM vals GROUP BY ALL
 ), two AS (
   SELECT {gsel}arg_min(s, s::VARCHAR) AS side_a,
          arg_max(s, s::VARCHAR) AS side_b
@@ -1251,7 +1264,8 @@ WITH vals AS (
 
 def dd_psi_sql(values_sql: str, value_col: str, side_col: str,
                alpha: float, group_cols: "list[str] | None" = None,
-               smooth: float = 0.5) -> str:
+               smooth: float = 0.5,
+               weight_col: "str | None" = None) -> str:
     """Population Stability Index per group between two sides, the twin
     of ``operators.drift.psi_sketch_report``: exact integer DDSketch
     bucket counts (zeros as their own bin below every real bucket),
@@ -1266,7 +1280,7 @@ def dd_psi_sql(values_sql: str, value_col: str, side_col: str,
     g = list(group_cols or [])
     gsel = "".join(f"{c}, " for c in g)
     chain = _dd_psi_terms_cte(values_sql, value_col, side_col, alpha, g,
-                              smooth)
+                              smooth, weight_col)
     return f"""{chain}
 SELECT {gsel}side_a, side_b, ANY_VALUE(n_a) AS n_a, ANY_VALUE(n_b) AS n_b,
        ANY_VALUE(n_bins) AS n_bins, fsum(term) AS psi
@@ -1275,7 +1289,8 @@ FROM terms GROUP BY ALL"""
 
 def dd_psi_attr_sql(values_sql: str, value_col: str, side_col: str,
                     alpha: float, group_cols: "list[str] | None" = None,
-                    smooth: float = 0.5, k: int = 3) -> str:
+                    smooth: float = 0.5, k: int = 3,
+                    weight_col: "str | None" = None) -> str:
     """Drift attribution twin of ``operators.drift.
     psi_attribution_report``: per group the top-``k`` PSI bins by
     |term| (ties to the lower bin id), each with its dd-estimator
@@ -1289,7 +1304,7 @@ def dd_psi_attr_sql(values_sql: str, value_col: str, side_col: str,
     gsel = "".join(f"{c}, " for c in g)
     part = ("PARTITION BY " + ", ".join(g)) if g else ""
     chain = _dd_psi_terms_cte(values_sql, value_col, side_col, alpha, g,
-                              smooth)
+                              smooth, weight_col)
     return f"""{chain}
 SELECT {gsel}side_a, side_b, rank, bin::BIGINT AS bin,
        CASE WHEN is_zero THEN 0.0::DOUBLE

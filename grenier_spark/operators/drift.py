@@ -264,7 +264,8 @@ FROM (
 def psi_sketch_report(df: DataFrame, value_col: str, side_col: str,
                       group_cols: "list[str] | None" = None,
                       alpha: float = 0.25,
-                      smooth: float = 0.5) -> DataFrame:
+                      smooth: float = 0.5,
+                      weight_col: "str | None" = None) -> DataFrame:
     """Population Stability Index per group between two slices, from
     DDSketch bucket histograms — the standard model-monitoring drift
     score, at a scale where neither slice can be sorted or binned by
@@ -294,7 +295,7 @@ def psi_sketch_report(df: DataFrame, value_col: str, side_col: str,
     from ..core.ddsketch import DDSketch
 
     j, group_cols = _dd_two_sides(df, value_col, side_col, group_cols,
-                                  alpha)
+                                  alpha, weight_col)
 
     @pandas_udf("struct<n_a:bigint,n_b:bigint,n_bins:bigint,psi:double>")
     def _psi(a, b):
@@ -316,19 +317,29 @@ def psi_sketch_report(df: DataFrame, value_col: str, side_col: str,
                     F.col("r.psi").alias("psi")))
 
 
-def _dd_two_sides(df, value_col, side_col, group_cols, alpha):
+def _dd_two_sides(df, value_col, side_col, group_cols, alpha,
+                  weight_col=None):
     """Shared PSI scaffold: one dd build per (group, side), the two side
     blobs joined per group as (_ska, _skb) with side_a/side_b labels —
-    same side contract as ks_sketch_report."""
-    from .sketch_build import SketchSpec, build_sketches
+    same side contract as ks_sketch_report. ``weight_col`` (integer
+    >= 0) switches to the WEIGHTED build (build_dd_weighted): every
+    bucket count becomes a weight sum, so downstream PSI/attribution
+    read token-weighted (or any-unit-weighted) distribution shift; NULL
+    weights drop with their rows, matching the SQL twin's contract."""
+    from .sketch_build import SketchSpec, build_dd_weighted, build_sketches
 
     group_cols = list(group_cols or [])
     if df.where(F.col(side_col).isNull()).limit(1).count():
         raise ValueError(f"{side_col} must be non-null (two sides only)")
     src = df.where(F.col(value_col).isNotNull())
-    res = build_sketches(src, [SketchSpec.of("d", "dd", value_col,
-                                             alpha=alpha)],
-                         group_cols=group_cols + [side_col])
+    if weight_col is None:
+        res = build_sketches(src, [SketchSpec.of("d", "dd", value_col,
+                                                 alpha=alpha)],
+                             group_cols=group_cols + [side_col])
+    else:
+        res = build_dd_weighted(
+            src.where(F.col(weight_col).isNotNull()), value_col,
+            weight_col, group_cols + [side_col], alpha=alpha)
     w = (Window.partitionBy(*group_cols) if group_cols
          else Window.partitionBy())
     sides = (res.select(*group_cols, side_col, "sketch")
@@ -353,7 +364,8 @@ def _dd_two_sides(df, value_col, side_col, group_cols, alpha):
 def psi_attribution_report(df: DataFrame, value_col: str, side_col: str,
                            group_cols: "list[str] | None" = None,
                            alpha: float = 0.25, smooth: float = 0.5,
-                           k: int = 3) -> DataFrame:
+                           k: int = 3,
+                           weight_col: "str | None" = None) -> DataFrame:
     """WHICH value bands drove the drift: per group, the top-``k`` PSI
     bins by |term| (ties to the lower bin id) with the bin's
     representative value (the dd estimator point ``2*gamma^b/(gamma+1)``,
@@ -369,7 +381,7 @@ def psi_attribution_report(df: DataFrame, value_col: str, side_col: str,
 
     gamma = (1.0 + alpha) / (1.0 - alpha)
     j, group_cols = _dd_two_sides(df, value_col, side_col, group_cols,
-                                  alpha)
+                                  alpha, weight_col)
 
     @pandas_udf("array<struct<bin:bigint,rep_value:double,c_a:bigint,"
                 "c_b:bigint,term:double>>")

@@ -313,3 +313,33 @@ def test_ks_sketch_report_third_side_raises(spark):
                         "v": np.arange(30, dtype=float) + 1})
     with pytest.raises(Exception, match="exactly two values"):
         ks_sketch_report(spark.createDataFrame(pdf), "v", "s").collect()
+
+
+def test_weighted_psi_equals_repeat_expansion(spark):
+    """psi_sketch_report(weight_col=) must equal the unweighted report
+    over the weight-expanded stream on every column — the weighted dd
+    state IS the expanded histogram (update_batch_weighted contract),
+    so n_a/n_b become total weights and the psi doubles are identical."""
+    from grenier_spark.operators.drift import psi_sketch_report
+
+    rng = np.random.default_rng(23)
+    n = 400
+    pdf = pd.DataFrame({
+        "g": np.where(np.arange(n) % 2 == 0, "g1", "g2"),
+        "s": np.where(rng.random(n) < 0.5, "a", "b"),
+        "v": np.round(rng.lognormal(4.0, 1.0, n), 2),
+        "w": rng.integers(1, 12, n).astype("int64")})
+    pdf.loc[pdf.g == "g2", "v"] *= np.where(
+        pdf.loc[pdf.g == "g2", "s"] == "b", 3.0, 1.0)  # planted drift
+    wrep = (psi_sketch_report(spark.createDataFrame(pdf), "v", "s",
+                              ["g"], alpha=0.25, weight_col="w")
+            .toPandas().sort_values("g").reset_index(drop=True))
+    expanded = pdf.loc[pdf.index.repeat(pdf.w)].drop(columns="w")
+    urep = (psi_sketch_report(spark.createDataFrame(expanded), "v", "s",
+                              ["g"], alpha=0.25)
+            .toPandas().sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(wrep, urep)
+    # the planted x3 shift must dominate the (sizeable, 100-docs-a-side)
+    # split noise; the hard contract is the frame equality above
+    assert wrep.loc[wrep.g == "g2", "psi"].iloc[0] > \
+        3 * wrep.loc[wrep.g == "g1", "psi"].iloc[0]
