@@ -580,3 +580,50 @@ def test_exact_substr_no_text_on_any_exchange(spark):
                    for names in outs), outs
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_weighted_dd_build_scan_prunes_and_shuffles_kb_rows(spark):
+    """build_dd_weighted reads ONLY group + value + weight columns, and
+    every non-broadcast Exchange sits ABOVE the mapInArrow partial build
+    — the rows it moves are (group, sketch_name, KB blob, counters)
+    partials, never the raw stream."""
+    from grenier_spark.operators.sketch_build import build_dd_weighted
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = build_dd_weighted(
+        docs.where(F.col("n_chars").isNotNull())
+        .select("source", F.col("n_chars").cast("double").alias("v"),
+                F.col("doc_id").alias("w")),
+        "v", "w", ["source"])
+    plan = plan_of(df)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "text" not in scan[0] and "lang" not in scan[0]
+    lines = plan.splitlines()
+    arrow_at = min(i for i, ln in enumerate(lines) if "MapInArrow" in ln)
+    for i, ln in enumerate(lines):
+        if "Exchange" in ln and "Broadcast" not in ln:
+            # the tree prints root-first: above = smaller index
+            assert i < arrow_at, plan
+
+
+def test_priority_sample_build_is_window_free_and_pruned(spark):
+    """build_priority_sample: md5 priorities are scan-stage JVM
+    projections, no Window node anywhere, and only partial rows
+    shuffle."""
+    from grenier_spark.operators.sketch_build import build_priority_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = build_priority_sample(
+        docs.where(F.col("n_chars").isNotNull())
+        .select("doc_id", "source", F.col("n_chars").alias("w")),
+        k=16, weight_col="w", group_cols=["source"])
+    plan = plan_of(df)
+    assert "Window" not in plan, plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "text" not in scan[0] and "lang" not in scan[0]
+    lines = plan.splitlines()
+    arrow_at = min(i for i, ln in enumerate(lines) if "MapInArrow" in ln)
+    for i, ln in enumerate(lines):
+        if "Exchange" in ln and "Broadcast" not in ln:
+            assert i < arrow_at, plan
