@@ -3953,7 +3953,9 @@ def q_streaming_priority_sample(spark: SparkSession,
               .collect()}
     fin = got[got.apply(lambda r: r.n_seen == totals.get(r.source),
                         axis=1)]
-    # a source fully contained in batch 1 emits its final row twice
+    # defensive only: update-mode state emits a key's row once per
+    # trigger that delivers it data, so exactly one emission matches the
+    # final n_seen (a key absent from a trigger emits nothing)
     fin = fin.drop_duplicates(subset=["source"]).reset_index(drop=True)
     res = spark.createDataFrame(
         fin, "source string, n_seen long, n_sample long, tau double, "

@@ -424,10 +424,16 @@ def _batch_group_codes(batch: pa.RecordBatch, group_cols: "list[str]"):
     REAL group, normalized NaN->None so the key is stable across batches
     (NaN != NaN would fragment dict state AND crash the Arrow flush when
     a float NaN lands in a string group field)."""
-    if len(group_cols) == 1 and batch.column(group_cols[0]).null_count == 0:
+    if (len(group_cols) == 1
+            and batch.column(group_cols[0]).null_count == 0
+            and not pa.types.is_floating(batch.column(group_cols[0]).type)):
         # single non-null group column: Arrow dictionary_encode gives
         # codes + uniques C-side (pandas to_pandas + factorize on a
-        # string column costs ~0.5 us/row of pure Python-object churn)
+        # string column costs ~0.5 us/row of pure Python-object churn).
+        # Float group columns are excluded: a NaN is a VALUE to Arrow but
+        # norm() below folds it into the NULL group — routing floats
+        # through factorize keeps the same logical key whichever path a
+        # batch takes.
         enc = batch.column(group_cols[0]).dictionary_encode()
         codes = enc.indices.to_numpy().astype(np.int64, copy=False)
         return codes, [(u,) for u in enc.dictionary.to_pylist()]

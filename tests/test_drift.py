@@ -343,3 +343,65 @@ def test_weighted_psi_equals_repeat_expansion(spark):
     # split noise; the hard contract is the frame equality above
     assert wrep.loc[wrep.g == "g2", "psi"].iloc[0] > \
         3 * wrep.loc[wrep.g == "g1", "psi"].iloc[0]
+
+
+def test_weighted_attribution_equals_repeat_expansion(spark):
+    """psi_attribution_report(weight_col=) — the weighted top-|term|
+    bins, counts (weight sums) and representative values must equal the
+    unweighted report over the weight-expanded stream on every column
+    (closing the oracle-coverage gap the weighted PSI report test leaves
+    for the attribution face)."""
+    from grenier_spark.operators.drift import psi_attribution_report
+
+    rng = np.random.default_rng(27)
+    n = 300
+    pdf = pd.DataFrame({
+        "g": np.where(np.arange(n) % 2 == 0, "g1", "g2"),
+        "s": np.where(rng.random(n) < 0.5, "a", "b"),
+        "v": np.round(rng.lognormal(4.0, 1.0, n), 2),
+        "w": rng.integers(1, 10, n).astype("int64")})
+    pdf.loc[pdf.g == "g2", "v"] *= np.where(
+        pdf.loc[pdf.g == "g2", "s"] == "b", 3.0, 1.0)
+    wrep = (psi_attribution_report(spark.createDataFrame(pdf), "v", "s",
+                                   ["g"], alpha=0.25, k=3,
+                                   weight_col="w")
+            .toPandas().sort_values(["g", "rank"]).reset_index(drop=True))
+    expanded = pdf.loc[pdf.index.repeat(pdf.w)].drop(columns="w")
+    urep = (psi_attribution_report(spark.createDataFrame(expanded), "v",
+                                   "s", ["g"], alpha=0.25, k=3)
+            .toPandas().sort_values(["g", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(wrep, urep)
+
+
+def test_weighted_attribution_sql_value_exact(spark):
+    """dd_psi_attr_sql(weight_col=) replays the weighted attribution
+    value-exactly: ranking, weight-sum counts, representative values and
+    signed terms all bit-equal (round-6 doubles)."""
+    import duckdb
+
+    from grenier_spark.functions.sql_oracles import dd_psi_attr_sql
+    from grenier_spark.operators.drift import psi_attribution_report
+
+    rng = np.random.default_rng(29)
+    n = 240
+    pdf = pd.DataFrame({
+        "g": np.where(np.arange(n) % 2 == 0, "g1", "g2"),
+        "s": np.where(rng.random(n) < 0.5, "a", "b"),
+        "v": np.round(rng.lognormal(3.0, 1.2, n), 2),
+        "w": rng.integers(1, 15, n).astype("int64")})
+    pdf.loc[(pdf.g == "g2") & (pdf.s == "b"), "v"] *= 3.0
+    got = (psi_attribution_report(spark.createDataFrame(pdf), "v", "s",
+                                  ["g"], alpha=0.25, k=3, weight_col="w")
+           .toPandas())
+    con = duckdb.connect()
+    con.register("src", pdf)
+    exp = con.execute(dd_psi_attr_sql("SELECT g, s, v, w FROM src", "v",
+                                      "s", 0.25, ["g"], k=3,
+                                      weight_col="w")).df()
+    got = got.sort_values(["g", "rank"]).reset_index(drop=True)
+    exp = exp[got.columns].sort_values(["g", "rank"]).reset_index(drop=True)
+    for c in ("g", "side_a", "side_b", "rank", "bin", "c_a", "c_b"):
+        assert list(got[c]) == list(exp[c]), c
+    for c in ("rep_value", "term"):
+        assert [round(x, 6) for x in got[c]] == \
+            [round(x, 6) for x in exp[c]], c

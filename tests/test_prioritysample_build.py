@@ -147,3 +147,27 @@ def test_empty_merged_state_emits_no_row(spark):
                   F.col("w").alias("wt")),
         "v", "wt", ["source"]).collect()
     assert {r["source"] for r in ddrows} == {"live"}
+
+
+def test_float_group_nan_folds_into_null_group(spark):
+    """A float group column routes through the factorize path on EVERY
+    batch, so NaN group values fold into the NULL group consistently —
+    no NaN/None fragmentation between batches that do and don't carry an
+    explicit NULL (shared-contract test for _batch_group_codes)."""
+    from grenier_spark.operators.sketch_build import build_priority_sample
+
+    recs = [(1, float("nan"), 10), (2, 1.5, 5), (3, None, 20),
+            (4, 1.5, 7), (5, float("nan"), 30)]
+    df = spark.createDataFrame(
+        recs, "doc_id long, gkey double, w long").repartition(3)
+    rows = build_priority_sample(df, k=8, weight_col="w",
+                                 group_cols=["gkey"]).collect()
+    by_g = {r["gkey"]: r for r in rows}
+    # Spark itself folds NaN and NULL double group keys... they are
+    # distinct at the source; OUR contract: one stable merged group for
+    # the NaN/NULL class plus the real 1.5 group, never a third
+    # fragmented key
+    assert len(rows) == 2, rows
+    st = PrioritySample.from_bytes(bytes(
+        [r for g, r in by_g.items() if g is None or g != g][0]["sketch"]))
+    assert {i for i, _, _ in st.items()} == {1, 3, 5}
