@@ -3206,11 +3206,18 @@ def q_sticky_sample_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sticky sampling PAST the doubling threshold (C6/C7,
     countish/sticky.ml:24-39, 56-66 — the probabilistic r>1 regime VERDICT
     r2 #4 asked to gate): parameters s=0.03, eps=0.022, delta=0.1 give
-    t0 = (2/eps) ln(1/(s*delta)) ~ 528, and every source's full sf0.01
-    stream (1136-1553 tokens, CAP_DOCS-bounded at any SF) crosses t0 and
-    2*t0 (smallest stream 1136 > 2*t0 = 1056, largest 1553 < 4*t0), so the
-    sampling rate r doubles exactly twice (r=4) and the geometric prune
-    path actually runs.
+    t0 = (2/eps) ln(1/(s*delta)) ~ 528, and the per-source stream is
+    capped by a TOKEN budget of 2000 (cumulative word count by doc_id,
+    the identical window cumsum on both engines) so the stream length
+    lands in (2*t0, 4*t0) = (1056, 2112) at ANY SF: the sampling rate r
+    doubles exactly twice (r=4) and the geometric prune path actually
+    runs. A doc-count cap is NOT SF-invariant — at sf0.1 200 docs carry
+    ~10-11.6k tokens, r reaches 32, and sampled counts (which increment
+    existing keys only w.p. 1/r, reference-verbatim sticky.ml:24-39)
+    fall below the (s-eps)*n report threshold, voiding the completeness
+    regime this gate certifies (found by the round-4 all-SF sweep).
+    sf0.001/sf0.01 streams (1136-1657 tokens) sit under the budget, so
+    their outputs are byte-identical to the old cap.
 
     Gate shape follows heavy_hitter_tokens: rows are the EXACT
     high-frequency set (f_exact >= s*n — engine-independent, DuckDB
@@ -3230,11 +3237,16 @@ def q_sticky_sample_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     S, EPS, DELTA = 0.03, 0.022, 0.1
-    CAP_DOCS = 200
+    CAP_TOKENS = 2000  # < 4*t0 = 2112; every fixture source > 2*t0
+    from grenier_spark.operators.textstats import word_count
+
     docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
     w = Window.partitionBy("source").orderBy("doc_id")
-    capped = (docs.withColumn("rn", F.row_number().over(w))
-              .where(F.col("rn") <= CAP_DOCS).drop("rn"))
+    capped = (docs.withColumn("_cum",
+                              F.sum(word_count("text")).over(
+                                  w.rowsBetween(Window.unboundedPreceding,
+                                                Window.currentRow)))
+              .where(F.col("_cum") <= CAP_TOKENS).drop("_cum"))
 
     def sample(pdf: pd.DataFrame) -> pd.DataFrame:
         from collections import Counter
@@ -5638,13 +5650,15 @@ FROM c JOIN t USING (source)
 WHERE f >= (0.02::DOUBLE - 0.002::DOUBLE) * n""",
         "sticky_sample_guarantees": """
 WITH d AS (SELECT source, text,
-                  row_number() OVER (PARTITION BY source ORDER BY doc_id)
-                    AS rn
+                  SUM(len(list_filter(string_split(text, ' '),
+                                      x -> x <> '')))
+                    OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
            FROM documents),
 tok AS (SELECT source,
                unnest(list_filter(string_split(text, ' '), x -> x <> ''))
                  AS token
-        FROM d WHERE rn <= 200),
+        FROM d WHERE cum <= 2000),
 c AS (SELECT source, token, COUNT(*)::BIGINT AS f_exact
       FROM tok GROUP BY 1, 2),
 t AS (SELECT source, COUNT(*)::BIGINT AS n FROM tok GROUP BY 1)
