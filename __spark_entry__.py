@@ -1117,6 +1117,40 @@ FROM ({dd_psi_sql(_SPLIT_PLANTED_DOCS_SQL, "v", "_side", 0.25,
 ORDER BY lang"""
 
 
+def q_value_dd_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALUE-EXACT member of the KS family (operators/drift.py
+    dd_ks_report): two-sample KS of the alpha=0.25-quantized
+    distributions, computed from the same per-(type, side) DDSketch
+    histograms the PSI gate builds — integer bucket cumsums, per-bin CDF
+    differences, max. Where `value_ks_drift`'s KLL estimate gets a
+    guarantee BAND around the true KS, this statistic is itself
+    bit-reproducible in SQL (sql_oracles.dd_ks_sql — no smoothing, no
+    transcendental, no fsum-order caveat), at the price of measuring the
+    BINNED distributions (a deterministic lower bound of the true KS,
+    exact for the binning). Same md5-parity split + planted x3 'click'
+    drift; the verdict ks >= 0.2 flips for the planted type only at
+    every fixture SF (planted 0.375-0.47, noise <= 0.14)."""
+    from grenier_spark.operators.drift import dd_ks_report
+
+    src = _split_planted_events(spark, sf_dir)
+    rep = dd_ks_report(src, "v", "_side", ["event_type"], alpha=0.25)
+    return (rep.select("event_type", "n_a", "n_b", "n_bins",
+                       F.round("ks", 6).alias("ks"),
+                       (F.round("ks", 6) >= 0.2).alias("drifted"))
+            .orderBy("event_type"))
+
+
+def _value_dd_ks_oracle() -> str:
+    from grenier_spark.functions.sql_oracles import dd_ks_sql
+
+    return f"""
+SELECT event_type, n_a, n_b, n_bins, round(ks, 6) AS ks,
+       round(ks, 6) >= (0.2::DOUBLE) AS drifted
+FROM ({dd_ks_sql(_SPLIT_PLANTED_SRC_SQL, "v", "_side", 0.25,
+                 ["event_type"])})
+ORDER BY event_type"""
+
+
 def q_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS drift detection (operators/drift.py — round 4):
     events split into two sides by md5(event_id) parity (the same-engine
@@ -5144,6 +5178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_subset_estimate_sketch": q_priority_subset_estimate_sketch,
         "streaming_priority_sample": q_streaming_priority_sample,
         "token_weighted_psi_drift": q_token_weighted_psi_drift,
+        "value_dd_ks_drift": q_value_dd_ks_drift,
     }
 
 
@@ -6189,6 +6224,9 @@ ORDER BY kind, row, col""",
         # weighted PSI: SUM(w) bucket counts, terms bit-equal, round-6
         # fsum contract — token-weighted drift value-exact cross-engine
         "token_weighted_psi_drift": _token_weighted_psi_oracle(),
+        # binned KS: integer cumsums + exact divisions + max — the whole
+        # statistic bit-equal cross-engine (round-6 only by convention)
+        "value_dd_ks_drift": _value_dd_ks_oracle(),
         # weighted dd estimator: SUM(w) histogram + total-weight ranks,
         # every est_value and w_total value-exact cross-engine
         "token_weighted_len_quantiles": (

@@ -1287,6 +1287,40 @@ SELECT {gsel}side_a, side_b, ANY_VALUE(n_a) AS n_a, ANY_VALUE(n_b) AS n_b,
 FROM terms GROUP BY ALL"""
 
 
+def dd_ks_sql(values_sql: str, value_col: str, side_col: str,
+              alpha: float, group_cols: "list[str] | None" = None,
+              weight_col: "str | None" = None) -> str:
+    """Two-sample KS of the alpha-quantized distributions, the twin of
+    ``operators.drift.dd_ks_report``: integer bucket cumsums over the
+    union bin set (zeros as their own bin below every real bucket),
+    per-bin CDF differences in IEEE doubles, MAX — every step
+    bit-reproducible, no smoothing, no transcendental. ``weight_col``
+    switches every count to SUM(w) (the weighted KS). Same contracts as
+    dd_psi_sql: values_sql yields group_cols + [side_col, value_col]
+    (+ weight), NULLs pre-filtered, one-sided groups drop. Emits
+    (group..., side_a, side_b, n_a, n_b, n_bins, ks)."""
+    g = list(group_cols or [])
+    gsel = "".join(f"{c}, " for c in g)
+    # the PSI terms chain already builds the exact per-bin count matrix
+    # (ct: bins x both sides with integer c_a/c_b and n_a/n_b); KS is a
+    # different consumer of the same relation — smoothing is irrelevant
+    # because only c_a/c_b/n_a/n_b/bin are read below
+    chain = _dd_psi_terms_cte(values_sql, value_col, side_col, alpha, g,
+                              0.5, weight_col)
+    part = ("PARTITION BY " + ", ".join(g)) if g else ""
+    return f"""{chain}
+SELECT {gsel}side_a, side_b, ANY_VALUE(n_a) AS n_a, ANY_VALUE(n_b) AS n_b,
+       COUNT(*)::BIGINT AS n_bins,
+       MAX(ABS(cum_a::DOUBLE / n_a::DOUBLE
+               - cum_b::DOUBLE / n_b::DOUBLE)) AS ks
+FROM (
+  SELECT {gsel}side_a, side_b, n_a, n_b,
+         SUM(c_a) OVER ({part} ORDER BY bin) AS cum_a,
+         SUM(c_b) OVER ({part} ORDER BY bin) AS cum_b
+  FROM terms
+) GROUP BY ALL"""
+
+
 def dd_psi_attr_sql(values_sql: str, value_col: str, side_col: str,
                     alpha: float, group_cols: "list[str] | None" = None,
                     smooth: float = 0.5, k: int = 3,

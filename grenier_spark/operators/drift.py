@@ -89,6 +89,83 @@ def dd_psi_pair(sa, sb, smooth: float = 0.5) -> "tuple[int, float]":
     return len(rows), float(math.fsum(t for *_, t in rows))
 
 
+def dd_ks_pair(sa, sb) -> "tuple[int, float]":
+    """(n_bins, KS) between two decoded DDSketch histograms: the
+    two-sample Kolmogorov-Smirnov statistic of the ALPHA-QUANTIZED
+    distributions — max |CDF_a - CDF_b| over the union of occupied
+    log-buckets plus the zero bin. Quantizing both samples with the same
+    bin map can only merge mass that straddles a sup-distance point, so
+    this is a DETERMINISTIC LOWER BOUND of the true KS, exact for the
+    binning (|true - binned| <= the larger single-bin mass near the
+    argmax; at PSI-grade alpha the bins are coarse — use the KLL path
+    for a two-sided band on the TRUE KS). Unlike the KLL estimate, every
+    arithmetic step here (integer cumsums, per-bin divisions, max) is
+    SQL-reproducible bit-for-bit (sql_oracles.dd_ks_sql) — and weighted
+    histograms (build_dd_weighted) give the weighted KS for free. Raises
+    on empty sides (no distribution to compare) and alpha mismatch."""
+    if sa.alpha != sb.alpha:
+        raise ValueError(
+            f"dd_ks_pair: alpha mismatch ({sa.alpha} vs {sb.alpha}) — "
+            f"bucket indices from different gammas are not comparable")
+    if sa.n == 0 or sb.n == 0:
+        raise ValueError("dd_ks_pair: empty side")
+    ca = dict(zip(sa.idx.tolist(), sa.counts.tolist()))
+    cb = dict(zip(sb.idx.tolist(), sb.counts.tolist()))
+    if sa.zero_count or sb.zero_count:
+        zbin = min(list(ca) + list(cb), default=0) - 1
+        ca[zbin] = int(sa.zero_count)
+        cb[zbin] = int(sb.zero_count)
+    bins = sorted(set(ca) | set(cb))
+    na, nb = float(sa.n), float(sb.n)
+    cum_a = cum_b = 0
+    ks = 0.0
+    for i in bins:
+        cum_a += ca.get(i, 0)
+        cum_b += cb.get(i, 0)
+        d = abs(cum_a / na - cum_b / nb)
+        if d > ks:
+            ks = d
+    return len(bins), ks
+
+
+def dd_ks_report(df: DataFrame, value_col: str, side_col: str,
+                 group_cols: "list[str] | None" = None,
+                 alpha: float = 0.25,
+                 weight_col: "str | None" = None) -> DataFrame:
+    """Per-group two-sample KS of the alpha-quantized distributions from
+    DDSketch histograms — the VALUE-EXACT member of the KS family
+    (:func:`ks_sketch_report` bounds the TRUE KS via KLL rank error;
+    this one computes the binned KS exactly, cross-engine, and takes
+    ``weight_col`` for the token-weighted view). Same one-build-per-
+    (group, side) scaffold and side contract as :func:`psi_sketch_report`.
+    Returns (group..., side_a, side_b, n_a, n_b, n_bins, ks)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..core.ddsketch import DDSketch
+
+    j, group_cols = _dd_two_sides(df, value_col, side_col, group_cols,
+                                  alpha, weight_col)
+
+    @pandas_udf("struct<n_a:bigint,n_b:bigint,n_bins:bigint,ks:double>")
+    def _ks(a, b):
+        import pandas as pd
+        rows = []
+        for x, y in zip(a, b):
+            sa = DDSketch.from_bytes(bytes(x))
+            sb = DDSketch.from_bytes(bytes(y))
+            n_bins, ks = dd_ks_pair(sa, sb)
+            rows.append((int(sa.n), int(sb.n), n_bins, ks))
+        return pd.DataFrame(rows, columns=["n_a", "n_b", "n_bins", "ks"])
+
+    return (j.select(*group_cols, "side_a", "side_b",
+                     _ks("_ska", "_skb").alias("r"))
+            .select(*group_cols, "side_a", "side_b",
+                    F.col("r.n_a").alias("n_a"),
+                    F.col("r.n_b").alias("n_b"),
+                    F.col("r.n_bins").alias("n_bins"),
+                    F.col("r.ks").alias("ks")))
+
+
 def ks_sketch_report(df: DataFrame, value_col: str, side_col: str,
                      group_cols: "list[str] | None" = None,
                      k: int = 200) -> DataFrame:

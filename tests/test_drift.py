@@ -405,3 +405,76 @@ def test_weighted_attribution_sql_value_exact(spark):
     for c in ("rep_value", "term"):
         assert [round(x, 6) for x in got[c]] == \
             [round(x, 6) for x in exp[c]], c
+
+
+def test_dd_ks_pair_matches_sql_and_bounds_true_ks():
+    """dd_ks_pair: (a) bit-equal to the DuckDB dd_ks_sql replay, (b) a
+    deterministic LOWER bound of the true KS that tightens as alpha
+    shrinks, (c) loud on empty sides and alpha mismatch."""
+    import duckdb
+
+    from grenier_spark.core.ddsketch import DDSketch
+    from grenier_spark.functions.sql_oracles import dd_ks_sql
+    from grenier_spark.operators.drift import dd_ks_pair
+
+    rng = np.random.default_rng(33)
+    a = rng.gamma(2.0, 20.0, 4000)
+    b = rng.gamma(2.0, 55.0, 3000)
+    a[:17] = 0.0
+    truth = brute_ks(a, b)
+    prev = 0.0
+    for alpha in (0.4, 0.25, 0.05, 0.01):
+        sa, sb = DDSketch(alpha), DDSketch(alpha)
+        sa.update_batch(a)
+        sb.update_batch(b)
+        n_bins, ks = dd_ks_pair(sa, sb)
+        assert ks <= truth + 1e-12
+        assert ks >= prev - 0.02  # tightens (monotone up to bin jitter)
+        prev = ks
+    assert ks > 0.95 * truth  # alpha=0.01 bins are fine enough
+
+    # cross-engine: the alpha=0.25 chain replayed by DuckDB, bit-equal
+    sa, sb = DDSketch(0.25), DDSketch(0.25)
+    sa.update_batch(a)
+    sb.update_batch(b)
+    pdf = pd.DataFrame({
+        "s": ["a"] * len(a) + ["b"] * len(b),
+        "v": np.concatenate([a, b])})
+    con = duckdb.connect()
+    con.register("src", pdf)
+    row = con.execute(dd_ks_sql("SELECT s, v FROM src", "v", "s",
+                                0.25)).fetchone()
+    n_bins, ks = dd_ks_pair(sa, sb)
+    assert row[2] == sa.n and row[3] == sb.n
+    assert row[4] == n_bins and row[5] == ks  # bit-equal, no round needed
+
+    with pytest.raises(ValueError, match="alpha mismatch"):
+        dd_ks_pair(DDSketch(0.1), DDSketch(0.2))
+    with pytest.raises(ValueError, match="empty"):
+        dd_ks_pair(DDSketch(0.25), sb)
+
+
+def test_dd_ks_report_weighted_equals_expansion_and_flags_drift(spark):
+    """dd_ks_report: weighted == repeat-expansion on every column, and a
+    planted x3 scale shift reads a large binned KS while the A/B split
+    stays near zero."""
+    from grenier_spark.operators.drift import dd_ks_report
+
+    rng = np.random.default_rng(35)
+    n = 500
+    pdf = pd.DataFrame({
+        "g": np.where(np.arange(n) % 2 == 0, "same", "shift"),
+        "s": np.where(rng.random(n) < 0.5, "a", "b"),
+        "v": np.round(rng.lognormal(3.5, 0.8, n), 2),
+        "w": rng.integers(1, 9, n).astype("int64")})
+    pdf.loc[(pdf.g == "shift") & (pdf.s == "b"), "v"] *= 3.0
+    wrep = (dd_ks_report(spark.createDataFrame(pdf), "v", "s", ["g"],
+                         alpha=0.25, weight_col="w")
+            .toPandas().sort_values("g").reset_index(drop=True))
+    expanded = pdf.loc[pdf.index.repeat(pdf.w)].drop(columns="w")
+    urep = (dd_ks_report(spark.createDataFrame(expanded), "v", "s", ["g"],
+                         alpha=0.25)
+            .toPandas().sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(wrep, urep)
+    f = wrep.set_index("g").ks
+    assert f["shift"] > 0.5 and f["same"] < 0.2
