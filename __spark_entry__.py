@@ -1151,6 +1151,47 @@ FROM ({dd_ks_sql(_SPLIT_PLANTED_SRC_SQL, "v", "_side", 0.25,
 ORDER BY event_type"""
 
 
+def q_streaming_value_dd_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LIVE binned-KS in the gate (streaming/stateful.py
+    dd_ks_stream — the ELEVENTH gated streaming surface): the planted
+    split's side-0 events become per-type PINNED baseline DDSketch blobs
+    (batch build); side-1 events arrive as two micro-batches (event_id
+    parity) updating one dd state per type in the state store. dd state
+    is order-insensitive, so the final-trigger binned KS equals the
+    batch two-sided statistic bit-for-bit — this gate rides the SAME
+    oracle as `value_dd_ks_drift`: the driver certifies that streaming
+    the live side against a pinned baseline lands on the identical
+    value-exact number the batch join computes, planted 'click' verdict
+    included."""
+    from grenier_spark.core.ddsketch import DDSketch
+    from grenier_spark.streaming.stateful import dd_ks_stream
+
+    src = _split_planted_events(spark, sf_dir)
+    base_rows = build_sketches(
+        src.where("_side = 0").select("event_type", "v"),
+        [SketchSpec.of("d", "dd", "v", alpha=0.25)],
+        group_cols=["event_type"]).collect()
+    baseline = {r["event_type"]: bytes(r["sketch"]) for r in base_rows}
+    base_n = {t: DDSketch.from_bytes(b).n for t, b in baseline.items()}
+    live = src.where("_side = 1").select(
+        "event_id", "event_type", F.col("v").alias("value"))
+    got, totals = _run_two_batch_event_stream(
+        spark, live,
+        lambda s: dd_ks_stream(s, "event_type", baseline, alpha=0.25),
+        "g_stream_ddks")
+    fin = got[got.apply(lambda r: r.n == totals.get(r.event_type),
+                        axis=1)]
+    fin = fin.drop_duplicates(subset=["event_type"]).reset_index(drop=True)
+    fin["n_a"] = fin.event_type.map(base_n)
+    res = spark.createDataFrame(
+        fin[["event_type", "n_a", "n", "n_bins", "ks"]],
+        "event_type string, n_a long, n long, n_bins long, ks double")
+    return (res.select("event_type", "n_a", F.col("n").alias("n_b"),
+                       "n_bins", F.round("ks", 6).alias("ks"),
+                       (F.round("ks", 6) >= 0.2).alias("drifted"))
+            .orderBy("event_type"))
+
+
 def q_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS drift detection (operators/drift.py — round 4):
     events split into two sides by md5(event_id) parity (the same-engine
@@ -5179,6 +5220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_priority_sample": q_streaming_priority_sample,
         "token_weighted_psi_drift": q_token_weighted_psi_drift,
         "value_dd_ks_drift": q_value_dd_ks_drift,
+        "streaming_value_dd_ks": q_streaming_value_dd_ks,
     }
 
 
@@ -6227,6 +6269,9 @@ ORDER BY kind, row, col""",
         # binned KS: integer cumsums + exact divisions + max — the whole
         # statistic bit-equal cross-engine (round-6 only by convention)
         "value_dd_ks_drift": _value_dd_ks_oracle(),
+        # live-vs-pinned-baseline stream converges to the batch two-sided
+        # statistic exactly (order-insensitive state): IDENTICAL oracle
+        "streaming_value_dd_ks": _value_dd_ks_oracle(),
         # weighted dd estimator: SUM(w) histogram + total-weight ranks,
         # every est_value and w_total value-exact cross-engine
         "token_weighted_len_quantiles": (

@@ -621,3 +621,50 @@ def priority_sample_stream(stream_df, group_col: str, k: int,
     return (src.groupBy(group_col)
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def dd_ks_stream(stream_df, group_col: str, baseline: "dict[str, bytes]",
+                 value_col: str = "value", alpha: float = 0.25):
+    """Live binned-KS monitor — the VALUE-exact sibling of
+    ``kll_drift_stream`` (which band-gates the TRUE KS): one DDSketch
+    per group in the state store; every trigger emits the two-sample KS
+    of the alpha-quantized distributions between the group's LIVE
+    histogram and a pinned BASELINE blob (operators/drift.dd_ks_pair —
+    integer bucket cumsums, exact divisions, max; a deterministic lower
+    bound of the true KS, exact for the binning). dd state is
+    order-insensitive, so the final-trigger statistic equals the batch
+    chain bit-for-bit (sql_oracles.dd_ks_sql). Same contracts as
+    dd_psi_stream: no-baseline groups accumulate silently; NULL/NaN/inf
+    and negative values drop; the baseline dict rides the task closure
+    (KB per group). Emits ``(group, n, n_bins, ks)`` per trigger."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..core.ddsketch import DDSketch
+    from ..operators.drift import dd_ks_pair
+
+    out_schema = f"{group_col} string, n bigint, n_bins bigint, ks double"
+    state_schema = "sketch binary"
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            s = DDSketch.from_bytes(bytes(blob))
+        else:
+            s = DDSketch(alpha)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            vals = (pd.concat(chunks, ignore_index=True)[value_col]
+                    .dropna().to_numpy(dtype=np.float64))
+            vals = vals[np.isfinite(vals) & (vals >= 0)]
+            if len(vals):
+                s.update_batch(vals)
+        state.update((s.to_bytes(),))
+        base = baseline.get(key[0])
+        if s.n and base is not None:
+            n_bins, ks = dd_ks_pair(s, DDSketch.from_bytes(bytes(base)))
+            yield pd.DataFrame({group_col: [key[0]], "n": [int(s.n)],
+                                "n_bins": [n_bins], "ks": [ks]})
+
+    return (stream_df.groupBy(group_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -1061,3 +1061,76 @@ def test_priority_sample_stream_exact_across_restart(spark, tmp_path):
                   .schema("doc_id long, source string, w double")
                   .option("maxFilesPerTrigger", "16").parquet(src_dir))
         priority_sample_stream(stream, "source", k=3, weight_col="w")
+
+
+def test_dd_ks_stream_exact_across_restart(spark, tmp_path):
+    """Live binned-KS monitor (stateful.dd_ks_stream): two micro-batches
+    split by a query RESTART on one checkpoint; dd state is
+    order-insensitive, so the final streamed KS must EQUAL dd_ks_pair of
+    a from-scratch histogram over everything ingested — large for the
+    shifted key, small for the same-distribution key. Orphan keys never
+    emit; negative and inf records drop instead of wedging the stream."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from grenier_spark.core.ddsketch import DDSketch
+    from grenier_spark.operators.drift import dd_ks_pair
+    from grenier_spark.streaming.stateful import dd_ks_stream
+
+    rng = np.random.Generator(np.random.PCG64(47))
+    ref = {k: rng.gamma(2.0, 20.0, 4000) for k in ("same", "drift")}
+    baseline = {}
+    for k, v in ref.items():
+        s = DDSketch(0.25)
+        s.update_batch(v)
+        baseline[k] = s.to_bytes()
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src_dir, exist_ok=True)
+    stream_vals = {"same": rng.gamma(2.0, 20.0, 3000),
+                   "drift": rng.gamma(2.0, 60.0, 3000),
+                   "orphan": rng.gamma(2.0, 20.0, 100)}
+    for part in range(2):
+        rows = []
+        for k, v in stream_vals.items():
+            for x in v[part::2]:
+                rows.append((len(rows) + part * 10**6, k, float(x)))
+        rows.append((part * 10**6 + 999_998, "same", float("inf")))
+        rows.append((part * 10**6 + 999_999, "same", -5.0))
+        pq.write_table(pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["event_id", "event_type", "value"]),
+            preserve_index=False), f"{src_dir}/part-{part:05d}.parquet")
+
+    collected = []
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("event_id long, event_type string, value double")
+                  .option("maxFilesPerTrigger", "16").parquet(src_dir))
+        out = dd_ks_stream(stream, "event_type", baseline, alpha=0.25)
+        q = (out.writeStream.outputMode("update")
+             .foreachBatch(lambda df, bid: collected.append(df.toPandas()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    hidden = str(tmp_path / "hidden.parquet")
+    os.replace(f"{src_dir}/part-00001.parquet", hidden)
+    run_once()
+    os.replace(hidden, f"{src_dir}/part-00001.parquet")
+    run_once()
+
+    final = pd.concat(collected, ignore_index=True)
+    assert "orphan" not in set(final.event_type)
+    final = (final.sort_values("n").groupby("event_type").last()
+             .reset_index().set_index("event_type"))
+    for k in ("same", "drift"):
+        assert final.loc[k].n == len(stream_vals[k])  # bad records dropped
+        live = DDSketch(0.25)
+        live.update_batch(stream_vals[k])
+        nb, want = dd_ks_pair(live, DDSketch.from_bytes(baseline[k]))
+        assert final.loc[k].ks == want, k  # bit-equal, no rounding
+        assert final.loc[k].n_bins == nb
+    assert final.loc["drift"].ks > 0.4 and final.loc["same"].ks < 0.1
