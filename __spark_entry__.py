@@ -5050,13 +5050,83 @@ def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS LOAD-BEARING: the driver's correctness pass certifies the
-    # FIRST 50 entries only (CORRECTNESS_r03 == the first 50 keys of the
-    # round-3 dict, key-for-key). Round 4 leads with 50 queries that have
-    # never received a driver-side CORRECTNESS row (they are green in the
-    # bitwise-identical in-suite harness, tests/test_entry_oracles.py);
-    # the rotation ledger lives in COVERAGE.md §driver-certification.
+    # FIRST 50 entries only (each CORRECTNESS_r{N} == the first 50 keys of
+    # that round's dict, key-for-key). Round 5 leads with 50 of the 55
+    # queries that had never received a driver-side CORRECTNESS row after
+    # r04 (all are green in the bitwise-identical in-suite harness,
+    # tests/test_entry_oracles.py); the 5 overflow twins directly follow at
+    # slots 51-55 (each shares an oracle/family with an in-window sibling).
+    # The rotation ledger lives in COVERAGE.md §driver-certification.
     return {
-        # -- r4 window: driver-uncertified flagship gates (1-50) ----------
+        # -- r5 window: last driver-uncertified gates (1-50) --------------
+        # flagship composition gates first: they certify operator interop
+        "training_pipeline_e2e": q_training_pipeline_e2e,
+        "tokenized_pipeline_e2e": q_tokenized_pipeline_e2e,
+        "quantile_kinds_cross": q_quantile_kinds_cross,
+        # drift-monitoring family (batch + rolling + streaming + weighted)
+        "value_ks_drift": q_value_ks_drift,
+        "rolling_ks_drift": q_rolling_ks_drift,
+        "streaming_value_ks_drift": q_streaming_value_ks_drift,
+        "streaming_value_psi_drift": q_streaming_value_psi_drift,
+        "value_psi_drift": q_value_psi_drift,
+        "psi_drift_attribution": q_psi_drift_attribution,
+        "drift_dashboard": q_drift_dashboard,
+        "value_dd_ks_drift": q_value_dd_ks_drift,
+        "token_weighted_psi_drift": q_token_weighted_psi_drift,
+        # weighted / priority-sampling family (session-7 additions)
+        "token_weighted_len_quantiles": q_token_weighted_len_quantiles,
+        "priority_subset_estimate": q_priority_subset_estimate,
+        "streaming_priority_sample": q_streaming_priority_sample,
+        "weighted_doc_sample": q_weighted_doc_sample,
+        # pipeline-stage operators (boilerplate/pack/split/order/shard)
+        "boilerplate_report": q_boilerplate_report,
+        "token_pack_chunks": q_token_pack_chunks,
+        "token_pack_greedy": q_token_pack_greedy,
+        "train_val_split": q_train_val_split,
+        "doc_sample_frac": q_doc_sample_frac,
+        "stratified_quota_docs": q_stratified_quota_docs,
+        "zorder_docs": q_zorder_docs,
+        "kll_balanced_buckets": q_kll_balanced_buckets,
+        "jsonl_ingest_docs": q_jsonl_ingest_docs,
+        "user_key_skew": q_user_key_skew,
+        "mixture_docs": q_mixture_docs,
+        "shuffle_order_docs": q_shuffle_order_docs,
+        "shard_manifest_stats": q_shard_manifest_stats,
+        # text-analysis / selection family
+        "tfidf_source_terms": q_tfidf_source_terms,
+        "dsir_selection": q_dsir_selection,
+        "token_freq_spectrum": q_token_freq_spectrum,
+        "pmi_collocations": q_pmi_collocations,
+        "source_token_entropy": q_source_token_entropy,
+        "source_token_kl": q_source_token_kl,
+        "source_token_overlap": q_source_token_overlap,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_context_windows": q_doc_context_windows,
+        "embedding_label_confusion": q_embedding_label_confusion,
+        # sketch-kind extensions (count-sketch / KMV / KLL-histogram)
+        "csk_cells": q_csk_cells,
+        "csk_f2_by_type": q_csk_f2_by_type,
+        "token_kmv_by_source": q_token_kmv_by_source,
+        "source_token_kmv_jaccard": q_source_token_kmv_jaccard,
+        "value_histogram_kll": q_value_histogram_kll,
+        "token_neardup": q_token_neardup,
+        # fold / cube / migration family
+        "hll_fold_registers": q_hll_fold_registers,
+        "hll_cube_tokens": q_hll_cube_tokens,
+        "sketch_fold_cells": q_sketch_fold_cells,
+        "hll_precision_migration": q_hll_precision_migration,
+        "dd_cube_quantiles": q_dd_cube_quantiles,
+        # -- overflow (51-55): uncertified twins of in-window siblings ----
+        # each shares an oracle or pipeline with a slot-1..50 gate; they
+        # stay gated by the in-suite harness (COVERAGE.md rotation ledger)
+        "priority_subset_estimate_sketch": q_priority_subset_estimate_sketch,
+        "boilerplate_clean_docs": q_boilerplate_clean,
+        "streaming_value_dd_ks": q_streaming_value_dd_ks,
+        "csk_join_size": q_csk_join_size,
+        "stride_interleave_docs": q_stride_interleave_docs,
+        # -- driver-certified in r01-r04: keep green in-suite -------------
+        "string_funcs_parts": q_string_funcs_parts,
+        "customers_without_orders": q_customers_without_orders,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "mg_heavy_tokens": q_mg_heavy_tokens,
         "minhash_neardup": q_minhash_neardup,
@@ -5107,49 +5177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components_star": q_neardup_components_star,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_containment_pairs": q_ngram_containment,
-        # -- uncertified remainder: r5 window candidates (51+) ------------
-        # (boilerplate_report was displaced to r5 by the round-4 flagship
-        # exact_substr_spans_docs taking its window slot)
-        "boilerplate_report": q_boilerplate_report,
-        "boilerplate_clean_docs": q_boilerplate_clean,
-        "string_funcs_parts": q_string_funcs_parts,
-        "token_pack_chunks": q_token_pack_chunks,
-        "token_pack_greedy": q_token_pack_greedy,
-        "train_val_split": q_train_val_split,
-        "doc_sample_frac": q_doc_sample_frac,
-        "stratified_quota_docs": q_stratified_quota_docs,
-        "zorder_docs": q_zorder_docs,
-        "kll_balanced_buckets": q_kll_balanced_buckets,
-        "jsonl_ingest_docs": q_jsonl_ingest_docs,
-        "user_key_skew": q_user_key_skew,
-        "mixture_docs": q_mixture_docs,
-        "shuffle_order_docs": q_shuffle_order_docs,
-        "stride_interleave_docs": q_stride_interleave_docs,
-        "shard_manifest_stats": q_shard_manifest_stats,
-        "training_pipeline_e2e": q_training_pipeline_e2e,
-        "tokenized_pipeline_e2e": q_tokenized_pipeline_e2e,
-        "value_ks_drift": q_value_ks_drift,
-        "rolling_ks_drift": q_rolling_ks_drift,
-        "streaming_value_ks_drift": q_streaming_value_ks_drift,
-        "streaming_value_psi_drift": q_streaming_value_psi_drift,
-        "tfidf_source_terms": q_tfidf_source_terms,
-        "dsir_selection": q_dsir_selection,
-        "customers_without_orders": q_customers_without_orders,
-        "token_freq_spectrum": q_token_freq_spectrum,
-        "csk_cells": q_csk_cells,
-        "csk_f2_by_type": q_csk_f2_by_type,
-        "csk_join_size": q_csk_join_size,
-        "token_kmv_by_source": q_token_kmv_by_source,
-        "source_token_kmv_jaccard": q_source_token_kmv_jaccard,
-        "pmi_collocations": q_pmi_collocations,
-        "source_token_entropy": q_source_token_entropy,
-        "source_token_kl": q_source_token_kl,
-        "source_token_overlap": q_source_token_overlap,
-        "doc_repetition_stats": q_doc_repetition_stats,
-        "doc_context_windows": q_doc_context_windows,
-        "embedding_label_confusion": q_embedding_label_confusion,
-        "weighted_doc_sample": q_weighted_doc_sample,
-        # -- driver-certified in r03 (81-130): keep green in-suite --------
         "hll_registers": q_hll_registers,
         "jump_buckets": q_jump_buckets,
         "cms_cells": q_cms_cells,
@@ -5179,11 +5206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nchars_quantiles_kll": q_nchars_quantiles_kll,
         "dd_bucket_counts": q_dd_bucket_counts,
         "value_quantiles_dd": q_value_quantiles_dd,
-        # NOT r03-certified (added round 4, lives here next to its
-        # quantile siblings): r5-window candidate like the other round-4
-        # additions — see COVERAGE.md's rotation ledger
-        "quantile_kinds_cross": q_quantile_kinds_cross,
-        "value_histogram_kll": q_value_histogram_kll,
         "rolling_value_quantiles_dd": q_rolling_value_quantiles_dd,
         "token_hll_by_source": q_token_hll_by_source,
         "source_profile": q_source_profile,
@@ -5200,27 +5222,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dup_members": q_exact_dup_members,
         "token_seq_dups": q_token_seq_dups,
-        "token_neardup": q_token_neardup,
         "doc_quality_scores": q_doc_quality_scores,
         "orders_by_month": q_orders_by_month,
         "order_gap_window": q_order_gap_window,
         "set_ops_customers": q_set_ops_customers,
         "rollup_nation_segment": q_rollup_nation_segment,
-        "hll_fold_registers": q_hll_fold_registers,
-        "hll_cube_tokens": q_hll_cube_tokens,
-        "sketch_fold_cells": q_sketch_fold_cells,
-        "hll_precision_migration": q_hll_precision_migration,
-        "dd_cube_quantiles": q_dd_cube_quantiles,
-        "value_psi_drift": q_value_psi_drift,
-        "psi_drift_attribution": q_psi_drift_attribution,
-        "drift_dashboard": q_drift_dashboard,
-        "token_weighted_len_quantiles": q_token_weighted_len_quantiles,
-        "priority_subset_estimate": q_priority_subset_estimate,
-        "priority_subset_estimate_sketch": q_priority_subset_estimate_sketch,
-        "streaming_priority_sample": q_streaming_priority_sample,
-        "token_weighted_psi_drift": q_token_weighted_psi_drift,
-        "value_dd_ks_drift": q_value_dd_ks_drift,
-        "streaming_value_dd_ks": q_streaming_value_dd_ks,
     }
 
 

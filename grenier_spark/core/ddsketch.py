@@ -127,6 +127,18 @@ class DDSketch:
             return
         if np.any(w < 0):
             raise ValueError("ddsketch: weights must be >= 0")
+        # int64-overflow guard (mirrors the loud int32 bucket-index guard):
+        # per-bucket np.add.at accumulation and zero_count += would wrap
+        # silently on adversarially large weights. Exact batch total via a
+        # hi/lo split (each partial sum fits int64 for any batch length),
+        # finished in Python ints, then bounded against what the sketch
+        # already holds.
+        batch_total = (int((w >> np.int64(32)).sum()) << 32) \
+            + int((w & np.int64(0xFFFFFFFF)).sum())
+        if self.n + batch_total > np.iinfo(np.int64).max:
+            raise ValueError(
+                "ddsketch: total weight would overflow int64 counts "
+                f"(held {self.n} + batch {batch_total})")
         if not np.all(np.isfinite(values)) or np.any(values < 0):
             raise ValueError("ddsketch: values must be finite and >= 0 "
                              "(mirror two sketches for signed data)")

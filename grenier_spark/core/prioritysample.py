@@ -98,12 +98,20 @@ class PrioritySample:
         if not len(ids):
             return
         # prune the batch before concatenation with the same
-        # (priority desc, id asc) order the state keeps — an
-        # argpartition-by-priority-only prune could drop the wrong id on
-        # an exact priority tie at the boundary
+        # (priority desc, id asc) order the state keeps. O(n) argpartition
+        # narrows to the top-(k+1) priorities first; every item TIED with
+        # the boundary priority is kept as a candidate so the id-asc tie
+        # rule still picks the right ones, then only the candidates pay
+        # the lexsort (O(k log k) when priorities are distinct — the
+        # hash-derived common case; a degenerate all-tied batch degrades
+        # to the old full sort, which is still correct)
         if len(ids) > self.k + 1:
-            part = np.lexsort((ids, -prios))[: self.k + 1]
-            ids, w, prios = ids[part], w[part], prios[part]
+            m = self.k + 1
+            part = np.argpartition(-prios, m - 1)[:m]
+            cand = np.flatnonzero(prios >= prios[part].min())
+            order = np.lexsort((ids[cand], -prios[cand]))[:m]
+            sel = cand[order]
+            ids, w, prios = ids[sel], w[sel], prios[sel]
         self._select(np.concatenate([self.ids, ids]),
                      np.concatenate([self.weights, w]),
                      np.concatenate([self.prios, prios]))

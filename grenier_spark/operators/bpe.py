@@ -69,16 +69,31 @@ def _merge_word(syms: tuple, left: str, right: str) -> tuple:
     return tuple(out)
 
 
+DEFAULT_MAX_WORDS = 1_000_000
+"""Default driver-side word-histogram bound for :func:`bpe_learn`.
+
+At 100-TB corpus scale the full word histogram is unbounded (new-URL /
+typo tail); an unbounded default would mean a caller who forgets
+``max_words`` gets a driver OOM instead of a deterministic top-K. The
+1M bound keeps every word any realistic merge could touch (BPE merges
+are driven by high-count pairs; a rank-10^6 word contributes ~nothing)
+while capping driver transfer at ~tens of MB. Pass ``max_words=None``
+to explicitly opt in to the unbounded, exactly-oracle-matching setting
+on corpora known to be small."""
+
+
 def bpe_learn(docs: DataFrame, n_merges: int, text_col: str = "text",
-              max_words: "int | None" = None
+              max_words: "int | None" = DEFAULT_MAX_WORDS
               ) -> "tuple[list[dict], dict]":
     """Learn ``n_merges`` BPE merges from the corpus word histogram.
 
     Returns (merges, segmentation): ``merges`` is a list of
     {step, left, right, pair_count}; ``segmentation`` maps every
     histogram word to its final symbol tuple. ``max_words`` bounds the
-    histogram through the driver (top words by count desc, word asc);
-    None keeps every word (the oracle-checkable setting).
+    histogram through the driver (top words by count desc, word asc;
+    default :data:`DEFAULT_MAX_WORDS` — a deliberate driver-OOM guard);
+    ``None`` explicitly opts in to keeping every word (the
+    oracle-checkable setting for bounded corpora).
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")

@@ -809,10 +809,13 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
     aggregates sharing one persisted token frame — (group, term) tf rows
     and per-term df rows — both vocab-scale exchanges (the corpus
     word-count class, same as :func:`token_freq_spectrum`). idf values
-    are computed NUMPY-SIDE over the DISTINCT df values (a bounded
-    <=N-row frame through the driver, the established lm-scores
-    discipline: numpy's libm == DuckDB's, asserted by the lm gates) and
-    broadcast back, so both engines rank identical round-6 doubles.
+    are computed NUMPY-SIDE over the DISTINCT df values via
+    ``mapInPandas`` — executor-side, nothing vocab-scale ever reaches
+    the driver (the established lm-scores discipline: numpy's libm ==
+    DuckDB's, asserted by the lm gates) — and the resulting
+    distinct-df→idf lookup (tiny in any realistic corpus: distinct
+    document-frequency *values*, not terms) is broadcast back, so both
+    engines rank identical round-6 doubles.
     Ranking is the salt-split bounded min-K (similarity._bounded_topk) —
     NO per-group window, so a group whose vocabulary is half the corpus
     ranks across n_salts reducers, not one task. Ties (equal rounded
@@ -835,17 +838,25 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
     tf = tok.groupBy("g", "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("w").agg(F.countDistinct("_id").alias("df"))
     n_docs = tok.select("_id").distinct().count()
-    dfs = sorted(r.df for r in dfreq.select("df").distinct().collect())
-    if not dfs:  # empty/whitespace-only corpus: no terms, typed empty out
+    if n_docs == 0:  # empty/whitespace-only corpus: typed empty out
         tok.unpersist()
         return spark.createDataFrame(
             [], f"{group_col} string, rank long, term string, tf long, "
                 f"df long, score double")
-    idf = pd.DataFrame({
-        "df": np.asarray(dfs, dtype=np.int64),
-        "idf": np.log((n_docs + 1.0) / (np.asarray(dfs, dtype=np.float64)
-                                        + 1.0)) + 1.0})
-    idf_df = spark.createDataFrame(idf)
+
+    def _idf_batches(batches):
+        # same np.log as before, now executor-side in Arrow batches: the
+        # distinct-df frame never transits the driver (worst case it is
+        # O(min(|vocab|, n_docs)) rows — at 10^9 docs that is millions)
+        for pdf in batches:
+            d = pdf["df"].to_numpy(np.int64)
+            yield pd.DataFrame({
+                "df": d,
+                "idf": np.log((n_docs + 1.0)
+                              / (d.astype(np.float64) + 1.0)) + 1.0})
+
+    idf_df = (dfreq.select("df").distinct()
+              .mapInPandas(_idf_batches, "df long, idf double"))
     scored = (tf.join(dfreq, "w").join(F.broadcast(idf_df), "df")
               .select("g", "w", "tf", "df",
                       F.round(F.col("tf") * F.col("idf"), 6)

@@ -21,6 +21,33 @@ from ..core import hll
 from ..core.bits import U64, wang64
 
 
+def _exact_int64(series: pd.Series, where: str, name: str) -> np.ndarray:
+    """Convert a notna-filtered pandas column to int64, LOUDLY.
+
+    Spark's Arrow->pandas hop promotes a nullable bigint column to
+    float64; values >= 2^53 then lose low bits before user code ever
+    sees them — and the mangled float still round-trips cleanly, so
+    exactness at that magnitude is UNPROVABLE from here. An int64 dtype
+    passes straight through; a float dtype is accepted only when every
+    |value| < 2^53 (where int->float->int is injective) and the
+    round-trip is exact (rejects non-integral values); otherwise raise
+    rather than silently corrupt the sketch."""
+    arr = series.to_numpy()
+    if arr.dtype.kind in "iu":
+        return arr.astype(np.int64, copy=False)
+    if np.any(np.abs(arr) >= float(1 << 53)):
+        raise ValueError(
+            f"{where}: column {name!r} arrived float64 (pandas NULL "
+            "promotion) with |values| >= 2^53 — low bits may already be "
+            "lost upstream and exactness cannot be verified here; keep "
+            "the column below 2^53 or make it non-nullable upstream")
+    as_int = arr.astype(np.int64)
+    if not np.array_equal(as_int.astype(arr.dtype), arr):
+        raise ValueError(
+            f"{where}: column {name!r} holds non-integral float values")
+    return as_int
+
+
 def hll_state_stream(stream_df, group_col: str, tokens_col: str = "tokens",
                      p: int = 12):
     """(group, est_distinct, n_docs, n_tokens) per trigger per updated key.
@@ -602,13 +629,16 @@ def priority_sample_stream(stream_df, group_col: str, k: int,
                   & pdf["_prio"].notna())
             pdf = pdf[ok]
             if len(pdf):
-                # notna-filtered long columns may arrive float64 after
-                # pandas NULL promotion; integral values < 2^53 convert
-                # exactly
-                s.update_batch(pdf[id_col].to_numpy().astype(np.int64),
-                               pdf[weight_col].to_numpy()
-                               .astype(np.int64),
-                               pdf["_prio"].to_numpy(np.float64))
+                # long columns arrive float64 after pandas NULL promotion;
+                # that conversion is exact only below 2^53 — verify the
+                # round-trip instead of trusting it (ids/weights >= 2^53
+                # would otherwise be silently mangled)
+                s.update_batch(
+                    _exact_int64(pdf[id_col], "priority_sample_stream",
+                                 id_col),
+                    _exact_int64(pdf[weight_col],
+                                 "priority_sample_stream", weight_col),
+                    pdf["_prio"].to_numpy(np.float64))
                 n_seen += len(pdf)
         state.update((s.to_bytes(), n_seen))
         if n_seen:

@@ -72,6 +72,23 @@ def test_max_words_pruning_is_deterministic(spark, corpus):
     assert m_top == again
 
 
+def test_default_max_words_is_bounded(spark, corpus):
+    """Driver-OOM guard: the DEFAULT histogram bound is finite (a 100-TB
+    caller who forgets max_words gets a deterministic top-1M, not an
+    unbounded collect); None is the explicit unbounded opt-in; and at
+    small scale (vocab << bound) the default equals the unbounded
+    oracle-checkable result exactly."""
+    import inspect
+
+    from grenier_spark.operators.bpe import DEFAULT_MAX_WORDS
+
+    default = inspect.signature(bpe_learn).parameters["max_words"].default
+    assert default == DEFAULT_MAX_WORDS == 1_000_000
+    m_default, seg_default = bpe_learn(corpus, n_merges=3)
+    m_none, seg_none = bpe_learn(corpus, n_merges=3, max_words=None)
+    assert m_default == m_none and seg_default == seg_none
+
+
 def test_validation_errors(spark, corpus):
     with pytest.raises(ValueError, match="n_merges"):
         bpe_learn(corpus, n_merges=0)

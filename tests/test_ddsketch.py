@@ -284,3 +284,25 @@ def test_weighted_rejects_bad_weights():
         s.update_batch_weighted(np.array([-1.0]),
                                 np.array([1], dtype=np.int64))
     assert s.n == 0  # every rejected call left the state untouched
+
+
+def test_weighted_total_overflow_raises_loudly():
+    """Two ~2^62 weights landing in one bucket would silently wrap the
+    int64 per-bucket accumulator; the guard raises instead — before any
+    state is touched — and exactly at the int64 boundary."""
+    big = np.int64(1) << 62
+    s = DDSketch(0.01)
+    with pytest.raises(ValueError, match="overflow"):
+        s.update_batch_weighted(np.array([2.0, 2.0]),
+                                np.array([big, big], dtype=np.int64))
+    assert s.n == 0
+    # the guard is exact, not approximate: max representable total fits
+    imax = np.iinfo(np.int64).max
+    s2 = DDSketch(0.01)
+    s2.update_batch_weighted(np.array([2.0, 3.0]),
+                             np.array([imax - 5, 5], dtype=np.int64))
+    assert s2.n == imax
+    with pytest.raises(ValueError, match="overflow"):
+        s2.update_batch_weighted(np.array([4.0]),
+                                 np.array([1], dtype=np.int64))
+    assert s2.n == imax

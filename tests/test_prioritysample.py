@@ -98,6 +98,30 @@ def test_priority_tie_breaks_by_id():
     assert s.tau == 7.0  # the id-5 copy is the (k+1)-th
 
 
+def test_argpartition_prune_keeps_boundary_ties():
+    """The O(n) batch prune (argpartition -> candidates -> lexsort) must
+    keep the id-asc rule at the boundary priority: with many items TIED
+    exactly at the (k+1)-th priority, the kept ids are the smallest —
+    identical to a full (priority desc, id asc) sort of the batch."""
+    k = 3
+    n = 500
+    ids = np.arange(n, dtype=np.int64)[::-1].copy()  # descending ids
+    w = np.full(n, 7, dtype=np.int64)
+    prios = np.full(n, 5.0)          # everything tied at the boundary
+    prios[::50] = 9.0                # 10 clear winners above the tie
+    s = PrioritySample(k)
+    s.update_batch(ids, w, prios)
+    order = np.lexsort((ids, -prios))
+    want = sorted(ids[order[:k]].tolist())
+    assert sorted(i for i, _, _ in s.items()) == want
+    assert s.tau == prios[order[k]]
+    # and the prune is batch-size invariant: one big batch == many small
+    s2 = PrioritySample(k)
+    for lo in range(0, n, 17):
+        s2.update_batch(ids[lo:lo + 17], w[lo:lo + 17], prios[lo:lo + 17])
+    assert s2.to_bytes() == s.to_bytes()
+
+
 def test_zero_weight_items_never_bias():
     s = PrioritySample(2)
     s.update_batch(np.int64([1, 2, 3, 4]), np.int64([0, 0, 5, 6]),

@@ -1063,6 +1063,33 @@ def test_priority_sample_stream_exact_across_restart(spark, tmp_path):
         priority_sample_stream(stream, "source", k=3, weight_col="w")
 
 
+def test_exact_int64_guards_null_promoted_longs():
+    """_exact_int64 (the priority_sample_stream conversion path): int64
+    passes through untouched; float64 from pandas NULL promotion is
+    accepted only below 2^53 (where int->float is injective) — a
+    >= 2^53 value that may have lost low bits upstream raises instead of
+    silently mangling the sample (the mangled float round-trips cleanly,
+    so magnitude is the only sound guard), and non-integral floats
+    raise too."""
+    import pandas as pd
+
+    from grenier_spark.streaming.stateful import _exact_int64
+
+    ints = pd.Series(np.int64([1, 2, (1 << 62) + 3]))
+    out = _exact_int64(ints, "t", "id")
+    assert out.dtype == np.int64 and out.tolist() == ints.tolist()
+    # float64 holding exactly-representable sub-2^53 values: converts
+    ok = pd.Series(np.float64([3.0, float((1 << 53) - 1)]))
+    assert _exact_int64(ok, "t", "id").tolist() == [3, (1 << 53) - 1]
+    # 2^53+1 promotes to float64(2^53) and round-trips cleanly — the
+    # corruption is upstream and undetectable, so magnitude must raise
+    bad = pd.Series(np.float64([float(2**53 + 1)]))
+    with pytest.raises(ValueError, match="2\\^53"):
+        _exact_int64(bad, "t", "id")
+    with pytest.raises(ValueError, match="non-integral"):
+        _exact_int64(pd.Series(np.float64([3.5])), "t", "id")
+
+
 def test_dd_ks_stream_exact_across_restart(spark, tmp_path):
     """Live binned-KS monitor (stateful.dd_ks_stream): two micro-batches
     split by a query RESTART on one checkpoint; dd state is

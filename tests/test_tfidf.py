@@ -80,3 +80,20 @@ def test_partitioning_invariance(spark, corpus):
 def test_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id long, source string, text string")
     assert tfidf_top_terms(df).count() == 0
+
+
+def test_no_driver_collect(spark, corpus, monkeypatch):
+    # scale guard: the idf table is computed executor-side (mapInPandas
+    # over the distinct-df frame) — NO DataFrame.collect() anywhere in
+    # the build, so nothing vocab-scale can transit the driver. count()
+    # (a scalar) and localCheckpoint() remain allowed.
+    from pyspark.sql import DataFrame
+
+    def _banned(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("tfidf_top_terms must not collect() "
+                             "a DataFrame to the driver")
+
+    monkeypatch.setattr(DataFrame, "collect", _banned)
+    out = tfidf_top_terms(corpus, k=2)
+    monkeypatch.undo()
+    assert out.count() > 0
