@@ -26,6 +26,7 @@ value column, then O(1) slices per group — no per-group rescans.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -557,7 +558,10 @@ def build_sketches_from_files(spark, files: "list[str]",
                               specs: "list[SketchSpec]",
                               group_cols: "list[str] | None" = None,
                               fanout: int = 32,
-                              batch_rows: int = 65536) -> DataFrame:
+                              batch_rows: int = 65536,
+                              n_tasks: "int | None" = None,
+                              use_threads: "bool | None" = None
+                              ) -> DataFrame:
     """Native-reader variant: Python workers read the parquet FILES directly
     with pyarrow, skipping the JVM nested-column decode + Arrow-IPC hop
     (measured ~20x faster per file for array<int32> token columns).
@@ -565,9 +569,14 @@ def build_sketches_from_files(spark, files: "list[str]",
     Trade-off vs build_sketches: bypasses Catalyst's scan (no predicate
     pushdown / row-group pruning), so use it for FULL-SCAN sketch jobs over
     known file lists — exactly the bench/checkpoint workload, where the file
-    list comes from a snapshot manifest anyway. Parallelism = one task per
-    file; partial rows and everything downstream are identical to
-    build_sketches (byte parity asserted in tests)."""
+    list comes from a snapshot manifest anyway. Parallelism: ``n_tasks``
+    concurrent readers (default one per file), each folding its file
+    subset into ONE partial row. On a bandwidth-bound host fewer, fatter
+    readers win (the decode is a memory-stream workload: 8 concurrent
+    decoders saturate a single-socket bus; 32 thrash it) — on a real
+    multi-executor cluster set n_tasks ~ total executor cores, the same
+    sizing rule as any scan. Partial rows and everything downstream are
+    identical to build_sketches (byte parity asserted in tests)."""
     import pyarrow.parquet as pq
 
     group_cols = list(group_cols or [])
@@ -582,19 +591,33 @@ def build_sketches_from_files(spark, files: "list[str]",
     arrow_schema = to_arrow_schema(out_schema)
     need_cols = group_cols + value_cols
 
+    if n_tasks is None:
+        n_tasks = len(files)
+    n_tasks = max(1, min(n_tasks, len(files)))
+    # RoundRobinPartitioning spreads the file rows evenly over n_tasks
+    # partitions; each task streams its subset sequentially
     paths_df = (spark.createDataFrame([(f,) for f in files], "path string")
-                .repartition(len(files)))
+                .repartition(n_tasks))
+
+    if use_threads is None:
+        # an Arrow decode thread-pool per concurrent task oversubscribes
+        # the box when tasks ~ cores (measured 6x wall blowup under load
+        # at 64 tasks); with FEW fat readers the idle cores belong to the
+        # decoder, so threads help. The crossover is the executor-core
+        # budget: threads on only when readers use <= half the cores.
+        try:
+            slots = int(spark.sparkContext.defaultParallelism)
+        except Exception:
+            slots = os.cpu_count() or 8
+        use_threads = n_tasks * 2 <= slots
 
     def worker(batches):
         acc = _Accumulator(specs, group_cols, value_cols, out_schema,
                            arrow_schema)
         for b in batches:
             for path in b.column("path").to_pylist():
-                # use_threads=False: parallelism is one task per file; an
-                # Arrow thread pool per concurrent task oversubscribes the
-                # box (measured 6x wall blowup under load at 64 tasks)
                 tbl = pq.read_table(path, columns=need_cols,
-                                    use_threads=False)
+                                    use_threads=use_threads)
                 for rb in tbl.to_batches(max_chunksize=batch_rows):
                     acc.feed(rb)
         out = acc.flush()

@@ -387,6 +387,29 @@ def test_native_file_builder_byte_parity(spark, docs_tiny, local_rows):
                                         .n_tok.sum()))
 
 
+def test_native_file_builder_n_tasks_invariance(spark, docs_tiny):
+    """n_tasks (fewer, fatter readers) and use_threads change only the
+    execution shape — mergeable-kind sketch BYTES are invariant, and
+    identical to the one-task-per-file default."""
+    import os
+
+    from grenier_spark.operators.sketch_build import build_sketches_from_files
+
+    files = sorted(os.path.join(docs_tiny, f) for f in os.listdir(docs_tiny)
+                   if f.endswith(".parquet"))
+    specs = [SketchSpec.of("h", "hll", "tokens", p=12),
+             SketchSpec.of("c", "cms", "tokens", depth=4, width=1024, seed=7)]
+    want = {(r.source, r.sketch_name): bytes(r.sketch)
+            for r in build_sketches_from_files(spark, files, specs,
+                                               ["source"]).collect()}
+    for n_tasks, threads in ((1, False), (2, True), (3, None)):
+        got = {(r.source, r.sketch_name): bytes(r.sketch)
+               for r in build_sketches_from_files(
+                   spark, files, specs, ["source"], n_tasks=n_tasks,
+                   use_threads=threads).collect()}
+        assert got == want, (n_tasks, threads)
+
+
 def test_sql_function_registration(spark, docs_df):
     """Registered SQL functions work in spark.sql strings end-to-end."""
     from grenier_spark.functions.register import register_sql_functions
