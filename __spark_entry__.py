@@ -4507,7 +4507,11 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grenier_spark.operators.bpe import bpe_learn
 
     docs = _t(spark, sf_dir, "documents")
-    merges, _seg = bpe_learn(docs, n_merges=12)
+    # max_words=None: the oracle replays the UNBOUNDED histogram, so the
+    # Spark side must opt out of the (scale-safety) default top-1M cap —
+    # on a >1M-word corpus the capped and uncapped argmax chains could
+    # diverge and break the value-for-value contract
+    merges, _seg = bpe_learn(docs, n_merges=12, max_words=None)
     return spark.createDataFrame(
         [(m["step"], m["left"], m["right"], m["pair_count"])
          for m in merges],
@@ -4525,7 +4529,8 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text")
-    _merges, seg = bpe_learn(docs, n_merges=12)
+    # max_words=None: same unbounded-oracle contract as q_bpe_merges
+    _merges, seg = bpe_learn(docs, n_merges=12, max_words=None)
     return bpe_token_counts(docs, seg).orderBy("doc_id")
 
 

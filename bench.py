@@ -33,6 +33,9 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+# native-reader task count (round-5 sweep; see build_sketches_from_files
+# docstring) — single source for both the call site and the output JSON
+NATIVE_N_TASKS = 24
 
 
 def make_spark(cpus: int, task_cpus: int = 1):
@@ -297,7 +300,11 @@ def run_default():
 
     # the pyarrow-native scan path (workers read parquet directly, skipping
     # the JVM nested-column decode + Arrow-IPC hop) — byte-identical output
-    # (tests/test_spark_pipeline.py parity tests). SAME 4 sketch specs as
+    # for the mergeable kinds (hll/cms/bloom; tests/test_spark_pipeline.py
+    # parity tests). The kll spec is order-sensitive: its partial BYTES are
+    # deterministic per partitioning (the documented contract, CLAUDE.md)
+    # and its estimates hold the same rank-error bound on every path; this
+    # bench collects n_values only. SAME 4 sketch specs as
     # the DataFrame path so the two numbers isolate the scan path. Since
     # round 5 this is a co-headline: the engine's build throughput is the
     # best of the two scan paths (both are the same mergeable pipeline; a
@@ -331,7 +338,7 @@ def run_default():
         t0 = time.perf_counter()
         (build_sketches_from_files(spark, files, native_specs,
                                    group_cols=["source"], fanout=32,
-                                   n_tasks=24)
+                                   n_tasks=NATIVE_N_TASKS)
          .select("sketch_name", "n_values").collect())
         nat_reps.append(round(time.perf_counter() - t0, 3))
         bw_b, eff_b = calibration_probe()
@@ -387,7 +394,7 @@ def run_default():
         "tokens_per_sec_arrow": round(tokens_per_sec, 1),
         "tokens_per_sec_native": round(
             n_tokens / timings["sketch_build_rep_native"], 1),
-        "native_n_tasks": 24,
+        "native_n_tasks": NATIVE_N_TASKS,
         "headline_loud_draw": headline_loud,
         # loudness self-documentation (probes taken before build rep i+1):
         # bw_ratios = single-core bandwidth vs quiet reference (>1.5 =>

@@ -54,6 +54,21 @@ import numpy as np
 _MAGIC = b"DDS1"
 _HDR = struct.Struct("<4sdqI")
 
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def _exact_total(w: np.ndarray) -> int:
+    """Exact Python-int sum of a non-negative int64 array, immune to
+    int64 partial-sum wrap: hi/lo 32-bit split per 2^30-element chunk
+    (hi terms <= 2^31, lo terms <= 2^32-1, so each chunk's partial sums
+    stay <= 2^62), chunks accumulated in arbitrary-precision ints."""
+    total = 0
+    for lo in range(0, len(w), 1 << 30):
+        c = w[lo:lo + (1 << 30)]
+        total += ((int((c >> np.int64(32)).sum()) << 32)
+                  + int((c & np.int64(0xFFFFFFFF)).sum()))
+    return total
+
 
 class DDSketch:
     __slots__ = ("alpha", "gamma", "_lg", "zero_count", "idx", "counts")
@@ -129,12 +144,9 @@ class DDSketch:
             raise ValueError("ddsketch: weights must be >= 0")
         # int64-overflow guard (mirrors the loud int32 bucket-index guard):
         # per-bucket np.add.at accumulation and zero_count += would wrap
-        # silently on adversarially large weights. Exact batch total via a
-        # hi/lo split (each partial sum fits int64 for any batch length),
-        # finished in Python ints, then bounded against what the sketch
-        # already holds.
-        batch_total = (int((w >> np.int64(32)).sum()) << 32) \
-            + int((w & np.int64(0xFFFFFFFF)).sum())
+        # silently on adversarially large weights. Exact batch total in
+        # Python ints, then bounded against what the sketch already holds.
+        batch_total = _exact_total(w)
         if self.n + batch_total > np.iinfo(np.int64).max:
             raise ValueError(
                 "ddsketch: total weight would overflow int64 counts "
@@ -177,6 +189,15 @@ class DDSketch:
         if self.alpha != other.alpha:
             raise ValueError(f"cannot merge DDSketch alpha={self.alpha} "
                              f"with alpha={other.alpha}")
+        # same loud int64 bound as update_batch_weighted: two partials
+        # that each passed the update-path guard can still overflow when
+        # COMBINED, and the distributed two-level build combines partials
+        # exactly here — without this check _absorb's np.add.at wraps
+        # silently and quantile() walks negative cumulative counts
+        if self.n + other.n > _I64_MAX:
+            raise ValueError(
+                "ddsketch: merged total weight would overflow int64 "
+                f"counts ({self.n} + {other.n})")
         self.zero_count += other.zero_count
         self._absorb(other.idx, other.counts)
         return self

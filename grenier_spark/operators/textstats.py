@@ -809,13 +809,14 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
     aggregates sharing one persisted token frame — (group, term) tf rows
     and per-term df rows — both vocab-scale exchanges (the corpus
     word-count class, same as :func:`token_freq_spectrum`). idf values
-    are computed NUMPY-SIDE over the DISTINCT df values via
-    ``mapInPandas`` — executor-side, nothing vocab-scale ever reaches
-    the driver (the established lm-scores discipline: numpy's libm ==
-    DuckDB's, asserted by the lm gates) — and the resulting
-    distinct-df→idf lookup (tiny in any realistic corpus: distinct
-    document-frequency *values*, not terms) is broadcast back, so both
-    engines rank identical round-6 doubles.
+    are computed NUMPY-SIDE (the established lm-scores discipline:
+    numpy's libm == DuckDB's, asserted by the lm gates) INLINE in a
+    ``mapInPandas`` stage over the joined (tf, df) rows — a narrow
+    per-row function of ``df``, so there is no idf lookup table at all:
+    no driver transit, no broadcast, no extra exchange, at any vocab
+    size. The final multiply+round stays Spark-side (``F.round``), the
+    same HALF_UP arithmetic the DuckDB twin's ``round()`` matches, so
+    both engines rank identical round-6 doubles.
     Ranking is the salt-split bounded min-K (similarity._bounded_topk) —
     NO per-group window, so a group whose vocabulary is half the corpus
     ranks across n_salts reducers, not one task. Ties (equal rounded
@@ -844,20 +845,27 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
             [], f"{group_col} string, rank long, term string, tf long, "
                 f"df long, score double")
 
-    def _idf_batches(batches):
-        # same np.log as before, now executor-side in Arrow batches: the
-        # distinct-df frame never transits the driver (worst case it is
-        # O(min(|vocab|, n_docs)) rows — at 10^9 docs that is millions)
+    def _idf_rows(batches):
+        # numpy ln per row, executor-side in Arrow batches — idf is a
+        # pure function of df, so no lookup table exists anywhere
+        # (worst-case distinct-df cardinality is O(min(|vocab|,
+        # n_docs)) — at 10^9 docs a broadcast table would be millions
+        # of rows through the driver JVM)
         for pdf in batches:
             d = pdf["df"].to_numpy(np.int64)
-            yield pd.DataFrame({
-                "df": d,
-                "idf": np.log((n_docs + 1.0)
-                              / (d.astype(np.float64) + 1.0)) + 1.0})
+            out = pdf.copy()
+            out["idf"] = (np.log((n_docs + 1.0)
+                                 / (d.astype(np.float64) + 1.0)) + 1.0)
+            yield out
 
-    idf_df = (dfreq.select("df").distinct()
-              .mapInPandas(_idf_batches, "df long, idf double"))
-    scored = (tf.join(dfreq, "w").join(F.broadcast(idf_df), "df")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    joined = tf.join(dfreq, "w").select("g", "w", "tf", "df")
+    # fresh StructType: .add() would mutate the DataFrame's cached schema
+    idf_schema = StructType(joined.schema.fields
+                            + [StructField("idf", DoubleType())])
+    scored = (joined
+              .mapInPandas(_idf_rows, idf_schema)
               .select("g", "w", "tf", "df",
                       F.round(F.col("tf") * F.col("idf"), 6)
                       .alias("score"))

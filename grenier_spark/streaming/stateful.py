@@ -33,7 +33,15 @@ def _exact_int64(series: pd.Series, where: str, name: str) -> np.ndarray:
     round-trip is exact (rejects non-integral values); otherwise raise
     rather than silently corrupt the sketch."""
     arr = series.to_numpy()
-    if arr.dtype.kind in "iu":
+    if arr.dtype.kind == "i":
+        return arr.astype(np.int64, copy=False)
+    if arr.dtype.kind == "u":
+        # unsigned values >= 2^63 would wrap negative through the int64
+        # cast — the same silent corruption this helper exists to stop
+        if len(arr) and int(arr.max()) > np.iinfo(np.int64).max:
+            raise ValueError(
+                f"{where}: column {name!r} holds unsigned values >= 2^63 "
+                "that cannot be represented as int64")
         return arr.astype(np.int64, copy=False)
     if np.any(np.abs(arr) >= float(1 << 53)):
         raise ValueError(

@@ -306,3 +306,27 @@ def test_weighted_total_overflow_raises_loudly():
         s2.update_batch_weighted(np.array([4.0]),
                                  np.array([1], dtype=np.int64))
     assert s2.n == imax
+
+
+def test_merge_total_overflow_raises_loudly():
+    """Two partials that each passed the update-path guard can still
+    overflow when COMBINED — and merge() is exactly the path the
+    distributed two-level build takes. The guard must fire there too,
+    before any state is touched."""
+    big = (np.int64(1) << 62) + np.int64(1 << 61)  # 3 * 2^61 each
+    a = DDSketch(0.01)
+    a.update_batch_weighted(np.array([2.0]), np.array([big]))
+    b = DDSketch(0.01)
+    b.update_batch_weighted(np.array([3.0]), np.array([big]))
+    n_a = a.n
+    with pytest.raises(ValueError, match="overflow"):
+        a.merge(b)
+    assert a.n == n_a  # untouched by the refused merge
+    # a merge that lands exactly at the boundary still works
+    imax = np.iinfo(np.int64).max
+    c = DDSketch(0.01)
+    c.update_batch_weighted(np.array([2.0]), np.array([imax - 7],
+                                                      dtype=np.int64))
+    d = DDSketch(0.01)
+    d.update_batch_weighted(np.array([3.0]), np.array([7], dtype=np.int64))
+    assert c.merge(d).n == imax

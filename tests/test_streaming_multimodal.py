@@ -1088,6 +1088,12 @@ def test_exact_int64_guards_null_promoted_longs():
         _exact_int64(bad, "t", "id")
     with pytest.raises(ValueError, match="non-integral"):
         _exact_int64(pd.Series(np.float64([3.5])), "t", "id")
+    # uint64 representable as int64: converts; >= 2^63: raises (a bare
+    # astype would wrap negative — the same silent corruption class)
+    oku = pd.Series(np.uint64([1, (1 << 63) - 1]))
+    assert _exact_int64(oku, "t", "id").tolist() == [1, (1 << 63) - 1]
+    with pytest.raises(ValueError, match="2\\^63"):
+        _exact_int64(pd.Series(np.uint64([1 << 63])), "t", "id")
 
 
 def test_dd_ks_stream_exact_across_restart(spark, tmp_path):
