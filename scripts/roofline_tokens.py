@@ -79,7 +79,11 @@ def _kernel_pass(files):
     t_ker = 0.0
     for f in files:
         t0 = time.perf_counter()
-        col = pq.read_table(f, columns=["tokens"]).column("tokens")
+        # use_threads=False: each pool process is ONE decoder, so the
+        # aggregate is P single-threaded decoders — the same shape as
+        # build_sketches_from_files tasks at n_tasks ~ cores
+        col = pq.read_table(f, columns=["tokens"],
+                            use_threads=False).column("tokens")
         chunks = [(c.values.to_numpy(zero_copy_only=False))
                   for c in col.chunks]
         t_dec += time.perf_counter() - t0
