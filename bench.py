@@ -324,6 +324,15 @@ def run_default():
         SketchSpec.of("tok_cms", "cms", "tokens", depth=4, width=8192, seed=7),
         SketchSpec.of("tok_bloom", "bloom", "tokens", m=1 << 20, k=5, seed=7),
         SketchSpec.of("ntok_kll", "kll", "n_tok", k=200)]
+    # warm the native-path workers outside the timed section (the
+    # arrow-path warm pass doesn't fork the same worker set after the
+    # session restart; an unwarmed rep1 measured ~25 s of fork+import).
+    # All files at the timed task count so every worker slot forks, but
+    # only the scalar n_tok column — a KB-scale decode, not a build
+    (build_sketches_from_files(
+        spark, files, [SketchSpec.of("w", "hll", "n_tok", p=4)],
+        n_tasks=NATIVE_N_TASKS).collect())
+
     nat_reps: list[float] = []
     nat_bw: list[float] = []
     nat_eff: list[float] = []
